@@ -1,0 +1,644 @@
+"""Driver-contract query registry: (spark, sf_dir) callables + matching
+DuckDB oracle SQL (SURVEY §5 item 2).
+
+Two input families:
+- Domain fixtures (reference-shaped grid/weights/features/catalog tables)
+  under ``fixtures/`` — read by absolute path from both Spark and DuckDB.
+- The driver's TPC-H-ish tables (pre-registered DuckDB views) at ``sf_dir``
+  — used where FIXTURES.md §9 maps reference operators onto them and for the
+  generic relational surface (joins, windows, set ops) the engine exposes.
+
+Float discipline: SUM over doubles is order-dependent, and Spark/DuckDB sum
+in different orders. Every floating aggregate is rounded (6 decimals) in BOTH
+the Spark query and the oracle so value-hashes match; keys/counts are exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.physics import relative_humidity
+from .operators.bbox import bbox_filter, time_filter
+from .operators.ensemble import ensemble_median, ensemble_stats
+from .operators.fill import missingness_split, nearest_donor
+from .operators.pivot import pivot_wide
+from .operators.weighted_agg import weight_sum_qa, weighted_mean, weighted_mean_all_vars
+from .plans.gridmet import gridmet_pipeline
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXDIR = os.path.join(REPO, "fixtures")
+
+FX = {
+    name: os.path.join(FIXDIR, f"{name}.parquet")
+    for name in ["grid", "grid_ens", "weights", "weights_ens", "features", "catalog", "elevation"]
+}
+
+R = 6  # rounding digits for float aggregates (see module docstring)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _pq(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _grid(spark: SparkSession) -> DataFrame:
+    from .sources.readers import read_grid
+
+    return read_grid(spark, FX["grid"])
+
+
+def _grid_ens(spark: SparkSession) -> DataFrame:
+    from .sources.readers import read_grid
+
+    return read_grid(spark, FX["grid_ens"])
+
+
+def _weights(spark: SparkSession) -> DataFrame:
+    from .sources.readers import read_weights_parquet
+
+    return read_weights_parquet(spark, FX["weights"])
+
+
+# --------------------------------------------------------------------------
+# Domain queries (reference operators on the reference-shaped fixtures)
+# --------------------------------------------------------------------------
+
+
+def q_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A1: strict area-weighted mean, tmmx."""
+    out = weighted_mean(_grid(spark).filter(F.col("var") == "tmmx"), _weights(spark))
+    return out.select("feature_id", "time", F.round("value", R).alias("value"))
+
+
+SQL_WEIGHTED_MEAN = f"""
+SELECT w.feature_id, g.time,
+       ROUND(CASE WHEN count(CASE WHEN g.value IS NULL THEN 1 END) > 0 THEN NULL
+             ELSE sum(w.wght * g.value) / sum(w.wght) END, {R}) AS value
+FROM '{FX["grid"]}' g JOIN '{FX["weights"]}' w ON g.i = w.i AND g.j = w.j
+WHERE g.var = 'tmmx'
+GROUP BY w.feature_id, g.time
+"""
+
+
+def q_masked_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: masked weighted mean (--partial), tmmx."""
+    out = weighted_mean(_grid(spark).filter(F.col("var") == "tmmx"), _weights(spark), masked=True)
+    return out.select("feature_id", "time", F.round("value", R).alias("value"))
+
+
+SQL_MASKED_WEIGHTED_MEAN = f"""
+SELECT w.feature_id, g.time,
+       ROUND(sum(CASE WHEN g.value IS NOT NULL THEN w.wght * g.value END)
+             / sum(CASE WHEN g.value IS NOT NULL THEN w.wght END), {R}) AS value
+FROM '{FX["grid"]}' g JOIN '{FX["weights"]}' w ON g.i = w.i AND g.j = w.j
+WHERE g.var = 'tmmx'
+GROUP BY w.feature_id, g.time
+"""
+
+
+def q_ensemble_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact median across 48 members per cell (tmmx, first 4 rows of grid)."""
+    sub = _grid_ens(spark).filter((F.col("var") == "tmmx") & (F.col("i") < 4))
+    out = ensemble_median(sub)
+    return out.select(
+        "time", "i", "j", F.round("lat", R).alias("lat"), F.round("lon", R).alias("lon"),
+        F.round("value", R).alias("value"),
+    )
+
+
+SQL_ENSEMBLE_MEDIAN = f"""
+SELECT time, i, j, ROUND(any_value(lat), {R}) AS lat, ROUND(any_value(lon), {R}) AS lon,
+       ROUND(median(value), {R}) AS value
+FROM '{FX["grid_ens"]}' WHERE var = 'tmmx' AND i < 4
+GROUP BY time, i, j
+"""
+
+
+def q_ensemble_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _grid_ens(spark).filter((F.col("var") == "sph") & (F.col("i") < 3))
+    out = ensemble_stats(sub)
+    return out.select(
+        "time", "i", "j",
+        F.round("ens_median", R).alias("ens_median"),
+        F.round("ens_mean", R).alias("ens_mean"),
+        F.round("ens_min", R).alias("ens_min"),
+        F.round("ens_max", R).alias("ens_max"),
+        F.round("ens_std", R).alias("ens_std"),
+        F.col("n_members"),
+    )
+
+
+SQL_ENSEMBLE_STATS = f"""
+SELECT time, i, j,
+       ROUND(median(value), {R}) AS ens_median,
+       ROUND(avg(value), {R}) AS ens_mean,
+       ROUND(min(value), {R}) AS ens_min,
+       ROUND(max(value), {R}) AS ens_max,
+       ROUND(stddev_samp(value), {R}) AS ens_std,
+       count(value) AS n_members
+FROM '{FX["grid_ens"]}' WHERE var = 'sph' AND i < 3
+GROUP BY time, i, j
+"""
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: long→wide over the 6 gridMET variables after weighted agg."""
+    long_agg = weighted_mean_all_vars(_grid(spark), _weights(spark), masked=True)
+    wide = pivot_wide(long_agg, {v: v for v in ["tmmx", "tmmn", "pr", "rmax", "rmin", "vs"]})
+    return wide.select(
+        "feature_id", "time",
+        *[F.round(v, R).alias(v) for v in ["tmmx", "tmmn", "pr", "rmax", "rmin", "vs"]],
+    )
+
+
+SQL_PIVOT_WIDE = f"""
+WITH long_agg AS (
+  SELECT g.var, w.feature_id, g.time,
+         sum(CASE WHEN g.value IS NOT NULL THEN w.wght * g.value END)
+           / sum(CASE WHEN g.value IS NOT NULL THEN w.wght END) AS value
+  FROM '{FX["grid"]}' g JOIN '{FX["weights"]}' w ON g.i = w.i AND g.j = w.j
+  GROUP BY g.var, w.feature_id, g.time)
+SELECT feature_id, time,
+       ROUND(max(CASE WHEN var = 'tmmx' THEN value END), {R}) AS tmmx,
+       ROUND(max(CASE WHEN var = 'tmmn' THEN value END), {R}) AS tmmn,
+       ROUND(max(CASE WHEN var = 'pr'   THEN value END), {R}) AS pr,
+       ROUND(max(CASE WHEN var = 'rmax' THEN value END), {R}) AS rmax,
+       ROUND(max(CASE WHEN var = 'rmin' THEN value END), {R}) AS rmin,
+       ROUND(max(CASE WHEN var = 'vs'   THEN value END), {R}) AS vs
+FROM long_agg GROUP BY feature_id, time
+"""
+
+
+def q_gridmet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full gridmet-etl analogue (masked), wide converted output."""
+    out = gridmet_pipeline(_grid(spark), _weights(spark), partial=True)
+    return out.select(
+        "feature_id", "time",
+        *[F.round(c, R).alias(c) for c in ["tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity"]],
+    )
+
+
+SQL_GRIDMET_PIPELINE = f"""
+WITH long_agg AS (
+  SELECT g.var, w.feature_id, g.time,
+         sum(CASE WHEN g.value IS NOT NULL THEN w.wght * g.value END)
+           / sum(CASE WHEN g.value IS NOT NULL THEN w.wght END) AS value
+  FROM '{FX["grid"]}' g JOIN '{FX["weights"]}' w ON g.i = w.i AND g.j = w.j
+  GROUP BY g.var, w.feature_id, g.time),
+wide AS (
+  SELECT feature_id, time,
+         max(CASE WHEN var = 'tmmx' THEN value END) AS tmmx,
+         max(CASE WHEN var = 'tmmn' THEN value END) AS tmmn,
+         max(CASE WHEN var = 'pr'   THEN value END) AS pr,
+         max(CASE WHEN var = 'rmax' THEN value END) AS rmax,
+         max(CASE WHEN var = 'rmin' THEN value END) AS rmin,
+         max(CASE WHEN var = 'vs'   THEN value END) AS vs
+  FROM long_agg GROUP BY feature_id, time)
+SELECT feature_id, time,
+       ROUND(tmmx - 273.15, {R}) AS tmax,
+       ROUND(tmmn - 273.15, {R}) AS tmin,
+       ROUND(pr, {R}) AS prcp,
+       ROUND(rmax, {R}) AS rhmax,
+       ROUND(rmin, {R}) AS rhmin,
+       ROUND(vs, {R}) AS ws,
+       ROUND((rmin + rmax) / 2.0, {R}) AS humidity
+FROM wide
+"""
+
+
+def q_cfsv2_median_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method 1: ens-median → weighted mean → physics; full converted output."""
+    from .sources.readers import read_weights_parquet
+
+    elevation = _pq(spark, FX["elevation"])
+    w = read_weights_parquet(spark, FX["weights_ens"])
+    from .plans.cfsv2 import cfsv2_median_pipeline
+
+    out = cfsv2_median_pipeline(_grid_ens(spark), w, elevation)
+    return out.select(
+        "feature_id", "time",
+        *[F.round(c, R).alias(c) for c in ["tmax", "tmin", "prcp", "humidity"]],
+    )
+
+
+SQL_CFSV2_MEDIAN_PIPELINE = f"""
+WITH med AS (
+  SELECT var, time, i, j, median(value) AS value
+  FROM '{FX["grid_ens"]}' GROUP BY var, time, i, j),
+long_agg AS (
+  SELECT g.var, w.feature_id, g.time,
+         CASE WHEN count(CASE WHEN g.value IS NULL THEN 1 END) > 0 THEN NULL
+              ELSE sum(w.wght * g.value) / sum(w.wght) END AS value
+  FROM med g JOIN '{FX["weights_ens"]}' w ON g.i = w.i AND g.j = w.j
+  GROUP BY g.var, w.feature_id, g.time),
+wide AS (
+  SELECT feature_id, time,
+         max(CASE WHEN var = 'tmmx' THEN value END) AS tmmx,
+         max(CASE WHEN var = 'tmmn' THEN value END) AS tmmn,
+         max(CASE WHEN var = 'pr'   THEN value END) AS pr,
+         max(CASE WHEN var = 'sph'  THEN value END) AS sph
+  FROM long_agg GROUP BY feature_id, time),
+phys AS (
+  SELECT w.feature_id, w.time, w.tmmx, w.tmmn, w.pr, w.sph, e.hru_elev,
+         (w.tmmx + w.tmmn) / 2.0 AS t_avg
+  FROM wide w JOIN '{FX["elevation"]}' e ON w.feature_id = e.feature_id)
+SELECT feature_id, time,
+       ROUND(tmmx - 273.15, {R}) AS tmax,
+       ROUND(tmmn - 273.15, {R}) AS tmin,
+       ROUND(pr, {R}) AS prcp,
+       ROUND((sph * (1013.25 * exp(-9.80665 * hru_elev / (287.05 * t_avg))) / 0.622)
+             / (6.1094 * exp(17.625 * (t_avg - 273.15) / ((t_avg - 273.15) + 243.04)))
+             * 100.0, {R}) AS humidity
+FROM phys
+"""
+
+
+def q_cfsv2_ensemble_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method 2: all 48 members, one pass (E1 rewrite)."""
+    from .plans.cfsv2 import cfsv2_ensemble_pipeline
+    from .sources.readers import read_weights_parquet
+
+    elevation = _pq(spark, FX["elevation"])
+    w = read_weights_parquet(spark, FX["weights_ens"])
+    out = cfsv2_ensemble_pipeline(_grid_ens(spark), w, elevation)
+    return out.select(
+        "feature_id", "ens", "time",
+        *[F.round(c, R).alias(c) for c in ["tmax", "tmin", "prcp", "humidity"]],
+    )
+
+
+SQL_CFSV2_ENSEMBLE_PIPELINE = f"""
+WITH long_agg AS (
+  SELECT g.var, g.ens, w.feature_id, g.time,
+         CASE WHEN count(CASE WHEN g.value IS NULL THEN 1 END) > 0 THEN NULL
+              ELSE sum(w.wght * g.value) / sum(w.wght) END AS value
+  FROM '{FX["grid_ens"]}' g JOIN '{FX["weights_ens"]}' w ON g.i = w.i AND g.j = w.j
+  GROUP BY g.var, g.ens, w.feature_id, g.time),
+wide AS (
+  SELECT feature_id, ens, time,
+         max(CASE WHEN var = 'tmmx' THEN value END) AS tmmx,
+         max(CASE WHEN var = 'tmmn' THEN value END) AS tmmn,
+         max(CASE WHEN var = 'pr'   THEN value END) AS pr,
+         max(CASE WHEN var = 'sph'  THEN value END) AS sph
+  FROM long_agg GROUP BY feature_id, ens, time),
+phys AS (
+  SELECT w.*, e.hru_elev, (w.tmmx + w.tmmn) / 2.0 AS t_avg
+  FROM wide w JOIN '{FX["elevation"]}' e ON w.feature_id = e.feature_id)
+SELECT feature_id, ens, time,
+       ROUND(tmmx - 273.15, {R}) AS tmax,
+       ROUND(tmmn - 273.15, {R}) AS tmin,
+       ROUND(pr, {R}) AS prcp,
+       ROUND((sph * (1013.25 * exp(-9.80665 * hru_elev / (287.05 * t_avg))) / 0.622)
+             / (6.1094 * exp(17.625 * (t_avg - 273.15) / ((t_avg - 273.15) + 243.04)))
+             * 100.0, {R}) AS humidity
+FROM phys
+"""
+
+
+def q_nearest_donor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/O1: nearest-with-data donor per missing feature, with distance."""
+    grid = _grid(spark).filter(F.col("var") == "tmmx")
+    out_long = weighted_mean(grid, _weights(spark), masked=True)
+    features = _pq(spark, FX["features"]).select(
+        F.col("feature_id").cast("long").alias("feature_id"), "lat", "lon"
+    )
+    missing, present = missingness_split(out_long, features)
+    nn = nearest_donor(missing, present)
+    return nn.select("missing_id", "donor_id", F.round("distance", R).alias("distance"))
+
+
+SQL_NEAREST_DONOR = f"""
+WITH first_vals AS (
+  SELECT w.feature_id,
+         sum(CASE WHEN g.value IS NOT NULL THEN w.wght * g.value END)
+           / sum(CASE WHEN g.value IS NOT NULL THEN w.wght END) AS value
+  FROM '{FX["grid"]}' g JOIN '{FX["weights"]}' w ON g.i = w.i AND g.j = w.j
+  WHERE g.var = 'tmmx' AND g.time = (SELECT min(time) FROM '{FX["grid"]}')
+  GROUP BY w.feature_id),
+present AS (
+  SELECT f.feature_id, f.lat, f.lon FROM '{FX["features"]}' f
+  JOIN first_vals v ON f.feature_id = v.feature_id AND v.value IS NOT NULL),
+missing AS (
+  SELECT f.feature_id, f.lat, f.lon FROM '{FX["features"]}' f
+  WHERE f.feature_id NOT IN (SELECT feature_id FROM present)),
+ranked AS (
+  SELECT m.feature_id AS missing_id, p.feature_id AS donor_id,
+         sqrt((m.lat - p.lat) * (m.lat - p.lat) + (m.lon - p.lon) * (m.lon - p.lon)) AS distance,
+         row_number() OVER (PARTITION BY m.feature_id
+                            ORDER BY sqrt((m.lat - p.lat) * (m.lat - p.lat)
+                                          + (m.lon - p.lon) * (m.lon - p.lon)), p.feature_id) AS rn
+  FROM missing m CROSS JOIN present p)
+SELECT missing_id, donor_id, ROUND(distance, {R}) AS distance FROM ranked WHERE rn = 1
+"""
+
+
+def q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: buffered bbox subset (order-insensitive range predicate)."""
+    bounds = {"minx": -124.3, "maxx": -123.9, "miny": 48.6, "maxy": 49.0}
+    out = bbox_filter(_grid(spark).filter(F.col("var") == "pr"), bounds)
+    return out.select(
+        "var", "time", "i", "j",
+        F.round("lat", R).alias("lat"), F.round("lon", R).alias("lon"),
+        F.round("value", R).alias("value"),
+    )
+
+
+SQL_BBOX_FILTER = f"""
+SELECT var, time, i, j, ROUND(lat, {R}) AS lat, ROUND(lon, {R}) AS lon,
+       ROUND(value, {R}) AS value
+FROM '{FX["grid"]}'
+WHERE var = 'pr'
+  AND lon BETWEEN -124.3 - 0.04167 AND -123.9 + 0.04167
+  AND lat BETWEEN 48.6 - 0.04167 AND 49.0 + 0.04167
+"""
+
+
+def q_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: inclusive date-range restriction."""
+    out = time_filter(_grid(spark).filter(F.col("var") == "vs"), "1980-01-02", "1980-01-04")
+    return out.groupBy("time").agg(
+        F.count("*").alias("n_cells"), F.round(F.sum("value"), R).alias("sum_value")
+    )
+
+
+SQL_TIME_FILTER = f"""
+SELECT time, count(*) AS n_cells, ROUND(sum(value), {R}) AS sum_value
+FROM '{FX["grid"]}'
+WHERE var = 'vs' AND time BETWEEN DATE '1980-01-02' AND DATE '1980-01-04'
+GROUP BY time
+"""
+
+
+def q_catalog_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/O2: conjunctive catalog filter + deterministic first match."""
+    from .sources.readers import read_catalog
+
+    cat = read_catalog(spark, FX["catalog"])
+    out = cat.filter((F.col("id") == "gridmet") & (F.col("variable") == "tmmx"))
+    return (
+        out.orderBy(F.col("rank").asc_nulls_last())
+        .limit(1)
+        .select("id", "variable", "varname", "units", "T_name", "X_name", "Y_name")
+    )
+
+
+SQL_CATALOG_LOOKUP = f"""
+SELECT id, variable, varname, units, T_name, X_name, Y_name
+FROM '{FX["catalog"]}'
+WHERE id = 'gridmet' AND variable = 'tmmx'
+ORDER BY rank LIMIT 1
+"""
+
+
+def q_weight_sum_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-feature weight-sum invariant check."""
+    return weight_sum_qa(_weights(spark)).select(
+        "feature_id", F.round("wght_sum", R).alias("wght_sum")
+    )
+
+
+SQL_WEIGHT_SUM_QA = f"""
+SELECT feature_id, ROUND(sum(wght), {R}) AS wght_sum
+FROM '{FX["weights"]}' GROUP BY feature_id
+"""
+
+
+def q_physics_rh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F5: relative-humidity physics on the elevation table with fixed
+    Kelvin temps / sph (pure Column-expression library, no UDF)."""
+    elev = _pq(spark, FX["elevation"])
+    return elev.select(
+        "feature_id",
+        F.round(
+            relative_humidity(F.lit(295.0), F.lit(283.0), F.lit(0.009), F.col("hru_elev")), R
+        ).alias("rh"),
+    )
+
+
+SQL_PHYSICS_RH = f"""
+SELECT feature_id,
+       ROUND((0.009 * (1013.25 * exp(-9.80665 * hru_elev / (287.05 * 289.0))) / 0.622)
+             / (6.1094 * exp(17.625 * (289.0 - 273.15) / ((289.0 - 273.15) + 243.04)))
+             * 100.0, {R}) AS rh
+FROM '{FX["elevation"]}'
+"""
+
+
+def q_union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: concat-along-new-dim = UNION ALL + member tag."""
+    base = (
+        _grid(spark)
+        .filter((F.col("var") == "pr") & (F.col("time") == F.lit("1980-01-01")) & (F.col("i") < 5))
+        .select("i", "j", F.round("value", R).alias("value"))
+    )
+    from .operators.ensemble import concat_members
+
+    return concat_members([base, base]).select("ens", "i", "j", "value")
+
+
+SQL_UNION_CONCAT = f"""
+WITH base AS (
+  SELECT i, j, ROUND(value, {R}) AS value FROM '{FX["grid"]}'
+  WHERE var = 'pr' AND time = DATE '1980-01-01' AND i < 5)
+SELECT 0 AS ens, i, j, value FROM base
+UNION ALL
+SELECT 1 AS ens, i, j, value FROM base
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational surface on the driver's TPC-H-ish tables (FIXTURES.md §9)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A1 shape on TPC-H: lineitem ⋈ broadcast(part) → qty-weighted mean
+    price per (brand, returnflag)."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    part = _pq(spark, _t(sf_dir, "part"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity") * F.col("p_retailprice")) / F.sum("l_quantity"), R
+            ).alias("wavg_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_WEIGHTED_MEAN = """
+SELECT p_brand, l_returnflag,
+       ROUND(sum(l_quantity * p_retailprice) / sum(l_quantity), 6) AS wavg_price,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, l_returnflag
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-like pricing summary (partial-agg-friendly groupBy)."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), R).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), R).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), R).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 6) AS sum_qty,
+       ROUND(sum(l_extendedprice), 6) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join surface (SURVEY §2.4 note): customers with orders vs
+    without, per nation."""
+    c = _pq(spark, _t(sf_dir, "customer"))
+    o = _pq(spark, _t(sf_dir, "orders"))
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_with"))
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without"))
+    )
+    return (
+        with_orders.join(without, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+SQL_TPCH_SEMI_ANTI = """
+WITH w AS (
+  SELECT c_nationkey, count(*) AS n_with FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY c_nationkey),
+wo AS (
+  SELECT c_nationkey, count(*) AS n_without FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY c_nationkey)
+SELECT COALESCE(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+       COALESCE(n_with, 0) AS n_with, COALESCE(n_without, 0) AS n_without
+FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+"""
+
+
+def q_tpch_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 shape: top-1 order by totalprice per customer (ties → lowest key)."""
+    o = _pq(spark, _t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", R).alias("o_totalprice"))
+    )
+
+
+SQL_TPCH_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+WHERE rn = 1
+"""
+
+
+def q_tpch_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join through the dimension chain: revenue per region."""
+    c = _pq(spark, _t(sf_dir, "customer"))
+    o = _pq(spark, _t(sf_dir, "orders"))
+    n = _pq(spark, _t(sf_dir, "nation"))
+    r = _pq(spark, _t(sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), R).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+SQL_TPCH_JOIN3 = """
+SELECT r_name, ROUND(sum(o_totalprice), 6) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 incremental-append analogue: per-type daily event rollup."""
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    return (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), R).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+       ROUND(sum(value), 6) AS sum_value, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
+DOMAIN_QUERIES = {
+    "weighted_mean": (q_weighted_mean, SQL_WEIGHTED_MEAN),
+    "masked_weighted_mean": (q_masked_weighted_mean, SQL_MASKED_WEIGHTED_MEAN),
+    "ensemble_median": (q_ensemble_median, SQL_ENSEMBLE_MEDIAN),
+    "ensemble_stats": (q_ensemble_stats, SQL_ENSEMBLE_STATS),
+    "pivot_wide": (q_pivot_wide, SQL_PIVOT_WIDE),
+    "gridmet_pipeline": (q_gridmet_pipeline, SQL_GRIDMET_PIPELINE),
+    "cfsv2_median_pipeline": (q_cfsv2_median_pipeline, SQL_CFSV2_MEDIAN_PIPELINE),
+    "cfsv2_ensemble_pipeline": (q_cfsv2_ensemble_pipeline, SQL_CFSV2_ENSEMBLE_PIPELINE),
+    "nearest_donor": (q_nearest_donor, SQL_NEAREST_DONOR),
+    "bbox_filter": (q_bbox_filter, SQL_BBOX_FILTER),
+    "time_filter": (q_time_filter, SQL_TIME_FILTER),
+    "catalog_lookup": (q_catalog_lookup, SQL_CATALOG_LOOKUP),
+    "weight_sum_qa": (q_weight_sum_qa, SQL_WEIGHT_SUM_QA),
+    "physics_rh": (q_physics_rh, SQL_PHYSICS_RH),
+    "union_concat": (q_union_concat, SQL_UNION_CONCAT),
+    "tpch_weighted_mean": (q_tpch_weighted_mean, SQL_TPCH_WEIGHTED_MEAN),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_semi_anti": (q_tpch_semi_anti, SQL_TPCH_SEMI_ANTI),
+    "tpch_window_topk": (q_tpch_window_topk, SQL_TPCH_WINDOW_TOPK),
+    "tpch_join3": (q_tpch_join3, SQL_TPCH_JOIN3),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+}

@@ -1,0 +1,45 @@
+"""Spatial/temporal predicates (SURVEY §2.3 P2/P3).
+
+Reference subsets the raster to the feature bounding box ± one cell buffer
+(0.04167°) before any compute, via a descending-latitude xarray slice
+(etl.py:307-340). The engine re-expresses it as an order-insensitive
+``between`` filter — strictly more robust than the reference's
+monotonicity-dependent slice (SURVEY §2.7 O3) — which Catalyst pushes into
+the Parquet scan (row-group min/max skipping; partition pruning when the
+grid is written partitioned by spatial tile).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CELL_BUFFER_DEG = 0.04167  # one grid cell (etl.py:321, cfsv2.json resX)
+
+
+def feature_bounds(features: DataFrame) -> dict[str, float]:
+    """total_bounds analogue (etl.py:322) over feature centroids."""
+    row = features.agg(
+        F.min("lon").alias("minx"),
+        F.max("lon").alias("maxx"),
+        F.min("lat").alias("miny"),
+        F.max("lat").alias("maxy"),
+    ).collect()[0]
+    return {"minx": row.minx, "maxx": row.maxx, "miny": row.miny, "maxy": row.maxy}
+
+
+def bbox_filter(
+    grid: DataFrame,
+    bounds: dict[str, float],
+    buffer_deg: float = CELL_BUFFER_DEG,
+) -> DataFrame:
+    """P2: keep cells inside the buffered bbox. Lat/lon ordering-insensitive."""
+    return grid.filter(
+        F.col("lon").between(bounds["minx"] - buffer_deg, bounds["maxx"] + buffer_deg)
+        & F.col("lat").between(bounds["miny"] - buffer_deg, bounds["maxy"] + buffer_deg)
+    )
+
+
+def time_filter(grid: DataFrame, start_date: str, end_date: str) -> DataFrame:
+    """P3: inclusive [start, end] date-range restriction (etl.py:407, 670)."""
+    return grid.filter(F.col("time").between(F.lit(start_date), F.lit(end_date)))

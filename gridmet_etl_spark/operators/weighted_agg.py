@@ -1,0 +1,80 @@
+"""Area-weighted aggregation — the engine core (SURVEY §2.4 J1, §2.5 A1/A2).
+
+Reference semantics (the gdptools ``AggGen`` contract as configured at
+/root/reference/gridmet_etl/etl.py:425-433 and :686-707):
+
+- ``stat_method="mean"`` (A1): per (feature, time), Σ w·v / Σ w over ALL the
+  feature's intersecting cells. NaN-intolerant — any missing cell poisons the
+  result (NaN in → NaN out), because the denominator counts every weight.
+- ``stat_method="masked_mean"`` (A2, the ``--partial`` path, etl.py:690):
+  normalizes by Σ w over NON-NULL cells only, so partial coverage still
+  yields a value; all-null groups yield NULL.
+
+Spark-first design: the weights table is tiny relative to the grid fact
+(27,971 rows vs billions of cells at production scale) → explicit
+``broadcast`` hash join, so at 100 TB the join is map-side with zero shuffle
+of the fact table; the single shuffle is the groupBy on
+(feature_id, [ens,] time), which gets map-side partial aggregation for free.
+Keeping ``ens`` in the group keys turns the reference's 48 sequential
+per-member pipelines (E1 anti-pattern, etl.py:361-383) into one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def weighted_mean(
+    grid: DataFrame,
+    weights: DataFrame,
+    value_col: str = "value",
+    extra_keys: tuple[str, ...] = (),
+    masked: bool = False,
+) -> DataFrame:
+    """grid ⋈ broadcast(weights) on (i, j) → weighted mean per
+    (feature_id, *extra_keys, time).
+
+    Returns columns ``feature_id, *extra_keys, time, value`` (aliased
+    ``value``). ``masked=False`` reproduces stat_method="mean" (NaN
+    poisoning); ``masked=True`` reproduces "masked_mean".
+    """
+    joined = grid.join(F.broadcast(weights), on=["i", "j"], how="inner")
+    keys = ["feature_id", *extra_keys, "time"]
+    v, w = F.col(value_col), F.col("wght")
+    if masked:
+        # normalize over non-null cells only; all-null → NULL (0/0)
+        num = F.sum(F.when(v.isNotNull(), w * v))
+        den = F.sum(F.when(v.isNotNull(), w))
+    else:
+        # strict mean: any NULL cell must poison the group. SQL SUM skips
+        # NULLs, so reintroduce the poison explicitly.
+        num = F.when(F.count(F.when(v.isNull(), F.lit(1))) > 0, F.lit(None)).otherwise(
+            F.sum(w * v)
+        )
+        den = F.sum(w)
+    return joined.groupBy(*keys).agg((num / den).alias("value"))
+
+
+def weighted_mean_all_vars(
+    grid: DataFrame,
+    weights: DataFrame,
+    variables: list[str] | None = None,
+    masked: bool = False,
+    with_ens: bool = False,
+) -> DataFrame:
+    """Long-form multi-variable weighted mean: one shuffle computes every
+    variable (and every ensemble member when ``with_ens``) at once.
+
+    Output: ``feature_id [, ens], time, var, value``.
+    """
+    if variables is not None:
+        grid = grid.filter(F.col("var").isin(variables))  # P7 projection
+    extra = ("ens", "var") if with_ens else ("var",)
+    return weighted_mean(grid, weights, extra_keys=extra, masked=masked)
+
+
+def weight_sum_qa(weights: DataFrame) -> DataFrame:
+    """QA invariant A6: per-feature Σw ∈ (0, 1 + 1e-9] (BASELINE.md measured
+    bounds on the real weights file)."""
+    return weights.groupBy("feature_id").agg(F.sum("wght").alias("wght_sum"))

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs one JVM with N threads; the configs below are chosen
+so the same code is correct on a real cluster: AQE enabled (runtime re-plan,
+skew-join splitting, partition coalescing), Arrow enabled for the few
+Pandas-UDF paths, shuffle partitions sized to cores locally (a cluster deploy
+would raise it or rely on AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "gridmet_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "8g",
+) -> SparkSession:
+    """Build (or get) the engine session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    On a real cluster, callers pass ``master=None`` and set master via
+    spark-submit; every config here is cluster-safe.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # Weights/catalog/features dims are ≤ a few MB → let Catalyst
+        # auto-broadcast generously; explicit broadcast() hints are still used
+        # at the call sites that know the dimension is small.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

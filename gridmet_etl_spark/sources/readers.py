@@ -1,0 +1,105 @@
+"""Source readers (SURVEY §2.1 S1-S8).
+
+Canonical storage is Parquet; the reference's GeoParquet/shapefile/NetCDF/
+OPeNDAP inputs all cross an ingest boundary into the long-form tables of
+schemas.py. Each reader applies the explicit schema (no inference, matching
+the reference's fixed schemas §1.3) so plans are stable and column pruning /
+predicate pushdown reach the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import CATALOG_SCHEMA, FEATURES_SCHEMA, GRID_SCHEMA, WEIGHTS_SCHEMA
+
+
+def read_grid(spark: SparkSession, path: str) -> DataFrame:
+    """S5 post-ingest: long-form grid parquet. Casts into GRID_SCHEMA order."""
+    df = spark.read.parquet(path)
+    cols = []
+    for f in GRID_SCHEMA.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.name == "ens":  # non-ensemble datasets
+            cols.append(F.lit(-1).cast("int").alias("ens"))
+        else:
+            raise ValueError(f"grid parquet at {path} missing column {f.name}")
+    return df.select(*cols)
+
+
+def read_weights_csv(spark: SparkSession, path: str, fid_col: str = "feature_id") -> DataFrame:
+    """S6: weights CSV `(fid,i,j,wght)` — the reference's gm_nhru01_weights.csv
+    shape (header `nhru_v1_1,i,j,wght`). ``fid_col`` mirrors --fid
+    (cli.py:76-82): the first column, whatever its name, becomes feature_id."""
+    raw = spark.read.csv(path, header=True, inferSchema=False)
+    first = raw.columns[0] if fid_col not in raw.columns else fid_col
+    return raw.select(
+        F.col(first).cast("long").alias("feature_id"),
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.col("wght").cast("double").alias("wght"),
+    )
+
+
+def read_weights_parquet(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in WEIGHTS_SCHEMA.fields]
+    )
+
+
+def read_features(spark: SparkSession, path: str, fid_col: str = "feature_id") -> DataFrame:
+    """S1: (Geo)Parquet feature table; geometry column (if present) stays
+    opaque WKB binary. Shapefiles (S2) must be converted to parquet at ingest
+    (no vanilla Spark shapefile reader; SURVEY §2.1 S2)."""
+    df = spark.read.parquet(path)
+    sel = [F.col(fid_col).cast("long").alias("feature_id"),
+           F.col("lat").cast("double").alias("lat"),
+           F.col("lon").cast("double").alias("lon")]
+    if "geometry" in df.columns:
+        sel.append(F.col("geometry"))
+    return df.select(*sel)
+
+
+def read_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """S3/S4: dataset catalog from parquet or (multiline) JSON."""
+    if path.endswith(".json"):
+        df = spark.read.json(path, multiLine=True)
+    else:
+        df = spark.read.parquet(path)
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in CATALOG_SCHEMA.fields
+        if f.name in df.columns
+    ]
+    extra = [c for c in df.columns if c not in {f.name for f in CATALOG_SCHEMA.fields}]
+    return df.select(*cols, *extra)
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Event-stream parquet reader. The driver's events table stores ``ts``
+    as parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+    read nanos as long (runtime-settable legacy conf) and convert to a
+    microsecond TimestampType column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def catalog_lookup(catalog: DataFrame, data_id: str, variable: str) -> dict:
+    """P1+J6: conjunctive equality filter + deterministic first match →
+    driver-side dict (the reference's `.query(...).to_dict('records')[0]`,
+    etl.py:658-664). Determinism: ordered by the catalog's own row order
+    surrogate when present ('rank'), else asset name."""
+    matches = catalog.filter(
+        (F.col("id") == F.lit(data_id)) & (F.col("variable") == F.lit(variable))
+    )
+    order_col = "rank" if "rank" in catalog.columns else "asset"
+    row = matches.orderBy(F.col(order_col).asc_nulls_last()).limit(1).collect()
+    if not row:
+        raise KeyError(f"catalog has no entry id={data_id!r} variable={variable!r}")
+    return row[0].asDict()

@@ -1,0 +1,87 @@
+"""S1-S9 source readers: schema application, catalog first-match semantics,
+PRMS parser, THREDDS freshness gate (injected fetcher, no network)."""
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridmet_etl_spark.sources.prms import elevation_dataframe, read_elevation_values
+from gridmet_etl_spark.sources.readers import (
+    catalog_lookup,
+    read_catalog,
+    read_features,
+    read_grid,
+    read_weights_csv,
+)
+from gridmet_etl_spark.sources.thredds import check_freshness, parse_timespan_end
+
+
+def test_read_grid_schema(spark, grid):
+    assert [f.name for f in grid.schema.fields] == [
+        "var", "ens", "time", "i", "j", "lat", "lon", "value",
+    ]
+    assert dict(grid.dtypes)["time"] == "date"
+    assert dict(grid.dtypes)["value"] == "double"
+
+
+def test_read_grid_defaults_ens(spark, grid):
+    assert grid.select("ens").distinct().collect()[0].ens == -1
+
+
+def test_read_weights_csv_fid_rename(spark, tmp_path):
+    """The reference's weights header is `nhru_v1_1,i,j,wght` — first column
+    becomes feature_id regardless of name (--fid, cli.py:76-82)."""
+    p = tmp_path / "w.csv"
+    p.write_text("nhru_v1_1,i,j,wght\n7,1,2,0.5\n7,1,3,0.5\n")
+    w = read_weights_csv(spark, str(p))
+    rows = w.collect()
+    assert w.columns == ["feature_id", "i", "j", "wght"]
+    assert rows[0].feature_id == 7 and rows[0].wght == 0.5
+
+
+def test_catalog_lookup_first_match_ignores_decoys(spark, fixdir):
+    cat = read_catalog(spark, os.path.join(fixdir, "catalog.parquet"))
+    rec = catalog_lookup(cat, "gridmet", "tmmx")
+    assert rec["units"] == "K" and rec["varname"] == "daily_maximum_temperature"
+    rec2 = catalog_lookup(cat, "cfsv2_gridmet", "sph")
+    assert rec2["units"] == "kg/kg"
+    with pytest.raises(KeyError):
+        catalog_lookup(cat, "nope", "tmmx")
+
+
+def test_prms_parser(spark, fixdir):
+    vals = read_elevation_values(os.path.join(fixdir, "myparam.param"))
+    assert len(vals) == 50
+    assert all(0.0 <= v <= 3500.0 for v in vals)
+    df = elevation_dataframe(spark, os.path.join(fixdir, "myparam.param"), list(range(1, 51)))
+    row = df.filter(F.col("feature_idx") == 0).collect()[0]
+    assert row.feature_id == 1 and row.hru_elev == pytest.approx(vals[0], abs=1e-6)
+
+
+def test_prms_parser_missing_section(fixdir):
+    with pytest.raises(KeyError):
+        read_elevation_values(os.path.join(fixdir, "myparam.param"), "no_such_param")
+
+
+THREDDS_XML = """<?xml version="1.0"?>
+<gridDataset location="x">
+  <TimeSpan><begin>1979-01-01T00:00:00Z</begin><end>{end}T00:00:00Z</end></TimeSpan>
+</gridDataset>"""
+
+
+def test_parse_timespan_end():
+    assert parse_timespan_end(THREDDS_XML.format(end="2024-06-01")) == datetime(2024, 6, 1)
+
+
+def test_check_freshness_gate():
+    now = datetime(2024, 6, 3, 12, 0, tzinfo=timezone.utc)
+    fresh = check_freshness(
+        "http://x", ["a.nc"], fetch=lambda u: THREDDS_XML.format(end="2024-06-02"), now=now
+    )
+    stale = check_freshness(
+        "http://x", ["a.nc"], fetch=lambda u: THREDDS_XML.format(end="2024-05-20"), now=now
+    )
+    assert fresh == {"a.nc": True}
+    assert stale == {"a.nc": False}
