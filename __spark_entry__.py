@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gridmet_etl_spark.contract import DOMAIN_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext import EXT_QUERIES  # noqa: E402
+
+ALL_QUERIES = {**DOMAIN_QUERIES, **EXT_QUERIES}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,8 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in DOMAIN_QUERIES.items()}
+    return {name: fn for name, (fn, _sql) in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in DOMAIN_QUERIES.items() if sql is not None}
+    return {name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql is not None}

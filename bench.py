@@ -33,11 +33,20 @@ BENCH_QUERIES = [
     "tpch_join3",
     "tpch_window_topk",
     "events_daily",
+    "text_analysis",
+    "exact_dedup",
+    "minhash_lsh",
+    "simhash",
+    "cosine_topk",
+    "cosine_topk_lsh",
 ]
 
 
 def main() -> None:
-    from gridmet_etl_spark.contract import DOMAIN_QUERIES
+    from gridmet_etl_spark.contract import DOMAIN_QUERIES as _CORE
+    from gridmet_etl_spark.contract_ext import EXT_QUERIES as _EXT
+
+    DOMAIN_QUERIES = {**_CORE, **_EXT}
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")
     # warm-up: JVM + parquet footer caches

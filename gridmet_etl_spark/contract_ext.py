@@ -1,0 +1,337 @@
+"""Extension-operator contract entries (training-data-pipeline surface):
+text analysis, dedup, similarity search — each Spark query paired with a
+DuckDB oracle wherever cross-engine determinism is achievable.
+
+Parity techniques (see operator docstrings): md5-based hashing, MIN over hex
+strings, hex→int via Spark ``conv`` ≡ DuckDB ``CAST('0x…' AS BIGINT)``,
+ordered string_agg ≡ sorted-struct array_join, and rank-on-rounded-cosine so
+float-sum order differences can't flip rankings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    N_MINHASH_SEEDS,
+    ROWS_PER_BAND,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.similarity import cosine_topk, cosine_topk_lsh, embedding_near_dups
+from .operators.textops import LANG_MARKERS, LANG_ORDER, STOPWORDS, analyze_documents
+
+R = 6
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL fragment generators — single source of truth for the heuristics, so the
+# oracle can't drift from the Spark implementation.
+# ---------------------------------------------------------------------------
+
+NORM = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"  # duckdb global flag
+
+
+def _sql_occurrences(padded: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return f"(length({padded}) - length(replace({padded}, ' {n} ', ''))) / {len(needle) + 2}"
+
+
+def _sql_lang_scores(text_expr: str) -> dict[str, str]:
+    padded = f"(' ' || {text_expr} || ' ')"
+    return {
+        lang: "(" + " + ".join(_sql_occurrences(padded, m) for m in markers) + ")"
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def _sql_lang_id(text_expr: str) -> str:
+    scores = _sql_lang_scores(text_expr)
+    all_scores = ", ".join(scores[lang] for lang in LANG_ORDER)
+    branches = "\n".join(
+        f"WHEN {scores[lang]} >= greatest({all_scores}) THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"CASE WHEN greatest({all_scores}) <= 0 THEN 'und' {branches} ELSE 'und' END"
+
+
+def _sql_stop_ratio(text_expr: str) -> str:
+    padded = f"(' ' || {text_expr} || ' ')"
+    hits = " + ".join(_sql_occurrences(padded, w) for w in STOPWORDS)
+    return f"({hits}) / greatest(CAST(len(string_split({text_expr}, ' ')) AS DOUBLE), 1.0)"
+
+
+def _sql_punct_ratio(text_expr: str) -> str:
+    return (
+        f"length(regexp_replace({text_expr}, '[^\\.,;:!\\?]', '', 'g'))"
+        f" / greatest(length({text_expr}), 1)"
+    )
+
+
+def _sql_mean_word_len(text_expr: str) -> str:
+    return (
+        f"length(replace({text_expr}, ' ', ''))"
+        f" / CAST(greatest(len(string_split({text_expr}, ' ')), 1) AS DOUBLE)"
+    )
+
+
+def _sql_quality(text_expr: str) -> str:
+    n = f"CAST(len(string_split({text_expr}, ' ')) AS DOUBLE)"
+    wl = _sql_mean_word_len(text_expr)
+    return (
+        f"0.3 * least({n} / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - least(abs(({wl}) - 4.7) / 4.7, 1.0))"
+        f" + 0.2 * least(({_sql_stop_ratio(text_expr)}) * 5.0, 1.0)"
+        f" + 0.2 * (1.0 - least(({_sql_punct_ratio(text_expr)}) * 10.0, 1.0))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = analyze_documents(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_bpe",
+        "lang_pred",
+        F.round("quality", R).alias("quality"),
+        F.round("stop_ratio", R).alias("stop_ratio"),
+        F.round("mean_word_len", R).alias("mean_word_len"),
+        "fingerprint",
+    )
+
+
+SQL_TEXT_ANALYSIS = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       {_sql_lang_id("text")} AS lang_pred,
+       ROUND({_sql_quality("text")}, {R}) AS quality,
+       ROUND({_sql_stop_ratio("text")}, {R}) AS stop_ratio,
+       ROUND({_sql_mean_word_len("text")}, {R}) AS mean_word_len,
+       md5({NORM.format(c="text")}) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return exact_dedup(docs).select("doc_id", "fingerprint", "n_dupes")
+
+
+SQL_EXACT_DEDUP = f"""
+WITH fp AS (
+  SELECT doc_id, md5({NORM.format(c="text")}) AS fingerprint FROM documents),
+ranked AS (
+  SELECT doc_id, fingerprint,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS n_dupes
+  FROM fp)
+SELECT doc_id, fingerprint, n_dupes FROM ranked WHERE rn = 1
+"""
+
+_SHINGLE_SQL = f"""
+  SELECT DISTINCT doc_id, substr(t, i, 3) AS sh
+  FROM (SELECT doc_id, {NORM.format(c="text")} AS t FROM documents WHERE doc_id < 300),
+       generate_series(1, 2000) g(i)
+  WHERE i <= greatest(length(t) - 2, 1)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.8 over a bounded corpus slice."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 300)
+    out = ngram_jaccard_pairs(docs, threshold=0.8)
+    return out.select("doc_a", "doc_b", F.round("jaccard", R).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), {R}) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over a bounded corpus slice (the full
+    shingle→minhash→band→bucket-join pipeline, oracle-checked)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 300)
+    return minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+
+
+SQL_MINHASH_LSH = f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+sigs AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+  FROM shingles, generate_series(0, {N_MINHASH_SEEDS - 1}) s(seed)
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / {ROWS_PER_BAND}) AS INT) AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(floor(seed / {ROWS_PER_BAND}) AS INT))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 500)
+    return simhash(docs).select("doc_id", "simhash")
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents WHERE doc_id < 500)
+  WHERE tok <> ''),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN substr(md5(CAST(bit AS VARCHAR) || ':' || tok), 1, 1) >= '8'
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks, generate_series(0, 15) b(bit)
+  GROUP BY doc_id, bit)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64  # driver's embeddings table dimension (all sfs)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=10, rank_round=R)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", R).alias("cosine_sim"), "rank"
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS n_e,
+         sqrt(sum(CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) AS n_q
+  FROM embeddings e, q, generate_series(1, {_EMB_DIM}) g(i)
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, e.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, dot / (n_e * n_q) AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(dot / (n_e * n_q), {R}) DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, ROUND(cosine_sim, {R}) AS cosine_sim, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups on corpus ∪ planted duplicates (ids +100000),
+    LSH-bucketed; the oracle replicates bucketing + planting exactly."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    out = embedding_near_dups(corpus, threshold=0.99)
+    return out.select("id_a", "id_b", F.round("cosine_sim", R).alias("cosine_sim"))
+
+
+def _sql_srp_bucket(vec: str) -> str:
+    bits = []
+    for p in range(8):
+        comp = (
+            f"(CAST(CAST('0x' || substr(md5('{p}:' || CAST(g.i - 1 AS VARCHAR)), 1, 6) AS BIGINT)"
+            f" AS DOUBLE) / 16777216.0 - 0.5)"
+        )
+        bits.append(
+            f"CASE WHEN sum(CAST({vec}[i] AS DOUBLE) * {comp}) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(bits)
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+bucketed AS (
+  SELECT c.vec_id, any_value(c.embedding) AS embedding,
+         {_sql_srp_bucket("c.embedding")} AS bucket
+  FROM corpus c, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY c.vec_id),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS n_a,
+         sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS n_b
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+       generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY a.vec_id, b.vec_id)
+SELECT id_a, id_b, ROUND(dot / (n_a * n_b), {R}) AS cosine_sim
+FROM pairs WHERE dot / (n_a * n_b) >= 0.99
+"""
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (SRP-LSH bucketed) — Spark-only rows check (recall is
+    probe-dependent; no SQL oracle by design, the exact variant is the
+    oracle-checked baseline)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_lsh(emb, queries, k=10, n_probes=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", R).alias("cosine_sim"), "rank"
+    )
+
+
+EXT_QUERIES = {
+    "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    "cosine_topk_lsh": (q_cosine_topk_lsh, None),  # rows-only by design
+}

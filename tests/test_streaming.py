@@ -1,0 +1,96 @@
+"""Structured-Streaming surface: AvailableNow drain equals batch semantics;
+late-data watermark config; streaming dedup; T2 idempotent partition
+overwrite."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridmet_etl_spark.sources.readers import read_events
+from gridmet_etl_spark.streaming.events import (
+    incremental_append,
+    run_available_now,
+    stream_events,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Stage the events table as a stream-source directory (micro-second ts,
+    since the streaming schema uses TimestampType)."""
+    d = tmp_path_factory.mktemp("events_src")
+    df = read_events(spark, os.path.join(SF_DIR, "events.parquet"))
+    df.write.mode("overwrite").parquet(str(d / "batch"))
+    return str(d / "batch")
+
+
+def test_windowed_counts_match_batch(spark, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_available_now(agg, out, ck)
+    got = spark.read.parquet(out)
+
+    batch = spark.read.parquet(events_dir)
+    # append mode emits a window only once the watermark passes window_end:
+    # final watermark = max(ts) - 2h, so compare the expired windows only
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .filter(F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    )
+    assert got.count() == expected.count()
+    assert got.count() > 0
+    e = expected.select(
+        "window_start",
+        "event_type",
+        F.col("n_events").alias("exp_n"),
+        F.col("sum_value").alias("exp_sum"),
+    )
+    j = got.join(e, ["window_start", "event_type"], "inner")
+    assert j.count() == expected.count()
+    mismatch = j.filter(
+        (F.col("n_events") != F.col("exp_n")) | (F.abs(F.col("sum_value") - F.col("exp_sum")) > 1e-9)
+    )
+    assert mismatch.count() == 0
+
+
+def test_streaming_dedup(spark, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    deduped = streaming_dedup(stream)
+    out = str(tmp_path / "out")
+    run_available_now(deduped, out, str(tmp_path / "ck"))
+    got = spark.read.parquet(out)
+    n_src = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src
+
+
+def test_incremental_append_idempotent(spark, events_dir, tmp_path):
+    """T2: re-writing the same date window must not duplicate rows."""
+    out = str(tmp_path / "daily")
+    df = spark.read.parquet(events_dir).withColumn("day", F.to_date("ts"))
+    incremental_append(df, out)
+    n1 = spark.read.parquet(out).count()
+    incremental_append(df, out)  # idempotent re-run
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == df.count()
+    # partial re-run replaces only its partitions
+    one_day = df.filter(F.col("day") == df.agg(F.min("day")).collect()[0][0])
+    incremental_append(one_day, out)
+    assert spark.read.parquet(out).count() == n1
