@@ -619,6 +619,157 @@ FROM events GROUP BY CAST(ts AS DATE), event_type
 """
 
 
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot (melt): wide weighted-mean output back to long form —
+    row-local, no shuffle beyond the agg itself."""
+    from .operators.pivot import unpivot_long
+    from .operators.weighted_agg import weighted_mean_wide
+
+    variables = ["tmmx", "tmmn", "pr"]
+    wide = weighted_mean_wide(_grid(spark), _weights(spark), variables, masked=True)
+    out = unpivot_long(wide, variables)
+    return out.select("feature_id", "time", "var", F.round("value", R).alias("value"))
+
+
+SQL_UNPIVOT_LONG = f"""
+WITH wide AS (
+  SELECT w.feature_id, g.time,
+         sum(CASE WHEN g.var = 'tmmx' AND g.value IS NOT NULL THEN w.wght * g.value END)
+           / sum(CASE WHEN g.var = 'tmmx' AND g.value IS NOT NULL THEN w.wght END) AS tmmx,
+         sum(CASE WHEN g.var = 'tmmn' AND g.value IS NOT NULL THEN w.wght * g.value END)
+           / sum(CASE WHEN g.var = 'tmmn' AND g.value IS NOT NULL THEN w.wght END) AS tmmn,
+         sum(CASE WHEN g.var = 'pr' AND g.value IS NOT NULL THEN w.wght * g.value END)
+           / sum(CASE WHEN g.var = 'pr' AND g.value IS NOT NULL THEN w.wght END) AS pr
+  FROM '{FX["grid"]}' g JOIN '{FX["weights"]}' w ON g.i = w.i AND g.j = w.j
+  WHERE g.var IN ('tmmx', 'tmmn', 'pr')
+  GROUP BY w.feature_id, g.time)
+SELECT feature_id, time, 'tmmx' AS var, ROUND(tmmx, {R}) AS value FROM wide
+UNION ALL
+SELECT feature_id, time, 'tmmn' AS var, ROUND(tmmn, {R}) AS value FROM wide
+UNION ALL
+SELECT feature_id, time, 'pr' AS var, ROUND(pr, {R}) AS value FROM wide
+"""
+
+
+def q_fill_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full missing-data subsystem on the flagship output: masked pipeline →
+    nearest-donor fill → complete feature×day series (J2+J3+P5/P6+O1)."""
+    from .operators.fill import fill_missing
+    from .plans.gridmet import gridmet_pipeline
+    from .sources.readers import read_features
+
+    wide = gridmet_pipeline(_grid(spark), _weights(spark), partial=True)
+    features = read_features(spark, FX["features"])
+    filled, _fmap = fill_missing(wide, features)
+    return filled.select(
+        "feature_id", "time",
+        *[F.round(c, R).alias(c) for c in ["tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity"]],
+    )
+
+
+SQL_FILL_PIPELINE = f"""
+WITH long_agg AS (
+  SELECT g.var, w.feature_id, g.time,
+         sum(CASE WHEN g.value IS NOT NULL THEN w.wght * g.value END)
+           / sum(CASE WHEN g.value IS NOT NULL THEN w.wght END) AS value
+  FROM '{FX["grid"]}' g JOIN '{FX["weights"]}' w ON g.i = w.i AND g.j = w.j
+  GROUP BY g.var, w.feature_id, g.time),
+wide AS (
+  SELECT feature_id, time,
+         max(CASE WHEN var = 'tmmx' THEN value END) - 273.15 AS tmax,
+         max(CASE WHEN var = 'tmmn' THEN value END) - 273.15 AS tmin,
+         max(CASE WHEN var = 'pr'   THEN value END) AS prcp,
+         max(CASE WHEN var = 'rmax' THEN value END) AS rhmax,
+         max(CASE WHEN var = 'rmin' THEN value END) AS rhmin,
+         max(CASE WHEN var = 'vs'   THEN value END) AS ws,
+         (max(CASE WHEN var = 'rmin' THEN value END)
+          + max(CASE WHEN var = 'rmax' THEN value END)) / 2.0 AS humidity
+  FROM long_agg GROUP BY feature_id, time),
+present AS (
+  SELECT f.feature_id, f.lat, f.lon FROM '{FX["features"]}' f
+  JOIN wide v ON f.feature_id = v.feature_id
+   AND v.time = (SELECT min(time) FROM wide) AND v.tmax IS NOT NULL),
+missing AS (
+  SELECT f.feature_id, f.lat, f.lon FROM '{FX["features"]}' f
+  WHERE f.feature_id NOT IN (SELECT feature_id FROM present)),
+fill_map AS (
+  SELECT missing_id, donor_id FROM (
+    SELECT m.feature_id AS missing_id, p.feature_id AS donor_id,
+           row_number() OVER (PARTITION BY m.feature_id
+                              ORDER BY (m.lat - p.lat) * (m.lat - p.lat)
+                                       + (m.lon - p.lon) * (m.lon - p.lon), p.feature_id) AS rn
+    FROM missing m CROSS JOIN present p) t WHERE rn = 1),
+filled AS (
+  SELECT * FROM wide WHERE feature_id NOT IN (SELECT missing_id FROM fill_map)
+  UNION ALL
+  SELECT fm.missing_id AS feature_id, w.time, w.tmax, w.tmin, w.prcp,
+         w.rhmax, w.rhmin, w.ws, w.humidity
+  FROM fill_map fm JOIN wide w ON w.feature_id = fm.donor_id)
+SELECT feature_id, time, ROUND(tmax, {R}) AS tmax, ROUND(tmin, {R}) AS tmin,
+       ROUND(prcp, {R}) AS prcp, ROUND(rhmax, {R}) AS rhmax,
+       ROUND(rhmin, {R}) AS rhmin, ROUND(ws, {R}) AS ws,
+       ROUND(humidity, {R}) AS humidity
+FROM filled
+"""
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window rollup (the streaming operator's batch twin —
+    same F.window expression Structured Streaming uses)."""
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), R).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events, ROUND(sum(value), 6) AS sum_value
+FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+"""
+
+
+def q_tpch_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at
+    scale), deterministic tie-break."""
+    o = _pq(spark, _t(sf_dir, "orders"))
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", R).alias("o_totalprice"))
+    )
+
+
+SQL_TPCH_TOPN = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set aggregation (beyond-reference relational surface)."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), R).alias("sum_qty")
+    )
+
+
+SQL_TPCH_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       ROUND(sum(l_quantity), 6) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 DOMAIN_QUERIES = {
     "weighted_mean": (q_weighted_mean, SQL_WEIGHTED_MEAN),
     "masked_weighted_mean": (q_masked_weighted_mean, SQL_MASKED_WEIGHTED_MEAN),
@@ -641,4 +792,9 @@ DOMAIN_QUERIES = {
     "tpch_window_topk": (q_tpch_window_topk, SQL_TPCH_WINDOW_TOPK),
     "tpch_join3": (q_tpch_join3, SQL_TPCH_JOIN3),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "unpivot_long": (q_unpivot_long, SQL_UNPIVOT_LONG),
+    "fill_pipeline": (q_fill_pipeline, SQL_FILL_PIPELINE),
+    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "tpch_topn": (q_tpch_topn, SQL_TPCH_TOPN),
+    "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
 }

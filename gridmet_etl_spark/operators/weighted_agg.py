@@ -74,6 +74,43 @@ def weighted_mean_all_vars(
     return weighted_mean(grid, weights, extra_keys=extra, masked=masked)
 
 
+def weighted_mean_wide(
+    grid: DataFrame,
+    weights: DataFrame,
+    variables: list[str],
+    masked: bool = False,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Single-shuffle wide weighted mean: conditional aggregation computes
+    every variable's weighted mean in ONE groupBy((feature_id, *extra_keys,
+    time)) — versus the long-agg→pivot path, which shuffles twice
+    (once on (…, var, time), once on (…, time)).
+
+    At 100 TB this halves shuffle volume for the pipeline's dominant stage;
+    semantics are identical to ``weighted_mean_all_vars`` + ``pivot_wide``
+    (asserted by tests). Output: (feature_id, *extra_keys, time, <var>...).
+    """
+    joined = grid.filter(F.col("var").isin(variables)).join(
+        F.broadcast(weights), on=["i", "j"], how="inner"
+    )
+    keys = ["feature_id", *extra_keys, "time"]
+    w = F.col("wght")
+    aggs = []
+    for var in variables:
+        v = F.when(F.col("var") == var, F.col("value"))
+        if masked:
+            num = F.sum(F.when(v.isNotNull(), w * v))
+            den = F.sum(F.when(v.isNotNull(), w))
+        else:
+            num = F.when(
+                F.count(F.when((F.col("var") == var) & F.col("value").isNull(), F.lit(1))) > 0,
+                F.lit(None),
+            ).otherwise(F.sum(F.when(F.col("var") == var, w * F.col("value"))))
+            den = F.sum(F.when(F.col("var") == var, w))
+        aggs.append((num / den).alias(var))
+    return joined.groupBy(*keys).agg(*aggs)
+
+
 def weight_sum_qa(weights: DataFrame) -> DataFrame:
     """QA invariant A6: per-feature Σw ∈ (0, 1 + 1e-9] (BASELINE.md measured
     bounds on the real weights file)."""

@@ -24,8 +24,7 @@ from ..functions.units import kelvin_to_celsius
 from ..operators.bbox import bbox_filter, feature_bounds, time_filter
 from ..operators.ensemble import ensemble_median
 from ..operators.fill import fill_missing
-from ..operators.pivot import pivot_wide
-from ..operators.weighted_agg import weighted_mean_all_vars
+from ..operators.weighted_agg import weighted_mean_wide
 from ..schemas import CFSV2_VARS
 
 
@@ -62,8 +61,7 @@ def cfsv2_median_pipeline(
     if start_date and end_date:
         grid_ens = time_filter(grid_ens, start_date, end_date)
     med = ensemble_median(grid_ens.filter(F.col("var").isin(source_vars)))  # A3
-    long_agg = weighted_mean_all_vars(med, weights)  # J1+A1
-    wide = pivot_wide(long_agg, {v: v for v in source_vars})
+    wide = weighted_mean_wide(med, weights, source_vars)  # J1+A1, one shuffle
     out = _finalize(wide, elevation, keys=("feature_id", "time"))
     if fill:
         if features is None:
@@ -89,9 +87,9 @@ def cfsv2_ensemble_pipeline(
         grid_ens = bbox_filter(grid_ens, feature_bounds(features))
     if start_date and end_date:
         grid_ens = time_filter(grid_ens, start_date, end_date)
-    grid_ens = grid_ens.filter(F.col("var").isin(source_vars))
-    long_agg = weighted_mean_all_vars(grid_ens, weights, with_ens=True)  # E1 rewrite
-    wide = pivot_wide(long_agg, {v: v for v in source_vars}, keys=("feature_id", "ens", "time"))
+    wide = weighted_mean_wide(
+        grid_ens, weights, source_vars, extra_keys=("ens",)
+    )  # E1 rewrite: all 48 members + all vars in one shuffle
     out = _finalize(wide, elevation, keys=("feature_id", "ens", "time"))
     if fill:
         if features is None:

@@ -20,8 +20,7 @@ from ..functions.physics import mean_humidity
 from ..functions.units import kelvin_to_celsius
 from ..operators.bbox import bbox_filter, feature_bounds, time_filter
 from ..operators.fill import fill_missing
-from ..operators.pivot import pivot_wide
-from ..operators.weighted_agg import weighted_mean_all_vars
+from ..operators.weighted_agg import weighted_mean_wide
 from ..schemas import GRIDMET_VARS
 
 
@@ -49,10 +48,12 @@ def gridmet_pipeline(
     if start_date and end_date:
         grid = time_filter(grid, start_date, end_date)  # P3
 
-    long_agg = weighted_mean_all_vars(grid, weights, variables=source_vars, masked=partial)
-
+    # single-shuffle conditional aggregation (supersedes long-agg + pivot:
+    # same semantics, half the shuffles — see weighted_mean_wide docstring)
+    wide = weighted_mean_wide(grid, weights, source_vars, masked=partial)
     rename = {src: short for short, (src, *_rest) in GRIDMET_VARS.items()}
-    wide = pivot_wide(long_agg, rename)  # J4 + P9
+    for src, dst in rename.items():  # P9
+        wide = wide.withColumnRenamed(src, dst)
 
     wide = wide.select(
         "feature_id",

@@ -1,0 +1,99 @@
+"""Sinks (SURVEY §2.2 K1-K6).
+
+Canonical sink is partitioned Parquet; the reference's NetCDF outputs map to
+a parquet layout + CF-attribute sidecar, with true NetCDF export available
+only when a netCDF library exists (gated import — none ships in this
+container). File naming conventions (K4: ``<prefix>_converted[_median|_N]``)
+become partition-directory conventions; K5 intermediate cleanup disappears
+because one lazy DAG writes no intermediates.
+
+Scale notes: per-partition file counts are controlled by the caller's
+partitioning (``ens``/``run_date``), compression is zstd (K2's zlib
+analogue), and writes are idempotent via dynamic partition overwrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from ..schemas import NETCDF_FILL_VALUE
+
+# CF attribute registry for output variables (gm_header.md:12-58,
+# cfsv2_median_header.md; the engine's replacement for xarray attrs).
+CF_ATTRS = {
+    "tmax": {"units": "degC", "long_name": "Daily maximum temperature"},
+    "tmin": {"units": "degC", "long_name": "Daily minimum temperature"},
+    "prcp": {"units": "mm", "long_name": "Daily precipitation"},
+    "rhmax": {"units": "%", "long_name": "Daily maximum relative humidity"},
+    "rhmin": {"units": "%", "long_name": "Daily minimum relative humidity"},
+    "ws": {"units": "m/s", "long_name": "Daily mean wind speed"},
+    "humidity": {"units": "%", "long_name": "Daily mean relative humidity"},
+    "feature_id": {"long_name": "local model Hydrologic Response Unit id (nhru)"},
+    "time": {"calendar": "proleptic_gregorian"},
+    "ens": {"long_name": "Ensemble member"},
+}
+
+
+def write_output(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: tuple[str, ...] = (),
+    file_prefix: str = "converted",
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> str:
+    """K1/K4/K6: write the per-feature series as partitioned parquet under
+    ``out_dir/<file_prefix>/`` with a CF-attribute sidecar. Returns the
+    dataset path."""
+    path = os.path.join(out_dir, file_prefix)
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    sidecar = {
+        "variables": {c: CF_ATTRS.get(c, {}) for c in df.columns},
+        "featureType": "timeSeries",
+        "Conventions": "CF-1.8",
+        "fill_value_at_netcdf_edge": NETCDF_FILL_VALUE,
+    }
+    with open(os.path.join(out_dir, f"{file_prefix}_attrs.json"), "w") as f:
+        json.dump(sidecar, f, indent=2)
+    return path
+
+
+def write_fill_map_csv(fill_map: DataFrame, out_dir: str, name: str = "fill_map") -> str:
+    """K3: persist the nearest-neighbor mapping as a single CSV (small —
+    driver-side is correct here, mirroring helper.py:75-77)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{name}.csv")
+    fill_map.toPandas().to_csv(path, index=False)
+    return path
+
+
+def export_netcdf(df: DataFrame, path: str, time_col: str = "time") -> str:
+    """K1/K2 edge-export: true NetCDF (dims (time, nhru), CF-1.8,
+    _FillValue=9.96920996838687e+36 per gm_header.md:13) — only when a
+    NetCDF stack is importable. The engine's canonical format stays parquet;
+    this is a compatibility shim for downstream NHM tooling.
+    """
+    try:
+        import xarray  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "NetCDF export requires xarray+netCDF4, not present in this "
+            "environment; use write_output (parquet + CF sidecar) instead"
+        ) from exc
+    pdf = df.toPandas()  # edge-export: bounded output (features × days)
+    value_cols = [c for c in pdf.columns if c not in ("feature_id", time_col, "ens")]
+    pdf = pdf.set_index(["feature_id", time_col]).sort_index()
+    ds = pdf[value_cols].to_xarray().rename({"feature_id": "nhru"})
+    for v in value_cols:
+        ds[v].attrs.update(CF_ATTRS.get(v, {}))
+        ds[v].encoding.update({"_FillValue": NETCDF_FILL_VALUE, "zlib": True, "complevel": 2})
+    ds.attrs.update({"Conventions": "CF-1.8", "featureType": "timeSeries"})
+    ds.to_netcdf(path, format="NETCDF4")
+    return path

@@ -1,0 +1,141 @@
+"""CLI end-to-end runs, writer layout/sidecar, ingest-job plumbing with an
+injected synthetic fetcher, NetCDF gate."""
+
+import json
+import os
+from datetime import date
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gridmet_etl_spark.cli import main, valid_date
+from gridmet_etl_spark.sources.ingest import build_slice_tasks, fetch_grid, ingest_to_parquet
+from gridmet_etl_spark.sources.writers import export_netcdf, write_output
+
+
+def test_valid_date():
+    import argparse
+
+    assert valid_date("1980-01-01") == "1980-01-01"
+    with pytest.raises(argparse.ArgumentTypeError):
+        valid_date("01/01/1980")
+
+
+def test_cli_gridmet_end_to_end(spark, fixdir, tmp_path):
+    rc = main(
+        [
+            "gridmet-etl",
+            "--grid", os.path.join(fixdir, "grid.parquet"),
+            "--weights", os.path.join(fixdir, "weights.parquet"),
+            "--features", os.path.join(fixdir, "features.parquet"),
+            "--start-date", "1980-01-01",
+            "--end-date", "1980-01-07",
+            "--partial",
+            "--fill-missing",
+            "--out", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "converted"))
+    assert out.count() == 50 * 7  # all features incl. filled, all days
+    sidecar = json.load(open(tmp_path / "converted_attrs.json"))
+    assert sidecar["variables"]["tmax"]["units"] == "degC"
+    assert sidecar["Conventions"] == "CF-1.8"
+
+
+def test_cli_cfsv2_method2_partitioned(spark, fixdir, tmp_path):
+    rc = main(
+        [
+            "cfsv2-etl",
+            "--grid-ens", os.path.join(fixdir, "grid_ens.parquet"),
+            "--weights", os.path.join(fixdir, "weights_ens.parquet"),
+            "--elevation", os.path.join(fixdir, "myparam.param"),
+            "--method", "2",
+            "--out", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    out_dir = tmp_path / "converted_ensemble"
+    assert any(p.name.startswith("ens=") for p in out_dir.iterdir())  # K4 per-member layout
+    out = spark.read.parquet(str(out_dir))
+    assert out.select("ens").distinct().count() == 48
+
+
+def test_cli_elevation_from_prms(spark, fixdir, tmp_path):
+    """--elevation accepts the raw PRMS param file (S7 parse path)."""
+    rc = main(
+        [
+            "cfsv2-etl",
+            "--grid-ens", os.path.join(fixdir, "grid_ens.parquet"),
+            "--weights", os.path.join(fixdir, "weights_ens.parquet"),
+            "--elevation", os.path.join(fixdir, "myparam.param"),
+            "--method", "1",
+            "--out", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "converted_median").exists()
+
+
+def test_netcdf_export_gated(spark, fixdir):
+    df = spark.read.parquet(os.path.join(fixdir, "features.parquet"))
+    try:
+        import xarray  # noqa: F401
+
+        has_xarray = True
+    except ImportError:
+        has_xarray = False
+    if not has_xarray:
+        with pytest.raises(NotImplementedError):
+            export_netcdf(df.withColumn("time", F.current_date()), "/tmp/x.nc")
+
+
+def _make_synthetic_fetcher():
+    """Returns a closure (serialized by value, so executors don't need to
+    import this test module). value = i*1000 + j + day ordinal % 100."""
+
+    def fetcher(task: dict) -> pd.DataFrame:
+        import pandas as _pd
+
+        days = _pd.date_range(task["t0"], task["t1"], freq="D").date
+        rows = []
+        for d in days:
+            for i in range(task["i0"], task["i1"] + 1):
+                for j in range(task["j0"], task["j1"] + 1):
+                    rows.append(
+                        (task["var"], -1, d, i, j, 49.4 - i * 0.04167, -124.8 + j * 0.04167,
+                         float(i * 1000 + j) + d.toordinal() % 100)
+                    )
+        return _pd.DataFrame(
+            rows, columns=["var", "ens", "time", "i", "j", "lat", "lon", "value"]
+        )
+
+    return fetcher
+
+
+def test_ingest_job_plumbing(spark, tmp_path):
+    recs = [
+        {"URL": "http://example/tmmx", "variable": "tmmx"},
+        {"URL": "http://example/pr", "variable": "pr"},
+    ]
+    tasks = build_slice_tasks(
+        spark, recs, date(1980, 1, 1), date(1980, 1, 10),
+        bbox_cells=(0, 9, 0, 9), days_per_task=5, tile_cells=5,
+    )
+    # 2 vars × 2 time windows × 2×2 tiles = 16 tasks
+    assert tasks.count() == 16
+    fetcher = _make_synthetic_fetcher()
+    grid = fetch_grid(tasks, fetcher)
+    assert grid.count() == 2 * 10 * 10 * 10  # vars × days × cells
+    # landing layout partitioned by var/time → partition pruning downstream
+    landing = str(tmp_path / "landing")
+    ingest_to_parquet(tasks, fetcher, landing)
+    assert os.path.exists(os.path.join(landing, "var=tmmx"))
+    back = spark.read.parquet(landing)
+    assert back.filter((F.col("var") == "pr") & (F.col("i") == 3) & (F.col("j") == 4)).count() == 10
+    v = back.filter(
+        (F.col("var") == "pr") & (F.col("i") == 3) & (F.col("j") == 4)
+    ).orderBy("time").collect()[0]
+    assert v.value == pytest.approx(3004.0 + date(1980, 1, 1).toordinal() % 100)

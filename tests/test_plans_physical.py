@@ -1,0 +1,116 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(broadcast joins, single-shuffle aggregation, pushdown/pruning) hold in the
+executed plan — regression-guarded, not just documented."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridmet_etl_spark.operators.pivot import pivot_wide
+from gridmet_etl_spark.operators.weighted_agg import (
+    weighted_mean_all_vars,
+    weighted_mean_wide,
+)
+from gridmet_etl_spark.plans.cfsv2 import cfsv2_ensemble_pipeline
+from gridmet_etl_spark.plans.gridmet import gridmet_pipeline
+
+GRIDMET_SRC = ["tmmx", "tmmn", "pr", "rmax", "rmin", "vs"]
+
+
+def _plan(df) -> str:
+    """Final (post-AQE) executed plan: collect() executes THIS DataFrame's
+    QueryExecution so AdaptiveSparkPlan reports the real physical operators
+    (a write would spawn a separate QueryExecution and leave this one
+    unfinalized)."""
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    # AQE toString prints "== Final Plan ==" followed by "== Initial Plan ==";
+    # assertions must only see the final section or exchanges double-count
+    return full.split("== Initial Plan ==")[0]
+
+
+@pytest.fixture(scope="module")
+def uncached_dir(spark, fixdir, tmp_path_factory):
+    """Fixture parquet copied to a unique path: Spark's CacheManager
+    substitutes cached InMemoryRelations for ANY matching logical subtree,
+    so reading the original path would silently reuse the suite's cache and
+    hide the FileScan these tests assert on."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("uncached")
+    for name in ["grid.parquet", "weights.parquet"]:
+        shutil.copy(f"{fixdir}/{name}", d / name)
+    return str(d)
+
+
+@pytest.fixture()
+def fresh_grid(spark, uncached_dir):
+    from gridmet_etl_spark.sources.readers import read_grid
+
+    return read_grid(spark, f"{uncached_dir}/grid.parquet")
+
+
+@pytest.fixture()
+def fresh_weights(spark, uncached_dir):
+    from gridmet_etl_spark.sources.readers import read_weights_parquet
+
+    return read_weights_parquet(spark, f"{uncached_dir}/weights.parquet")
+
+
+def test_wide_agg_single_shuffle(spark, fresh_grid, fresh_weights):
+    """weighted_mean_wide: exactly 1 data exchange (plus the broadcast)."""
+    plan = _plan(weighted_mean_wide(fresh_grid, fresh_weights, GRIDMET_SRC, masked=True))
+    n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchanges == 1, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wide_agg_equals_pivot_path(spark, grid, weights):
+    """The 1-shuffle conditional agg ≡ the 2-shuffle long-agg→pivot path."""
+    wide = weighted_mean_wide(grid, weights, GRIDMET_SRC, masked=True)
+    long_agg = weighted_mean_all_vars(grid, weights, variables=GRIDMET_SRC, masked=True)
+    pivoted = pivot_wide(long_agg, {v: v for v in GRIDMET_SRC})
+    a = wide.orderBy("feature_id", "time").toPandas()
+    b = pivoted.orderBy("feature_id", "time").toPandas()[a.columns]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
+
+
+def test_wide_agg_strict_equals_pivot_path(spark, grid, weights):
+    wide = weighted_mean_wide(grid, weights, GRIDMET_SRC, masked=False)
+    long_agg = weighted_mean_all_vars(grid, weights, variables=GRIDMET_SRC, masked=False)
+    pivoted = pivot_wide(long_agg, {v: v for v in GRIDMET_SRC})
+    a = wide.orderBy("feature_id", "time").toPandas()
+    b = pivoted.orderBy("feature_id", "time").toPandas()[a.columns]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
+
+
+def test_gridmet_pipeline_scan_pruned(spark, fresh_grid, fresh_weights):
+    """Column pruning + var-IN pushdown must reach the parquet scan."""
+    plan = _plan(gridmet_pipeline(fresh_grid, fresh_weights, partial=True))
+    assert "PushedFilters: [In(var" in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    grid_schema = next(s for s in schemas if "var:string" in s)
+    assert "lat" not in grid_schema and "lon" not in grid_schema  # pruned
+
+
+def test_ensemble_pipeline_single_shuffle_agg(spark, grid_ens, weights_ens, elevation):
+    """Method 2 (all 48 members): one data exchange for the whole weighted
+    aggregation — the reference's 48 sequential pipelines, as one shuffle."""
+    plan = _plan(cfsv2_ensemble_pipeline(grid_ens, weights_ens, elevation))
+    n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchanges == 1, plan
+
+
+def test_whole_stage_codegen_covers_physics(spark, grid_ens, weights_ens, elevation):
+    """Physics/unit expressions stay inside WholeStageCodegen (no Python)."""
+    import re
+
+    plan = _plan(cfsv2_ensemble_pipeline(grid_ens, weights_ens, elevation))
+    # codegen stages print as "*(n) Operator" in executed-plan strings
+    assert re.search(r"\*\(\d+\) (Project|HashAggregate)", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
