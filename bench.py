@@ -42,6 +42,59 @@ BENCH_QUERIES = [
 ]
 
 
+def _cfsv2_scale_stress(spark):
+    """Domain-scale stress: CFSv2-shaped synthetic grid (4 vars × 48 members
+    × 28 days × 40×40 cells ≈ 8.6M cell-values) generated JVM-side, pushed
+    through the single-shuffle weighted aggregation — the shape BASELINE.md
+    names as the production workload unit (scaled 1:500)."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.weighted_agg import weighted_mean_wide
+    from gridmet_etl_spark.sources.readers import read_weights_parquet
+
+    n_ens, n_days, n_cells = 48, 28, 40 * 40
+    n = 4 * n_ens * n_days * n_cells
+    grid = (
+        spark.range(n)
+        .select(
+            F.element_at(
+                F.array(F.lit("tmmx"), F.lit("tmmn"), F.lit("pr"), F.lit("sph")),
+                (F.col("id") % 4 + 1).cast("int"),
+            ).alias("var"),
+            ((F.col("id") / 4) % n_ens).cast("int").alias("ens"),
+            F.date_add(F.lit("2024-06-01"), ((F.col("id") / (4 * n_ens)) % n_days).cast("int")).alias("time"),
+            ((F.col("id") / (4 * n_ens * n_days)) % 40).cast("int").alias("i"),
+            ((F.col("id") / (4 * n_ens * n_days * 40)) % 40).cast("int").alias("j"),
+            (F.sin(F.col("id") % 9973) * 10 + 285).alias("value"),
+        )
+    )
+    weights = read_weights_parquet(
+        spark, os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "weights.parquet")
+    )
+    return weighted_mean_wide(
+        grid, weights, ["tmmx", "tmmn", "pr", "sph"], extra_keys=("ens",)
+    )
+
+
+def _minhash_fast(spark):
+    """Production-hash MinHash-LSH (xxhash64), same 300-doc scope as the
+    oracle-parity md5 entry — isolates the hash-function speedup."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).filter(
+        F.col("doc_id") < 300
+    )
+    return minhash_lsh_candidates(docs, hash_fn="xxhash64")
+
+
+EXTRA_BENCH = {
+    "cfsv2_scale_stress_8.6M": _cfsv2_scale_stress,
+    "minhash_lsh_fast": _minhash_fast,
+}
+
+
 def main() -> None:
     from gridmet_etl_spark.contract import DOMAIN_QUERIES as _CORE
     from gridmet_etl_spark.contract_ext import EXT_QUERIES as _EXT
@@ -56,6 +109,11 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn, _sql = DOMAIN_QUERIES[name]
         df = fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    for name, builder in EXTRA_BENCH.items():
+        df = builder(spark)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

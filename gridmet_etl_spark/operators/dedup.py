@@ -65,21 +65,31 @@ def shingles(
 
 
 def minhash_signatures(
-    shingle_df: DataFrame, id_col: str = "doc_id", n_seeds: int = N_MINHASH_SEEDS
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    n_seeds: int = N_MINHASH_SEEDS,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """Per-seed min-hash: signature[seed] = MIN(md5(seed || ':' || shingle)).
-    MIN over hex strings — portable across engines. One shuffle keyed by
-    (doc_id); seeds fan out row-locally via explode."""
+    """Per-seed min-hash: signature[seed] = MIN(hash(seed, shingle)).
+
+    hash_fn="md5": MIN over hex strings — portable across engines (DuckDB
+    oracle bit-parity). hash_fn="xxhash64": JVM-native 64-bit hashing, ~5×
+    faster — the production path (same structure, engine-specific values).
+    One shuffle keyed by (doc_id); seeds fan out row-locally via explode."""
     seeded = shingle_df.select(
         F.col(id_col),
         F.explode(F.expr(f"sequence(0, {n_seeds - 1})")).alias("seed"),
         F.col("sh"),
-    ).select(
-        F.col(id_col),
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
     )
-    return seeded.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("seed"), F.col("sh")).cast("string")
+    elif hash_fn == "md5":
+        h = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+    return seeded.select(F.col(id_col), "seed", h.alias("h")).groupBy(id_col, "seed").agg(
+        F.min("h").alias("mh")
+    )
 
 
 def lsh_band_keys(
@@ -107,11 +117,12 @@ def minhash_lsh_candidates(
     k: int = 3,
     n_seeds: int = N_MINHASH_SEEDS,
     rows_per_band: int = ROWS_PER_BAND,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline → candidate near-dup pairs (a < b) that
     collide in ≥1 band. The pair join is keyed by band_key — only documents
     in the same bucket ever meet, so cost tracks bucket sizes, not |docs|²."""
-    sig = minhash_signatures(shingles(docs, text_col, id_col, k), id_col, n_seeds)
+    sig = minhash_signatures(shingles(docs, text_col, id_col, k), id_col, n_seeds, hash_fn)
     bands = lsh_band_keys(sig, id_col, rows_per_band)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")

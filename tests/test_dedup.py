@@ -107,6 +107,16 @@ def test_minhash_lsh_recall(spark, docs, docs_with_dupes):
     assert len(cand) < n * (n - 1) / 4  # meaningfully pruned vs all-pairs
 
 
+def test_minhash_fast_path_same_recall(spark, docs, docs_with_dupes):
+    """xxhash64 production path: different hash values, same LSH structure —
+    must still catch every exact-dup pair (identical shingle sets collide in
+    every band regardless of hash function)."""
+    sub = docs_with_dupes.filter((F.col("doc_id") < 20) | (F.col("doc_id") >= 10000)).cache()
+    cand = {(p.doc_a, p.doc_b) for p in minhash_lsh_candidates(sub, hash_fn="xxhash64").collect()}
+    for r in docs.limit(20).collect():
+        assert (r.doc_id, r.doc_id + 10000) in cand
+
+
 def test_simhash_deterministic_and_identical_dupes(spark, docs, docs_with_dupes):
     sub = docs_with_dupes.filter((F.col("doc_id") < 10) | (F.col("doc_id") >= 10000)).cache()
     s1 = {r.doc_id: r.simhash for r in simhash(sub).collect()}

@@ -1,0 +1,80 @@
+"""Hypothesis property tests for the numeric core: weighted means vs a
+numpy model on generated weights/values, conversions, physics bounds.
+
+Data generation happens driver-side per example; one shared Spark job per
+example keeps runtime bounded (max_examples is small — these complement,
+not replace, the fixed-seed goldens)."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gridmet_etl_spark.functions.physics import relative_humidity, saturation_vapor_pressure
+from gridmet_etl_spark.functions.units import convert
+from gridmet_etl_spark.operators.weighted_agg import weighted_mean
+
+cell = st.tuples(
+    st.integers(0, 5),  # i
+    st.integers(0, 5),  # j
+    st.one_of(st.none(), st.floats(-50, 50, allow_nan=False)),  # value
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cells=st.lists(cell, min_size=1, max_size=30, unique_by=lambda c: (c[0], c[1])),
+    wghts=st.lists(st.floats(0.01, 1.0, allow_nan=False), min_size=30, max_size=30),
+    masked=st.booleans(),
+)
+def test_weighted_mean_matches_numpy_model(spark, cells, wghts, masked):
+    grid_rows = [("v", -1, "2020-01-01", i, j, 0.0, 0.0, val) for (i, j, val) in cells]
+    weight_rows = [(1, i, j, w) for ((i, j, _), w) in zip(cells, wghts)]
+    grid = spark.createDataFrame(
+        grid_rows, "var string, ens int, time string, i int, j int, lat double, lon double, value double"
+    )
+    weights = spark.createDataFrame(weight_rows, "feature_id long, i int, j int, wght double")
+    out = weighted_mean(grid, weights, masked=masked).collect()
+    assert len(out) == 1
+    got = out[0].value
+
+    vals = np.array([c[2] if c[2] is not None else np.nan for c in cells], dtype=float)
+    ws = np.array(wghts[: len(cells)], dtype=float)
+    if masked:
+        m = ~np.isnan(vals)
+        expected = np.nan if m.sum() == 0 else float((ws[m] * vals[m]).sum() / ws[m].sum())
+    else:
+        expected = np.nan if np.isnan(vals).any() else float((ws * vals).sum() / ws.sum())
+    if math.isnan(expected):
+        assert got is None
+    else:
+        assert got == pytest.approx(expected, rel=1e-9)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.floats(-200, 400, allow_nan=False), min_size=1, max_size=8))
+def test_conversion_roundtrip_property(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "k double")
+    out = df.select(convert(convert("k", "K", "degC"), "degC", "K").alias("r"), "k").collect()
+    for r in out:
+        assert r.r == pytest.approx(r.k, abs=1e-9)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    t=st.floats(230, 330, allow_nan=False),
+    sph=st.floats(1e-4, 0.03, allow_nan=False),
+    elev=st.floats(0, 4000, allow_nan=False),
+)
+def test_physics_bounds_property(spark, t, sph, elev):
+    """SVP positive & increasing in T; RH positive and finite."""
+    df = spark.createDataFrame([(t, sph, elev)], "t double, sph double, elev double")
+    row = df.select(
+        saturation_vapor_pressure("t").alias("es"),
+        saturation_vapor_pressure(df.t + 1.0).alias("es2"),
+        relative_humidity("t", "t", "sph", "elev").alias("rh"),
+    ).collect()[0]
+    assert row.es > 0 and row.es2 > row.es
+    assert row.rh > 0 and math.isfinite(row.rh)
