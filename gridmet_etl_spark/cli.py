@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--method", type=int, choices=[1, 2], default=1,
                    help="1=ensemble median, 2=all 48 members")
     c.add_argument("--fill-missing", action="store_true")
+    c.add_argument("--run-date", type=valid_date,
+                   help="forecast cycle date; output lands under run_date=<d>/ (T3)")
     c.add_argument("--out", required=True)
     c.add_argument("--prefix", default="converted")
 
@@ -145,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
             out, fmap = fill_op(out, features)
             write_fill_map_csv(fmap, args.out)
             prefix = f"filled_{prefix}"
+        if args.run_date:
+            # T3: each forecast cycle is a self-contained snapshot partition
+            from pyspark.sql import functions as SF
+
+            out = out.withColumn("run_date", SF.lit(args.run_date))
+            partition_by = ("run_date", *partition_by)
         path = write_output(out, args.out, partition_by=partition_by, file_prefix=prefix)
         print(f"wrote {path}")
         return 0

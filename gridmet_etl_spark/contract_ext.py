@@ -325,6 +325,23 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (deterministic centroids, n_probe=8 of 8 clusters
+    → equals exact search; tests assert the recall curve). Rows-only check —
+    the exact brute-force variant is the oracle-checked baseline."""
+    from .operators.similarity import ivf_centroids, ivf_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    cents = ivf_centroids(emb, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, cents, k=10, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", R).alias("cosine_sim"), "rank"
+    )
+
+
 EXT_QUERIES = {
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
@@ -334,4 +351,5 @@ EXT_QUERIES = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "cosine_topk_lsh": (q_cosine_topk_lsh, None),  # rows-only by design
+    "ivf_topk": (q_ivf_topk, None),  # rows-only by design
 }

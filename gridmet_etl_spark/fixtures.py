@@ -247,6 +247,10 @@ def generate(outdir: str) -> None:
     for name, df in tables.items():
         df.to_parquet(os.path.join(outdir, f"{name}.parquet"), index=False)
         print(f"{name}: {len(df)} rows -> {outdir}/{name}.parquet")
+    # JSON form of the catalog (S4: the reference's cfsv2.json shape)
+    tables["catalog"].to_json(
+        os.path.join(outdir, "catalog.json"), orient="records", indent=2
+    )
     write_prms_param_file(os.path.join(outdir, "myparam.param"), elev)
 
 

@@ -152,6 +152,18 @@ def scatter_fill(output_long: DataFrame, fill_map: DataFrame) -> DataFrame:
     return kept.unionByName(donors)
 
 
+def read_fill_map(spark, path: str) -> DataFrame:
+    """S8: reload a persisted nearest-neighbor mapping CSV (helper.py:79) —
+    the reference's genmap=False reuse path; pass the result to
+    ``scatter_fill`` to skip re-deriving the J2 join."""
+    raw = spark.read.csv(path, header=True, inferSchema=False)
+    return raw.select(
+        F.col("missing_id").cast("long"),
+        F.col("donor_id").cast("long"),
+        F.col("distance").cast("double"),
+    )
+
+
 def fill_missing(
     output_long: DataFrame, features: DataFrame, bucketed: bool = False
 ) -> tuple[DataFrame, DataFrame]:

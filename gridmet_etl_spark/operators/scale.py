@@ -1,0 +1,88 @@
+"""Scale utilities: bucketed co-located joins and skew-salted aggregation.
+
+These are the knobs the 100 TB deployment turns (SURVEY §4, BASELINE
+targets); local tests assert their plan-level effects so the properties are
+regression-guarded, not aspirational.
+
+- **Bucketing**: writing the grid bucketed by (i, j) makes the weights join
+  AND the per-cell ensemble median shuffle-free for any table written with
+  the same bucketing (exchange elimination via HashClusteredDistribution).
+  At 100 TB this is the difference between re-shuffling the fact table per
+  query and never shuffling it at all.
+- **Salting**: when group keys are heavily skewed (one feature covering a
+  continent; one document hash owning half the corpus), a two-phase
+  salted aggregation bounds any single task's input. AQE's skew-join
+  handling covers joins; this covers aggregations, which AQE does not
+  re-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...] = ("i", "j"),
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Persist as a bucketed (+ optionally sorted) table. Joins/groupBys on
+    a prefix-compatible key against same-bucketed tables skip their
+    exchange; sorted buckets additionally skip the sort of a sort-merge
+    join."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a stale location from a previous session (in-memory catalog, on-disk
+    # warehouse) blocks saveAsTable — clear it
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
+
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def salted_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_cols: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation for algebraic aggregates:
+    phase 1 groups on (keys, salt) — bounding any task to ~1/n_salts of the
+    hottest key — phase 2 merges partials on the true keys.
+
+    ``agg_cols``: {column: "sum"|"count"|"min"|"max"}. Algebraic only —
+    avg/median must be decomposed by the caller (sum+count / percentile
+    sketch)."""
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
+    phase1_aggs = []
+    for c, how in agg_cols.items():
+        if how == "count":
+            phase1_aggs.append(F.count(c).alias(f"_p_{c}"))
+        elif how == "sum":
+            phase1_aggs.append(F.sum(c).alias(f"_p_{c}"))
+        elif how == "min":
+            phase1_aggs.append(F.min(c).alias(f"_p_{c}"))
+        elif how == "max":
+            phase1_aggs.append(F.max(c).alias(f"_p_{c}"))
+        else:
+            raise ValueError(f"non-algebraic aggregate {how!r}")
+    merge = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    phase2_aggs = [
+        merge[how](f"_p_{c}").alias(f"{how}_{c}") for c, how in agg_cols.items()
+    ]
+    return (
+        df.withColumn("_salt", salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(*phase1_aggs)
+        .groupBy(*group_cols)
+        .agg(*phase2_aggs)
+    )

@@ -158,6 +158,82 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 16, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic IVF 'training': the n lowest-id vectors serve as
+    centroids (documented simplification of k-means — deterministic,
+    engine-independent, and adequate for partition pruning; production would
+    run k-means once at index-build time)."""
+    rows = corpus.orderBy(F.col(id_col)).limit(n_centroids).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (negated cosine, centroid_id) structs — expression-only, so
+    assignment is a narrow projection with zero shuffle."""
+    entries = []
+    for cid, c in enumerate(centroids):
+        c_lit = F.array(*[F.lit(x) for x in c])
+        entries.append(F.struct((-cosine(vec, c_lit)).alias("negsim"), F.lit(cid).alias("cid")))
+    return F.array_sort(F.array(*entries))  # ascending negsim = descending sim
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (computable at write time
+    → corpus partitioned/bucketed by cluster at 100 TB)."""
+    return corpus.withColumn(
+        cluster_col, _centroid_sims(F.col(vec_col), centroids)[0]["cid"]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: each query searches only its n_probe nearest
+    centroid clusters. With the corpus pre-partitioned by cluster, the scan
+    prunes to n_probe/n_centroids of the data. Same output schema as
+    cosine_topk; recall rises with n_probe."""
+    assigned = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cluster"
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(
+                F.transform(_centroid_sims(F.col(vec_col), centroids), lambda s: s["cid"]),
+                1,
+                n_probe,
+            )
+        ).alias("cluster"),
+    )
+    sim = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col, "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -79,6 +79,25 @@ def test_cli_elevation_from_prms(spark, fixdir, tmp_path):
     assert (tmp_path / "converted_median").exists()
 
 
+def test_cli_run_date_partition(spark, fixdir, tmp_path):
+    """T3: --run-date lands the forecast snapshot under run_date=<d>/."""
+    rc = main(
+        [
+            "cfsv2-etl",
+            "--grid-ens", os.path.join(fixdir, "grid_ens.parquet"),
+            "--weights", os.path.join(fixdir, "weights_ens.parquet"),
+            "--elevation", os.path.join(fixdir, "elevation.parquet"),
+            "--method", "2",
+            "--run-date", "2024-06-01",
+            "--out", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    base = tmp_path / "converted_ensemble" / "run_date=2024-06-01"
+    assert base.exists()
+    assert any(p.name.startswith("ens=") for p in base.iterdir())
+
+
 def test_netcdf_export_gated(spark, fixdir):
     df = spark.read.parquet(os.path.join(fixdir, "features.parquet"))
     try:

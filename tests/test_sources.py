@@ -51,6 +51,30 @@ def test_catalog_lookup_first_match_ignores_decoys(spark, fixdir):
         catalog_lookup(cat, "nope", "tmmx")
 
 
+def test_catalog_json_scan(spark, fixdir):
+    """S4: JSON catalog (the reference's cfsv2.json path) reads to the same
+    records as the parquet form."""
+    cat_j = read_catalog(spark, os.path.join(fixdir, "catalog.json"))
+    rec = catalog_lookup(cat_j, "cfsv2_gridmet", "sph")
+    assert rec["units"] == "kg/kg"
+    cat_p = read_catalog(spark, os.path.join(fixdir, "catalog.parquet"))
+    assert cat_j.count() == cat_p.count()
+
+
+def test_fill_map_roundtrip(spark, tmp_path):
+    """S8+K3: persist the nearest-neighbor map, reload, scatter with the
+    reloaded map — the reference's genmap=False reuse path."""
+    from gridmet_etl_spark.operators.fill import read_fill_map
+    from gridmet_etl_spark.sources.writers import write_fill_map_csv
+
+    fmap = spark.createDataFrame(
+        [(46, 3, 0.5), (47, 9, 0.7)], "missing_id long, donor_id long, distance double"
+    )
+    p = write_fill_map_csv(fmap, str(tmp_path))
+    back = read_fill_map(spark, p)
+    assert {tuple(r) for r in back.collect()} == {(46, 3, 0.5), (47, 9, 0.7)}
+
+
 def test_prms_parser(spark, fixdir):
     vals = read_elevation_values(os.path.join(fixdir, "myparam.param"))
     assert len(vals) == 50
