@@ -770,6 +770,54 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+def q_tpch_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (Catalyst decorrelates to a join): orders
+    priced above their customer's average order value."""
+    o = _pq(spark, _t(sf_dir, "orders"))
+    avg_per_cust = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        o.join(avg_per_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.max("o_totalprice"), R).alias("max_price"),
+        )
+    )
+
+
+SQL_TPCH_ABOVE_AVG = """
+SELECT o_custkey, count(*) AS n_above, ROUND(max(o_totalprice), 6) AS max_price
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+                      WHERE i.o_custkey = o.o_custkey)
+GROUP BY o_custkey
+"""
+
+
+def q_tpch_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null-aware aggregation: every customer with order
+    stats, zero-filled for the orderless."""
+    c = _pq(spark, _t(sf_dir, "customer"))
+    o = _pq(spark, _t(sf_dir, "orders"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), R).alias("total_spend"),
+        )
+    )
+
+
+SQL_TPCH_OUTER_AGG = """
+SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+       ROUND(COALESCE(sum(o_totalprice), 0.0), 6) AS total_spend
+FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
 DOMAIN_QUERIES = {
     "weighted_mean": (q_weighted_mean, SQL_WEIGHTED_MEAN),
     "masked_weighted_mean": (q_masked_weighted_mean, SQL_MASKED_WEIGHTED_MEAN),
@@ -797,4 +845,6 @@ DOMAIN_QUERIES = {
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "tpch_topn": (q_tpch_topn, SQL_TPCH_TOPN),
     "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
+    "tpch_above_avg": (q_tpch_above_avg, SQL_TPCH_ABOVE_AVG),
+    "tpch_outer_agg": (q_tpch_outer_agg, SQL_TPCH_OUTER_AGG),
 }

@@ -325,6 +325,28 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling k-gram hash + sliding-window min) on
+    a bounded corpus slice — oracle-checked window-frame semantics."""
+    from .operators.textops import winnow_fingerprints
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(docs, k=5, window=4).select("doc_id", "fp")
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos, md5(substr(t, i, 5)) AS h
+  FROM (SELECT doc_id, {NORM.format(c="text")} AS t FROM documents WHERE doc_id < 100),
+       generate_series(1, 2000) g(i)
+  WHERE i <= greatest(length(t) - 4, 1))
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+FROM grams
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (deterministic centroids, n_probe=8 of 8 clusters
     → equals exact search; tests assert the recall curve). Rows-only check —
@@ -352,4 +374,5 @@ EXT_QUERIES = {
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "cosine_topk_lsh": (q_cosine_topk_lsh, None),  # rows-only by design
     "ivf_topk": (q_ivf_topk, None),  # rows-only by design
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
 }

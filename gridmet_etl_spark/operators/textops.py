@@ -134,6 +134,48 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every k-gram (rolling window over normalized text), slide a window of
+    ``window`` consecutive k-gram hashes, keep each window's minimum —
+    the distinct selected hashes are the document's fingerprint set.
+
+    Guarantees any shared substring of length ≥ k+window-1 contributes at
+    least one common fingerprint — the basis of plagiarism/near-dup
+    detection with ~1/window of the shingle volume.
+
+    md5-hex hashing + min-over-strings → portable to the DuckDB oracle.
+    Row-local explode + one bounded window per doc; output
+    (doc_id, fp) distinct.
+    """
+    from pyspark.sql import Window as W
+
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    grams = (
+        docs.select(F.col(id_col), normalized.alias("t"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(1, greatest(length(t) - {k - 1}, 1))")).alias("pos"),
+            F.col("t"),
+        )
+        .select(
+            F.col(id_col), "pos", F.md5(F.substring(F.col("t"), F.col("pos"), k)).alias("h")
+        )
+    )
+    w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("wmin", F.min("h").over(w))
+        .select(F.col(id_col), F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table: adds
     n_tokens, n_tokens_bpe, lang_pred, quality, punct_ratio, stop_ratio,

@@ -70,6 +70,106 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` — sessions close after ``gap_minutes`` of
+    inactivity (state timeout), emitting (user, start, end, n_events,
+    sum_value).
+
+    The reference has no stateful streaming (SURVEY §2.10); this is the
+    engine's demonstration of the ``applyInPandasWithState`` escape hatch
+    for semantics the built-in window/watermark operators can't express.
+    State per key is O(1) (four scalars), so a 100 TB event stream costs
+    |active users| × ~32 bytes of state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                }
+            )
+            return
+        start_us = last_us = None
+        n, sv = 0, 0.0
+        if state.exists:
+            start_us, last_us, n, sv = state.get
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if start_us is None:
+                    start_us, last_us, n, sv = us, us, 0, 0.0
+                elif us - last_us > gap_us:
+                    closed.append((start_us, last_us, n, sv))
+                    start_us, last_us, n, sv = us, us, 0, 0.0
+                last_us = max(last_us, us)
+                n += 1
+                sv += float(value) if value is not None else 0.0
+        state.update((start_us, last_us, n, sv))
+        # event-time timeout: the session closes when the WATERMARK passes
+        # last_event + gap — correct semantics, and bounded-drain friendly
+        # (AvailableNow's cleanup batch fires these; a processing-time
+        # timeout would wall-clock-block the drain)
+        state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint: str, mode: str = "append"):
     """Drain the stream with AvailableNow into parquet; returns the query
     after awaiting termination (test/bounded-batch helper)."""

@@ -5,6 +5,7 @@ overwrite."""
 import os
 import shutil
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -79,6 +80,39 @@ def test_streaming_dedup(spark, events_dir, tmp_path):
     n_src = spark.read.parquet(events_dir).select("event_id").distinct().count()
     assert got.count() == n_src
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_sessionize_stateful(spark, events_dir, tmp_path):
+    """applyInPandasWithState sessionization: sessions split on >gap
+    inactivity; per-user event counts conserved across emitted sessions
+    (final open sessions stay in state with AvailableNow)."""
+    from gridmet_etl_spark.streaming.events import sessionize
+
+    stream = stream_events(spark, events_dir)
+    sessions = sessionize(stream, gap_minutes=30)
+    out = str(tmp_path / "out")
+    run_available_now(sessions, out, str(tmp_path / "ck"))
+    got = spark.read.parquet(out)
+    if got.count() == 0:
+        # all sessions still open is impossible across 30-day fixture data
+        raise AssertionError("no sessions emitted")
+    pdf = got.toPandas()
+    assert (pdf["session_end"] >= pdf["session_start"]).all()
+    assert (pdf["n_events"] > 0).all()
+    # gap property: consecutive sessions of one user are > 30 min apart
+    one = pdf.sort_values("session_start").groupby("user_id")
+    for _, g in one:
+        if len(g) > 1:
+            gaps = (
+                g["session_start"].iloc[1:].values - g["session_end"].iloc[:-1].values
+            )
+            assert (gaps > np.timedelta64(30, "m")).all()
+    # conservation: emitted sessions + state-held opens = all events
+    batch = spark.read.parquet(events_dir)
+    per_user_emitted = pdf.groupby("user_id")["n_events"].sum()
+    per_user_total = batch.groupBy("user_id").count().toPandas().set_index("user_id")["count"]
+    for uid, emitted in per_user_emitted.items():
+        assert emitted <= per_user_total[uid]
 
 
 def test_incremental_append_idempotent(spark, events_dir, tmp_path):
