@@ -147,6 +147,30 @@ GROUP BY time, i, j
 """
 
 
+def q_ensemble_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated ensemble quantiles (p10/p50/p90) per cell."""
+    from .operators.ensemble import ensemble_quantiles
+
+    sub = _grid_ens(spark).filter((F.col("var") == "pr") & (F.col("i") < 4))
+    out = ensemble_quantiles(sub)
+    return out.select(
+        "time", "i", "j",
+        F.round("q10", R).alias("q10"),
+        F.round("q50", R).alias("q50"),
+        F.round("q90", R).alias("q90"),
+    )
+
+
+SQL_ENSEMBLE_QUANTILES = f"""
+SELECT time, i, j,
+       ROUND(quantile_cont(value, 0.1), {R}) AS q10,
+       ROUND(quantile_cont(value, 0.5), {R}) AS q50,
+       ROUND(quantile_cont(value, 0.9), {R}) AS q90
+FROM '{FX["grid_ens"]}' WHERE var = 'pr' AND i < 4
+GROUP BY time, i, j
+"""
+
+
 def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: long→wide over the 6 gridMET variables after weighted agg."""
     long_agg = weighted_mean_all_vars(_grid(spark), _weights(spark), masked=True)
@@ -823,6 +847,7 @@ DOMAIN_QUERIES = {
     "masked_weighted_mean": (q_masked_weighted_mean, SQL_MASKED_WEIGHTED_MEAN),
     "ensemble_median": (q_ensemble_median, SQL_ENSEMBLE_MEDIAN),
     "ensemble_stats": (q_ensemble_stats, SQL_ENSEMBLE_STATS),
+    "ensemble_quantiles": (q_ensemble_quantiles, SQL_ENSEMBLE_QUANTILES),
     "pivot_wide": (q_pivot_wide, SQL_PIVOT_WIDE),
     "gridmet_pipeline": (q_gridmet_pipeline, SQL_GRIDMET_PIPELINE),
     "cfsv2_median_pipeline": (q_cfsv2_median_pipeline, SQL_CFSV2_MEDIAN_PIPELINE),

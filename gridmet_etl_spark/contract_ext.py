@@ -41,16 +41,19 @@ def _t(sf_dir: str, name: str) -> str:
 NORM = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"  # duckdb global flag
 
 
-def _sql_occurrences(padded: str, needle: str) -> str:
-    n = needle.replace("'", "''")
-    return f"(length({padded}) - length(replace({padded}, ' {n} ', ''))) / {len(needle) + 2}"
+def _sql_token_hits(text_expr: str, words: list[str]) -> str:
+    """DuckDB twin of textops._token_hits: count of whitespace tokens equal
+    to any of ``words`` (multiplicity-preserving list_filter)."""
+    in_list = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(set(words)))
+    return (
+        f"CAST(len(list_filter(string_split({text_expr}, ' '),"
+        f" t -> t IN ({in_list}))) AS DOUBLE)"
+    )
 
 
 def _sql_lang_scores(text_expr: str) -> dict[str, str]:
-    padded = f"(' ' || {text_expr} || ' ')"
     return {
-        lang: "(" + " + ".join(_sql_occurrences(padded, m) for m in markers) + ")"
-        for lang, markers in LANG_MARKERS.items()
+        lang: _sql_token_hits(text_expr, markers) for lang, markers in LANG_MARKERS.items()
     }
 
 
@@ -64,8 +67,7 @@ def _sql_lang_id(text_expr: str) -> str:
 
 
 def _sql_stop_ratio(text_expr: str) -> str:
-    padded = f"(' ' || {text_expr} || ' ')"
-    hits = " + ".join(_sql_occurrences(padded, w) for w in STOPWORDS)
+    hits = _sql_token_hits(text_expr, STOPWORDS)
     return f"({hits}) / greatest(CAST(len(string_split({text_expr}, ' ')) AS DOUBLE), 1.0)"
 
 

@@ -47,6 +47,23 @@ def ensemble_stats(grid_ens: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def ensemble_quantiles(
+    grid_ens: DataFrame,
+    quantiles: tuple[float, ...] = (0.1, 0.5, 0.9),
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact interpolated quantiles across the ensemble per cell — the
+    probabilistic-forecast generalization of the reference's median-only
+    product (same shuffle as ensemble_median; linear interpolation matches
+    DuckDB quantile_cont bit-for-bit on the 48-member groups)."""
+    return grid_ens.groupBy("var", "time", "i", "j").agg(
+        *[
+            F.percentile(value_col, F.lit(q)).alias(f"q{int(q * 100)}")
+            for q in quantiles
+        ]
+    )
+
+
 def concat_members(members: list[DataFrame], tag_col: str = "ens") -> DataFrame:
     """E2: xr.concat(dim="ens") analogue — UNION ALL with a member tag.
 

@@ -127,22 +127,29 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: search only corpus buckets within Hamming distance
     < n_probes of the query's bucket (n_probes=1 → exact bucket only).
+
+    Probing enumerates the Hamming ball on the QUERY side (explode over the
+    Σ C(n_planes, d<n_probes) flip masks) so the corpus side stays a plain
+    equi-join on bucket — at 100 TB the corpus is hash-partitioned (or
+    partition-pruned) by bucket and is never crossed with the query set.
     Same output schema as cosine_topk; recall < 1 by design."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("q_vec"),
-        srp_bucket(F.col(vec_col), n_planes).alias("q_bucket"),
-    )
-    joined = c.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket")) if n_probes <= 1 else (
-        c.crossJoin(F.broadcast(q)).filter(
-            F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) < n_probes
+    masks = [m for m in range(1 << n_planes) if bin(m).count("1") < n_probes]
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("q_vec"),
+            srp_bucket(F.col(vec_col), n_planes).alias("q_bucket"),
         )
+        .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("bucket", F.col("q_bucket").bitwiseXOR(F.col("mask")).cast("int"))
+        .drop("q_bucket", "mask")
     )
+    joined = c.join(F.broadcast(q), "bucket")
     sim = joined.filter(F.col("neighbor_id") != F.col(query_id_col)).select(
         query_id_col,
         "neighbor_id",

@@ -52,22 +52,21 @@ def token_count_bpe(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
-def _count_occurrences(text: Column, needle: str) -> Column:
-    """Occurrences of a literal substring: (len - len(replace))/len(needle)."""
-    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(
-        len(needle)
-    )
+def _token_hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens equal to any of ``words`` (multiplicity-preserving —
+    array_intersect would dedup). One shared split + a filter per word set;
+    Catalyst's subexpression elimination computes the split once per row."""
+    wset = set(words)
+    return F.size(F.filter(toks, lambda t: t.isin(*wset))).cast("double")
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Marker-token hit count per language. Markers are matched as delimited
-    tokens (padded text) so 'the' doesn't fire inside 'weather'."""
+    """Marker-token hit count per language over the whitespace token array
+    (exact token equality, so 'the' doesn't fire inside 'weather')."""
     c = F.col(text) if isinstance(text, str) else text
-    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    toks = tokens(c)
     return {
-        lang: sum(
-            (_count_occurrences(padded, f" {m} ") for m in markers), start=F.lit(0.0)
-        ).alias(f"score_{lang}")
+        lang: _token_hits(toks, markers).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
     }
 
@@ -95,8 +94,7 @@ def punctuation_ratio(text: Column | str) -> Column:
 
 def stopword_ratio(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    padded = F.concat(F.lit(" "), c, F.lit(" "))
-    hits = sum((_count_occurrences(padded, f" {w} ") for w in STOPWORDS), start=F.lit(0.0))
+    hits = _token_hits(tokens(c), STOPWORDS)
     return hits / F.greatest(token_count(c).cast("double"), F.lit(1.0))
 
 
