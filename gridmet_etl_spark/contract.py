@@ -794,6 +794,47 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event annotated with the user's
+    most recent prior signup/click value (feature-store label-join shape).
+    Right side deduped to one row per (user, ts) for cross-engine tie
+    determinism."""
+    from .operators.asof import asof_join
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events")).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )  # second-truncate: DuckDB stores ns, Spark µs — equalize the compare
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    right = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.round("click_value_right", R).alias("click_value"),
+        F.col("ts_right").alias("click_ts"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (
+  SELECT user_id, date_trunc('second', ts) AS ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, date_trunc('second', ts) AS ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, date_trunc('second', ts))
+SELECT l.user_id, l.purchase_id, ROUND(r.click_value, 6) AS click_value,
+       r.ts AS click_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_tpch_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (Catalyst decorrelates to a join): orders
     priced above their customer's average order value."""
@@ -872,4 +913,5 @@ DOMAIN_QUERIES = {
     "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
     "tpch_above_avg": (q_tpch_above_avg, SQL_TPCH_ABOVE_AVG),
     "tpch_outer_agg": (q_tpch_outer_agg, SQL_TPCH_OUTER_AGG),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
 }

@@ -1,0 +1,109 @@
+"""As-of (point-in-time) join — a beyond-reference temporal operator the
+training-data world leans on (feature stores, label joins: "the latest
+right-side row at or before each left timestamp, per key").
+
+Spark has no native ASOF JOIN; the engine composes one from a union + a
+running last-non-null window — ONE shuffle keyed (key, ts), no range
+explosion, no per-row subquery:
+
+1. tag both sides, unionByName on (key, ts, side, payload)
+2. window per key ordered by (ts, side-priority) with
+   ``last(right_payload, ignorenulls=True)`` carrying the most recent right
+   row forward
+3. keep left rows, now annotated with their as-of match.
+
+Tolerance (max staleness) is an optional post-filter. DuckDB's native
+``ASOF JOIN`` is the oracle.
+
+At scale: shuffle is |left| + |right| rows keyed by the join key — same
+order as any sort-merge join, but produced in one exchange; skewed keys
+split by AQE or pre-salt on (key, ts-bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row: the single right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` (direction="backward"; "forward" mirrors to
+    the smallest ≥), per ``on`` key. Right payload columns come back
+    suffixed ``_right``; unmatched left rows keep nulls.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}_right") for c in rcols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_rts"),
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"{c}_right") for c in rcols],
+        F.col(right_ts).alias("_rts"),
+    )
+    u = lt.unionByName(rt)
+
+    if direction == "backward":
+        # right rows sort BEFORE a left row at the same ts (asof is
+        # inclusive: ts_right <= ts_left), so order by (_ts, _is_left)
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+    carried = u.select(
+        "_k",
+        "_ts",
+        "_is_left",
+        *lcols,
+        *[F.last(f"{c}_right", ignorenulls=True).over(w).alias(f"{c}_right") for c in rcols],
+        F.last("_rts", ignorenulls=True).over(w).alias("_matched_ts"),
+    )
+    out = carried.filter(F.col("_is_left") == 1).drop("_is_left")
+
+    if tolerance_seconds is not None:
+        stale = (
+            F.abs(F.col("_ts").cast("long") - F.col("_matched_ts").cast("long"))
+            > tolerance_seconds
+        )
+        out = out.select(
+            "_k",
+            "_ts",
+            *lcols,
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"{c}_right")).alias(f"{c}_right")
+                for c in rcols
+            ],
+            F.when(stale, F.lit(None)).otherwise(F.col("_matched_ts")).alias("_matched_ts"),
+        )
+    return out.withColumnRenamed("_k", on).withColumnRenamed("_ts", left_ts).withColumnRenamed(
+        "_matched_ts", f"{right_ts}_right"
+    )

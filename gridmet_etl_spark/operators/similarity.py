@@ -84,27 +84,35 @@ def cosine_topk(
 
 
 N_LSH_PLANES = 8
+# plane components are embedded as plan literals: n_planes × _SRP_MAX_DIM
+# doubles. 512 covers common embedding dims at ~4k literals; pass dim=
+# explicitly for wider vectors (a too-small dim would null out projections).
+_SRP_MAX_DIM = 512
 
 
-def _srp_plane_component(plane: Column, dim_idx: Column) -> Column:
+def _srp_component_py(plane: int, dim_idx: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    derived from md5(plane:dim) hex — portable, seedless, reproducible at
-    read time on any engine."""
-    h = F.md5(F.concat(plane.cast("string"), F.lit(":"), dim_idx.cast("string")))
-    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") / F.lit(16777216.0)) - F.lit(0.5)
+    md5(plane:dim) hex → [0,1) — seedless, reproducible on any engine
+    (the DuckDB oracle evaluates the identical formula in SQL)."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim_idx}".encode()).hexdigest()
+    return int(h[:6], 16) / 16777216.0 - 0.5
 
 
-def srp_bucket(vec: Column, n_planes: int = N_LSH_PLANES) -> Column:
+def srp_bucket(vec: Column, n_planes: int = N_LSH_PLANES, dim: int = _SRP_MAX_DIM) -> Column:
     """Sign-random-projection bucket id: bit_p = [Σ_d vec[d]·plane_p[d] > 0].
-    Pure SQL higher-order functions — computable at write time for bucketing
-    a 100 TB corpus, and identically at query time for probes."""
+
+    Plane components are md5-derived but FOLDED AT PLAN TIME into literal
+    arrays (evaluating the md5 per row — 512 hashes/vector — was the
+    bucketing hot spot; the folded form is pure multiply-add inside
+    codegen). Computable at write time for bucketing a 100 TB corpus and
+    identically at query time for probes."""
     bits = []
     for p in range(n_planes):
+        comps = F.array(*[F.lit(_srp_component_py(p, d)) for d in range(dim)])
         proj = F.aggregate(
-            F.transform(
-                vec,
-                lambda x, i: x.cast("double") * _srp_plane_component(F.lit(p), i),
-            ),
+            F.zip_with(vec, F.slice(comps, 1, F.size(vec)), lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
