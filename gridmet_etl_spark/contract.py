@@ -835,6 +835,89 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (bucketed equi-join + exact BETWEEN):
+    purchases landing inside 2-hour windows opened by each signup."""
+    from .operators.rangejoin import range_join
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events")).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    points = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    intervals = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    out = range_join(points, intervals, on="user_id", granule_seconds=3600)
+    return out.select("user_id", "purchase_id", "signup_id")
+
+
+SQL_RANGE_JOIN = """
+WITH p AS (
+  SELECT user_id, date_trunc('second', ts) AS ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'),
+s AS (
+  SELECT user_id, event_id AS signup_id, date_trunc('second', ts) AS start_ts,
+         date_trunc('second', ts) + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'signup')
+SELECT p.user_id, p.purchase_id, s.signup_id
+FROM p JOIN s ON p.user_id = s.user_id AND p.ts BETWEEN s.start_ts AND s.end_ts
+"""
+
+
+def q_qa_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: key uniqueness, null rate, weight-sum envelope."""
+    from .operators.qa import qa_report
+
+    out = qa_report(grid=_grid(spark), weights=_weights(spark))
+    return out.select("check", "metric", F.round("value", R).alias("value"), "ok")
+
+
+SQL_QA_CHECKS = f"""
+WITH dupes AS (
+  SELECT count(*) AS n FROM (
+    SELECT var, ens, time, i, j FROM '{FX["grid"]}'
+    GROUP BY var, ens, time, i, j HAVING count(*) > 1)),
+nulls AS (
+  SELECT CAST(count(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) / count(*) AS r
+  FROM '{FX["grid"]}'),
+wsums AS (SELECT feature_id, sum(wght) AS s FROM '{FX["weights"]}' GROUP BY feature_id),
+wagg AS (
+  SELECT min(s) AS mn, max(s) AS mx,
+         count(CASE WHEN s < 0.8 OR s > 1.0 + 1e-9 THEN 1 END) AS bad
+  FROM wsums)
+SELECT 'grid_duplicates' AS check, 'n_dupe_keys' AS metric,
+       ROUND(CAST(n AS DOUBLE), {R}) AS value, n = 0 AS ok FROM dupes
+UNION ALL
+SELECT 'grid_null_rate', 'null_rate', ROUND(r, {R}), r <= 0.10 FROM nulls
+UNION ALL
+SELECT 'weights_sum_min', 'min_weight_sum', ROUND(mn, {R}), mn >= 0.8 FROM wagg
+UNION ALL
+SELECT 'weights_sum_max', 'max_weight_sum', ROUND(mx, {R}), mx <= 1.0 + 1e-9 FROM wagg
+UNION ALL
+SELECT 'weights_out_of_range', 'n_features', ROUND(CAST(bad AS DOUBLE), {R}), bad = 0 FROM wagg
+"""
+
+
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + quantile sketch) — rows-only
+    by design: sketch algorithms are engine-specific; the exact variants
+    (count distinct, percentile) are the oracle-checked baselines."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 2
+        ).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_tpch_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (Catalyst decorrelates to a join): orders
     priced above their customer's average order value."""
@@ -914,4 +997,7 @@ DOMAIN_QUERIES = {
     "tpch_above_avg": (q_tpch_above_avg, SQL_TPCH_ABOVE_AVG),
     "tpch_outer_agg": (q_tpch_outer_agg, SQL_TPCH_OUTER_AGG),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "qa_checks": (q_qa_checks, SQL_QA_CHECKS),
+    "approx_aggs": (q_approx_aggs, None),  # rows-only by design
 }

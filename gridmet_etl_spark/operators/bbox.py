@@ -40,6 +40,41 @@ def bbox_filter(
     )
 
 
+def bounds_to_cells(
+    catalog_rec: dict, bounds: dict[str, float], buffer_deg: float = CELL_BUFFER_DEG
+) -> tuple[int, int, int, int]:
+    """Map buffered lon/lat bounds to inclusive cell-index ranges
+    (i0, i1, j0, j1) for the ingest job's slice tasks (S5).
+
+    Reproduces the reference's descending-latitude slice semantics
+    (etl.py:333-338: `"toptobottom": false` ⇒ row 0 is Y1 = the NORTH edge,
+    so the MAX latitude maps to the MIN row index) as explicit index
+    arithmetic — order-insensitive and tested both ways.
+    """
+    res_x = float(catalog_rec["resX"])
+    res_y = float(catalog_rec["resY"])
+    x1 = float(catalog_rec["X1"])
+    y1 = float(catalog_rec["Y1"])
+    ncols = int(catalog_rec["ncols"])
+    nrows = int(catalog_rec["nrows"])
+    top_to_bottom = bool(catalog_rec.get("toptobottom", False))
+
+    minx = bounds["minx"] - buffer_deg
+    maxx = bounds["maxx"] + buffer_deg
+    miny = bounds["miny"] - buffer_deg
+    maxy = bounds["maxy"] + buffer_deg
+
+    j0 = max(int((minx - x1) / res_x), 0)
+    j1 = min(int((maxx - x1) / res_x + 1), ncols - 1)
+    if top_to_bottom:  # row 0 at the south edge, ascending lat
+        i0 = max(int((miny - y1) / res_y), 0)
+        i1 = min(int((maxy - y1) / res_y + 1), nrows - 1)
+    else:  # reference default: row 0 at the north edge (lat descends)
+        i0 = max(int((y1 - maxy) / res_y), 0)
+        i1 = min(int((y1 - miny) / res_y + 1), nrows - 1)
+    return i0, i1, j0, j1
+
+
 def time_filter(grid: DataFrame, start_date: str, end_date: str) -> DataFrame:
     """P3: inclusive [start, end] date-range restriction (etl.py:407, 670)."""
     return grid.filter(F.col("time").between(F.lit(start_date), F.lit(end_date)))

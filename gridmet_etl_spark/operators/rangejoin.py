@@ -1,0 +1,66 @@
+"""Range (interval-containment) join — events into time intervals.
+
+Spark's naive `a.ts BETWEEN b.start AND b.end` join is a broadcast
+nested-loop (or cartesian) — quadratic at scale. The engine's
+``range_join`` buckets both sides by a time granule: each interval explodes
+into the granules it spans, each point maps to one granule, and the join
+becomes an equi-join on (key, granule) followed by the exact BETWEEN
+predicate. Cost tracks Σ interval-spans/granule instead of |points| ×
+|intervals|.
+
+Granule choice: ≈ median interval length. Too fine → interval explosion;
+too coarse → post-filter discards more candidates. Both extremes stay
+correct (the exact predicate always applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | None = None,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    granule_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= point_ts <= end`` (optionally also equi-matching ``on``).
+
+    Output: point columns + interval columns. ``how`` ∈ inner|left
+    (left keeps unmatched points with null interval columns).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    g = F.lit(granule_seconds)
+    p = points.withColumn("_g", (F.col(point_ts).cast("long") / g).cast("long"))
+    iv = intervals.withColumn(
+        "_g",
+        F.explode(
+            F.sequence(
+                (F.col(start_col).cast("long") / g).cast("long"),
+                (F.col(end_col).cast("long") / g).cast("long"),
+            )
+        ),
+    )
+    keys = ["_g"] if on is None else ["_g", on]
+    matched = p.join(iv, keys, "inner").filter(
+        F.col(point_ts).between(F.col(start_col), F.col(end_col))
+    )
+    if how == "inner":
+        return matched.drop("_g")
+    # left: re-attach points that matched no interval
+    unmatched = p.join(
+        matched.select(*[F.col(c) for c in p.columns]).distinct(),
+        p.columns,
+        "left_anti",
+    )
+    for c in intervals.columns:
+        if c != on:
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return matched.drop("_g").unionByName(unmatched.drop("_g"))

@@ -1,0 +1,97 @@
+"""Range join vs brute-force BETWEEN; bounds→cells index mapping (descending
+lat); QA report checks."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridmet_etl_spark.operators.bbox import bounds_to_cells
+from gridmet_etl_spark.operators.qa import qa_report
+from gridmet_etl_spark.operators.rangejoin import range_join
+
+
+@pytest.fixture(scope="module")
+def pts_iv(spark):
+    pts = spark.createDataFrame(
+        [(i, 1 + (i % 3), datetime(2024, 1, 1, i % 24, (i * 7) % 60)) for i in range(200)],
+        "pid long, k long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100 + n, 1 + (n % 3), datetime(2024, 1, 1, n % 22), datetime(2024, 1, 1, n % 22 + 1, 30))
+            for n in range(30)
+        ],
+        "iid long, k long, start timestamp, end timestamp",
+    )
+    return pts.cache(), iv.cache()
+
+
+@pytest.mark.parametrize("granule", [60, 3600, 86400])
+def test_range_join_matches_bruteforce(spark, pts_iv, granule):
+    """Correct at every granularity (fine, matched, coarse)."""
+    pts, iv = pts_iv
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pts, iv, on="k", granule_seconds=granule).collect()
+    }
+    brute = {
+        (r.pid, r.iid)
+        for r in pts.join(iv, "k")
+        .filter(F.col("ts").between(F.col("start"), F.col("end")))
+        .collect()
+    }
+    assert got == brute and len(brute) > 0
+
+
+def test_range_join_left(spark, pts_iv):
+    pts, iv = pts_iv
+    out = range_join(pts, iv, on="k", how="left")
+    assert out.select("pid").distinct().count() == 200  # every point kept
+    assert out.filter(F.col("iid").isNull()).count() > 0  # some unmatched
+
+
+def test_range_join_bad_how(spark, pts_iv):
+    pts, iv = pts_iv
+    with pytest.raises(ValueError):
+        range_join(pts, iv, how="full")
+
+
+CATREC = {
+    "resX": 0.04167, "resY": 0.04167, "X1": -124.76667, "Y1": 49.4,
+    "ncols": 40, "nrows": 40, "toptobottom": False,
+}
+
+
+def test_bounds_to_cells_descending_lat():
+    """North edge (max lat) must map to the SMALLEST row index."""
+    i0, i1, j0, j1 = bounds_to_cells(
+        CATREC, {"minx": -124.76667, "maxx": -124.6, "miny": 49.3, "maxy": 49.4}, buffer_deg=0.0
+    )
+    assert i0 == 0  # maxy == Y1 → top row
+    assert i1 >= i0 and j0 == 0
+    # the returned range covers every cell whose lat is inside the bounds
+    lats = [49.4 - i * 0.04167 for i in range(i0, i1 + 1)]
+    assert all(49.3 - 0.05 <= lat <= 49.4 + 1e-9 for lat in lats)
+
+
+def test_bounds_to_cells_ascending():
+    rec = {**CATREC, "toptobottom": True, "Y1": 25.0}
+    i0, i1, _, _ = bounds_to_cells(
+        rec, {"minx": -124.76667, "maxx": -124.6, "miny": 25.0, "maxy": 25.1}, buffer_deg=0.0
+    )
+    assert i0 == 0  # miny == Y1 → bottom row in ascending layout
+
+
+def test_qa_report(spark, grid, weights):
+    rep = {r.check: (r.value, r.ok) for r in qa_report(grid=grid, weights=weights).collect()}
+    assert rep["grid_duplicates"] == (0.0, True)
+    assert rep["grid_null_rate"][1]  # ~2% nulls < 10%
+    assert rep["weights_sum_max"][1] and rep["weights_out_of_range"][1]
+    # corrupt weights → check trips
+    bad = weights.unionByName(
+        spark.createDataFrame([(1, 0, 0, 5.0)], "feature_id long, i int, j int, wght double")
+    )
+    rep_bad = {r.check: r.ok for r in qa_report(weights=bad).collect()}
+    assert not rep_bad["weights_sum_max"]
+    assert not rep_bad["weights_out_of_range"]
