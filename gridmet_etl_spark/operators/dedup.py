@@ -74,22 +74,31 @@ def minhash_signatures(
 
     hash_fn="md5": MIN over hex strings — portable across engines (DuckDB
     oracle bit-parity). hash_fn="xxhash64": JVM-native 64-bit hashing, ~5×
-    faster — the production path (same structure, engine-specific values).
-    One shuffle keyed by (doc_id); seeds fan out row-locally via explode."""
-    seeded = shingle_df.select(
-        F.col(id_col),
-        F.explode(F.expr(f"sequence(0, {n_seeds - 1})")).alias("seed"),
-        F.col("sh"),
-    )
-    if hash_fn == "xxhash64":
-        h = F.xxhash64(F.col("seed"), F.col("sh")).cast("string")
-    elif hash_fn == "md5":
-        h = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))
-    else:
+    faster per hash — the production path (same structure, engine-specific
+    values).
+
+    Layout: the n_seeds hashes are computed as COLUMNS of one projection
+    and min-aggregated per seed in a single groupBy(doc_id) — no seed
+    explode (n_seeds× fewer shuffled rows than the naive fan-out), then a
+    row-local unpivot back to (doc_id, seed, mh)."""
+
+    def h(seed: int):
+        if hash_fn == "xxhash64":
+            return F.xxhash64(F.lit(seed), F.col("sh")).cast("string")
+        if hash_fn == "md5":
+            return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col("sh")))
         raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
-    return seeded.select(F.col(id_col), "seed", h.alias("h")).groupBy(id_col, "seed").agg(
-        F.min("h").alias("mh")
+
+    wide = shingle_df.select(
+        F.col(id_col), *[h(s).alias(f"_h{s}") for s in range(n_seeds)]
+    ).groupBy(id_col).agg(*[F.min(f"_h{s}").alias(f"{s}") for s in range(n_seeds)])
+    long = wide.unpivot(
+        ids=[id_col],
+        values=[f"{s}" for s in range(n_seeds)],
+        variableColumnName="seed",
+        valueColumnName="mh",
     )
+    return long.select(F.col(id_col), F.col("seed").cast("int").alias("seed"), "mh")
 
 
 def lsh_band_keys(
