@@ -835,6 +835,81 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-way join through the dimension chain with a region
+    filter and a date range — exercises join reordering + broadcast
+    selection across the star schema."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    o = _pq(spark, _t(sf_dir, "orders"))
+    c = _pq(spark, _t(sf_dir, "customer"))
+    s = _pq(spark, _t(sf_dir, "supplier"))
+    n = _pq(spark, _t(sf_dir, "nation"))
+    r = _pq(spark, _t(sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .filter(F.col("o_orderdate").between("1994-01-01", "1996-12-31"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_TPCH_Q5ISH = """
+SELECT n_name,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive predicates across the join —
+    exercises predicate normalization/pushdown through OR branches."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    p = _pq(spark, _t(sf_dir, "part"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_discount") > 0.05))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q19ISH = """
+SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 5)
+   OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#3' AND l_discount > 0.05)
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join (bucketed equi-join + exact BETWEEN):
     purchases landing inside 2-hour windows opened by each signup."""
@@ -997,6 +1072,8 @@ DOMAIN_QUERIES = {
     "tpch_above_avg": (q_tpch_above_avg, SQL_TPCH_ABOVE_AVG),
     "tpch_outer_agg": (q_tpch_outer_agg, SQL_TPCH_OUTER_AGG),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
+    "tpch_q19ish": (q_tpch_q19ish, SQL_TPCH_Q19ISH),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "qa_checks": (q_qa_checks, SQL_QA_CHECKS),
     "approx_aggs": (q_approx_aggs, None),  # rows-only by design

@@ -1,0 +1,64 @@
+"""Streaming grid ingestion (T2's production form): new raster slices
+landing as parquet files are discovered per micro-batch, aggregated through
+the SAME single-shuffle weighted mean as the batch pipeline, and upserted
+into the output via idempotent dynamic partition overwrite.
+
+``foreachBatch`` is the right tool (not a stateful streaming agg): each
+micro-batch holds complete (var, date) slices — gridMET publishes whole
+days — so per-batch aggregation + partition overwrite gives exactly-once
+output per date with zero streaming state. Late re-publishes of a date
+simply overwrite that date's partition (same idempotence as
+incremental_append).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.weighted_agg import weighted_mean_wide
+
+GRID_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("var", T.StringType(), False),
+        T.StructField("ens", T.IntegerType(), False),
+        T.StructField("time", T.DateType(), False),
+        T.StructField("i", T.IntegerType(), False),
+        T.StructField("j", T.IntegerType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def stream_grid(spark: SparkSession, landing_dir: str) -> DataFrame:
+    return spark.readStream.schema(GRID_STREAM_SCHEMA).parquet(landing_dir)
+
+
+def incremental_weighted_agg(
+    grid_stream: DataFrame,
+    weights: DataFrame,
+    variables: list[str],
+    out_dir: str,
+    checkpoint: str,
+    masked: bool = True,
+):
+    """Start the streaming job: per micro-batch, weighted-mean the new
+    slices and overwrite exactly the (time=) partitions they produce.
+    Returns the StreamingQuery (caller awaits/stops)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        agg = weighted_mean_wide(batch_df, weights, variables, masked=masked)
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        agg.write.mode("overwrite").partitionBy("time").parquet(out_dir)
+
+    return (
+        grid_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

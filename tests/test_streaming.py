@@ -115,6 +115,45 @@ def test_sessionize_stateful(spark, events_dir, tmp_path):
         assert emitted <= per_user_total[uid]
 
 
+def test_streaming_grid_ingestion_matches_batch(spark, fixdir, tmp_path, weights):
+    """T2 streaming twin: grid slices arriving as files → per-batch weighted
+    agg + partition overwrite ≡ the batch pipeline on the same data; a
+    second drain of the same files is a no-op (exactly-once per date)."""
+    from gridmet_etl_spark.operators.weighted_agg import weighted_mean_wide
+    from gridmet_etl_spark.streaming.grid_stream import (
+        incremental_weighted_agg,
+        stream_grid,
+    )
+
+    grid = spark.read.parquet(os.path.join(fixdir, "grid.parquet"))
+    landing = str(tmp_path / "landing")
+    # two "publish" batches: first 3 days, then the rest
+    grid.filter(F.col("time") <= F.lit("1980-01-03")).write.parquet(landing + "/b1")
+    grid.filter(F.col("time") > F.lit("1980-01-03")).write.parquet(landing + "/b2")
+    # flatten both file sets into one landing dir
+    flat = str(tmp_path / "flat")
+    spark.read.parquet(landing + "/b1").unionByName(
+        spark.read.parquet(landing + "/b2")
+    ).write.parquet(flat)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    variables = ["tmmx", "tmmn", "pr", "rmax", "rmin", "vs"]
+    q = incremental_weighted_agg(stream_grid(spark, flat), weights, variables, out, ck)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    expected = weighted_mean_wide(grid, weights, variables, masked=True)
+    assert got.count() == expected.count()
+    j = got.select("feature_id", "time", F.col("tmmx").alias("g")).join(
+        expected.select("feature_id", "time", F.col("tmmx").alias("e")),
+        ["feature_id", "time"],
+    )
+    assert j.filter(F.abs(F.col("g") - F.col("e")) > 1e-9).count() == 0
+    # re-drain: no new files → no change
+    q2 = incremental_weighted_agg(stream_grid(spark, flat), weights, variables, out, ck)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == expected.count()
+
+
 def test_incremental_append_idempotent(spark, events_dir, tmp_path):
     """T2: re-writing the same date window must not duplicate rows."""
     out = str(tmp_path / "daily")
