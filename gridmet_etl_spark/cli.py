@@ -107,6 +107,9 @@ def main(argv: list[str] | None = None) -> int:
         grid = read_grid(spark, args.grid)
         weights = _load_weights(spark, args.weights, args.fid)
         features = read_features(spark, args.features, args.fid) if args.features else None
+        if args.fill_missing and features is None:
+            print("--fill-missing requires --features", file=sys.stderr)
+            return 2
         out = gridmet_pipeline(
             grid,
             weights,

@@ -161,14 +161,21 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # prune BEFORE the self-join and groupBy, or the candidate set
+        # never reduces the dominant all-pairs cost: restrict each side to
+        # docs that appear in any candidate pair, and the pair stream to
+        # the candidate pairs themselves pre-aggregation
+        a = a.join(
+            candidates.select(F.col("doc_a")).distinct(), "doc_a", "left_semi"
+        )
+        b = b.join(
+            candidates.select(F.col("doc_b")).distinct(), "doc_b", "left_semi"
+        )
+    pairs = a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b"))
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -68,7 +68,12 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             "run with fake=True for the deterministic pseudo-decoder"
         )
     arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        return np.zeros((1, 1), dtype=np.float32)
     side = max(int(len(arr) ** 0.5) // 4, 1)
+    # pad when the payload is shorter than one side*side block
+    if len(arr) < side * side:
+        arr = np.pad(arr, (0, side * side - len(arr)))
     return arr[: side * side].reshape(side, side).astype(np.float32)
 
 

@@ -128,9 +128,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hou
         if state.exists:
             start_us, last_us, n, sv = state.get
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
+        # concatenate ALL chunks before sorting: a key spanning multiple
+        # Arrow chunks may receive later-timestamped chunks first, and
+        # per-chunk sorting would merge/misdate sessions
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("ts")
+            for ts, value in zip(batch["ts"], batch["value"]):
                 us = int(pd.Timestamp(ts).value // 1000)
                 if start_us is None:
                     start_us, last_us, n, sv = us, us, 0, 0.0
@@ -140,12 +144,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hou
                 last_us = max(last_us, us)
                 n += 1
                 sv += float(value) if value is not None else 0.0
-        state.update((start_us, last_us, n, sv))
-        # event-time timeout: the session closes when the WATERMARK passes
-        # last_event + gap — correct semantics, and bounded-drain friendly
-        # (AvailableNow's cleanup batch fires these; a processing-time
-        # timeout would wall-clock-block the drain)
-        state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        if start_us is not None:  # guard: empty delivery with no prior state
+            state.update((start_us, last_us, n, sv))
+            # event-time timeout: the session closes when the WATERMARK
+            # passes last_event + gap — correct semantics, and
+            # bounded-drain friendly (AvailableNow's cleanup batch fires
+            # these; a processing-time timeout would wall-clock-block it)
+            state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
         if closed:
             yield pd.DataFrame(
                 {

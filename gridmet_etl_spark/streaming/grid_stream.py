@@ -14,6 +14,7 @@ incremental_append).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.weighted_agg import weighted_mean_wide
@@ -32,8 +33,13 @@ GRID_STREAM_SCHEMA = T.StructType(
 )
 
 
-def stream_grid(spark: SparkSession, landing_dir: str) -> DataFrame:
-    return spark.readStream.schema(GRID_STREAM_SCHEMA).parquet(landing_dir)
+def stream_grid(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(GRID_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(landing_dir)
 
 
 def incremental_weighted_agg(
@@ -43,16 +49,34 @@ def incremental_weighted_agg(
     out_dir: str,
     checkpoint: str,
     masked: bool = True,
+    landing_dir: str | None = None,
 ):
-    """Start the streaming job: per micro-batch, weighted-mean the new
-    slices and overwrite exactly the (time=) partitions they produce.
-    Returns the StreamingQuery (caller awaits/stops)."""
+    """Start the streaming job: per micro-batch, weighted-mean the affected
+    dates and overwrite exactly the (time=) partitions they produce.
+    Returns the StreamingQuery (caller awaits/stops).
+
+    Aggregating ONLY the batch's rows would be wrong whenever one date's
+    slice files arrive across micro-batches (gridMET publishes per-variable
+    files): the later batch's partial aggregate would overwrite the earlier
+    one. So the batch determines WHICH dates changed, and the aggregation
+    re-reads those dates from ``landing_dir`` (the source of truth) —
+    correct under any file-arrival order and idempotent under re-publish.
+    ``landing_dir=None`` keeps the batch-only fast path for sources that
+    guarantee whole-date batches.
+    """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        agg = weighted_mean_wide(batch_df, weights, variables, masked=masked)
         spark = batch_df.sparkSession
+        if landing_dir is not None:
+            dates = [r.time for r in batch_df.select("time").distinct().collect()]
+            src = spark.read.schema(GRID_STREAM_SCHEMA).parquet(landing_dir).filter(
+                F.col("time").isin(dates)
+            )
+        else:
+            src = batch_df
+        agg = weighted_mean_wide(src, weights, variables, masked=masked)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         agg.write.mode("overwrite").partitionBy("time").parquet(out_dir)
 

@@ -126,19 +126,18 @@ def test_streaming_grid_ingestion_matches_batch(spark, fixdir, tmp_path, weights
     )
 
     grid = spark.read.parquet(os.path.join(fixdir, "grid.parquet"))
-    landing = str(tmp_path / "landing")
-    # two "publish" batches: first 3 days, then the rest
-    grid.filter(F.col("time") <= F.lit("1980-01-03")).write.parquet(landing + "/b1")
-    grid.filter(F.col("time") > F.lit("1980-01-03")).write.parquet(landing + "/b2")
-    # flatten both file sets into one landing dir
+    # the hazardous arrival order: each VARIABLE of the same dates lands as
+    # its own file, and maxFilesPerTrigger=2 forces them across micro-batches
     flat = str(tmp_path / "flat")
-    spark.read.parquet(landing + "/b1").unionByName(
-        spark.read.parquet(landing + "/b2")
-    ).write.parquet(flat)
+    for v in ["tmmx", "tmmn", "pr", "rmax", "rmin", "vs"]:
+        grid.filter(F.col("var") == v).coalesce(1).write.mode("append").parquet(flat)
 
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     variables = ["tmmx", "tmmn", "pr", "rmax", "rmin", "vs"]
-    q = incremental_weighted_agg(stream_grid(spark, flat), weights, variables, out, ck)
+    q = incremental_weighted_agg(
+        stream_grid(spark, flat, max_files_per_trigger=2),
+        weights, variables, out, ck, landing_dir=flat,
+    )
     q.awaitTermination()
     got = spark.read.parquet(out)
     expected = weighted_mean_wide(grid, weights, variables, masked=True)
@@ -149,7 +148,9 @@ def test_streaming_grid_ingestion_matches_batch(spark, fixdir, tmp_path, weights
     )
     assert j.filter(F.abs(F.col("g") - F.col("e")) > 1e-9).count() == 0
     # re-drain: no new files → no change
-    q2 = incremental_weighted_agg(stream_grid(spark, flat), weights, variables, out, ck)
+    q2 = incremental_weighted_agg(
+        stream_grid(spark, flat), weights, variables, out, ck, landing_dir=flat
+    )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == expected.count()
 
