@@ -64,34 +64,70 @@ def shingles(
     )
 
 
+def _seed_hash(seed: int, hash_fn: str):
+    """Per-seed element hasher: shingle string → portable hash string."""
+    if hash_fn == "xxhash64":
+        return lambda s: F.xxhash64(F.lit(seed), s).cast("string")
+    if hash_fn == "md5":
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
+
+
+def _minhash_wide(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_seeds: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Wide per-doc signature (doc_id, "0".."n_seeds-1"): explode k-gram
+    positions map-locally, hash each shingle under the n_seeds seeds as
+    COLUMNS of one whole-stage-codegen'd projection, min-aggregate per doc.
+
+    Scale shape: the explode amplification (~|text| rows/doc) is pipelined
+    inside one stage and never materialized; partial aggregation collapses
+    it map-side, so the ONE shuffle carries only per-partition minima
+    (n_seeds strings per doc per partition). No distinct is needed — MIN is
+    duplicate-insensitive — which removes the full shingle-row shuffle a
+    naive shingle-set pipeline pays. (A fully row-local array_min(transform)
+    variant benches ~2× slower: higher-order lambdas are interpreted, while
+    explode + projection + hash-agg all stay in codegen.)"""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    sh = (
+        docs.select(F.col(id_col), normalized.alias("t"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(1, greatest(length(t) - {k - 1}, 1))")).alias("pos"),
+            F.col("t"),
+        )
+        .select(F.col(id_col), F.substring(F.col("t"), F.col("pos"), k).alias("sh"))
+    )
+    hashed = sh.select(
+        F.col(id_col),
+        *[_seed_hash(s, hash_fn)(F.col("sh")).alias(f"_h{s}") for s in range(n_seeds)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{s}").alias(f"{s}") for s in range(n_seeds)]
+    )
+
+
 def minhash_signatures(
-    shingle_df: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
     id_col: str = "doc_id",
+    k: int = 3,
     n_seeds: int = N_MINHASH_SEEDS,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Per-seed min-hash: signature[seed] = MIN(hash(seed, shingle)).
+    """Long-form per-seed min-hash: (doc_id, seed, mh) with
+    signature[seed] = MIN(hash(seed, shingle)) over the doc's k-gram set.
 
     hash_fn="md5": MIN over hex strings — portable across engines (DuckDB
     oracle bit-parity). hash_fn="xxhash64": JVM-native 64-bit hashing, ~5×
     faster per hash — the production path (same structure, engine-specific
-    values).
-
-    Layout: the n_seeds hashes are computed as COLUMNS of one projection
-    and min-aggregated per seed in a single groupBy(doc_id) — no seed
-    explode (n_seeds× fewer shuffled rows than the naive fan-out), then a
-    row-local unpivot back to (doc_id, seed, mh)."""
-
-    def h(seed: int):
-        if hash_fn == "xxhash64":
-            return F.xxhash64(F.lit(seed), F.col("sh")).cast("string")
-        if hash_fn == "md5":
-            return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col("sh")))
-        raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
-
-    wide = shingle_df.select(
-        F.col(id_col), *[h(s).alias(f"_h{s}") for s in range(n_seeds)]
-    ).groupBy(id_col).agg(*[F.min(f"_h{s}").alias(f"{s}") for s in range(n_seeds)])
+    values). Fully row-local (see _minhash_wide) + a row-local unpivot."""
+    wide = _minhash_wide(docs, text_col, id_col, k, n_seeds, hash_fn)
     long = wide.unpivot(
         ids=[id_col],
         values=[f"{s}" for s in range(n_seeds)],
@@ -101,21 +137,36 @@ def minhash_signatures(
     return long.select(F.col(id_col), F.col("seed").cast("int").alias("seed"), "mh")
 
 
-def lsh_band_keys(
-    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = ROWS_PER_BAND
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_seeds: int = N_MINHASH_SEEDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """Band signatures: group seeds into bands, key = md5 of the seed-ordered
-    minhash concat. Output: (doc_id, band, band_key)."""
-    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]
-                ),
-                "|",
+    """Band signatures (doc_id, band, band_key): seeds grouped into bands,
+    key = md5 of the seed-ordered minhash concat — computed straight from
+    the wide row-local signature (no long-form groupBy/collect_list)."""
+    wide = _minhash_wide(docs, text_col, id_col, k, n_seeds, hash_fn)
+    n_bands = n_seeds // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bk).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"{s}") for s in range(bk * rows_per_band, (bk + 1) * rows_per_band)],
+                    )
+                ).alias("band_key"),
             )
-        ).alias("band_key")
+            for bk in range(n_bands)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        F.col(id_col), F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key")
     )
 
 
@@ -130,9 +181,12 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Full MinHash-LSH pipeline → candidate near-dup pairs (a < b) that
     collide in ≥1 band. The pair join is keyed by band_key — only documents
-    in the same bucket ever meet, so cost tracks bucket sizes, not |docs|²."""
-    sig = minhash_signatures(shingles(docs, text_col, id_col, k), id_col, n_seeds, hash_fn)
-    bands = lsh_band_keys(sig, id_col, rows_per_band)
+    in the same bucket ever meet, so cost tracks bucket sizes, not |docs|².
+
+    The map side is one narrow projection per doc (shingle array → 16
+    array_min hashes → 4 band keys); the ONLY shuffles are the band-key
+    self-join and the final pair distinct."""
+    bands = minhash_bands(docs, text_col, id_col, k, n_seeds, rows_per_band, hash_fn)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
