@@ -366,6 +366,120 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sampling / splitting / shard packing / dedup clustering
+# ---------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split over the corpus."""
+    from .operators.sampling import deterministic_split
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return deterministic_split(docs, _SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+def _sql_split_assign() -> str:
+    from .operators.sampling import HASH_BUCKETS, sql_hash_bucket
+
+    bucket = sql_hash_bucket("doc_id", "split")
+    t_train = int(_SPLIT_WEIGHTS["train"] * HASH_BUCKETS)
+    t_val = int((_SPLIT_WEIGHTS["train"] + _SPLIT_WEIGHTS["val"]) * HASH_BUCKETS)
+    return f"""
+SELECT doc_id,
+       CASE WHEN {bucket} < {t_train} THEN 'train'
+            WHEN {bucket} < {t_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 3 docs per (lang, source) stratum,
+    ranked by hash-of-id."""
+    from .operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return stratified_sample(docs, ["lang", "source"], 3).select("doc_id", "lang", "source")
+
+
+def _sql_stratified_sample() -> str:
+    from .operators.sampling import sql_hash_bucket
+
+    bucket = sql_hash_bucket("doc_id", "strat")
+    return f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY {bucket}, doc_id) AS rk
+  FROM documents) WHERE rk <= 3
+"""
+
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (2000 tokens/shard) in doc_id order, via
+    the two-level prefix sum (group_width=100 exercises the multi-group
+    offset path even at sf0.01)."""
+    from .operators.sampling import pack_shards
+    from .operators.textops import token_count
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_shards(docs, budget=2000, group_width=100)
+
+
+SQL_SHARD_PACK = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       CAST(floor(COALESCE(SUM(len(string_split(text, ' ')))
+                    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) / 2000.0) AS BIGINT) AS shard
+FROM documents
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: exact 3-gram Jaccard ≥ 0.8 pairs →
+    connected components (iterative min-label propagation) → every doc gets
+    its component-min cluster_id, singletons themselves. In production the
+    pair stage is LSH-candidates→verify; here the exact pair set keeps the
+    oracle deterministic."""
+    from .operators.cluster import dedup_clusters
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    return dedup_clusters(pairs, docs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE shingles AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+WHERE d.doc_id < 300
+"""
+
+
 EXT_QUERIES = {
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
@@ -377,4 +491,8 @@ EXT_QUERIES = {
     "cosine_topk_lsh": (q_cosine_topk_lsh, None),  # rows-only by design
     "ivf_topk": (q_ivf_topk, None),  # rows-only by design
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "split_assign": (q_split_assign, _sql_split_assign()),
+    "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
+    "shard_pack": (q_shard_pack, SQL_SHARD_PACK),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }

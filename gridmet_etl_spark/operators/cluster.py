@@ -1,0 +1,108 @@
+"""Near-duplicate cluster assignment: connected components over a pair
+graph (e.g. MinHash-LSH candidates verified by n-gram Jaccard, or SimHash
+Hamming-ball pairs), assigning every document the minimum doc id of its
+component as ``cluster_id``. The canonical "keep one per duplicate
+cluster" primitive a training-data dedup pipeline needs on top of pairwise
+near-dup detection.
+
+Algorithm: iterative min-label propagation as pure DataFrame joins —
+each round every node adopts the minimum label among itself and its
+neighbors; converges in O(graph diameter) rounds. Each round is one
+shuffle-join + one aggregation, all codegen'd; the driver only checks a
+per-round convergence count (an aggregate scalar, not a collect of data).
+
+Scale notes: near-dup graphs are overwhelmingly tiny components (pairs or
+small clusters), so diameter — and the round count — is small. For
+pathological chain-shaped graphs the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce") halves the
+diameter per round; same join/agg building blocks, not needed for dedup
+workloads. A genuinely iterative algorithm has no single-statement SQL
+equivalent, but a DuckDB recursive CTE computes the same fixpoint, so this
+stays fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given by ``pairs``.
+    Returns (node, cluster_id) for every node appearing in any pair, where
+    cluster_id = MIN(node id) over the component.
+
+    Each iteration: label[n] ← min(label[n], min over neighbors m of
+    label[m]); stop when no label changed (checked via a count aggregate).
+    Labels are checkpoint-free: the lineage is re-derived per round from
+    the cached previous labels, and both edges and labels are cached to
+    keep each round's DAG shallow."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+        .cache()
+    )
+    labels.count()  # materialize
+    for _ in range(max_iter):
+        # min neighbor label per node, via one join + one aggregation
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_id")
+            .join(labels, "node")
+            .filter(F.col("new_id") != F.col("cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Cluster assignment for EVERY document: near-dup components get their
+    component-min cluster_id, singletons get themselves. Output:
+    (doc_id, cluster_id, is_canonical) — ``is_canonical`` marks the one
+    keeper per cluster (the min id). Left join keeps the full corpus."""
+    comp = connected_components(pairs, a_col, b_col)
+    return docs.select(F.col(id_col)).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        (F.coalesce(F.col("cluster_id"), F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
+    )

@@ -1,0 +1,152 @@
+"""Deterministic sampling / splitting / shard-packing operators for
+training-data pipelines (BASELINE.json north star: the export side of a
+100 TB corpus — train/val/test splits, stratified subsampling, and packing
+documents into token-budgeted output shards).
+
+Everything here is DETERMINISTIC (hash-derived, no RNG) so results are
+reproducible across runs, engines, and partitionings — and therefore
+DuckDB-oracle-checkable. The hash primitive is the cross-engine trick from
+the dedup/similarity operators: Spark ``conv(substr(md5(s),1,6),16,10)`` ≡
+DuckDB ``CAST('0x'||substr(md5(s),1,6) AS BIGINT)`` — 24 bits of md5 as an
+integer in [0, 2^24).
+
+Scale notes per operator are in the docstrings; the headline one is
+``pack_shards``'s two-level prefix sum, which replaces the
+single-partition global running-sum window with a per-group window plus a
+broadcast of group offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 1 << 24  # 24 bits of md5 → integer bucket space
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, 2^24) from md5 of the key (+salt).
+    Pure codegen expression; identical values in the DuckDB oracle."""
+    s = F.concat(F.lit(salt), key.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 6), 16, 10).cast("long")
+
+
+def sql_hash_bucket(key_expr: str, salt: str = "") -> str:
+    """DuckDB twin of ``hash_bucket`` (single source of truth for oracles)."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 6))"
+        f" AS BIGINT)"
+    )
+
+
+def hash_sample(
+    docs: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash bucket falls
+    below ``fraction`` of the bucket space. Unlike ``df.sample`` this is
+    stable across runs/partitionings and reproducible in any engine —
+    membership is a pure function of the id. Narrow filter, no shuffle;
+    predicate evaluates at scan speed over 100 TB."""
+    return docs.filter(hash_bucket(F.col(id_col), salt) < int(fraction * HASH_BUCKETS))
+
+
+def deterministic_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a split label ('train'/'val'/'test' by default) by
+    hash-bucket range — the standard leakage-safe way to split a training
+    corpus: membership depends only on the id, so re-runs, new data, and
+    different partitionings never move a document across splits.
+
+    ``weights`` maps label → fraction (must sum to ~1); ranges are assigned
+    in dict order. Narrow projection — no shuffle."""
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr = None
+    upper = 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        upper += w
+        cond = bucket < int(upper * HASH_BUCKETS)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last_label = labels[-1][0]
+    split = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
+    return docs.withColumn("split", split)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen deterministically: rank rows within each stratum by
+    hash-of-id and keep the first n. One shuffle on the strata key.
+
+    Scale: the window is per-stratum, so parallelism = number of strata; a
+    skewed stratum serializes through one task. For huge strata, pre-filter
+    with ``hash_sample`` at a few× the target rate, then rank — the window
+    then sees O(n_per_stratum) rows per stratum instead of the full corpus."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    group_width: int = 1_000_000,
+) -> DataFrame:
+    """Pack documents (in ``id_col`` order) into consecutive output shards
+    of ≈ ``budget`` size units each: shard = floor(running_sum_exclusive /
+    budget). The standard "write the corpus as N-token training shards" op.
+
+    Scale design — the naive formulation is a running-sum window over a
+    GLOBAL ordering, which Spark executes as a single-partition sort (one
+    task sees 100 TB). Instead, a two-level prefix sum with identical
+    output:
+
+    1. group rows by coarse id range (``g = id div group_width``);
+    2. per-group totals → cumulative offsets (tiny aggregate, broadcast
+       back via join);
+    3. within-group running sum (window partitioned BY GROUP — parallel),
+       plus the group's offset.
+
+    Output: (id, size, shard). Deterministic: depends only on ids + sizes.
+    """
+    g = (F.col(id_col) / group_width).cast("long").alias("_g")
+    sized = docs.select(F.col(id_col), F.col(size_col)).withColumn("_g", g)
+    totals = sized.groupBy("_g").agg(F.sum(size_col).alias("_gtotal"))
+    offsets = totals.select(
+        "_g",
+        (
+            F.sum("_gtotal").over(Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, -1))
+        ).alias("_offset"),
+    ).fillna({"_offset": 0})
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sized.join(F.broadcast(offsets), "_g")
+        .withColumn("_before", F.coalesce(F.sum(size_col).over(w), F.lit(0)) + F.col("_offset"))
+        .select(
+            F.col(id_col),
+            F.col(size_col),
+            (F.col("_before") / budget).cast("long").alias("shard"),
+        )
+    )
