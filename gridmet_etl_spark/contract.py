@@ -1041,6 +1041,88 @@ GROUP BY c_custkey, c_mktsegment
 """
 
 
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — aggregate, HAVING-filter, then join back: large-volume
+    orders (sum qty > 100) with their customer. The having-filtered agg is
+    tiny, so AQE broadcasts it into the orders/customer joins."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    o = _pq(spark, _t(sf_dir, "orders"))
+    c = _pq(spark, _t(sf_dir, "customer"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), R).alias("tot_qty"))
+        .filter(F.col("tot_qty") > 100)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "l_orderkey",
+            F.date_trunc("second", F.col("o_orderdate")).alias("o_orderdate"),
+            "tot_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18ISH = """
+SELECT c_name, l_orderkey, date_trunc('second', o_orderdate) AS o_orderdate, tot_qty
+FROM (SELECT l_orderkey, ROUND(sum(l_quantity), 6) AS tot_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape — DISTINCT aggregate with an anti-joined exclusion list:
+    distinct supplier count per (p_brand, p_size), excluding suppliers with
+    negative account balance. count(distinct) expands to a two-phase agg;
+    the exclusion list is broadcast anti-joined."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    p = _pq(spark, _t(sf_dir, "part"))
+    s = _pq(spark, _t(sf_dir, "supplier"))
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16ISH = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — customer order-count distribution: outer join so
+    orderless customers count as 0, then a second aggregation over the
+    first's result (two chained shuffles, the classic histogram query)."""
+    c = _pq(spark, _t(sf_dir, "customer"))
+    o = _pq(spark, _t(sf_dir, "orders")).filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_TPCH_Q13ISH = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
 DOMAIN_QUERIES = {
     "weighted_mean": (q_weighted_mean, SQL_WEIGHTED_MEAN),
     "masked_weighted_mean": (q_masked_weighted_mean, SQL_MASKED_WEIGHTED_MEAN),
@@ -1071,6 +1153,9 @@ DOMAIN_QUERIES = {
     "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
     "tpch_above_avg": (q_tpch_above_avg, SQL_TPCH_ABOVE_AVG),
     "tpch_outer_agg": (q_tpch_outer_agg, SQL_TPCH_OUTER_AGG),
+    "tpch_q18ish": (q_tpch_q18ish, SQL_TPCH_Q18ISH),
+    "tpch_q16ish": (q_tpch_q16ish, SQL_TPCH_Q16ISH),
+    "tpch_q13ish": (q_tpch_q13ish, SQL_TPCH_Q13ISH),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
     "tpch_q19ish": (q_tpch_q19ish, SQL_TPCH_Q19ISH),
