@@ -480,6 +480,124 @@ WHERE d.doc_id < 300
 """
 
 
+# ---------------------------------------------------------------------------
+# Text cleaning, vocabulary, decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning pass over text augmented with synthetic URLs, emails,
+    and a control char (so the scrub rules are actually exercised):
+    control-strip → URL/email sentinels → whitespace collapse."""
+    from .operators.textops import clean_text
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://ex.com/p?q="),
+        F.col("doc_id").cast("string"),
+        F.lit(" or u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com  "),
+        F.expr("char(7)"),
+        F.lit(" end"),
+    )
+    return docs.select("doc_id", clean_text(aug).alias("clean"))
+
+
+SQL_CLEAN_TEXT = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               text || ' see https://ex.com/p?q=' || CAST(doc_id AS VARCHAR)
+                    || ' or u' || CAST(doc_id AS VARCHAR) || '@ex.com  '
+                    || chr(7) || ' end',
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\s+', ' ', 'g')) AS clean
+FROM documents
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency (count desc, token
+    asc) — partial-agg'd token counts + TakeOrderedAndProject."""
+    from .operators.textops import vocab_topk
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return vocab_topk(docs, 100)
+
+
+SQL_VOCAB_TOPK = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 100
+"""
+
+
+def q_decontam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact benchmark decontamination: train = doc_id < 400, synthetic
+    'benchmark' = doc_id >= 400; flag via broadcast fingerprint semi join."""
+    from .operators.decontam import decontaminate_exact
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") < 400)
+    ev = docs.filter(F.col("doc_id") >= 400)
+    return decontaminate_exact(train, ev)
+
+
+SQL_DECONTAM_EXACT = f"""
+WITH ev AS (SELECT DISTINCT md5({NORM.format(c="text")}) AS fp
+            FROM documents WHERE doc_id >= 400),
+tr AS (SELECT doc_id, md5({NORM.format(c="text")}) AS fp
+       FROM documents WHERE doc_id < 400)
+SELECT tr.doc_id, (ev.fp IS NOT NULL) AS contaminated
+FROM tr LEFT JOIN ev ON tr.fp = ev.fp
+"""
+
+
+def q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination via shared winnowing fingerprints (k=5,
+    window=4, flag at ≥ 3 shared): catches verbatim substrings ≥ 8 chars
+    from the benchmark set inside training docs."""
+    from .operators.decontam import decontaminate_fuzzy
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") < 100)
+    ev = docs.filter(F.col("doc_id") >= 400)
+    return decontaminate_fuzzy(train, ev, min_shared=3)
+
+
+def _sql_winnow_fps(pred: str) -> str:
+    return f"""
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM (SELECT doc_id, i AS pos, md5(substr(t, i, 5)) AS h
+        FROM (SELECT doc_id, {NORM.format(c="text")} AS t FROM documents WHERE {pred}),
+             generate_series(1, 2000) g(i)
+        WHERE i <= greatest(length(t) - 4, 1))
+"""
+
+
+SQL_DECONTAM_FUZZY = f"""
+WITH evfp AS (SELECT DISTINCT fp FROM ({_sql_winnow_fps("doc_id >= 400")})),
+trfp AS ({_sql_winnow_fps("doc_id < 100")}),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared_fps
+  FROM trfp WHERE fp IN (SELECT fp FROM evfp)
+  GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_shared_fps, 0) AS n_shared_fps,
+       COALESCE(s.n_shared_fps, 0) >= 3 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+LEFT JOIN shared s ON d.doc_id = s.doc_id
+"""
+
+
 EXT_QUERIES = {
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
@@ -495,4 +613,8 @@ EXT_QUERIES = {
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
     "shard_pack": (q_shard_pack, SQL_SHARD_PACK),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "clean_text": (q_clean_text, SQL_CLEAN_TEXT),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "decontam_exact": (q_decontam_exact, SQL_DECONTAM_EXACT),
+    "decontam_fuzzy": (q_decontam_fuzzy, SQL_DECONTAM_FUZZY),
 }

@@ -174,6 +174,36 @@ def winnow_fingerprints(
     )
 
 
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def clean_text(text: Column | str) -> Column:
+    """Normalization pass a training corpus gets before anything else:
+    strip control characters, scrub URLs / emails to sentinel tokens, and
+    collapse runs of whitespace. Pure codegen regexp chain — scan-speed
+    over 100 TB, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, CTRL_RE, "")
+    c = F.regexp_replace(c, URL_RE, "<URL>")
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency (ties broken by token
+    asc). explode → partial-agg count (map-side combine collapses each
+    partition to its distinct tokens — the shuffle carries vocabulary, not
+    corpus) → global top-k via TakeOrderedAndProject (per-partition top-k,
+    merged on the driver — no global sort). Output: (token, n)."""
+    toks = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table: adds
     n_tokens, n_tokens_bpe, lang_pred, quality, punct_ratio, stop_ratio,
