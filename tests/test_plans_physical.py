@@ -114,3 +114,55 @@ def test_whole_stage_codegen_covers_physics(spark, grid_ens, weights_ens, elevat
     # codegen stages print as "*(n) Operator" in executed-plan strings
     assert re.search(r"\*\(\d+\) (Project|HashAggregate)", plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_shards_no_global_window(spark):
+    """pack_shards must not sort 100 TB into one partition: every window
+    in the plan is partitioned (per-group), except over the tiny per-group
+    offsets relation. The global-ordering window would appear as a Window
+    directly over a SinglePartition exchange of the FULL input."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.sampling import pack_shards
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    df = pack_shards(docs, budget=500, group_width=1000)
+    plan = _plan(df)
+    # the data-bearing window is hash-partitioned by the group key
+    assert "hashpartitioning(_g" in plan, plan
+    # the only single-partition exchange feeds the per-group offsets (rows
+    # ≈ n/group_width), which is then broadcast — count it, don't ban it
+    assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_decontaminate_exact_broadcasts_eval_set(spark):
+    """The eval fingerprint set must broadcast: the 100 TB train side is
+    never shuffled for the semi join."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.decontam import decontaminate_exact
+
+    train = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    ev = spark.range(10).select(
+        (F.col("id") + 20).alias("doc_id"), F.concat(F.lit("t"), F.col("id") + 20).alias("text")
+    )
+    plan = _plan(decontaminate_exact(train, ev))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_vocab_topk_uses_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition top-k,
+    driver merge) — not a global sort."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.textops import vocab_topk
+
+    docs = spark.range(2000).select(
+        F.concat(F.lit("w"), (F.col("id") % 97).cast("string"), F.lit(" common tok")).alias("text")
+    )
+    plan = _plan(vocab_topk(docs, 10))
+    assert "TakeOrderedAndProject" in plan, plan
