@@ -762,6 +762,90 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
 """
 
 
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window functions over the daily series: 7-day moving
+    average (ROWS BETWEEN 6 PRECEDING) and day-over-day delta via lag —
+    the window is partitioned by event_type, so parallelism = |types| and
+    no global sort exists."""
+    from pyspark.sql import Window as W
+
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum("value").alias("sv")
+    )
+    wma = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    wlag = W.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "day",
+        "event_type",
+        F.round("sv", R).alias("sum_value"),
+        F.round(F.avg("sv").over(wma), R).alias("ma7"),
+        F.round(F.col("sv") - F.lag("sv", 1).over(wlag), R).alias("delta"),
+    )
+
+
+SQL_EVENTS_MOVING_AVG = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, sum(value) AS sv
+  FROM events GROUP BY CAST(ts AS DATE), event_type)
+SELECT day, event_type, ROUND(sv, 6) AS sum_value,
+       ROUND(avg(sv) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+       ROUND(sv - lag(sv, 1) OVER (PARTITION BY event_type ORDER BY day), 6) AS delta
+FROM daily
+"""
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-min inactivity gap) — the
+    oracle-checkable twin of streaming/events.py::sessionize: lag →
+    new-session flag → running count = session index → per-session rollup.
+    Two windows + one agg, all partitioned by user (no global sort)."""
+    from pyspark.sql import Window as W
+
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events")).select("user_id", "ts", "value", "event_id")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(wo)))
+            > 30 * 60 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_idx", F.sum("new_s").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sessioned.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), R).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE_BATCH = """
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN ts - lag(ts, 1) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, ROUND(sum(value), 6) AS sum_value
+FROM sessioned GROUP BY user_id, session_idx
+"""
+
+
 def q_tpch_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at
     scale), deterministic tie-break."""
@@ -1149,6 +1233,8 @@ DOMAIN_QUERIES = {
     "unpivot_long": (q_unpivot_long, SQL_UNPIVOT_LONG),
     "fill_pipeline": (q_fill_pipeline, SQL_FILL_PIPELINE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
+    "sessionize_batch": (q_sessionize_batch, SQL_SESSIONIZE_BATCH),
     "tpch_topn": (q_tpch_topn, SQL_TPCH_TOPN),
     "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
     "tpch_above_avg": (q_tpch_above_avg, SQL_TPCH_ABOVE_AVG),
