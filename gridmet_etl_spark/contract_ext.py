@@ -366,6 +366,22 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized exact brute-force top-k (numpy matmul per batch,
+    per-batch candidate top-k, window merge) — same oracle as cosine_topk,
+    ~3× its throughput at 400k vectors."""
+    from .operators.similarity import cosine_topk_np
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_np(emb, queries, k=10, rank_round=R)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", R).alias("cosine_sim"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sampling / splitting / shard packing / dedup clustering
 # ---------------------------------------------------------------------------
@@ -605,6 +621,7 @@ EXT_QUERIES = {
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "simhash": (q_simhash, SQL_SIMHASH),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "cosine_topk_np": (q_cosine_topk_np, SQL_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "cosine_topk_lsh": (q_cosine_topk_lsh, None),  # rows-only by design
     "ivf_topk": (q_ivf_topk, None),  # rows-only by design

@@ -83,6 +83,87 @@ def cosine_topk(
     )
 
 
+def cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rank_round: int | None = None,
+) -> DataFrame:
+    """Exact brute-force top-k, Arrow-vectorized: the production path for
+    big corpora. The (tiny) query set is collected once and closed over as
+    a normalized float64 matrix; ``mapInPandas`` computes each Arrow batch's
+    similarities as ONE numpy matmul (batch × dim @ dim × nq) and emits only
+    the per-batch top-k candidates per query; a final window rank merges
+    ≤ k × n_batches candidates per query into the exact global top-k.
+
+    Identical results to ``cosine_topk`` (same tie-break: sim desc,
+    neighbor_id asc); ~10× the per-row throughput of the higher-order-
+    function dot product, which evaluates an interpreted lambda per
+    element. The corpus is still scanned once, shuffled never (candidate
+    set is k·n_batches rows, output-sized)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def _batches(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # Arrow hands the list column over as a Series of np.ndarray —
+            # vstack is the no-copy-per-element path (a per-row list() walk
+            # costs more than the matmul itself)
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Qn.T  # (batch, nq)
+            for j in range(len(qids)):
+                s, qid = S[:, j], qids[j]
+                mask = ids != qid
+                s_m, ids_m = s[mask], ids[mask]
+                if not len(ids_m):
+                    continue
+                top = min(k, len(ids_m))
+                # exact per-batch top-k with the global tie-break order
+                # (rank_round: rank on the rounded sim, like cosine_topk)
+                key = np.round(s_m, rank_round) if rank_round is not None else s_m
+                order = np.lexsort((ids_m, -key))[:top]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.full(top, qid),
+                        "neighbor_id": ids_m[order],
+                        "cosine_sim": s_m[order],
+                    }
+                )
+
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(_batches, out_schema)
+    order_col = (
+        F.round("cosine_sim", rank_round) if rank_round is not None else F.col("cosine_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(order_col.desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 N_LSH_PLANES = 8
 # plane components are embedded as plan literals: n_planes × _SRP_MAX_DIM
 # doubles. 512 covers common embedding dims at ~4k literals; pass dim=

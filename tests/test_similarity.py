@@ -96,3 +96,18 @@ def test_embedding_near_dups_with_planted_dupe(spark, emb):
         assert (i, i + 100000) in found
         sim = [d.cosine_sim for d in dups if (d.id_a, d.id_b) == (i, i + 100000)][0]
         assert sim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cosine_topk_np_matches_hof_exactly(spark, emb):
+    """The Arrow-vectorized path must reproduce the HOF path bit-for-bit at
+    rounded precision: same neighbors, same ranks, same tie-breaks."""
+    from gridmet_etl_spark.operators.similarity import cosine_topk_np
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {(r.query_id, r.neighbor_id, round(r.cosine_sim, 9), r.rank)
+         for r in cosine_topk(emb, queries, k=10, rank_round=6).collect()}
+    b = {(r.query_id, r.neighbor_id, round(r.cosine_sim, 9), r.rank)
+         for r in cosine_topk_np(emb, queries, k=10, rank_round=6).collect()}
+    assert a == b
