@@ -614,6 +614,65 @@ LEFT JOIN shared s ON d.doc_id = s.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus pipeline (flagship composition of the hygiene/export surface)
+# ---------------------------------------------------------------------------
+
+_CLEAN_SQL = (
+    r"trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    r"text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),"
+    r" 'https?://[^\s]+', '<URL>', 'g'),"
+    r" '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus ETL: clean → exact-dedup → decontaminate (vs the
+    doc_id ≥ 400 synthetic benchmark) → leakage-safe split → token-budget
+    shard packing of the train split — one lazy DAG, full oracle."""
+    from .plans.corpus import corpus_pipeline
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    train_corpus = docs.filter(F.col("doc_id") < 400)
+    bench = docs.filter(F.col("doc_id") >= 400)
+    return corpus_pipeline(train_corpus, bench, budget=2000, group_width=100)
+
+
+def _sql_corpus_pipeline() -> str:
+    from .operators.sampling import HASH_BUCKETS, sql_hash_bucket
+
+    bucket = sql_hash_bucket("doc_id", "split")
+    t_train = int(0.9 * HASH_BUCKETS)
+    t_val = int(0.95 * HASH_BUCKETS)
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id, md5(lower({_CLEAN_SQL})) AS fp,
+         len(string_split({_CLEAN_SQL}, ' ')) AS n_tokens
+  FROM documents WHERE doc_id < 400),
+kept AS (
+  SELECT doc_id, fp, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM cleaned)
+  WHERE rn = 1),
+evalfps AS (
+  SELECT DISTINCT md5(lower({_CLEAN_SQL})) AS fp FROM documents WHERE doc_id >= 400),
+survivors AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN {bucket} < {t_train} THEN 'train'
+              WHEN {bucket} < {t_val} THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept WHERE fp NOT IN (SELECT fp FROM evalfps)),
+train_shards AS (
+  SELECT doc_id,
+         CAST(floor(COALESCE(SUM(n_tokens)
+                      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / 2000.0) AS BIGINT) AS shard
+  FROM survivors WHERE split = 'train')
+SELECT s.doc_id, s.split, s.n_tokens, t.shard
+FROM survivors s LEFT JOIN train_shards t ON s.doc_id = t.doc_id
+"""
+
+
 EXT_QUERIES = {
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
@@ -634,4 +693,5 @@ EXT_QUERIES = {
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "decontam_exact": (q_decontam_exact, SQL_DECONTAM_EXACT),
     "decontam_fuzzy": (q_decontam_fuzzy, SQL_DECONTAM_FUZZY),
+    "corpus_pipeline": (q_corpus_pipeline, _sql_corpus_pipeline()),
 }

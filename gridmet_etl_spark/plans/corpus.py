@@ -1,0 +1,67 @@
+"""Corpus ETL pipeline — the training-data twin of plans/gridmet.py: one
+lazy DataFrame DAG composing the hygiene/export operators end-to-end:
+
+    clean → exact-dedup (keep lowest id per fingerprint) →
+    decontaminate vs a benchmark set → leakage-safe split →
+    token-budget shard packing (train split)
+
+Every stage is a narrow projection or an output-sized shuffle (see each
+operator's docstring); the whole pipeline is one Catalyst plan and fully
+DuckDB-oracle-expressible (contract query ``corpus_pipeline``).
+
+Scale shape at 100 TB: clean/fingerprint/split are scan-speed map work;
+dedup is one digest-keyed shuffle (32 B + id per row); decontamination is
+a broadcast anti join (benchmarks are MBs); shard packing shuffles ids +
+token counts only. The document bodies are read once and never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.sampling import deterministic_split, pack_shards
+from ..operators.textops import clean_text, token_count
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    budget: int = 2000,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_width: int = 1_000_000,
+) -> DataFrame:
+    """Returns (doc_id, split, n_tokens, shard): the export manifest of the
+    cleaned, deduped, decontaminated corpus. ``shard`` is the token-budget
+    shard index within the train split (null for val/test — evaluation
+    splits are not packed)."""
+    cleaned = docs.select(
+        F.col(id_col),
+        clean_text(F.col(text_col)).alias("clean"),
+    ).select(
+        F.col(id_col),
+        F.md5(F.lower(F.col("clean"))).alias("fp"),
+        token_count(F.col("clean")).cast("long").alias("n_tokens"),
+    )
+    # exact dedup: keep the lowest id per fingerprint (one digest shuffle)
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    kept = cleaned.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # decontaminate: drop anything whose fingerprint appears in the
+    # benchmark set (broadcast anti join — the corpus never shuffles)
+    eval_fps = (
+        eval_docs.select(clean_text(F.col(text_col)).alias("clean"))
+        .select(F.md5(F.lower(F.col("clean"))).alias("fp"))
+        .distinct()
+    )
+    survivors = kept.join(F.broadcast(eval_fps), "fp", "left_anti")
+    # leakage-safe split, then pack the train split into token shards
+    split_df = deterministic_split(survivors, weights).select(id_col, "n_tokens", "split")
+    train = split_df.filter(F.col("split") == "train")
+    shards = pack_shards(
+        train, budget, size_col="n_tokens", id_col=id_col, group_width=group_width
+    ).select(F.col(id_col), F.col("shard"))
+    return split_df.join(shards, id_col, "left").select(
+        F.col(id_col), "split", "n_tokens", "shard"
+    )

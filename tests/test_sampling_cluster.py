@@ -114,3 +114,29 @@ def test_dedup_clusters_singletons_and_canonicals(spark):
         assert out[i] == (i, True)
     # exactly one canonical per cluster
     assert sum(1 for c, canon in out.values() if canon) == 6
+
+
+def test_corpus_pipeline_end_to_end(spark):
+    """Each stage provably acts: dupes collapse to lowest id, benchmark
+    overlaps are dropped, every survivor gets a split, train gets shards."""
+    from gridmet_etl_spark.plans.corpus import corpus_pipeline
+
+    rows = [(i, f"unique document number {i} with some filler text") for i in range(50)]
+    rows += [(100, "A duplicated   doc"), (101, "a duplicated doc")]  # dup after clean+lower
+    rows += [(102, "the contaminated benchmark passage")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(999, "THE contaminated benchmark passage")], ["doc_id", "text"]
+    )
+    out = corpus_pipeline(docs, bench, budget=30, group_width=10)
+    got = {r.doc_id: r for r in out.collect()}
+    assert 101 not in got and 100 in got  # dedup keeps lowest id
+    assert 102 not in got  # decontaminated (case-insensitive)
+    assert len(got) == 51
+    assert all(r.split in ("train", "val", "test") for r in got.values())
+    train = [r for r in got.values() if r.split == "train"]
+    assert train and all(r.shard is not None for r in train)
+    assert all(r.shard is None for r in got.values() if r.split != "train")
+    # shard indices are contiguous from 0
+    shards = sorted({r.shard for r in train})
+    assert shards == list(range(len(shards)))
