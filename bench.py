@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "simhash",
     "cosine_topk",
     "cosine_topk_lsh",
+    "corpus_pipeline",
 ]
 
 
