@@ -227,6 +227,37 @@ FROM bits GROUP BY doc_id
 """
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs (≤ 3 bits) via the pigeonhole
+    block join — exact within the bound (any pair within distance d shares
+    one of d+1 signature blocks). The oracle states the plain all-pairs
+    semantics; the Spark plan never enumerates all pairs."""
+    from .operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 500)
+    return simhash_near_dups(docs, max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+SQL_SIMHASH_NEAR_DUPS = (
+    SQL_SIMHASH.replace(
+        "SELECT doc_id,\n       sum(CASE WHEN s > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS simhash\nFROM bits GROUP BY doc_id",
+        """sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    ).replace(
+        "  FROM toks, generate_series(0, 15) b(bit)\n  GROUP BY doc_id, bit)",
+        "  FROM toks, generate_series(0, 15) b(bit)\n  GROUP BY doc_id, bit),",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -679,6 +710,7 @@ EXT_QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_topk_np": (q_cosine_topk_np, SQL_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
