@@ -158,3 +158,26 @@ def test_ingest_job_plumbing(spark, tmp_path):
         (F.col("var") == "pr") & (F.col("i") == 3) & (F.col("j") == 4)
     ).orderBy("time").collect()[0]
     assert v.value == pytest.approx(3004.0 + date(1980, 1, 1).toordinal() % 100)
+
+
+def test_cli_corpus_etl_end_to_end(spark, tmp_path):
+    docs_path, bench_path, out = str(tmp_path / "docs"), str(tmp_path / "bench"), str(tmp_path / "out")
+    rows = [(i, f"document number {i} body text") for i in range(40)]
+    rows.append((50, "document number 7 body text"))  # exact dup of doc 7
+    rows.append((51, "held out benchmark prompt"))
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(docs_path)
+    spark.createDataFrame(
+        [(900, "HELD OUT benchmark prompt")], ["doc_id", "text"]
+    ).write.parquet(bench_path)
+    rc = main([
+        "corpus-etl", "--docs", docs_path, "--benchmark", bench_path,
+        "--budget", "40", "--out", out,
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    ids = {r.doc_id for r in got.collect()}
+    assert 50 not in ids and 51 not in ids and 7 in ids and len(ids) == 40
+    # split-partitioned layout on disk
+    assert any(d.startswith("split=") for d in os.listdir(out))
+    train = got.filter(F.col("split") == "train")
+    assert train.filter(F.col("shard").isNull()).count() == 0
