@@ -464,6 +464,33 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+_MIX = {"src0": 10, "src1": 5, "src2": 2}  # sources absent from the dict drop
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: fixed per-source quotas (10/5/2 docs from
+    src0/src1/src2, everything else dropped), hash-ranked deterministic."""
+    from .operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return mixture_sample(docs, "source", _MIX).select("doc_id", "source")
+
+
+def _sql_mixture_sample() -> str:
+    from .operators.sampling import sql_hash_bucket
+
+    bucket = sql_hash_bucket("doc_id", "mix")
+    quota = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {n}" for s, n in _MIX.items()
+    ) + " END"
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, {quota} AS q,
+         row_number() OVER (PARTITION BY source ORDER BY {bucket}, doc_id) AS rk
+  FROM documents) WHERE q IS NOT NULL AND rk <= q
+"""
+
+
 def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing (2000 tokens/shard) in doc_id order, via
     the two-level prefix sum (group_width=100 exercises the multi-group
@@ -719,6 +746,7 @@ EXT_QUERIES = {
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "split_assign": (q_split_assign, _sql_split_assign()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
+    "mixture_sample": (q_mixture_sample, _sql_mixture_sample()),
     "shard_pack": (q_shard_pack, SQL_SHARD_PACK),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "clean_text": (q_clean_text, SQL_CLEAN_TEXT),

@@ -103,6 +103,37 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    source_col: str,
+    target_counts: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-mix sampling: draw a fixed number of documents PER SOURCE
+    (the "data mixture" step of corpus assembly — e.g. 3 parts web, 1 part
+    code, 1 part books). Deterministic: within each source, rows are ranked
+    by hash-of-id and the first ``target_counts[source]`` kept; sources not
+    in the dict are dropped. Smaller-than-target sources yield all rows
+    (upsampling/repetition is the trainer's job, not the sampler's).
+
+    Same scale shape as ``stratified_sample``: one shuffle on the source
+    key; pre-thin giant sources with ``hash_sample`` first."""
+    quota = F.create_map(
+        *[F.lit(x) for kv in target_counts.items() for x in kv]
+    )[F.col(source_col)]
+    w = Window.partitionBy(source_col).orderBy(
+        hash_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_q", quota)
+        .filter(F.col("_q").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_q"))
+        .drop("_q", "_rk")
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget: int,

@@ -140,3 +140,19 @@ def test_corpus_pipeline_end_to_end(spark):
     # shard indices are contiguous from 0
     shards = sorted({r.shard for r in train})
     assert shards == list(range(len(shards)))
+
+
+def test_mixture_sample_quotas_and_determinism(spark, docs):
+    from gridmet_etl_spark.operators.sampling import mixture_sample
+
+    mix = {"g0": 20, "g1": 5, "g2": 300}  # g2 quota exceeds stratum size
+    out = mixture_sample(docs, "grp", mix)
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # g0/g1 hit their quotas, g2 yields its full size (1000/7 ≈ 143), others dropped
+    assert counts["g0"] == 20 and counts["g1"] == 5
+    assert counts["g2"] == docs.filter(F.col("grp") == "g2").count()
+    assert set(counts) == {"g0", "g1", "g2"}
+    # deterministic across evaluations
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in mixture_sample(docs, "grp", mix).collect()}
+    assert a == b
