@@ -731,6 +731,18 @@ FROM survivors s LEFT JOIN train_shards t ON s.doc_id = t.doc_id
 """
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined IVF assignment (3 rounds of spherical k-means over the
+    lowest-id seeds, then nearest-centroid labels). Rows-only check — the
+    iterative refinement has no single-statement SQL equivalent; the numpy
+    golden in test_similarity pins the values."""
+    from .operators.similarity import ivf_assign, ivf_centroids, kmeans_refine
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    cents = kmeans_refine(emb, ivf_centroids(emb, n_centroids=8), n_iter=3)
+    return ivf_assign(emb, cents).select("vec_id", "cluster")
+
+
 EXT_QUERIES = {
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
@@ -743,6 +755,7 @@ EXT_QUERIES = {
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "cosine_topk_lsh": (q_cosine_topk_lsh, None),  # rows-only by design
     "ivf_topk": (q_ivf_topk, None),  # rows-only by design
+    "kmeans_assign": (q_kmeans_assign, None),  # rows-only: iterative (numpy-golden tested)
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "split_assign": (q_split_assign, _sql_split_assign()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),

@@ -287,6 +287,39 @@ def ivf_assign(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's refinement of the IVF centroids (spherical flavor: cosine
+    assignment, mean recompute — cosine is scale-invariant so the mean
+    needn't be renormalized). Each iteration is one narrow expression-only
+    assignment (zero shuffle, see ivf_assign) plus ONE shuffle keyed
+    (cluster, dim) whose partial-agg output is k × dim rows — the driver
+    collects only the k × dim centroid matrix per round, never vectors.
+
+    Deterministic: argmax ties resolve to the lowest centroid id in both
+    the expression (array_sort on (negsim, cid)) and the numpy golden the
+    tests compare against. Empty clusters keep their previous centroid."""
+    dim = len(centroids[0])
+    cents = [list(map(float, c)) for c in centroids]
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cents, vec_col)
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {r["cluster"]: [0.0] * dim for r in means}
+        for r in means:
+            new[r["cluster"]][r["dim"]] = float(r["m"])
+        cents = [new.get(cid, cents[cid]) for cid in range(len(cents))]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

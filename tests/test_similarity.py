@@ -111,3 +111,34 @@ def test_cosine_topk_np_matches_hof_exactly(spark, emb):
     b = {(r.query_id, r.neighbor_id, round(r.cosine_sim, 9), r.rank)
          for r in cosine_topk_np(emb, queries, k=10, rank_round=6).collect()}
     assert a == b
+
+
+def test_kmeans_refine_matches_numpy_lloyd(spark, emb, emb_np):
+    """Spark Lloyd's iterations must reproduce an independent numpy
+    implementation exactly: same assignments, same centroids per round."""
+    from gridmet_etl_spark.operators.similarity import ivf_assign, ivf_centroids, kmeans_refine
+
+    ids, mat = emb_np
+    k, n_iter = 6, 3
+    seed = ivf_centroids(emb, n_centroids=k)
+
+    # numpy golden: cosine argmax (first-wins ties), mean recompute
+    C = np.array(seed, dtype=np.float64)
+    order = np.argsort(ids)
+    M = mat[order]
+    for _ in range(n_iter):
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = np.argmax(np.round(Mn @ Cn.T, 12), axis=1)
+        for c in range(k):
+            if (assign == c).any():
+                C[c] = M[assign == c].mean(axis=0)
+
+    got = np.array(kmeans_refine(emb, seed, n_iter=n_iter), dtype=np.float64)
+    assert got.shape == C.shape
+    np.testing.assert_allclose(got, C, rtol=1e-9, atol=1e-12)
+
+    # refined centroids give a valid assignment over all clusters
+    assigned = ivf_assign(emb, [list(c) for c in got])
+    n_used = assigned.select("cluster").distinct().count()
+    assert 1 < n_used <= k
