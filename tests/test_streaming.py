@@ -168,3 +168,47 @@ def test_incremental_append_idempotent(spark, events_dir, tmp_path):
     one_day = df.filter(F.col("day") == df.agg(F.min("day")).collect()[0][0])
     incremental_append(one_day, out)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_streaming_corpus_matches_batch_pipeline(spark, tmp_path):
+    """Multi-batch document arrival (cross-batch duplicate + contaminated
+    doc forced into separate micro-batches) must admit exactly the docs the
+    batch corpus_pipeline admits, with identical splits."""
+    from gridmet_etl_spark.plans.corpus import corpus_pipeline
+    from gridmet_etl_spark.streaming.corpus_stream import (
+        benchmark_fingerprints,
+        incremental_corpus,
+        stream_documents,
+    )
+
+    landing = str(tmp_path / "landing")
+    rows1 = [(i, f"streaming doc {i} payload") for i in range(10)]
+    rows2 = [(20, "streaming doc 3 payload"),  # cross-batch dup of doc 3
+             (21, "the eval holdout passage"),  # contaminated
+             (22, "fresh unique document")]
+    spark.createDataFrame(rows1, ["doc_id", "text"]).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(rows2, ["doc_id", "text"]).coalesce(1).write.mode("append").parquet(landing)
+    bench = spark.createDataFrame([(900, "THE EVAL holdout passage")], ["doc_id", "text"])
+
+    manifest = str(tmp_path / "manifest")
+    seen = str(tmp_path / "seen")
+    ck = str(tmp_path / "ck")
+    q = incremental_corpus(
+        stream_documents(spark, landing, max_files_per_trigger=1),
+        benchmark_fingerprints(bench),
+        manifest, seen, ck,
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id: r.split for r in spark.read.parquet(manifest).collect()}
+    assert 20 not in got and 21 not in got and 22 in got and 3 in got
+    # batch pipeline on the union agrees on membership and splits
+    all_docs = spark.createDataFrame(rows1 + rows2, ["doc_id", "text"])
+    batch = {r.doc_id: r.split for r in corpus_pipeline(all_docs, bench).collect()}
+    assert got == batch
+    # re-drain: nothing new → manifest unchanged
+    q2 = incremental_corpus(
+        stream_documents(spark, landing), benchmark_fingerprints(bench), manifest, seen, ck
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(manifest).count() == len(got)
