@@ -142,3 +142,32 @@ def test_kmeans_refine_matches_numpy_lloyd(spark, emb, emb_np):
     assigned = ivf_assign(emb, [list(c) for c in got])
     n_used = assigned.select("cluster").distinct().count()
     assert 1 < n_used <= k
+
+
+def test_quantize_embeddings_roundtrip_and_recall(spark, emb):
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(emb)
+    # error bound: |x - x'| <= scale/2 = max|x| / 254 per component
+    err = (
+        dequantize_embeddings(q.withColumnRenamed("embedding", "orig"))
+        .select(
+            F.array_max(
+                F.zip_with("embedding", "orig", lambda a, b: F.abs(a - b))
+            ).alias("e"),
+            (F.array_max(F.transform("orig", lambda x: F.abs(x))) / 254.0 + 1e-9).alias("bound"),
+        )
+    )
+    assert err.filter(F.col("e") > F.col("bound")).count() == 0
+    # top-10 cosine recall on dequantized vectors stays high
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()}
+    deq = dequantize_embeddings(q.drop("embedding")).select("vec_id", "embedding")
+    approx = {(r.query_id, r.neighbor_id) for r in cosine_topk(deq, queries, k=10).collect()}
+    assert len(exact & approx) / len(exact) >= 0.9
