@@ -846,6 +846,50 @@ FROM sessioned GROUP BY user_id, session_idx
 """
 
 
+def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (hierarchical subtotals — cube's sibling;
+    Spark expands both through the same Expand operator)."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), R).alias("sum_qty")
+    )
+
+
+SQL_TPCH_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       ROUND(sum(l_quantity), 6) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract a numeric field from the JSON
+    ``props`` column (get_json_object — codegen'd Jackson path eval, no
+    UDF) and aggregate it per event type."""
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), R).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_JSON = """
+SELECT event_type, count(k) AS n_with_k, ROUND(avg(k), 6) AS avg_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
 def q_tpch_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at
     scale), deterministic tie-break."""
@@ -1237,6 +1281,8 @@ DOMAIN_QUERIES = {
     "sessionize_batch": (q_sessionize_batch, SQL_SESSIONIZE_BATCH),
     "tpch_topn": (q_tpch_topn, SQL_TPCH_TOPN),
     "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
+    "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
+    "events_props_json": (q_events_props_json, SQL_EVENTS_PROPS_JSON),
     "tpch_above_avg": (q_tpch_above_avg, SQL_TPCH_ABOVE_AVG),
     "tpch_outer_agg": (q_tpch_outer_agg, SQL_TPCH_OUTER_AGG),
     "tpch_q18ish": (q_tpch_q18ish, SQL_TPCH_Q18ISH),
