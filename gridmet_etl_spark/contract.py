@@ -846,6 +846,82 @@ FROM sessioned GROUP BY user_id, session_idx
 """
 
 
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — the same dimension joined under TWO roles (supplier
+    nation vs customer nation) with a year extraction: volume shipped
+    between each ordered nation pair per year. Broadcast both nation
+    aliases; the fact side shuffles only for the final aggregation."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    o = _pq(spark, _t(sf_dir, "orders"))
+    c = _pq(spark, _t(sf_dir, "customer"))
+    s = _pq(spark, _t(sf_dir, "supplier"))
+    n = _pq(spark, _t(sf_dir, "nation"))
+    n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.sk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.ck)
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias(
+                "volume"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_TPCH_Q7ISH = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS volume,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (array-zip surface): adjacent token pairs
+    via arrays_zip(tokens, slice(tokens, 2)), exploded map-locally, counted
+    with partial agg, global top-50 via TakeOrderedAndProject."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+SQL_BIGRAM_TOPK = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, generate_series(1, 2000) g(i)
+  WHERE i <= len(t) - 1)
+SELECT bigram, count(*) AS n
+FROM pairs GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
 def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (hierarchical subtotals — cube's sibling;
     Spark expands both through the same Expand operator)."""
@@ -1282,6 +1358,8 @@ DOMAIN_QUERIES = {
     "tpch_topn": (q_tpch_topn, SQL_TPCH_TOPN),
     "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
     "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
+    "tpch_q7ish": (q_tpch_q7ish, SQL_TPCH_Q7ISH),
+    "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "events_props_json": (q_events_props_json, SQL_EVENTS_PROPS_JSON),
     "tpch_above_avg": (q_tpch_above_avg, SQL_TPCH_ABOVE_AVG),
     "tpch_outer_agg": (q_tpch_outer_agg, SQL_TPCH_OUTER_AGG),
