@@ -743,6 +743,32 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, cents).select("vec_id", "cluster")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence materialization downstream of corpus_pipeline:
+    per train shard, id-ordered cleaned docs joined with a separator."""
+    from .plans.corpus import corpus_pipeline, pack_sequences
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    train_corpus = docs.filter(F.col("doc_id") < 400)
+    bench = docs.filter(F.col("doc_id") >= 400)
+    manifest = corpus_pipeline(train_corpus, bench, budget=2000, group_width=100)
+    return pack_sequences(train_corpus, manifest, sep="\n\n")
+
+
+def _sql_pack_sequences() -> str:
+    return f"""
+WITH manifest AS ({_sql_corpus_pipeline()}),
+train AS (
+  SELECT m.doc_id, m.shard, m.n_tokens, {_CLEAN_SQL} AS clean
+  FROM manifest m JOIN documents d ON m.doc_id = d.doc_id
+  WHERE m.split = 'train')
+SELECT shard,
+       string_agg(clean, chr(10) || chr(10) ORDER BY doc_id) AS seq_text,
+       count(*) AS n_docs, sum(n_tokens) AS n_tokens
+FROM train GROUP BY shard
+"""
+
+
 EXT_QUERIES = {
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
@@ -767,4 +793,5 @@ EXT_QUERIES = {
     "decontam_exact": (q_decontam_exact, SQL_DECONTAM_EXACT),
     "decontam_fuzzy": (q_decontam_fuzzy, SQL_DECONTAM_FUZZY),
     "corpus_pipeline": (q_corpus_pipeline, _sql_corpus_pipeline()),
+    "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
 }

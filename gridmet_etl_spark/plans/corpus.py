@@ -65,3 +65,39 @@ def corpus_pipeline(
     return split_df.join(shards, id_col, "left").select(
         F.col(id_col), "split", "n_tokens", "shard"
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    manifest: DataFrame,
+    sep: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the training sequences: for each train shard, the
+    cleaned documents concatenated in id order with ``sep`` — the actual
+    "write N-token sequences for the trainer" step downstream of the
+    manifest. Output: (shard, seq_text, n_docs, n_tokens).
+
+    One shuffle keyed by shard; each group is budget-bounded by
+    construction (pack_shards), so the concat is O(budget) chars per group
+    and no group can blow an executor. Ordered concat is the portable
+    sorted-struct array_join (≡ DuckDB string_agg ORDER BY)."""
+    train = manifest.filter(F.col("split") == "train").select(id_col, "shard", "n_tokens")
+    joined = train.join(
+        docs.select(F.col(id_col), clean_text(F.col(text_col)).alias("clean")), id_col
+    )
+    return (
+        joined.groupBy("shard")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("clean")))),
+                    lambda x: x["clean"],
+                ),
+                sep,
+            ).alias("seq_text"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

@@ -156,3 +156,21 @@ def test_mixture_sample_quotas_and_determinism(spark, docs):
     a = {r.doc_id for r in out.collect()}
     b = {r.doc_id for r in mixture_sample(docs, "grp", mix).collect()}
     assert a == b
+
+
+def test_pack_sequences_order_and_budget(spark):
+    from gridmet_etl_spark.plans.corpus import corpus_pipeline, pack_sequences
+
+    rows = [(i, f"doc {i} word word word") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(99, "nothing shared here at all")], ["doc_id", "text"])
+    manifest = corpus_pipeline(docs, bench, budget=20, group_width=7)
+    out = pack_sequences(docs, manifest, sep=" | ")
+    seqs = {r.shard: r for r in out.collect()}
+    # docs within each sequence appear in ascending id order
+    for r in seqs.values():
+        ids = [int(p.split()[1]) for p in r.seq_text.split(" | ")]
+        assert ids == sorted(ids) and r.n_docs == len(ids)
+    # every train doc lands in exactly one sequence
+    n_train = manifest.filter("split = 'train'").count()
+    assert sum(r.n_docs for r in seqs.values()) == n_train
