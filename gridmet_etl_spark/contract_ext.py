@@ -596,6 +596,53 @@ FROM documents
 """
 
 
+def q_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII surface scan over text augmented with synthetic identifiers (so
+    the detectors actually fire): per-doc counts of emails, phone-shaped
+    numbers, and SSN-shaped numbers — pure regexp_count, scan-speed."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com or 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+    email = F.regexp_count(aug, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"))
+    phone = F.regexp_count(aug, F.lit(r"\b\d{3}-\d{4}-\d{4}\b|\b\d{3}-\d{2}-\d{2}-\d{4}\b"))
+    ssn = F.regexp_count(aug, F.lit(r"\b\d{3}-\d{2}-\d{4}\b"))
+    return docs.select(
+        "doc_id",
+        email.alias("n_email"),
+        phone.alias("n_phone"),
+        ssn.alias("n_ssn"),
+        ((email + phone + ssn) > 0).alias("has_pii"),
+    )
+
+
+SQL_PII_FLAGS = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com or 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS t
+  FROM documents),
+counts AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(t, '\b\d{3}-\d{4}-\d{4}\b|\b\d{3}-\d{2}-\d{2}-\d{4}\b')) AS n_phone,
+         len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+  FROM aug)
+SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_phone AS INT) AS n_phone,
+       CAST(n_ssn AS INT) AS n_ssn, (n_email + n_phone + n_ssn) > 0 AS has_pii
+FROM counts
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 tokens by frequency (count desc, token
     asc) — partial-agg'd token counts + TakeOrderedAndProject."""
@@ -790,6 +837,7 @@ EXT_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "clean_text": (q_clean_text, SQL_CLEAN_TEXT),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "pii_flags": (q_pii_flags, SQL_PII_FLAGS),
     "decontam_exact": (q_decontam_exact, SQL_DECONTAM_EXACT),
     "decontam_fuzzy": (q_decontam_fuzzy, SQL_DECONTAM_FUZZY),
     "corpus_pipeline": (q_corpus_pipeline, _sql_corpus_pipeline()),
