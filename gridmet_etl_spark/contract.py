@@ -922,6 +922,33 @@ FROM pairs GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation must be value-identical to the
+    plain GROUP BY (the oracle IS the plain form): phase 1 on (key, salt)
+    bounds any task to ~1/16 of the hottest key, phase 2 merges partials."""
+    from .operators.scale import salted_sum
+
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    out = salted_sum(
+        li,
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_orderkey": "count", "l_extendedprice": "max"},
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", R).alias("sum_qty"),
+        F.col("count_l_orderkey").alias("n_rows"),
+        F.round("max_l_extendedprice", R).alias("max_price"),
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT l_returnflag, ROUND(sum(l_quantity), 6) AS sum_qty,
+       count(l_orderkey) AS n_rows, ROUND(max(l_extendedprice), 6) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (hierarchical subtotals — cube's sibling;
     Spark expands both through the same Expand operator)."""
@@ -1358,6 +1385,7 @@ DOMAIN_QUERIES = {
     "tpch_topn": (q_tpch_topn, SQL_TPCH_TOPN),
     "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
     "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "tpch_q7ish": (q_tpch_q7ish, SQL_TPCH_Q7ISH),
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "events_props_json": (q_events_props_json, SQL_EVENTS_PROPS_JSON),
