@@ -78,3 +78,81 @@ def test_physics_bounds_property(spark, t, sph, elev):
     ).collect()[0]
     assert row.es > 0 and row.es2 > row.es
     assert row.rh > 0 and math.isfinite(row.rh)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(1, 500), min_size=1, max_size=60),
+    budget=st.integers(10, 1000),
+    gw=st.integers(1, 50),
+)
+def test_pack_shards_properties(spark, sizes, budget, gw):
+    """Shard index is nondecreasing in id order, starts at 0, and each
+    shard's total stays within budget + its largest member (the crossing
+    doc) — for ANY sizes, budget, and group width."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.sampling import pack_shards
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], ["doc_id", "n_tokens"]
+    )
+    rows = sorted(
+        pack_shards(docs, budget, group_width=gw).collect(), key=lambda r: r.doc_id
+    )
+    shards = [r.shard for r in rows]
+    assert shards[0] == 0
+    assert all(a <= b for a, b in zip(shards, shards[1:]))
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard, []).append(r.n_tokens)
+    for members in per.values():
+        assert sum(members) <= budget + max(members)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ids=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=80, unique=True))
+def test_split_partition_property(spark, ids):
+    """Every id gets exactly one split, and the assignment is invariant to
+    which other ids are present (no leakage by construction)."""
+    from gridmet_etl_spark.operators.sampling import deterministic_split
+
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    full = {r.doc_id: r.split for r in deterministic_split(docs).collect()}
+    assert set(full) == set(ids)
+    half_ids = ids[: max(len(ids) // 2, 1)]
+    half = spark.createDataFrame([(i,) for i in half_ids], ["doc_id"])
+    for r in deterministic_split(half).collect():
+        assert full[r.doc_id] == r.split
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation equals a driver-side union-find on ANY graph."""
+    from gridmet_etl_spark.operators.cluster import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == expected
