@@ -33,7 +33,7 @@ FIXDIR = os.path.join(REPO, "fixtures")
 
 FX = {
     name: os.path.join(FIXDIR, f"{name}.parquet")
-    for name in ["grid", "grid_ens", "weights", "weights_ens", "features", "catalog", "elevation"]
+    for name in ["grid", "grid_ens", "weights", "weights_ens", "features", "catalog", "elevation", "media"]
 }
 
 R = 6  # rounding digits for float aggregates (see module docstring)
@@ -922,6 +922,28 @@ FROM pairs GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
 """
 
 
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column surface: per-kind stats over opaque media payloads —
+    count, total bytes, and a deterministic content digest (md5 over hex:
+    both engines hex uppercase, so the digest is portable; Spark's md5
+    accepts binary directly but DuckDB's wants VARCHAR). Payloads never
+    shuffle: partial agg reduces each partition to 3 rows."""
+    m = _pq(spark, FX["media"])
+    return m.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.min(F.md5(F.hex("payload"))).alias("min_digest"),
+        F.count("width").alias("n_with_dims"),
+    )
+
+
+SQL_MEDIA_STATS = f"""
+SELECT kind, count(*) AS n, sum(octet_length(payload)) AS total_bytes,
+       min(md5(hex(payload))) AS min_digest, count(width) AS n_with_dims
+FROM '{FX["media"]}' GROUP BY kind
+"""
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof two-phase aggregation must be value-identical to the
     plain GROUP BY (the oracle IS the plain form): phase 1 on (key, salt)
@@ -1386,6 +1408,7 @@ DOMAIN_QUERIES = {
     "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
     "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "tpch_q7ish": (q_tpch_q7ish, SQL_TPCH_Q7ISH),
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "events_props_json": (q_events_props_json, SQL_EVENTS_PROPS_JSON),

@@ -232,10 +232,38 @@ def write_prms_param_file(path: str, elev: pd.DataFrame) -> None:
         f.write("other_param\n1\nnhru\n2\n1\n0\n0\n####\n")
 
 
+def make_media(n: int = 64) -> pd.DataFrame:
+    """Deterministic fake media table (seed-42): opaque binary payloads +
+    typed metadata, the §multimodal storage model persisted so the binary
+    column surface is DuckDB-oracle-checkable (md5-over-hex is portable)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        size = int(rng.integers(256, 4096))
+        payload = bytes(rng.integers(0, 256, size, dtype=np.uint8))
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "payload": payload,
+                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                "width": int(rng.integers(16, 256)) if kind == "image" else None,
+                "height": int(rng.integers(16, 256)) if kind == "image" else None,
+                "duration_ms": int(rng.integers(1000, 60000)) if kind != "image" else None,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def generate(outdir: str) -> None:
     os.makedirs(outdir, exist_ok=True)
     elev = make_elevation()
     tables = {
+        "media": make_media(),
         "grid": make_grid(),
         "grid_ens": make_grid_ens(),
         "weights": make_weights(GRID_N),
