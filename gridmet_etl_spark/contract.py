@@ -1303,8 +1303,11 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _pq(spark, _t(sf_dir, "customer"))
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), R).alias("tot_qty"))
-        .filter(F.col("tot_qty") > 100)
+        .agg(F.sum("l_quantity").alias("_raw_qty"))
+        # filter the RAW sum (like the oracle's HAVING), round only for
+        # output — rounding first would flip sums just above the threshold
+        .filter(F.col("_raw_qty") > 100)
+        .select("l_orderkey", F.round("_raw_qty", R).alias("tot_qty"))
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)

@@ -39,22 +39,24 @@ def connected_components(
 
     Each iteration: label[n] ← min(label[n], min over neighbors m of
     label[m]); stop when no label changed (checked via a count aggregate).
-    Labels are checkpoint-free: the lineage is re-derived per round from
-    the cached previous labels, and both edges and labels are cached to
-    keep each round's DAG shallow."""
+    Every round references the previous labels TWICE (neighbor join +
+    self join), so without lineage truncation the logical plan doubles per
+    round — Catalyst analysis goes exponential long before the data does.
+    ``localCheckpoint`` (eager) pins each round's labels and truncates the
+    plan, keeping every round's DAG constant-size."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("cluster_id"))
-        .cache()
+        .localCheckpoint()
     )
-    labels.count()  # materialize
+    changed = -1
     for _ in range(max_iter):
         # min neighbor label per node, via one join + one aggregation
         neighbor_min = (
@@ -71,7 +73,7 @@ def connected_components(
                     "cluster_id"
                 ),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.withColumnRenamed("cluster_id", "new_id")
@@ -79,11 +81,18 @@ def connected_components(
             .filter(F.col("new_id") != F.col("cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    if changed != 0:
+        # silent wrong labels are worse than an error: a component whose
+        # diameter exceeds max_iter would keep stale cluster ids and mark
+        # spurious canonicals
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use a "
+            "log-diameter variant (large-star/small-star)"
+        )
     return labels
 
 

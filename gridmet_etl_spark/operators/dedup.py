@@ -46,13 +46,20 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingles(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct k-character shingles per document (rolling window over the
-    normalized text). Row-local explode — no shuffle until the consumer
-    aggregates. Output: (doc_id, sh)."""
+    """K-character shingles per document (rolling window over the
+    normalized text), distinct by default. Row-local explode — no shuffle
+    until the consumer aggregates (none at all with ``distinct=False``,
+    which duplicate-insensitive consumers like MinHash use). Output:
+    (doc_id, sh). Single source of the normalization + k-gram derivation —
+    Jaccard, MinHash, and the SQL oracles must all agree on it."""
     normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return (
+    sh = (
         docs.select(F.col(id_col), normalized.alias("t"))
         .select(
             F.col(id_col),
@@ -60,8 +67,8 @@ def shingles(
             F.col("t"),
         )
         .select(F.col(id_col), F.substring(F.col("t"), F.col("pos"), k).alias("sh"))
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def _seed_hash(seed: int, hash_fn: str):
@@ -93,16 +100,7 @@ def _minhash_wide(
     naive shingle-set pipeline pays. (A fully row-local array_min(transform)
     variant benches ~2× slower: higher-order lambdas are interpreted, while
     explode + projection + hash-agg all stay in codegen.)"""
-    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    sh = (
-        docs.select(F.col(id_col), normalized.alias("t"))
-        .select(
-            F.col(id_col),
-            F.explode(F.expr(f"sequence(1, greatest(length(t) - {k - 1}, 1))")).alias("pos"),
-            F.col("t"),
-        )
-        .select(F.col(id_col), F.substring(F.col("t"), F.col("pos"), k).alias("sh"))
-    )
+    sh = shingles(docs, text_col, id_col, k, distinct=False)
     hashed = sh.select(
         F.col(id_col),
         *[_seed_hash(s, hash_fn)(F.col("sh")).alias(f"_h{s}") for s in range(n_seeds)],
@@ -150,7 +148,10 @@ def minhash_bands(
     key = md5 of the seed-ordered minhash concat — computed straight from
     the wide row-local signature (no long-form groupBy/collect_list)."""
     wide = _minhash_wide(docs, text_col, id_col, k, n_seeds, hash_fn)
-    n_bands = n_seeds // rows_per_band
+    # ceil-div: a non-divisible n_seeds forms a PARTIAL final band from the
+    # trailing seeds rather than silently dropping them (recall, and parity
+    # with the long-form (seed // rows_per_band) banding)
+    n_bands = -(-n_seeds // rows_per_band)
     band_structs = F.array(
         *[
             F.struct(
@@ -158,7 +159,12 @@ def minhash_bands(
                 F.md5(
                     F.concat_ws(
                         "|",
-                        *[F.col(f"{s}") for s in range(bk * rows_per_band, (bk + 1) * rows_per_band)],
+                        *[
+                            F.col(f"{s}")
+                            for s in range(
+                                bk * rows_per_band, min((bk + 1) * rows_per_band, n_seeds)
+                            )
+                        ],
                     )
                 ).alias("band_key"),
             )

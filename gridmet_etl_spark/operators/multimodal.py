@@ -70,10 +70,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     arr = np.frombuffer(payload, dtype=np.uint8)
     if len(arr) == 0:
         return np.zeros((1, 1), dtype=np.float32)
+    # side <= sqrt(len)/4 (or 1), so side*side <= len always holds — the
+    # slice below never needs padding
     side = max(int(len(arr) ** 0.5) // 4, 1)
-    # pad when the payload is shorter than one side*side block
-    if len(arr) < side * side:
-        arr = np.pad(arr, (0, side * side - len(arr)))
     return arr[: side * side].reshape(side, side).astype(np.float32)
 
 

@@ -140,9 +140,16 @@ def cosine_topk_np(
                 if not len(ids_m):
                     continue
                 top = min(k, len(ids_m))
-                # exact per-batch top-k with the global tie-break order
-                # (rank_round: rank on the rounded sim, like cosine_topk)
-                key = np.round(s_m, rank_round) if rank_round is not None else s_m
+                # exact per-batch top-k with the global tie-break order.
+                # rank_round must round HALF-UP (away from zero) to agree
+                # with the final window's F.round — np.round is half-to-even
+                # and would prune a row the merge would have kept on exact
+                # .5 boundaries
+                if rank_round is not None:
+                    f = 10.0**rank_round
+                    key = np.sign(s_m) * np.floor(np.abs(s_m) * f + 0.5) / f
+                else:
+                    key = s_m
                 order = np.lexsort((ids_m, -key))[:top]
                 yield pd.DataFrame(
                     {

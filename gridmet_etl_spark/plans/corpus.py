@@ -57,7 +57,9 @@ def corpus_pipeline(
     )
     survivors = kept.join(F.broadcast(eval_fps), "fp", "left_anti")
     # leakage-safe split, then pack the train split into token shards
-    split_df = deterministic_split(survivors, weights).select(id_col, "n_tokens", "split")
+    split_df = deterministic_split(survivors, weights, id_col=id_col).select(
+        id_col, "n_tokens", "split"
+    )
     train = split_df.filter(F.col("split") == "train")
     shards = pack_shards(
         train, budget, size_col="n_tokens", id_col=id_col, group_width=group_width

@@ -6,12 +6,20 @@ incremental twin of plans/corpus.py (which is the batch/backfill path).
 
 Cross-batch dedup state is a parquet directory of admitted fingerprints
 (not in-memory state): each batch left-anti joins its fingerprints against
-the seen-set, then appends the survivors' fingerprints. Re-delivered files
-therefore drop out — ingestion is idempotent under re-publish, and the
-state survives restarts with the checkpoint. At scale the seen-set read is
-a fingerprint-column scan (32 B/doc) and the anti join shuffles only the
+the seen-set, then writes the survivors' fingerprints under its own
+``_batch_id=`` partition (dynamic overwrite → an at-least-once replay of a
+batch overwrites its own partitions, never duplicates). Re-delivered files
+therefore drop out — ingestion is idempotent under re-publish AND under
+mid-batch crash/restart. At scale the seen-set read is a
+fingerprint-column scan (32 B/doc) and the anti join shuffles only the
 batch side; bucketing the seen-set by fingerprint makes it a bucket-local
 join.
+
+Dedup semantics across batches are FIRST-ARRIVED-wins (the streaming-
+native choice: an admitted doc is immutable). The batch corpus_pipeline
+keeps the LOWEST id per fingerprint instead; the two agree exactly when
+ids are arrival-ordered (the normal case for ingest ids), and diverge
+when a lower-id duplicate arrives after its twin was admitted.
 
 Shard packing deliberately stays OUT of the streaming path: token-budget
 packing needs a global prefix sum over the final corpus order, so it runs
@@ -20,7 +28,6 @@ as the batch export step (pack_shards) over the admitted manifest.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -35,6 +42,18 @@ DOC_STREAM_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
     ]
 )
+
+
+def _read_seen(spark: SparkSession, seen_dir: str) -> DataFrame | None:
+    """Read the seen-fingerprint set, returning None before the first batch
+    has written it. Uses a Spark read attempt, not a driver-local
+    os.path.exists — the dir may live on HDFS/S3."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(seen_dir)
+    except AnalysisException:
+        return None
 
 
 def stream_documents(
@@ -76,9 +95,19 @@ def incremental_corpus(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if os.path.exists(seen_dir):
-            seen = spark.read.parquet(seen_dir).select("fp")
-            batch_kept = batch_kept.join(seen, "fp", "left_anti")
+        # Idempotence: both outputs are partitioned by _batch_id and written
+        # with DYNAMIC partition overwrite, so a replayed batch (foreachBatch
+        # is at-least-once) overwrites exactly its own partitions instead of
+        # appending duplicates. The seen-set read EXCLUDES the current
+        # batch's partition — a half-written previous attempt of this very
+        # batch must not anti-join its own docs away.
+        seen = _read_seen(spark, seen_dir)
+        if seen is not None:
+            batch_kept = batch_kept.join(
+                seen.filter(F.col("_batch_id") != batch_id).select("fp"),
+                "fp",
+                "left_anti",
+            )
         if eval_fps is not None:
             batch_kept = batch_kept.join(F.broadcast(eval_fps), "fp", "left_anti")
         admitted = deterministic_split(batch_kept, weights).select(
@@ -88,10 +117,19 @@ def incremental_corpus(
         # the second write would recompute the anti joins after the first
         # write already changed seen_dir
         admitted = admitted.cache()
-        admitted.select("doc_id", "n_tokens", "split").write.mode("append").parquet(
-            manifest_dir
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            admitted.select("doc_id", "n_tokens", "split", F.lit(batch_id).alias("_batch_id"))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(manifest_dir)
         )
-        admitted.select("fp").write.mode("append").parquet(seen_dir)
+        (
+            admitted.select("fp", F.lit(batch_id).alias("_batch_id"))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(seen_dir)
+        )
         admitted.unpersist()
 
     return (

@@ -141,6 +141,15 @@ def sessionize(events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hou
                 elif us - last_us > gap_us:
                     closed.append((start_us, last_us, n, sv))
                     start_us, last_us, n, sv = us, us, 0, 0.0
+                elif start_us - us > gap_us:
+                    # late cross-batch event more than a gap BEFORE the open
+                    # session: it can't belong to it — emit it as its own
+                    # (already-closed) singleton session instead of silently
+                    # folding it in
+                    closed.append((us, us, 1, float(value) if value is not None else 0.0))
+                    continue
+                # a late event within the gap extends the session backward
+                start_us = min(start_us, us)
                 last_us = max(last_us, us)
                 n += 1
                 sv += float(value) if value is not None else 0.0

@@ -143,3 +143,17 @@ def test_simhash_blockjoin_exact_vs_allpairs(spark, docs):
                 if h <= 3:
                     expected[(x, y)] = h
     assert got == expected
+
+
+def test_minhash_bands_partial_final_band(spark, docs):
+    """Non-divisible n_seeds must form a partial final band (not drop the
+    trailing seeds): 10 seeds / 4 per band -> 3 bands."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.dedup import minhash_bands
+
+    sub = docs.limit(20)
+    bands = minhash_bands(sub, n_seeds=10, rows_per_band=4)
+    assert bands.select("band").distinct().count() == 3
+    # partial band key differs from any full band's (2 seeds vs 4)
+    assert bands.filter(F.col("band") == 2).count() == 20

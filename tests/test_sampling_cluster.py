@@ -174,3 +174,15 @@ def test_pack_sequences_order_and_budget(spark):
     # every train doc lands in exactly one sequence
     n_train = manifest.filter("split = 'train'").count()
     assert sum(r.n_docs for r in seqs.values()) == n_train
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3)
+    # and converges fine with enough rounds
+    got = connected_components(pairs, max_iter=15)
+    assert got.filter("cluster_id <> 0").count() == 0
