@@ -54,12 +54,16 @@ def range_join(
     )
     if how == "inner":
         return matched.drop("_g")
-    # left: re-attach points that matched no interval
-    unmatched = p.join(
-        matched.select(*[F.col(c) for c in p.columns]).distinct(),
-        p.columns,
-        "left_anti",
-    )
+    # left: re-attach points that matched no interval. The anti join must be
+    # NULL-SAFE on every point column — plain equality would keep a matched
+    # row containing any NULL as "unmatched" too (NULL = NULL is NULL) and
+    # emit it twice.
+    matched_points = matched.select(*[F.col(c).alias(f"_m_{c}") for c in p.columns]).distinct()
+    anti_cond = None
+    for c in p.columns:
+        eq = p[c].eqNullSafe(F.col(f"_m_{c}"))
+        anti_cond = eq if anti_cond is None else anti_cond & eq
+    unmatched = p.join(matched_points, anti_cond, "left_anti")
     for c in intervals.columns:
         if c != on:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))

@@ -236,8 +236,20 @@ def srp_bucket(vec: Column, n_planes: int = N_LSH_PLANES, dim: int = _SRP_MAX_DI
     bits = []
     for p in range(n_planes):
         comps = F.array(*[F.lit(_srp_component_py(p, d)) for d in range(dim)])
+        # Null-safety + overflow-safety: a NULL element (or a vector wider
+        # than `dim`, which would pad the plane side with NULLs) must not
+        # null the whole projection — that silently sent EVERY vector to
+        # bucket 0. Truncate the VECTOR to the plane width (projecting on
+        # the first `dim` components is still a valid hyperplane, with
+        # reduced discrimination for wider vectors) and treat NULL elements
+        # as 0.
         proj = F.aggregate(
-            F.zip_with(vec, F.slice(comps, 1, F.size(vec)), lambda x, c: x.cast("double") * c),
+            F.zip_with(
+                vec,
+                F.slice(comps, 1, F.least(F.size(vec), F.lit(dim))),
+                lambda x, c: F.coalesce(x.cast("double"), F.lit(0.0))
+                * F.coalesce(c, F.lit(0.0)),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -66,8 +66,15 @@ def windowed_event_counts(
 
 
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Exactly-once-per-id ingestion within the watermark horizon."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Exactly-once-per-id ingestion within the watermark horizon.
+
+    Must be ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates(["event_id"])`` never evicts state (watermark-based
+    eviction only applies when the event-time column is in the subset), so
+    a long-running stream keeps every id ever seen until executor OOM.
+    The WithinWatermark variant keeps each id only for the watermark delay
+    — bounded state, and the semantics the docstring promises."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
 SESSION_SCHEMA = T.StructType(

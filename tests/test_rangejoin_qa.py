@@ -95,3 +95,25 @@ def test_qa_report(spark, grid, weights):
     rep_bad = {r.check: r.ok for r in qa_report(weights=bad).collect()}
     assert not rep_bad["weights_sum_max"]
     assert not rep_bad["weights_out_of_range"]
+
+
+def test_range_join_left_null_point_columns_not_duplicated(spark):
+    """A matched point row containing a NULL column must not ALSO come back
+    as unmatched (null-unsafe anti join emitted it twice)."""
+    from datetime import datetime
+
+    from gridmet_etl_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 30), None), (2, datetime(2024, 1, 2, 0, 0), 5.0)],
+        "pid long, ts timestamp, value double",
+    )
+    iv = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0), "w1")],
+        "start_ts timestamp, end_ts timestamp, label string",
+    )
+    out = range_join(pts, iv, point_ts="ts", start_col="start_ts", end_col="end_ts", how="left")
+    rows = out.collect()
+    assert len(rows) == 2  # one matched (pid 1), one unmatched (pid 2)
+    by_pid = {r.pid: r for r in rows}
+    assert by_pid[1].label == "w1" and by_pid[2].label is None

@@ -171,3 +171,23 @@ def test_quantize_embeddings_roundtrip_and_recall(spark, emb):
     deq = dequantize_embeddings(q.drop("embedding")).select("vec_id", "embedding")
     approx = {(r.query_id, r.neighbor_id) for r in cosine_topk(deq, queries, k=10).collect()}
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_srp_bucket_wide_and_null_vectors_dont_degenerate(spark):
+    """Vectors wider than the plane table or containing NULL elements must
+    still spread across buckets (a NULL projection used to send EVERYTHING
+    to bucket 0)."""
+    import random
+
+    random.seed(7)
+    wide = [(i, [random.uniform(-1, 1) for _ in range(600)]) for i in range(40)]
+    df = spark.createDataFrame(wide, ["vec_id", "embedding"])
+    buckets = {r.b for r in df.select(srp_bucket(F.col("embedding")).alias("b")).collect()}
+    assert len(buckets) > 1
+    # a single NULL element must not zero the bucket either
+    nulled = spark.createDataFrame(
+        [(1, [0.5, None, -0.3, 0.8]), (2, [-0.5, 0.1, None, -0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.b for r in nulled.select("vec_id", srp_bucket(F.col("embedding")).alias("b")).collect()}
+    assert got[1] != got[2] or got[1] != 0  # not everything collapsed to 0
