@@ -1015,6 +1015,30 @@ GROUP BY event_type
 """
 
 
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream join: view→click pairs
+    per user within 10 minutes (equi key + time-range predicate)."""
+    from .sources.readers import read_events
+    from .streaming.attribution import attribution_join
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    out = attribution_join(e, within_minutes=10)
+    return out.select(
+        "user_id", "left_id", "right_id", F.round("lag_seconds", R).alias("lag_seconds")
+    )
+
+
+SQL_ATTRIBUTION_JOIN = """
+SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+       ROUND(CAST(epoch_us(r.ts) - epoch_us(l.ts) AS DOUBLE) / 1000000.0, 6) AS lag_seconds
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts
+ AND epoch_us(r.ts) - epoch_us(l.ts) <= 600 * 1000000
+"""
+
+
 def q_tpch_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at
     scale), deterministic tie-break."""
@@ -1407,6 +1431,7 @@ DOMAIN_QUERIES = {
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
     "sessionize_batch": (q_sessionize_batch, SQL_SESSIONIZE_BATCH),
+    "attribution_join": (q_attribution_join, SQL_ATTRIBUTION_JOIN),
     "tpch_topn": (q_tpch_topn, SQL_TPCH_TOPN),
     "tpch_cube": (q_tpch_cube, SQL_TPCH_CUBE),
     "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),

@@ -1,0 +1,96 @@
+"""Stream-stream interval join (attribution): pair each left event with
+the right-stream events of the same user that follow within a bounded
+horizon — e.g. view → click attribution. The one major Structured
+Streaming surface beyond aggregation/dedup/sessionization: a watermarked
+stream-stream join, where BOTH sides buffer state and the time-range join
+condition lets Spark evict it (without the range bound the state grows
+forever).
+
+The batch twin (``attribution_join``) is the same join on a static frame
+— equi key on user plus the time-range predicate — and is what the DuckDB
+oracle checks; the streaming form adds only the watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribution_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    within_minutes: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch attribution: (user, left event, right event) pairs where the
+    right event follows the left within the horizon. Equi join on user +
+    range predicate on time — Catalyst plans a hash/sort-merge join on the
+    user key with the range as a post-filter; per-user event counts bound
+    the pair fan-out. Output: (user_id, left_id, right_id, lag_seconds)."""
+    l = events.filter(F.col("event_type") == left_type).select(
+        F.col(user_col), F.col("event_id").alias("left_id"), F.col(ts_col).alias("l_ts")
+    )
+    r = events.filter(F.col("event_type") == right_type).select(
+        F.col(user_col).alias("_ru"), F.col("event_id").alias("right_id"), F.col(ts_col).alias("r_ts")
+    )
+    horizon = within_minutes * 60
+    return (
+        l.join(
+            r,
+            (F.col(user_col) == F.col("_ru"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.unix_micros("r_ts") - F.unix_micros("l_ts") <= horizon * 1_000_000),
+        )
+        .select(
+            user_col,
+            "left_id",
+            "right_id",
+            ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000.0).alias("lag_seconds"),
+        )
+    )
+
+
+def streaming_attribution(
+    events_stream: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    within_minutes: int = 10,
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream join twin of ``attribution_join``. Both
+    sides carry a watermark and the join condition bounds right-side time
+    relative to left-side time, so Spark can evict buffered rows once the
+    watermark passes their horizon — bounded state by construction."""
+    l = (
+        events_stream.filter(F.col("event_type") == left_type)
+        .select(F.col(user_col), F.col("event_id").alias("left_id"), F.col(ts_col).alias("l_ts"))
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        events_stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(user_col).alias("_ru"),
+            F.col("event_id").alias("right_id"),
+            F.col(ts_col).alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return (
+        l.join(
+            r,
+            (F.col(user_col) == F.col("_ru"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+        )
+        .select(
+            user_col,
+            "left_id",
+            "right_id",
+            ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000.0).alias("lag_seconds"),
+        )
+    )

@@ -212,3 +212,55 @@ def test_streaming_corpus_matches_batch_pipeline(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(manifest).count() == len(got)
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join (view→click within 10 min) must emit
+    exactly the batch twin's pairs after an AvailableNow drain."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from gridmet_etl_spark.streaming.attribution import (
+        attribution_join,
+        streaming_attribution,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for k in range(6):
+            t = base + timedelta(minutes=3 * k + u)
+            rows.append((eid, t, u, "view" if k % 2 == 0 else "click", 1.0))
+            eid += 1
+    # a click 30 min later: outside every view's horizon
+    rows.append((eid, base + timedelta(minutes=60), 0, "click", 1.0))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    batch_df = spark.createDataFrame(rows, schema)
+    landing = str(tmp_path / "landing")
+    batch_df.write.parquet(landing)
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        streaming_attribution(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r.user_id, r.left_id, r.right_id) for r in spark.read.parquet(out_dir).collect()}
+    expected = {(r.user_id, r.left_id, r.right_id) for r in attribution_join(batch_df).collect()}
+    assert got == expected and len(expected) > 0
+    # the 60-min click attributed to nothing
+    assert not any(rid == eid for (_, _, rid) in got)
