@@ -837,10 +837,16 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessioned AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         -- sum(INT) is HUGEINT in DuckDB; cast so the group key hashes as int64
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM flagged)
-SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+SELECT user_id, session_idx,
+       -- events.ts is TIMESTAMP_NS in DuckDB and min/max preserve ns, while
+       -- the Spark side floors ns->us at read (readers.read_events); CAST to
+       -- TIMESTAMP (us) truncates identically so the value-hash agrees
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end,
        count(*) AS n_events, ROUND(sum(value), 6) AS sum_value
 FROM sessioned GROUP BY user_id, session_idx
 """
@@ -938,7 +944,10 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_STATS = f"""
-SELECT kind, count(*) AS n, sum(octet_length(payload)) AS total_bytes,
+SELECT kind, count(*) AS n,
+       -- DuckDB sum(INT) is HUGEINT (128-bit) which stringifies differently
+       -- from Spark's BIGINT in the driver's hash layer; cast to match
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
        min(md5(hex(payload))) AS min_digest, count(width) AS n_with_dims
 FROM '{FX["media"]}' GROUP BY kind
 """
@@ -1257,17 +1266,42 @@ SELECT 'weights_out_of_range', 'n_features', ROUND(CAST(bad AS DOUBLE), {R}), ba
 
 
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct + quantile sketch) — rows-only
-    by design: sketch algorithms are engine-specific; the exact variants
-    (count distinct, percentile) are the oracle-checked baselines."""
+    """Approximate aggregates (HLL distinct + quantile sketch) alongside
+    their exact twins. Sketch values are engine-specific, so the hashed
+    projection carries the EXACT aggregates plus deterministic booleans
+    asserting each sketch lands within tolerance of its exact twin (the
+    oracle states them as TRUE). The sketches still run inside the checked
+    plan; tighter error-bound assertions live in pytest."""
     li = _pq(spark, _t(sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 2
-        ).alias("approx_median_price"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), R).alias("median_price"),
         F.count("*").alias("n_rows"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.count_distinct("l_partkey")
+            )
+            <= 0.10 * F.count_distinct("l_partkey")
+        ).alias("approx_parts_ok"),
+        (
+            F.abs(
+                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000))
+                - F.expr("percentile(l_extendedprice, 0.5)")
+            )
+            <= 0.10 * F.expr("percentile(l_extendedprice, 0.5)")
+        ).alias("approx_median_ok"),
     )
+
+
+SQL_APPROX_AGGS = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       count(*) AS n_rows,
+       TRUE AS approx_parts_ok,
+       TRUE AS approx_median_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_tpch_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,5 +1484,5 @@ DOMAIN_QUERIES = {
     "tpch_q19ish": (q_tpch_q19ish, SQL_TPCH_Q19ISH),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "qa_checks": (q_qa_checks, SQL_QA_CHECKS),
-    "approx_aggs": (q_approx_aggs, None),  # rows-only by design
+    "approx_aggs": (q_approx_aggs, SQL_APPROX_AGGS),
 }

@@ -222,7 +222,7 @@ bits AS (
   FROM toks, generate_series(0, 15) b(bit)
   GROUP BY doc_id, bit)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
@@ -242,7 +242,7 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIMHASH_NEAR_DUPS = (
     SQL_SIMHASH.replace(
-        "SELECT doc_id,\n       sum(CASE WHEN s > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS simhash\nFROM bits GROUP BY doc_id",
+        "SELECT doc_id,\n       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash\nFROM bits GROUP BY doc_id",
         """sims AS (
   SELECT doc_id,
          sum(CASE WHEN s > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS simhash
@@ -811,7 +811,7 @@ train AS (
   WHERE m.split = 'train')
 SELECT shard,
        string_agg(clean, chr(10) || chr(10) ORDER BY doc_id) AS seq_text,
-       count(*) AS n_docs, sum(n_tokens) AS n_tokens
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM train GROUP BY shard
 """
 
