@@ -45,22 +45,31 @@ def asof_join(
 
     lcols = [c for c in left.columns if c not in (on, left_ts)]
     rcols = [c for c in right.columns if c not in (on, right_ts)]
+    rtypes = dict(right.dtypes)
 
+    # The whole right payload rides in ONE struct, so the carried match is
+    # always a single right row — per-column last(ignorenulls) would
+    # backfill a NULL payload field from an OLDER right row, fabricating a
+    # composite row that never existed.
+    rstruct_ddl = "struct<" + ",".join(
+        [f"`{c}_right`:{rtypes[c]}" for c in rcols] + [f"`_rts`:{rtypes[right_ts]}"]
+    ) + ">"
     lt = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}_right") for c in rcols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_rts"),
+        F.lit(None).cast(rstruct_ddl).alias("_rrow"),
     )
     rt = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"{c}_right") for c in rcols],
-        F.col(right_ts).alias("_rts"),
+        F.struct(
+            *[F.col(c).alias(f"{c}_right") for c in rcols],
+            F.col(right_ts).alias("_rts"),
+        ).cast(rstruct_ddl).alias("_rrow"),
     )
     u = lt.unionByName(rt)
 
@@ -84,10 +93,18 @@ def asof_join(
         "_ts",
         "_is_left",
         *lcols,
-        *[F.last(f"{c}_right", ignorenulls=True).over(w).alias(f"{c}_right") for c in rcols],
-        F.last("_rts", ignorenulls=True).over(w).alias("_matched_ts"),
+        F.last("_rrow", ignorenulls=True).over(w).alias("_m"),
     )
-    out = carried.filter(F.col("_is_left") == 1).drop("_is_left")
+    out = (
+        carried.filter(F.col("_is_left") == 1)
+        .select(
+            "_k",
+            "_ts",
+            *lcols,
+            *[F.col("_m").getField(f"{c}_right").alias(f"{c}_right") for c in rcols],
+            F.col("_m").getField("_rts").alias("_matched_ts"),
+        )
+    )
 
     if tolerance_seconds is not None:
         stale = (

@@ -21,8 +21,18 @@ per-member pipelines (E1 anti-pattern, etl.py:361-383) into one pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _is_missing(v: Column, dtype: str) -> Column:
+    """NULL — and, for float types, NaN — count as missing. Ingest paths
+    normalize NaN→NULL by convention, but the aggregate must not depend on
+    that: a NaN double is non-NULL to SQL and would silently pass an
+    isNotNull mask and poison a masked mean."""
+    if dtype in ("float", "double"):
+        return v.isNull() | F.isnan(v)
+    return v.isNull()
 
 
 def weighted_mean(
@@ -42,14 +52,15 @@ def weighted_mean(
     joined = grid.join(F.broadcast(weights), on=["i", "j"], how="inner")
     keys = ["feature_id", *extra_keys, "time"]
     v, w = F.col(value_col), F.col("wght")
+    missing = _is_missing(v, dict(grid.dtypes)[value_col])
     if masked:
-        # normalize over non-null cells only; all-null → NULL (0/0)
-        num = F.sum(F.when(v.isNotNull(), w * v))
-        den = F.sum(F.when(v.isNotNull(), w))
+        # normalize over non-missing cells only; all-missing → NULL (0/0)
+        num = F.sum(F.when(~missing, w * v))
+        den = F.sum(F.when(~missing, w))
     else:
-        # strict mean: any NULL cell must poison the group. SQL SUM skips
-        # NULLs, so reintroduce the poison explicitly.
-        num = F.when(F.count(F.when(v.isNull(), F.lit(1))) > 0, F.lit(None)).otherwise(
+        # strict mean: any missing cell must poison the group. SQL SUM skips
+        # NULLs (and would propagate NaN), so poison explicitly to NULL.
+        num = F.when(F.count(F.when(missing, F.lit(1))) > 0, F.lit(None)).otherwise(
             F.sum(w * v)
         )
         den = F.sum(w)
@@ -95,15 +106,17 @@ def weighted_mean_wide(
     )
     keys = ["feature_id", *extra_keys, "time"]
     w = F.col("wght")
+    vmissing = _is_missing(F.col("value"), dict(grid.dtypes)["value"])
     aggs = []
     for var in variables:
         v = F.when(F.col("var") == var, F.col("value"))
         if masked:
-            num = F.sum(F.when(v.isNotNull(), w * v))
-            den = F.sum(F.when(v.isNotNull(), w))
+            valid = (F.col("var") == var) & ~vmissing
+            num = F.sum(F.when(valid, w * F.col("value")))
+            den = F.sum(F.when(valid, w))
         else:
             num = F.when(
-                F.count(F.when((F.col("var") == var) & F.col("value").isNull(), F.lit(1))) > 0,
+                F.count(F.when((F.col("var") == var) & vmissing, F.lit(1))) > 0,
                 F.lit(None),
             ).otherwise(F.sum(F.when(F.col("var") == var, w * F.col("value"))))
             den = F.sum(F.when(F.col("var") == var, w))

@@ -51,8 +51,9 @@ def write_output(
     path = os.path.join(out_dir, file_prefix)
     writer = df.write.mode(mode).option("compression", compression)
     if partition_by:
-        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        writer = writer.partitionBy(*partition_by)
+        # per-write option, not session conf: a conf.set here would leak
+        # dynamic-overwrite into every later partitioned write in the session
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_by)
     writer.parquet(path)
     sidecar = {
         "variables": {c: CF_ATTRS.get(c, {}) for c in df.columns},

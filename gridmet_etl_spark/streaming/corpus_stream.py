@@ -117,16 +117,17 @@ def incremental_corpus(
         # the second write would recompute the anti joins after the first
         # write already changed seen_dir
         admitted = admitted.cache()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             admitted.select("doc_id", "n_tokens", "split", F.lit(batch_id).alias("_batch_id"))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
             .parquet(manifest_dir)
         )
         (
             admitted.select("fp", F.lit(batch_id).alias("_batch_id"))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
             .parquet(seen_dir)
         )

@@ -210,7 +210,6 @@ def incremental_append(df: DataFrame, out_dir: str, partition_col: str = "day") 
     """T2: idempotent daily append — dynamic partition overwrite so re-runs
     of a date window replace exactly the partitions they produce (the
     reference's one-file-per-run naming, done the Spark way)."""
-    (
-        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    )
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
+    df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+        partition_col
+    ).parquet(out_dir)

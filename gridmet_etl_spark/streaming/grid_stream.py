@@ -77,8 +77,9 @@ def incremental_weighted_agg(
         else:
             src = batch_df
         agg = weighted_mean_wide(src, weights, variables, masked=masked)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        agg.write.mode("overwrite").partitionBy("time").parquet(out_dir)
+        agg.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+            "time"
+        ).parquet(out_dir)
 
     return (
         grid_stream.writeStream.foreachBatch(_process)

@@ -113,3 +113,23 @@ def test_against_pandas_merge_asof(spark):
             assert g is None
         else:
             assert g == pytest.approx(row.rv)
+
+
+def test_null_right_payload_not_backfilled(spark):
+    """A NULL in one right payload column must stay NULL in the matched
+    output — not be silently backfilled from an older right row (the
+    per-column last(ignorenulls) bug: the match must be one whole row)."""
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0), "L")], "k long, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 10.0, "old"),
+            (1, datetime(2024, 1, 1, 11, 0), None, "new"),  # matched row, rv NULL
+        ],
+        "k long, ts timestamp, rv double, tag string",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row.tag_right == "new"
+    assert row.rv_right is None  # NOT 10.0 from the older row
+    assert row.ts_right == datetime(2024, 1, 1, 11, 0)

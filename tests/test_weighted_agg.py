@@ -94,3 +94,32 @@ def test_broadcast_join_in_plan(spark, grid, weights):
     shuffle) — the core scale property."""
     plan = weighted_mean(grid, weights)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_nan_counts_as_missing(spark):
+    """A NaN double is non-NULL to SQL but must behave exactly like a
+    missing cell: masked mean excludes it, strict mean poisons to NULL."""
+    grid = spark.createDataFrame(
+        [
+            (0, 0, "v", "2024-01-01", 1.0),
+            (0, 1, "v", "2024-01-01", float("nan")),
+            (1, 0, "v", "2024-01-01", float("nan")),
+            (1, 1, "v", "2024-01-01", float("nan")),
+        ],
+        "i int, j int, var string, time string, value double",
+    )
+    weights = spark.createDataFrame(
+        [(10, 0, 0, 0.5), (10, 0, 1, 0.5), (11, 1, 0, 0.5), (11, 1, 1, 0.5)],
+        "feature_id long, i int, j int, wght double",
+    )
+    masked = {
+        r.feature_id: r.value
+        for r in weighted_mean(grid, weights, masked=True).collect()
+    }
+    assert masked[10] == pytest.approx(1.0)  # NaN cell excluded from both sums
+    assert masked[11] is None  # all-missing -> NULL
+    strict = {
+        r.feature_id: r.value
+        for r in weighted_mean(grid, weights, masked=False).collect()
+    }
+    assert strict[10] is None and strict[11] is None  # NaN poisons
