@@ -304,15 +304,19 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
     corpus = emb.unionByName(planted)
-    out = embedding_near_dups(corpus, threshold=0.99)
+    out = embedding_near_dups(corpus, threshold=0.99, dim=_EMB_DIM)
     return out.select("id_a", "id_b", F.round("cosine_sim", R).alias("cosine_sim"))
 
 
-def _sql_srp_bucket(vec: str) -> str:
+_SRP_BANDS = 6  # mirrors similarity.N_SRP_BANDS
+_SRP_BAND_BITS = 16  # mirrors similarity.SRP_BAND_BITS
+
+
+def _sql_srp_bucket(vec: str, n_planes: int = 8, plane_offset: int = 0) -> str:
     bits = []
-    for p in range(8):
+    for p in range(n_planes):
         comp = (
-            f"(CAST(CAST('0x' || substr(md5('{p}:' || CAST(g.i - 1 AS VARCHAR)), 1, 6) AS BIGINT)"
+            f"(CAST(CAST('0x' || substr(md5('{plane_offset + p}:' || CAST(g.i - 1 AS VARCHAR)), 1, 6) AS BIGINT)"
             f" AS DOUBLE) / 16777216.0 - 0.5)"
         )
         bits.append(
@@ -321,27 +325,46 @@ def _sql_srp_bucket(vec: str) -> str:
     return " + ".join(bits)
 
 
-SQL_EMBEDDING_NEAR_DUPS = f"""
+def _sql_embedding_near_dups() -> str:
+    bucket_cols = ",\n         ".join(
+        f"{_sql_srp_bucket('c.embedding', _SRP_BAND_BITS, b * _SRP_BAND_BITS)} AS bucket_{b}"
+        for b in range(_SRP_BANDS)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, bucket_{b} AS bucket FROM bucketed"
+        for b in range(_SRP_BANDS)
+    )
+    return f"""
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
 bucketed AS (
   SELECT c.vec_id, any_value(c.embedding) AS embedding,
-         {_sql_srp_bucket("c.embedding")} AS bucket
+         {bucket_cols}
   FROM corpus c, generate_series(1, {_EMB_DIM}) g(i)
   GROUP BY c.vec_id),
+bands AS (
+  {band_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT cand.id_a, cand.id_b,
          sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
          sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS n_a,
          sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS n_b
-  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+  FROM cand JOIN bucketed a ON cand.id_a = a.vec_id
+            JOIN bucketed b ON cand.id_b = b.vec_id,
        generate_series(1, {_EMB_DIM}) g(i)
-  GROUP BY a.vec_id, b.vec_id)
+  GROUP BY cand.id_a, cand.id_b)
 SELECT id_a, id_b, ROUND(dot / (n_a * n_b), {R}) AS cosine_sim
 FROM pairs WHERE dot / (n_a * n_b) >= 0.99
 """
+
+
+SQL_EMBEDDING_NEAR_DUPS = _sql_embedding_near_dups()
 
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,13 +404,14 @@ FROM grams
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned ANN (deterministic centroids, n_probe=8 of 8 clusters
-    → equals exact search; tests assert the recall curve). Rows-only check —
-    the exact brute-force variant is the oracle-checked baseline."""
-    from .operators.similarity import ivf_centroids, ivf_topk
+    """IVF-partitioned ANN through the REAL index path: lowest-id seeds →
+    3 rounds of Lloyd refinement (kmeans_refine) → probe the 4 nearest of 8
+    refined clusters. Rows-only check — the exact brute-force variant is the
+    oracle-checked baseline; test_similarity pins recall vs exact top-k."""
+    from .operators.similarity import ivf_centroids, ivf_topk, kmeans_refine
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    cents = ivf_centroids(emb, n_centroids=8)
+    cents = kmeans_refine(emb, ivf_centroids(emb, n_centroids=8), n_iter=3)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -225,17 +225,24 @@ def _srp_component_py(plane: int, dim_idx: int) -> float:
     return int(h[:6], 16) / 16777216.0 - 0.5
 
 
-def srp_bucket(vec: Column, n_planes: int = N_LSH_PLANES, dim: int = _SRP_MAX_DIM) -> Column:
+def srp_bucket(
+    vec: Column,
+    n_planes: int = N_LSH_PLANES,
+    dim: int = _SRP_MAX_DIM,
+    plane_offset: int = 0,
+) -> Column:
     """Sign-random-projection bucket id: bit_p = [Σ_d vec[d]·plane_p[d] > 0].
 
     Plane components are md5-derived but FOLDED AT PLAN TIME into literal
     arrays (evaluating the md5 per row — 512 hashes/vector — was the
     bucketing hot spot; the folded form is pure multiply-add inside
     codegen). Computable at write time for bucketing a 100 TB corpus and
-    identically at query time for probes."""
+    identically at query time for probes. ``plane_offset`` selects an
+    independent plane family (band b of an LSH band structure uses planes
+    [b·r, (b+1)·r))."""
     bits = []
     for p in range(n_planes):
-        comps = F.array(*[F.lit(_srp_component_py(p, d)) for d in range(dim)])
+        comps = F.array(*[F.lit(_srp_component_py(plane_offset + p, d)) for d in range(dim)])
         # Null-safety + overflow-safety: a NULL element (or a vector wider
         # than `dim`, which would pad the plane side with NULLs) must not
         # null the whole projection — that silently sent EVERY vector to
@@ -419,31 +426,67 @@ def ivf_topk(
     )
 
 
+N_SRP_BANDS = 6
+SRP_BAND_BITS = 16
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = N_LSH_PLANES,
+    n_bands: int = N_SRP_BANDS,
+    band_bits: int = SRP_BAND_BITS,
+    dim: int = _SRP_MAX_DIM,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold),
-    candidate-pruned to same-LSH-bucket pairs (high-cosine pairs land in the
-    same SRP bucket with probability (1 - θ/π)^n_planes).
+    candidate-pruned with a banded SRP structure: ``n_bands`` independent
+    bucket tables of ``band_bits`` bits each (band b projects on plane
+    family [b·r, (b+1)·r)); a pair is a candidate iff it collides in ANY
+    band. Per-band collision probability for angle θ is (1 - θ/π)^r, overall
+    recall 1 - (1 - p)^b — 6 bands × 16 bits gives ~0.98 recall at cosine
+    0.99 while each band has 2^16 buckets, so in-bucket pair enumeration
+    stays near-linear (the single 8-bit table it replaces had 256 buckets →
+    (N/256)² in-bucket pairs at corpus scale).
     Output: (id_a, id_b, cosine_sim)."""
-    bucketed = corpus.select(
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    bucketed = base.select(
         F.col(id_col),
-        F.col(vec_col),
-        srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        *[
+            srp_bucket(
+                F.col(vec_col), band_bits, dim, plane_offset=b * band_bits
+            ).alias(f"bucket_{b}")
+            for b in range(n_bands)
+        ],
     )
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
+    bands = bucketed.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # candidates are id pairs only — vectors are NOT carried through the
+    # band join or the dedup shuffle; they re-attach by id afterwards
+    cand = (
+        a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -191,3 +191,69 @@ def test_srp_bucket_wide_and_null_vectors_dont_degenerate(spark):
     )
     got = {r.vec_id: r.b for r in nulled.select("vec_id", srp_bucket(F.col("embedding")).alias("b")).collect()}
     assert got[1] != got[2] or got[1] != 0  # not everything collapsed to 0
+
+
+def test_banded_srp_bounds_skewed_buckets(spark):
+    """Scale property of the band structure: on a SKEWED corpus (vectors
+    clustered around one direction), a single 8-bit SRP table piles most of
+    the corpus into a handful of buckets, while each 16-bit band keeps the
+    largest bucket a small fraction of the corpus — so in-bucket pair
+    enumeration stays near-linear."""
+    import numpy as np
+
+    from gridmet_etl_spark.operators.similarity import SRP_BAND_BITS
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    n = 400
+    vecs = base + 0.1 * rng.normal(size=(n, 64))  # one directional cluster = skew
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    coarse = df.select(srp_bucket(F.col("embedding"), 8, 64).alias("b"))
+    coarse_max = max(
+        r.n for r in coarse.groupBy("b").agg(F.count("*").alias("n")).collect()
+    )
+    band_maxes = []
+    for band in range(3):
+        fine = df.select(
+            srp_bucket(
+                F.col("embedding"), SRP_BAND_BITS, 64, plane_offset=band * SRP_BAND_BITS
+            ).alias("b")
+        )
+        band_maxes.append(
+            max(r.n for r in fine.groupBy("b").agg(F.count("*").alias("n")).collect())
+        )
+    # the skewed cluster concentrates in the coarse table...
+    assert coarse_max > n * 0.10
+    # ...but every 16-bit band keeps its largest bucket strictly smaller,
+    # and bounded to a small fraction of the corpus
+    assert all(m < coarse_max for m in band_maxes)
+    assert all(m < n * 0.08 for m in band_maxes)
+
+
+def test_ivf_refined_recall_vs_exact(spark, emb):
+    """ivf_topk through kmeans-refined centroids (the real index path, and
+    what the registered contract query runs) must recover most of the exact
+    brute-force top-k with half the clusters probed."""
+    from gridmet_etl_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        kmeans_refine,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    cents = kmeans_refine(emb, ivf_centroids(emb, n_centroids=8), n_iter=3)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, cents, k=10, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"refined-IVF recall {recall:.2f} below floor"
