@@ -110,17 +110,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if all(status.values()) else 1
 
     from .session import get_spark
-    from .sources.readers import read_features, read_grid
+    from .sources.readers import convert_features, read_features, read_grid
     from .sources.writers import write_fill_map_csv, write_output
 
     spark = get_spark(app_name=f"gridmet_etl_spark_{args.command}")
+
+    def _features(path: str | None, fid: str = "feature_id"):
+        if not path:
+            return None
+        # reference dispatch (etl.py:549-568): GIS formats convert at ingest
+        return read_features(spark, convert_features(path, fid_col=fid), fid)
 
     if args.command == "gridmet-etl":
         from .plans.gridmet import gridmet_pipeline
 
         grid = read_grid(spark, args.grid)
         weights = _load_weights(spark, args.weights, args.fid)
-        features = read_features(spark, args.features, args.fid) if args.features else None
+        features = _features(args.features, args.fid)
         if args.fill_missing and features is None:
             print("--fill-missing requires --features", file=sys.stderr)
             return 2
@@ -145,7 +151,7 @@ def main(argv: list[str] | None = None) -> int:
         grid_ens = read_grid(spark, args.grid_ens)
         weights = _load_weights(spark, args.weights)
         elevation = _load_elevation(spark, args.elevation)
-        features = read_features(spark, args.features) if args.features else None
+        features = _features(args.features)
         common = dict(
             features=features, start_date=args.start_date, end_date=args.end_date
         )
@@ -170,7 +176,12 @@ def main(argv: list[str] | None = None) -> int:
 
             out = out.withColumn("run_date", SF.lit(args.run_date))
             partition_by = ("run_date", *partition_by)
-        path = write_output(out, args.out, partition_by=partition_by, file_prefix=prefix)
+        from .sources.writers import CFSV2_CALENDAR
+
+        path = write_output(
+            out, args.out, partition_by=partition_by, file_prefix=prefix,
+            calendar=CFSV2_CALENDAR,  # cfsv2_median_header.md:43
+        )
         print(f"wrote {path}")
         return 0
 

@@ -113,18 +113,68 @@ def ingest_to_parquet(
     return landing_dir
 
 
-def opendap_fetcher(task: dict) -> pd.DataFrame:  # pragma: no cover - needs netCDF client
-    """Default fetcher: real OPeNDAP slice read. Requires xarray+netCDF4
-    (absent here); kept as the documented production path."""
-    try:
-        import xarray as xr
-    except ImportError as exc:
-        raise NotImplementedError(
-            "OPeNDAP ingest requires xarray+netCDF4; inject a custom fetcher"
-        ) from exc
-    ds = xr.open_dataset(task["url"])
-    sub = ds.isel(
-        lat=slice(task["i0"], task["i1"] + 1), lon=slice(task["j0"], task["j1"] + 1)
-    ).sel(day=slice(str(task["t0"]), str(task["t1"])))
-    df = sub.to_dataframe().reset_index()
-    raise NotImplementedError("map source dims/vars into GRID_SCHEMA per catalog record")
+def make_opendap_fetcher(
+    catalog_rec: dict, open_dataset: Callable[[str], object] | None = None
+) -> SliceFetcher:
+    """Build the production fetcher for one catalog record: OPeNDAP slice
+    read → GRID_SCHEMA long form.
+
+    The dim/var mapping comes from the catalog record the way the reference
+    drives xarray (etl.py:273-281: ``T_name``/``X_name``/``Y_name`` name the
+    dataset's dims, ``varname`` the source variable, ``variable`` the short
+    output name); cell indexes are recomputed against the FULL grid origin
+    (X1/Y1/res, descending-lat when ``toptobottom`` is false — the same
+    arithmetic as bbox.bounds_to_cells) so they join the weights table.
+
+    ``open_dataset`` is the injectable network boundary (url → object with
+    the xarray Dataset API: isel/sel/__getitem__/to_dataframe). It defaults
+    to ``xr.open_dataset``, imported lazily — tests run the full mapping on
+    a synthetic in-memory dataset with no netCDF client or network."""
+    t_name = catalog_rec["T_name"]
+    x_name = catalog_rec["X_name"]
+    y_name = catalog_rec["Y_name"]
+    varname = catalog_rec["varname"]
+    variable = catalog_rec["variable"]
+    x1, y1 = float(catalog_rec["X1"]), float(catalog_rec["Y1"])
+    res_x, res_y = float(catalog_rec["resX"]), float(catalog_rec["resY"])
+    top_to_bottom = bool(catalog_rec.get("toptobottom", False))
+
+    def _fetch(task: dict) -> pd.DataFrame:
+        opener = open_dataset
+        if opener is None:  # pragma: no cover - needs netCDF client
+            try:
+                import xarray as xr
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "OPeNDAP ingest requires xarray+netCDF4; inject open_dataset"
+                ) from exc
+            opener = xr.open_dataset
+        ds = opener(task["url"])
+        sub = ds.isel(
+            {
+                y_name: slice(task["i0"], task["i1"] + 1),
+                x_name: slice(task["j0"], task["j1"] + 1),
+            }
+        ).sel({t_name: slice(str(task["t0"]), str(task["t1"]))})
+        df = sub[varname].to_dataframe().reset_index()
+        df = df.rename(
+            columns={t_name: "time", y_name: "lat", x_name: "lon", varname: "value"}
+        )
+        if "ens" not in df.columns:
+            df["ens"] = -1
+        df["ens"] = df["ens"].astype("int32")
+        df["var"] = variable
+        df["time"] = pd.to_datetime(df["time"]).dt.date
+        # full-grid cell indexes (the weights-table join keys); row index
+        # counts from the NORTH edge when lat is stored descending
+        if top_to_bottom:
+            df["i"] = ((df["lat"] - y1) / res_y).round().astype("int32")
+        else:
+            df["i"] = ((y1 - df["lat"]) / res_y).round().astype("int32")
+        df["j"] = ((df["lon"] - x1) / res_x).round().astype("int32")
+        # engine convention: missing is SQL NULL, never NaN (the nullable
+        # Float64 conversion maps NaN -> NA -> Arrow null)
+        df["value"] = pd.array(df["value"], dtype="Float64")
+        return df[[f.name for f in GRID_SCHEMA.fields]]
+
+    return _fetch

@@ -63,6 +63,56 @@ def read_features(spark: SparkSession, path: str, fid_col: str = "feature_id") -
     return df.select(*sel)
 
 
+def convert_features(path: str, out_path: str | None = None, fid_col: str = "feature_id") -> str:
+    """S2: driver-side GIS-file → feature-parquet converter. Mirrors the
+    reference's suffix dispatch (etl.py:549-568: ``.parquet`` via
+    gpd.read_parquet, ``.shp`` via gpd.read_file) as the ingest step in
+    front of ``read_features``. Feature tables are dimension-sized (10⁴-10⁶
+    polygons) so a one-shot driver-side convert is the right scale boundary;
+    the parquet it emits is what the distributed engine scans.
+
+    Returns the parquet path. ``.parquet`` inputs pass through untouched.
+    GIS formats need geopandas (absent in this container) — gated like
+    ``export_netcdf``: real when importable, NotImplementedError otherwise.
+    Output columns: feature_id (from ``fid_col``, else the row index), lat/
+    lon (geometry centroid — the only geometry the engine consumes,
+    helper.py:58,69), geometry (WKB)."""
+    suffix = path.lower().rsplit(".", 1)[-1] if "." in path else ""
+    if suffix not in ("shp", "gpkg", "geojson"):
+        # parquet file, or a parquet DIRECTORY (suffixless — the normal
+        # Spark layout): pass through; the scan errors if it's unreadable
+        return path
+    try:
+        import geopandas as gpd
+    except ImportError as exc:
+        raise NotImplementedError(
+            "shapefile/GIS ingest requires geopandas (pyogrio/fiona); "
+            "convert to (Geo)Parquet offline or install geopandas"
+        ) from exc
+    gdf = gpd.read_file(path)
+    if gdf.crs is not None and gdf.crs.to_epsg() != 4326:
+        gdf = gdf.to_crs(4326)  # engine convention: lon/lat degrees
+    cent = gdf.geometry.centroid
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {
+            "feature_id": (
+                gdf[fid_col].astype("int64")
+                if fid_col in gdf.columns
+                else range(len(gdf))
+            ),
+            "lat": cent.y.astype("float64"),
+            "lon": cent.x.astype("float64"),
+            "geometry": gdf.geometry.apply(lambda g: None if g is None else g.wkb),
+        }
+    )
+    if out_path is None:
+        out_path = path.rsplit(".", 1)[0] + ".parquet"
+    out.to_parquet(out_path, index=False)
+    return out_path
+
+
 def read_catalog(spark: SparkSession, path: str) -> DataFrame:
     """S3/S4: dataset catalog from parquet or (multiline) JSON."""
     if path.endswith(".json"):

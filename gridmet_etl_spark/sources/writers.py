@@ -21,20 +21,31 @@ from pyspark.sql import DataFrame
 
 from ..schemas import NETCDF_FILL_VALUE
 
-# CF attribute registry for output variables (gm_header.md:12-58,
-# cfsv2_median_header.md; the engine's replacement for xarray attrs).
+# CF attribute registry for output variables, matching the reference's
+# golden NetCDF headers exactly (gm_header.md:12-77: pint-expanded unit
+# names, long_name = SOURCE variable name; cfsv2_median_header.md:11-53).
 CF_ATTRS = {
-    "tmax": {"units": "degC", "long_name": "Daily maximum temperature"},
-    "tmin": {"units": "degC", "long_name": "Daily minimum temperature"},
-    "prcp": {"units": "mm", "long_name": "Daily precipitation"},
-    "rhmax": {"units": "%", "long_name": "Daily maximum relative humidity"},
-    "rhmin": {"units": "%", "long_name": "Daily minimum relative humidity"},
-    "ws": {"units": "m/s", "long_name": "Daily mean wind speed"},
-    "humidity": {"units": "%", "long_name": "Daily mean relative humidity"},
+    "tmax": {"units": "degree_Celsius", "long_name": "tmmx"},
+    "tmin": {"units": "degree_Celsius", "long_name": "tmmn"},
+    "prcp": {"units": "millimeter", "long_name": "pr"},
+    "rhmax": {"units": "percent", "long_name": "rmax"},
+    "rhmin": {"units": "percent", "long_name": "rmin"},
+    "ws": {"units": "meter / second", "long_name": "vs"},
+    "humidity": {"units": "percent", "long_name": "Daily mean relative humidity"},
     "feature_id": {"long_name": "local model Hydrologic Response Unit id (nhru)"},
+    "lat": {"long_name": "Latitude of HRU centroid", "standard_name": "latitude",
+            "axis": "Y"},
+    "lon": {"long_name": "Longitude of HRU centroid", "standard_name": "longitude",
+            "axis": "X"},
     "time": {"calendar": "proleptic_gregorian"},
     "ens": {"long_name": "Ensemble member"},
 }
+
+# Per-pipeline time calendar at the NetCDF edge: gridMET publishes
+# proleptic_gregorian (gm_header.md:62), CFSv2 julian
+# (cfsv2_median_header.md:43).
+GRIDMET_CALENDAR = "proleptic_gregorian"
+CFSV2_CALENDAR = "julian"
 
 
 def write_output(
@@ -44,10 +55,12 @@ def write_output(
     file_prefix: str = "converted",
     mode: str = "overwrite",
     compression: str = "zstd",
+    calendar: str = GRIDMET_CALENDAR,
 ) -> str:
     """K1/K4/K6: write the per-feature series as partitioned parquet under
     ``out_dir/<file_prefix>/`` with a CF-attribute sidecar. Returns the
-    dataset path."""
+    dataset path. ``calendar`` is the pipeline's time calendar (CFSv2 must
+    pass ``julian`` to match its golden header)."""
     path = os.path.join(out_dir, file_prefix)
     writer = df.write.mode(mode).option("compression", compression)
     if partition_by:
@@ -55,8 +68,11 @@ def write_output(
         # dynamic-overwrite into every later partitioned write in the session
         writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_by)
     writer.parquet(path)
+    variables = {c: dict(CF_ATTRS.get(c, {})) for c in df.columns}
+    if "time" in variables:
+        variables["time"]["calendar"] = calendar
     sidecar = {
-        "variables": {c: CF_ATTRS.get(c, {}) for c in df.columns},
+        "variables": variables,
         "featureType": "timeSeries",
         "Conventions": "CF-1.8",
         "fill_value_at_netcdf_edge": NETCDF_FILL_VALUE,
@@ -75,7 +91,12 @@ def write_fill_map_csv(fill_map: DataFrame, out_dir: str, name: str = "fill_map"
     return path
 
 
-def export_netcdf(df: DataFrame, path: str, time_col: str = "time") -> str:
+def export_netcdf(
+    df: DataFrame,
+    path: str,
+    time_col: str = "time",
+    calendar: str = GRIDMET_CALENDAR,
+) -> str:
     """K1/K2 edge-export: true NetCDF (dims (time, nhru), CF-1.8,
     _FillValue=9.96920996838687e+36 per gm_header.md:13) — only when a
     NetCDF stack is importable. The engine's canonical format stays parquet;
@@ -95,6 +116,8 @@ def export_netcdf(df: DataFrame, path: str, time_col: str = "time") -> str:
     for v in value_cols:
         ds[v].attrs.update(CF_ATTRS.get(v, {}))
         ds[v].encoding.update({"_FillValue": NETCDF_FILL_VALUE, "zlib": True, "complevel": 2})
+    if time_col in ds.coords:
+        ds[time_col].encoding.update({"calendar": calendar})
     ds.attrs.update({"Conventions": "CF-1.8", "featureType": "timeSeries"})
     ds.to_netcdf(path, format="NETCDF4")
     return path

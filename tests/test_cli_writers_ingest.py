@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gridmet_etl_spark.cli import main, valid_date
-from gridmet_etl_spark.sources.ingest import build_slice_tasks, fetch_grid, ingest_to_parquet
+from gridmet_etl_spark.sources.ingest import TASK_SCHEMA, build_slice_tasks, fetch_grid, ingest_to_parquet
 from gridmet_etl_spark.sources.writers import export_netcdf, write_output
 
 
@@ -41,7 +41,7 @@ def test_cli_gridmet_end_to_end(spark, fixdir, tmp_path):
     out = spark.read.parquet(str(tmp_path / "converted"))
     assert out.count() == 50 * 7  # all features incl. filled, all days
     sidecar = json.load(open(tmp_path / "converted_attrs.json"))
-    assert sidecar["variables"]["tmax"]["units"] == "degC"
+    assert sidecar["variables"]["tmax"]["units"] == "degree_Celsius"
     assert sidecar["Conventions"] == "CF-1.8"
 
 
@@ -181,3 +181,151 @@ def test_cli_corpus_etl_end_to_end(spark, tmp_path):
     assert any(d.startswith("split=") for d in os.listdir(out))
     train = got.filter(F.col("split") == "train")
     assert train.filter(F.col("shard").isNull()).count() == 0
+
+
+def _make_fake_open_dataset():
+    """url -> duck-typed stand-in for the xarray Dataset API surface the
+    production fetcher drives (positional isel, label sel on time, variable
+    selection, to_dataframe). Defined inside a factory so cloudpickle ships
+    it by value to executors. Grid: 20x20, lat DESCENDING from Y1=49.4
+    (toptobottom false), days 1980-01-01..06, value = i*1000 + j + day_idx;
+    cell (i=3, j=2) is NaN on the second day."""
+    import numpy as _np
+    import pandas as _pd
+
+    RES, Y1, X1 = 0.04167, 49.4, -124.76667
+
+    class _FakeVar:
+        def __init__(self, df, var):
+            self._df, self._var = df, var
+
+        def to_dataframe(self):
+            return self._df[["day", "latitude", "longitude", self._var]].set_index(
+                ["day", "latitude", "longitude"]
+            )
+
+    class _FakeDs:
+        def __init__(self, df, coords):
+            self._df, self._coords = df, coords
+
+        def isel(self, indexers):
+            df = self._df
+            for dim, slc in indexers.items():
+                keep = set(self._coords[dim][slc])
+                df = df[df[dim].isin(keep)]
+            return _FakeDs(df, self._coords)
+
+        def sel(self, indexers):
+            df = self._df
+            for dim, slc in indexers.items():
+                lo, hi = _pd.Timestamp(slc.start), _pd.Timestamp(slc.stop)
+                df = df[(df[dim] >= lo) & (df[dim] <= hi)]
+            return _FakeDs(df, self._coords)
+
+        def __getitem__(self, var):
+            return _FakeVar(self._df, var)
+
+    def open_dataset(url):
+        days = _pd.date_range("1980-01-01", "1980-01-06", freq="D")
+        lats = Y1 - RES * _np.arange(20)  # storage row 0 = north edge
+        lons = X1 + RES * _np.arange(20)
+        recs = []
+        for d_idx, d in enumerate(days):
+            for i, la in enumerate(lats):
+                for j, lo in enumerate(lons):
+                    v = float(i * 1000 + j + d_idx)
+                    if (i, j) == (3, 2) and d_idx == 2:
+                        v = float("nan")
+                    recs.append((d, la, lo, v))
+        df = _pd.DataFrame(recs, columns=["day", "latitude", "longitude", "air_temp"])
+        return _FakeDs(df, {"day": days, "latitude": lats, "longitude": lons})
+
+    return open_dataset
+
+
+def test_opendap_fetcher_maps_dims_to_grid_schema(spark):
+    """S5 completion: the production fetcher's dim/var -> GRID_SCHEMA mapping
+    (T_name/X_name/Y_name/varname from the catalog record, descending-lat
+    index arithmetic, NaN -> NULL) runs end-to-end on a synthetic dataset
+    with the network read injected."""
+    from gridmet_etl_spark.sources.ingest import make_opendap_fetcher
+
+    rec = {
+        "URL": "http://example/ds",
+        "T_name": "day",
+        "X_name": "longitude",
+        "Y_name": "latitude",
+        "varname": "air_temp",
+        "variable": "tmmx",
+        "X1": -124.76667,
+        "Y1": 49.4,
+        "resX": 0.04167,
+        "resY": 0.04167,
+        "ncols": 20,
+        "nrows": 20,
+        "toptobottom": False,
+    }
+    fetcher = make_opendap_fetcher(rec, open_dataset=_make_fake_open_dataset())
+    task = {
+        "url": rec["URL"], "var": "tmmx",
+        "t0": date(1980, 1, 2), "t1": date(1980, 1, 4),
+        "i0": 2, "i1": 4, "j0": 1, "j1": 3,
+    }
+    pdf = fetcher(task)
+    assert list(pdf.columns) == ["var", "ens", "time", "i", "j", "lat", "lon", "value"]
+    assert len(pdf) == 3 * 3 * 3  # days x lats x lons
+    assert set(pdf["var"]) == {"tmmx"} and set(pdf["ens"]) == {-1}
+    # cell indexes recomputed against the FULL grid origin (not slice-local)
+    assert set(pdf["i"]) == {2, 3, 4} and set(pdf["j"]) == {1, 2, 3}
+    # value formula survives the mapping; NaN became NA (-> SQL NULL)
+    d2 = pdf[(pdf["i"] == 2) & (pdf["j"] == 3) & (pdf["time"] == date(1980, 1, 2))]
+    assert float(d2["value"].iloc[0]) == 2004.0  # i*1000 + j + day_idx(=1)
+    missing = pdf[pdf["value"].isna()]
+    assert len(missing) == 1
+    assert (missing["i"].iloc[0], missing["j"].iloc[0]) == (3, 2)
+    assert missing["time"].iloc[0] == date(1980, 1, 3)
+
+    # and through the distributed fan-out: NULL lands as SQL NULL
+    tasks = spark.createDataFrame([tuple(task[k] for k in
+        ["url", "var", "t0", "t1", "i0", "i1", "j0", "j1"])], TASK_SCHEMA)
+    grid = fetch_grid(tasks, fetcher)
+    assert grid.count() == 27
+    assert grid.filter(F.col("value").isNull()).count() == 1
+
+
+def _parse_golden_header(path):
+    """Extract {var: {attr: value}} from a reference ncdump header dump."""
+    import re
+
+    attrs = {}
+    for m in re.finditer(r'^\s+(\w+):(\w+) = "?([^";]*?)"? ;', open(path).read(), re.M):
+        var, key, val = m.groups()
+        attrs.setdefault(var, {})[key] = val
+    return attrs
+
+
+@pytest.mark.parametrize(
+    "golden,calendar,vars_checked",
+    [
+        ("/root/reference/gm_header.md", "proleptic_gregorian",
+         ["tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity"]),
+        ("/root/reference/cfsv2_median_header.md", "julian",
+         ["tmax", "tmin", "prcp"]),
+    ],
+)
+def test_sidecar_matches_golden_header(spark, tmp_path, golden, calendar, vars_checked):
+    """Structural comparison against the reference's published NetCDF
+    headers: per-variable units/long_name and the PER-PIPELINE time
+    calendar (gridMET proleptic_gregorian, CFSv2 julian) must match what
+    our sidecar would stamp at the NetCDF edge."""
+    gold = _parse_golden_header(golden)
+    df = spark.createDataFrame(
+        [(1, date(2024, 4, 1)) + tuple(float(i) for i in range(len(vars_checked)))],
+        "feature_id long, time date, " + ", ".join(f"{v} double" for v in vars_checked),
+    )
+    write_output(df, str(tmp_path), file_prefix="hdr", calendar=calendar)
+    side = json.load(open(tmp_path / "hdr_attrs.json"))["variables"]
+    assert side["time"]["calendar"] == gold["time"]["calendar"] == calendar
+    for v in vars_checked:
+        assert side[v]["units"] == gold[v]["units"], v
+        assert side[v]["long_name"] == gold[v]["long_name"], v

@@ -4,6 +4,7 @@ PRMS parser, THREDDS freshness gate (injected fetcher, no network)."""
 import os
 from datetime import datetime, timezone
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -109,3 +110,42 @@ def test_check_freshness_gate():
     )
     assert fresh == {"a.nc": True}
     assert stale == {"a.nc": False}
+
+
+def test_convert_features_dispatch(tmp_path):
+    """S2: suffix dispatch mirrors the reference (etl.py:549-568) — parquet
+    (file or dir) passes through; GIS formats convert via geopandas when
+    importable, else raise the documented gate."""
+    from gridmet_etl_spark.sources.readers import convert_features
+
+    assert convert_features("/x/features.parquet") == "/x/features.parquet"
+    assert convert_features("/x/features_dir") == "/x/features_dir"
+
+    try:
+        import geopandas  # noqa: F401
+
+        has_gpd = True
+    except ImportError:
+        has_gpd = False
+
+    if not has_gpd:
+        with pytest.raises(NotImplementedError):
+            convert_features("/x/features.shp")
+    else:  # pragma: no cover - geopandas not in this container
+        import geopandas as gpd
+        from shapely.geometry import Polygon
+
+        gdf = gpd.GeoDataFrame(
+            {"feature_id": [1, 2]},
+            geometry=[
+                Polygon([(0, 0), (1, 0), (1, 1), (0, 1)]),
+                Polygon([(2, 2), (3, 2), (3, 3), (2, 3)]),
+            ],
+            crs=4326,
+        )
+        shp = str(tmp_path / "f.shp")
+        gdf.to_file(shp)
+        out = convert_features(shp, out_path=str(tmp_path / "f.parquet"))
+        back = pd.read_parquet(out)
+        assert list(back.columns) == ["feature_id", "lat", "lon", "geometry"]
+        assert back["lat"].tolist() == pytest.approx([0.5, 2.5])
