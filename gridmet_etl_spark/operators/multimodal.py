@@ -59,14 +59,23 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Codec boundary. Real decode requires an image library not present in
-    this environment; the deterministic fake reshapes byte statistics into a
-    tiny pseudo-image so the distributed dataflow is fully exercised."""
+    """Codec boundary, gated like ``export_netcdf``: the real path uses PIL
+    when importable (grayscale float32 pixel array), raising the documented
+    NotImplementedError only when no imaging library exists. ``fake=True``
+    selects the deterministic pseudo-decoder (byte statistics reshaped into
+    a tiny image) that exercises the identical dataflow in
+    codec-less containers like this one."""
     if not fake:
-        raise NotImplementedError(
-            "image decode requires an imaging library (PIL/cv2); "
-            "run with fake=True for the deterministic pseudo-decoder"
-        )
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decode requires an imaging library (PIL/cv2); "
+                "run with fake=True for the deterministic pseudo-decoder"
+            ) from exc
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("L"), dtype=np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
     if len(arr) == 0:
         return np.zeros((1, 1), dtype=np.float32)

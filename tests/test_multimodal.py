@@ -68,3 +68,31 @@ def test_resize_stub_metadata(spark, media):
     out = resize_stub(media, 224, 224)
     r = out.limit(1).collect()[0]
     assert (r.width, r.height) == (224, 224)
+
+
+def test_decode_image_pil_gate():
+    """Real-codec gate (mirrors the netCDF4 gate): PIL decodes when
+    importable; the documented NotImplementedError otherwise."""
+    from gridmet_etl_spark.operators.multimodal import decode_image
+
+    try:
+        from PIL import Image
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG not really", fake=False)
+    else:  # pragma: no cover - PIL not in this container
+        import io
+
+        import numpy as np
+
+        img = Image.new("L", (4, 3), color=7)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        arr = decode_image(buf.getvalue(), fake=False)
+        assert arr.shape == (3, 4)
+        assert np.all(arr == 7.0)
