@@ -37,7 +37,8 @@ _CHECK_FIRST = [
     "stratified_sample", "mixture_sample", "shard_pack", "dedup_clusters",
     "clean_text", "vocab_topk", "pii_flags", "decontam_exact",
     "decontam_fuzzy", "corpus_pipeline", "pack_sequences",
-    # (b) fixed or behavior-touched this round
+    # (b) new this round / fixed or behavior-touched this round
+    "repetition_stats", "span_dedup", "decontam_bloom",
     "sessionize_batch", "media_stats", "approx_aggs", "asof_join",
     "weighted_mean", "masked_weighted_mean", "gridmet_pipeline",
     "cfsv2_median_pipeline", "cfsv2_ensemble_pipeline", "tpch_weighted_mean",

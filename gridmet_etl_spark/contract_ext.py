@@ -840,7 +840,120 @@ FROM train GROUP BY shard
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per doc: top-word / top-bigram /
+    duplicate-5-gram fractions — all row-local array arithmetic (zero
+    shuffle; the oracle's explode→group form is the clarity twin)."""
+    from .operators.textops import repetition_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("top_word_frac", R).alias("top_word_frac"),
+        F.round("top_bigram_frac", R).alias("top_bigram_frac"),
+        F.round("dup_5gram_frac", R).alias("dup_5gram_frac"),
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g1 AS (SELECT doc_id, unnest(t) AS gram FROM toks),
+c1 AS (SELECT doc_id, gram, count(*) AS c FROM g1 GROUP BY doc_id, gram),
+s1 AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS n FROM c1 GROUP BY doc_id),
+g2 AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                     i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+       FROM toks),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+s2 AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS n FROM c2 GROUP BY doc_id),
+g5 AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                     i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+       FROM toks),
+s5 AS (SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS d FROM g5 GROUP BY doc_id)
+SELECT tk.doc_id,
+       COALESCE(s2.n, 0) AS n_bigrams,
+       ROUND(COALESCE(s1.top * 1.0 / s1.n, 0.0), 6) AS top_word_frac,
+       ROUND(COALESCE(s2.top * 1.0 / s2.n, 0.0), 6) AS top_bigram_frac,
+       ROUND(COALESCE((s5.n - s5.d) * 1.0 / s5.n, 0.0), 6) AS dup_5gram_frac
+FROM toks tk
+LEFT JOIN s1 ON tk.doc_id = s1.doc_id
+LEFT JOIN s2 ON tk.doc_id = s2.doc_id
+LEFT JOIN s5 ON tk.doc_id = s5.doc_id
+"""
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. granularity): 20-token windows,
+    first corpus-wide occurrence kept, docs reassembled from surviving
+    spans. Only span digests shuffle; text is recomputed row-locally."""
+    from .operators.dedup import span_dedup
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return span_dedup(docs, span_tokens=20)
+
+
+_SPAN_NORM = NORM.format(c="text")
+
+SQL_SPAN_DEDUP = f"""
+WITH toks AS (SELECT doc_id, string_split({_SPAN_NORM}, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 20 + 1)) AS i FROM toks),
+chunks AS (SELECT doc_id, i AS chunk_idx,
+                  array_to_string(list_slice(t, i * 20 + 1, i * 20 + 20), ' ') AS chunk
+           FROM idx),
+ranked AS (SELECT doc_id, chunk_idx, chunk,
+                  row_number() OVER (PARTITION BY md5(chunk)
+                                     ORDER BY doc_id, chunk_idx) AS rn
+           FROM chunks),
+kept AS (SELECT doc_id, chunk_idx, chunk FROM ranked WHERE rn = 1),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY chunk_idx) AS dtext
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT t.doc_id, t.n_chunks, COALESCE(a.n_kept, 0) AS n_kept,
+       t.n_chunks - COALESCE(a.n_kept, 0) AS n_dup_chunks,
+       md5(COALESCE(a.dtext, '')) AS dedup_digest
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-screen vs its exact twin. The
+    bloom bit positions are xxhash64 (engine-specific), so the hashed
+    projection carries the EXACT flag plus the deterministic guarantee
+    column no_false_negative = bloom_hit OR NOT contaminated (bloom
+    filters cannot miss a true member, so it is always TRUE — the oracle
+    states it as such); the false-positive rate is asserted in pytest."""
+    from .operators.decontam import decontaminate_bloom, decontaminate_exact
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") < 400)
+    ev = docs.filter(F.col("doc_id") >= 400)
+    exact = decontaminate_exact(train, ev)
+    bloom = decontaminate_bloom(train, ev)
+    return exact.join(bloom, "doc_id").select(
+        "doc_id",
+        "contaminated",
+        (F.col("bloom_hit") | ~F.col("contaminated")).alias("no_false_negative"),
+    )
+
+
+SQL_DECONTAM_BLOOM = f"""
+WITH ev AS (SELECT DISTINCT md5({NORM.format(c="text")}) AS fp
+            FROM documents WHERE doc_id >= 400),
+tr AS (SELECT doc_id, md5({NORM.format(c="text")}) AS fp
+       FROM documents WHERE doc_id < 400)
+SELECT tr.doc_id, (ev.fp IS NOT NULL) AS contaminated, TRUE AS no_false_negative
+FROM tr LEFT JOIN ev ON tr.fp = ev.fp
+"""
+
+
 EXT_QUERIES = {
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "decontam_bloom": (q_decontam_bloom, SQL_DECONTAM_BLOOM),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -17,7 +17,7 @@ Two detection tiers, both join-based and shuffle-minimal:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textops import fingerprint, winnow_fingerprints
@@ -79,4 +79,93 @@ def decontaminate_fuzzy(
             F.coalesce(F.col("n_shared_fps"), F.lit(0)).alias("n_shared_fps"),
             (F.coalesce(F.col("n_shared_fps"), F.lit(0)) >= min_shared).alias("contaminated"),
         )
+    )
+
+
+BLOOM_M_BITS = 1 << 16
+BLOOM_K_HASHES = 4
+
+
+def bloom_bitmap(
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K_HASHES,
+) -> list[int]:
+    """Distributed Bloom-filter build over the eval set's normalized-text
+    fingerprints: k xxhash64 positions per member, OR'd into a packed
+    64-bit-word bitmap. The shuffle is the (word_idx → bit_or) aggregation
+    — m_bits/64 rows regardless of eval size — and the driver collect is
+    the constant-size bitmap itself (m_bits/8 bytes, 8 KiB at the default),
+    bounded by the filter geometry rather than by data volume."""
+    fp = fingerprint(F.col(text_col))
+    positions = eval_docs.select(
+        F.explode(
+            F.array(
+                *[F.pmod(F.xxhash64(F.lit(s), fp), F.lit(m_bits)) for s in range(k_hashes)]
+            )
+        ).alias("pos")
+    )
+    words = (
+        positions.select(
+            (F.col("pos") / F.lit(64)).cast("long").alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words.collect():
+        bitmap[r["word_idx"]] = r["word"]
+    return bitmap
+
+
+def bloom_hit(
+    text: Column | str,
+    bitmap: list[int],
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K_HASHES,
+) -> Column:
+    """Membership probe against a built bitmap: true iff ALL k hash
+    positions of the doc fingerprint are set. Pure row-local bit
+    arithmetic over an array literal — the corpus-side scan never
+    shuffles and carries no join at all (vs the broadcast semi join of
+    the exact path). False positives possible (rate set by m/n and k);
+    false negatives impossible."""
+    c = F.col(text) if isinstance(text, str) else text
+    fp = fingerprint(c)
+    bm = F.lit(bitmap)
+    hit = F.lit(True)
+    for s in range(k_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(s), fp), F.lit(m_bits))
+        word = F.element_at(bm, ((pos / F.lit(64)).cast("long") + F.lit(1)).cast("int"))
+        bit_set = (
+            F.call_function("shiftright", word, (pos % 64).cast("int")).bitwiseAND(F.lit(1))
+            == 1
+        )
+        hit = hit & bit_set
+    return hit
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K_HASHES,
+) -> DataFrame:
+    """Bloom-filter contamination pre-screen: the 100 TB-scale variant of
+    ``decontaminate_exact`` — instead of a semi join against the eval
+    fingerprint set, the corpus scan probes a constant-size bitmap, so the
+    plan is join-free on the corpus side. Output: (doc_id, bloom_hit);
+    every truly contaminated doc is flagged (no false negatives), plus a
+    tunable false-positive tail that a second exact pass over the
+    (tiny) flagged subset removes."""
+    bitmap = bloom_bitmap(eval_docs, text_col, m_bits, k_hashes)
+    return train.select(
+        F.col(id_col),
+        bloom_hit(F.col(text_col), bitmap, m_bits, k_hashes).alias("bloom_hit"),
     )

@@ -124,6 +124,87 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams from a token array. Row-local transform
+    over gram start positions; empty array when the doc has < n tokens
+    (guarded — an unguarded sequence(1, 0) would run DESCENDING)."""
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run_count(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e. the
+    max multiplicity of any element. Row-local aggregate with a
+    (prev, run, best) accumulator; 0 for empty arrays.
+
+    Higher-order lambdas are interpreted rather than codegen'd, but this
+    keeps the whole repetition computation shuffle-free — the alternative
+    (explode grams → groupBy(doc, gram) → max) shuffles every n-gram of a
+    100 TB corpus, which loses by far more than interpretation overhead on
+    a per-doc statistic."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run = (
+            F.when(acc["prev"].isNotNull() & (g == acc["prev"]), acc["run"])
+            .otherwise(F.lit(0).cast("long"))
+            + F.lit(1).cast("long")
+        )
+        return F.struct(
+            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, zero, step)["best"]
+
+
+def top_ngram_frac(text: Column | str, n: int) -> Column:
+    """Gopher-style repetition signal: fraction of a doc's word n-grams
+    accounted for by the single most frequent n-gram (0.0 when the doc has
+    no n-grams). Boilerplate/spam pages score high; clean prose low."""
+    c = F.col(text) if isinstance(text, str) else text
+    grams = word_ngrams(tokens(c), n)
+    total = F.size(grams)
+    top = _max_run_count(F.array_sort(grams))
+    return F.when(
+        total > 0, top.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(text: Column | str, n: int) -> Column:
+    """Gopher-style repetition signal: fraction of word n-gram occurrences
+    that are duplicates of an earlier occurrence (1 - distinct/total); 0.0
+    when the doc has no n-grams. Row-local array arithmetic."""
+    c = F.col(text) if isinstance(text, str) else text
+    grams = word_ngrams(tokens(c), n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, (total - distinct).cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition profile (the Gopher repetition filters:
+    top-n-gram fraction, duplicate-n-gram fraction over words/bigrams/
+    5-grams). One narrow row-local projection — no shuffle, scan-speed at
+    100 TB; filtering is a downstream predicate on the fractions."""
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(word_ngrams(tokens(c), 2)).cast("long").alias("n_bigrams"),
+        top_ngram_frac(c, 1).alias("top_word_frac"),
+        top_ngram_frac(c, 2).alias("top_bigram_frac"),
+        dup_ngram_frac(c, 5).alias("dup_5gram_frac"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     (The rolling-hash shingle fingerprint lives in dedup.shingles.)"""

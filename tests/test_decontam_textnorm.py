@@ -64,3 +64,45 @@ def test_decontaminate_fuzzy_full_corpus_unflagged_when_eval_disjoint(spark):
     out = decontaminate_fuzzy(train, ev, min_shared=1)
     assert out.filter(F.col("contaminated")).count() == 0
     assert out.count() == 20
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Every exact-contaminated doc is bloom-flagged (guarantee), and the
+    false-positive tail stays small at the default geometry."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.decontam import (
+        decontaminate_bloom,
+        decontaminate_exact,
+    )
+
+    docs = spark.read.parquet(os.path.join("/root/testdata/sf0.01", "documents.parquet"))
+    train = docs.filter(F.col("doc_id") < 400)
+    ev = docs.filter(F.col("doc_id") >= 400)
+    exact = decontaminate_exact(train, ev)
+    bloom = decontaminate_bloom(train, ev)
+    j = exact.join(bloom, "doc_id").cache()
+    assert j.filter(F.col("contaminated") & ~F.col("bloom_hit")).count() == 0
+    clean = j.filter(~F.col("contaminated"))
+    fp_rate = clean.filter(F.col("bloom_hit")).count() / max(clean.count(), 1)
+    assert fp_rate < 0.05, fp_rate
+    j.unpersist()
+
+
+def test_bloom_corpus_side_join_free(spark):
+    """The probe side is a pure scan: no join, no exchange."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.decontam import bloom_bitmap, bloom_hit
+
+    docs = spark.read.parquet(os.path.join("/root/testdata/sf0.001", "documents.parquet"))
+    bitmap = bloom_bitmap(docs.filter(F.col("doc_id") >= 150))
+    probe = docs.filter(F.col("doc_id") < 150).select(
+        "doc_id", bloom_hit(F.col("text"), bitmap).alias("hit")
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan

@@ -157,3 +157,36 @@ def test_minhash_bands_partial_final_band(spark, docs):
     assert bands.select("band").distinct().count() == 3
     # partial band key differs from any full band's (2 seeds vs 4)
     assert bands.filter(F.col("band") == 2).count() == 20
+
+
+def test_span_dedup_semantics(spark):
+    """First-occurrence keep across and within docs, reassembly digest."""
+    import hashlib
+
+    from gridmet_etl_spark.operators.dedup import span_dedup
+
+    rows = [
+        (1, "a b c d e f"),   # 2 chunks of 3, all first occurrences
+        (2, "a b c d e f"),   # exact dup of doc 1 → loses both chunks
+        (3, "a b c x y z"),   # first chunk dup of doc 1's, second kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup(df, span_tokens=3).collect()}
+    assert (got[1].n_chunks, got[1].n_kept, got[1].n_dup_chunks) == (2, 2, 0)
+    assert (got[2].n_chunks, got[2].n_kept, got[2].n_dup_chunks) == (2, 0, 2)
+    assert (got[3].n_chunks, got[3].n_kept, got[3].n_dup_chunks) == (2, 1, 1)
+    assert got[1].dedup_digest == hashlib.md5(b"a b c d e f").hexdigest()
+    assert got[2].dedup_digest == hashlib.md5(b"").hexdigest()
+    assert got[3].dedup_digest == hashlib.md5(b"x y z").hexdigest()
+
+
+def test_span_dedup_within_doc(spark):
+    """A doc repeating its own span keeps only the first copy."""
+    import hashlib
+
+    from gridmet_etl_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame([(7, "p q r p q r p q r")], "doc_id long, text string")
+    r = span_dedup(df, span_tokens=3).collect()[0]
+    assert (r.n_chunks, r.n_kept, r.n_dup_chunks) == (3, 1, 2)
+    assert r.dedup_digest == hashlib.md5(b"p q r").hexdigest()

@@ -85,3 +85,46 @@ def test_analyze_single_projection_no_shuffle(spark, docs):
     """analyze_documents must stay a narrow projection (no exchange)."""
     plan = analyze_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_stats_golden(spark):
+    """Repetition fractions vs hand-computed goldens."""
+    from collections import Counter
+
+    from gridmet_etl_spark.operators.textops import repetition_stats
+
+    rows = [
+        (1, "a b a b a b"),          # heavy bigram repetition
+        (2, "u v w x y z"),          # all distinct
+        (3, "q"),                    # single token: no bigrams/5-grams
+        (4, "s s s s s s s s s s"),  # one word repeated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        for n, col in [(1, "top_word_frac"), (2, "top_bigram_frac")]:
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            want = max(Counter(grams).values()) / len(grams) if grams else 0.0
+            assert abs(got[doc_id][col] - want) < 1e-9, (doc_id, col)
+        g5 = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        want5 = (len(g5) - len(set(g5))) / len(g5) if g5 else 0.0
+        assert abs(got[doc_id]["dup_5gram_frac"] - want5) < 1e-9
+    assert got[3].n_bigrams == 0 and got[3].top_bigram_frac == 0.0
+    assert got[4].top_word_frac == 1.0 and got[4].dup_5gram_frac == 5 / 6
+
+
+def test_repetition_stats_corpus(spark, docs):
+    """On the real documents table: fractions in [0,1], no shuffle in the
+    plan (row-local design is the point)."""
+    from gridmet_etl_spark.operators.textops import repetition_stats
+
+    out = repetition_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    bad = out.filter(
+        (F.col("top_bigram_frac") < 0) | (F.col("top_bigram_frac") > 1)
+        | (F.col("dup_5gram_frac") < 0) | (F.col("dup_5gram_frac") > 1)
+    ).count()
+    assert bad == 0
