@@ -1437,7 +1437,35 @@ GROUP BY c_count
 """
 
 
+def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL documents source (schema-on-read, no inference pass): per-lang
+    doc counts, token totals, and digest envelope over the fixture corpus.
+    The write half (export_jsonl) is roundtrip-tested in pytest."""
+    from .sources.readers import read_documents_jsonl
+
+    docs = read_documents_jsonl(spark, os.path.join(FIXDIR, "documents.jsonl"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        F.min(F.md5(F.col("text"))).alias("min_digest"),
+        F.max(F.md5(F.col("text"))).alias("max_digest"),
+    )
+
+
+SQL_JSONL_SCAN = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       min(md5(text)) AS min_digest, max(md5(text)) AS max_digest
+FROM read_json('{os.path.join(FIXDIR, "documents.jsonl")}',
+               format='newline_delimited',
+               columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR',
+                         'source': 'VARCHAR', 'n_chars': 'BIGINT'}})
+GROUP BY lang
+"""
+
+
 DOMAIN_QUERIES = {
+    "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "weighted_mean": (q_weighted_mean, SQL_WEIGHTED_MEAN),
     "masked_weighted_mean": (q_masked_weighted_mean, SQL_MASKED_WEIGHTED_MEAN),
     "ensemble_median": (q_ensemble_median, SQL_ENSEMBLE_MEDIAN),

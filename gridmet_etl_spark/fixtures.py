@@ -259,6 +259,35 @@ def make_media(n: int = 64) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+DOC_VOCAB = [
+    "data", "spark", "query", "table", "join", "scan", "merge", "agg",
+    "row", "key", "value", "batch", "stream", "window", "sort", "hash",
+]
+DOC_LANGS = ["en", "es", "de"]
+
+
+def make_documents(n: int = 120) -> pd.DataFrame:
+    """Deterministic word-salad documents (seed-42) for the JSONL source
+    surface: same column shape as the driver's documents table (doc_id,
+    text, lang, source, n_chars) so format-conversion queries are
+    apples-to-apples."""
+    rng = np.random.default_rng(SEED)
+    rows = []
+    for i in range(n):
+        n_tok = int(rng.integers(10, 60))
+        text = " ".join(rng.choice(DOC_VOCAB, n_tok))
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": DOC_LANGS[i % len(DOC_LANGS)],
+                "source": f"src{i % 4}",
+                "n_chars": len(text),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def generate(outdir: str) -> None:
     os.makedirs(outdir, exist_ok=True)
     elev = make_elevation()
@@ -279,6 +308,10 @@ def generate(outdir: str) -> None:
     tables["catalog"].to_json(
         os.path.join(outdir, "catalog.json"), orient="records", indent=2
     )
+    # JSONL documents (newline-delimited) for the text-source surface
+    docs = make_documents()
+    docs.to_json(os.path.join(outdir, "documents.jsonl"), orient="records", lines=True)
+    print(f"documents: {len(docs)} rows -> {outdir}/documents.jsonl")
     write_prms_param_file(os.path.join(outdir, "myparam.param"), elev)
 
 

@@ -128,6 +128,22 @@ def read_catalog(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*cols, *extra)
 
 
+DOCUMENTS_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, schema: str = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """Newline-delimited JSON documents source. The schema is EXPLICIT:
+    schema inference on JSON costs a full extra pass over the data (fatal
+    at 100 TB) and can silently widen types between runs; a declared
+    schema makes the read a single streaming pass with column pruning
+    pushed into the parser."""
+    return spark.read.schema(schema).json(path)
+
+
 def read_events(spark: SparkSession, path: str) -> DataFrame:
     """Event-stream parquet reader. The driver's events table stores ``ts``
     as parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects;

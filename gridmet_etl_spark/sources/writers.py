@@ -82,6 +82,21 @@ def write_output(
     return path
 
 
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+) -> str:
+    """Newline-delimited JSON sink (the interchange format most corpus
+    tooling consumes). Distributed write — one .json(.gz) part per
+    partition; callers control file count/size via their partitioning.
+    Compressed by default: JSONL is ~5-10× parquet's footprint raw, and
+    gzip parts stay splittable at the FILE level (one task per part)."""
+    df.write.mode(mode).option("compression", compression).json(path)
+    return path
+
+
 def write_fill_map_csv(fill_map: DataFrame, out_dir: str, name: str = "fill_map") -> str:
     """K3: persist the nearest-neighbor mapping as a single CSV (small —
     driver-side is correct here, mirroring helper.py:75-77)."""
