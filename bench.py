@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "cosine_topk",
     "cosine_topk_lsh",
     "corpus_pipeline",
+    "repetition_stats",
+    "span_dedup",
+    "decontam_bloom",
 ]
 
 

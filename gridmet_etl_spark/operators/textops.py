@@ -190,11 +190,12 @@ def dup_ngram_frac(text: Column | str, n: int) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document repetition profile (the Gopher repetition filters:
-    top-n-gram fraction, duplicate-n-gram fraction over words/bigrams/
-    5-grams). One narrow row-local projection — no shuffle, scan-speed at
-    100 TB; filtering is a downstream predicate on the fractions."""
+def repetition_stats_cols(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pure-column-expression twin of ``repetition_stats`` (top_ngram_frac /
+    dup_ngram_frac as reusable predicates). Row-local and shuffle-free, but
+    the higher-order lambdas are INTERPRETED — ~20× slower than the Arrow
+    kernel at corpus scale — so this form is for composing the fractions
+    into other column expressions, not for bulk scoring."""
     c = F.col(text_col)
     return docs.select(
         "doc_id",
@@ -203,6 +204,44 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         top_ngram_frac(c, 2).alias("top_bigram_frac"),
         dup_ngram_frac(c, 5).alias("dup_5gram_frac"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition profile (the Gopher repetition filters:
+    top-n-gram fraction over words/bigrams, duplicate-5-gram fraction).
+    Arrow ``mapInPandas`` kernel: per-doc Counter arithmetic is exact and
+    deterministic (identical values to ``repetition_stats_cols`` and the
+    DuckDB oracle), stays row-local — zero shuffle, embarrassingly parallel
+    at 100 TB — and avoids the interpreted-lambda tax of the column-
+    expression form (~20× at sf0.1). Input is pruned to (doc_id, text)
+    before the kernel so only those columns cross the Arrow boundary."""
+    import pandas as pd
+
+    schema = (
+        "doc_id long, n_bigrams long, top_word_frac double, "
+        "top_bigram_frac double, dup_5gram_frac double"
+    )
+    out_cols = ["doc_id", "n_bigrams", "top_word_frac", "top_bigram_frac", "dup_5gram_frac"]
+
+    def kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = (text or "").split(" ")
+                n1 = len(toks)
+                top_word = max(Counter(toks).values()) / n1 if n1 else 0.0
+                bigs = list(zip(toks, toks[1:]))
+                n2 = len(bigs)
+                top_big = max(Counter(bigs).values()) / n2 if n2 else 0.0
+                g5 = list(zip(toks, toks[1:], toks[2:], toks[3:], toks[4:]))
+                n5 = len(g5)
+                dup5 = (n5 - len(set(g5))) / n5 if n5 else 0.0
+                rows.append((doc_id, n2, top_word, top_big, dup5))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return docs.select("doc_id", text_col).mapInPandas(kernel, schema)
 
 
 def fingerprint(text: Column | str) -> Column:

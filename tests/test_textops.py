@@ -128,3 +128,17 @@ def test_repetition_stats_corpus(spark, docs):
         | (F.col("dup_5gram_frac") < 0) | (F.col("dup_5gram_frac") > 1)
     ).count()
     assert bad == 0
+
+
+def test_repetition_kernel_matches_column_twin(spark, docs):
+    """The Arrow kernel and the column-expression twin are value-identical
+    (both exact), so either can back the oracle."""
+    from gridmet_etl_spark.operators.textops import repetition_stats, repetition_stats_cols
+
+    a = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    b = {r.doc_id: r for r in repetition_stats_cols(docs).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k].n_bigrams == b[k].n_bigrams
+        for col in ("top_word_frac", "top_bigram_frac", "dup_5gram_frac"):
+            assert abs(a[k][col] - b[k][col]) < 1e-12, (k, col)
