@@ -950,8 +950,86 @@ FROM tr LEFT JOIN ev ON tr.fp = ev.fp
 """
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-BoW linear classifier scoring: the 'model' is a deterministic
+    md5-derived weight per hash bucket, evaluated as pure codegen column
+    arithmetic (exact integer sums until the final division — bit-stable
+    across engines)."""
+    from .operators.scoring import classifier_scores
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = classifier_scores(docs)
+    # hash the EXACT integer numerator (logit = logit_milli/(1000·n)), not
+    # the rounded logit: swi/(1000n) is a terminating decimal that can land
+    # exactly on a round-half boundary, where Spark (BigDecimal HALF_UP)
+    # and DuckDB (binary-value rounding) legitimately disagree — observed
+    # at sf0.01 doc 247 (logit = -0.1260875). The sigmoid is transcendental
+    # so its 6-decimal rounding has no such boundary mass.
+    return out.select(
+        "doc_id",
+        "logit_milli",
+        "n_tokens",
+        F.round("score", R).alias("score"),
+    )
+
+
+SQL_CLASSIFIER_SCORE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+w AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('w:' || CAST(
+           CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 1024
+         AS VARCHAR)), 1, 6) AS BIGINT) % 2001 - 1000 AS wi
+  FROM toks WHERE tok <> ''),
+agg AS (
+  SELECT doc_id, CAST(sum(wi) AS BIGINT) AS swi, count(*) AS n
+  FROM w GROUP BY doc_id)
+SELECT doc_id,
+       swi AS logit_milli,
+       n AS n_tokens,
+       ROUND(1.0 / (1.0 + exp(-(swi / (1000.0 * n)))), 6) AS score
+FROM agg
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (add-1 smoothing, model trained on the
+    same corpus): vocabulary-bounded count relations joined against the
+    pre-aggregated per-doc gram multiset."""
+    from .operators.scoring import bigram_lm_scores
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = bigram_lm_scores(docs)
+    return out.select("doc_id", "n_bigrams", F.round("avg_logp", R).alias("avg_logp"))
+
+
+SQL_LM_SCORE = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM base)
+  WHERE t[i] <> '' AND t[i + 1] <> ''),
+uni AS (
+  SELECT tok AS w1, count(*) AS c1
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+big AS (SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY w1, w2),
+v AS (SELECT count(*) AS vocab FROM uni),
+dg AS (SELECT doc_id, w1, w2, count(*) AS m FROM grams GROUP BY doc_id, w1, w2),
+scored AS (
+  SELECT dg.doc_id, ln((c2 + 1.0) / (c1 + 1.0 * vocab)) * m AS lp, m
+  FROM dg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       ROUND(sum(lp) / sum(m), 6) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 EXT_QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "classifier_score": (q_classifier_score, SQL_CLASSIFIER_SCORE),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "decontam_bloom": (q_decontam_bloom, SQL_DECONTAM_BLOOM),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),

@@ -1,0 +1,127 @@
+"""Model-based corpus scoring at scan speed: a hashed linear quality
+classifier (fastText-shaped) and a bigram language-model scorer — the two
+scoring passes a training-data pipeline runs to rank/filter documents
+before sampling.
+
+Both are engine-portable by construction (md5-derived hashing and integer
+arithmetic for the deterministic weights), so they're DuckDB-oracle-checkable
+— rare for "apply a model" operators.
+
+Scale design:
+- classifier_scores: explode tokens → codegen bucket/weight lookup →
+  per-doc mean (map-side partial agg collapses the token stream; the ONE
+  shuffle carries |docs| partial sums). The "model" is a pure expression,
+  not a broadcast table — nothing to ship.
+- bigram_lm_scores: training is two partial-agg'd counts (bigram, unigram)
+  — vocabulary-sized shuffles, not corpus-sized. Scoring joins the doc
+  bigram stream (pre-aggregated to per-(doc, gram) multiplicities) against
+  the model counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 1024
+_W_MOD = 2001  # weights take values (k - 1000)/1000 ∈ [-1, 1]
+
+
+def hash_bucket(token: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Portable token→bucket hash: first 6 md5 hex chars as an integer,
+    mod n_buckets (Spark ``conv`` ≡ DuckDB ``CAST('0x…' AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(token), 1, 6), 16, 10).cast("long") % n_buckets
+
+
+def bucket_weight_milli(bucket: Column) -> Column:
+    """Deterministic pseudo-random weight NUMERATOR for a bucket id — an
+    integer in [-1000, 1000] (the weight is numerator/1000), derived from
+    md5('w:'||bucket) so both engines compute the identical fixed 'model'
+    without shipping any parameter table. Kept integer until the final
+    division so per-doc sums are EXACT (long arithmetic) — no float-sum
+    ordering divergence between engines."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 6), 16, 10)
+    return h.cast("long") % _W_MOD - F.lit(1000)
+
+
+def classifier_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hashed bag-of-words linear classifier (fastText-shaped): mean bucket
+    weight over the doc's tokens through a sigmoid. Output: (doc_id,
+    logit, score). The whole model evaluation is codegen'd column
+    arithmetic; the shuffle is |docs| exact integer partial sums."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    weighted = toks.select(
+        F.col(id_col), bucket_weight_milli(hash_bucket(F.col("tok"))).alias("wi")
+    )
+    per_doc = weighted.groupBy(id_col).agg(
+        F.sum("wi").alias("swi"), F.count("*").alias("n")
+    )
+    logit = F.col("swi").cast("double") / (F.lit(1000.0) * F.col("n"))
+    return per_doc.select(
+        F.col(id_col),
+        F.col("swi").alias("logit_milli"),  # exact integer numerator
+        F.col("n").alias("n_tokens"),
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+    )
+
+
+def doc_bigrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc adjacent bigram stream (doc_id, w1, w2): posexplode the
+    token array and pair each token with its successor via element_at —
+    all codegen, no self-join, no interpreted lambda."""
+    base = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    return (
+        base.select(F.col(id_col), F.col("t"), F.posexplode("t").alias("pos", "w1"))
+        .filter(F.col("pos") < F.size("t") - 1)
+        .select(
+            F.col(id_col),
+            F.col("w1"),
+            F.element_at(F.col("t"), F.col("pos") + 2).alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram log-likelihood under an add-k-smoothed
+    bigram LM trained on the same corpus: avg log((c2 + k) / (c1 + k·V)).
+    Low scores = improbable word sequences (gibberish/spam signal).
+    Output: (doc_id, n_bigrams, avg_logp). Docs with zero bigrams are
+    absent (no sequence to score).
+
+    The model side (bigram/unigram counts) is vocabulary-bounded; the doc
+    side pre-aggregates to per-(doc, gram) multiplicities so the join
+    output is distinct-gram-sized, not token-stream-sized."""
+    grams = doc_bigrams(docs, text_col, id_col)
+    doc_grams = grams.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m"))
+    toks = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w1")).filter(
+        F.col("w1") != ""
+    )
+    unigrams = toks.groupBy("w1").agg(F.count("*").alias("c1"))
+    bigrams = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = unigrams.count()
+    logp = F.log(
+        (F.col("c2") + F.lit(add_k)) / (F.col("c1") + F.lit(add_k * vocab))
+    )
+    scored = (
+        doc_grams.join(bigrams, ["w1", "w2"])
+        .join(unigrams, "w1")
+        .select(F.col(id_col), (logp * F.col("m")).alias("lp"), F.col("m"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        (F.sum("lp") / F.sum("m")).alias("avg_logp"),
+    )
