@@ -367,6 +367,75 @@ FROM pairs WHERE dot / (n_a * n_b) >= 0.99
 SQL_EMBEDDING_NEAR_DUPS = _sql_embedding_near_dups()
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup on corpus ∪ planted duplicates:
+    near-dup pairs → connected components → min-id canonical per cluster.
+    Iterative min-label propagation on the Spark side; the oracle computes
+    the same fixpoint as a DuckDB recursive CTE."""
+    from .operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    return semantic_dedup(corpus, threshold=0.99, dim=_EMB_DIM)
+
+
+def _sql_semantic_dedup() -> str:
+    bucket_cols = ",\n         ".join(
+        f"{_sql_srp_bucket('c.embedding', _SRP_BAND_BITS, b * _SRP_BAND_BITS)} AS bucket_{b}"
+        for b in range(_SRP_BANDS)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, bucket_{b} AS bucket FROM bucketed"
+        for b in range(_SRP_BANDS)
+    )
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+bucketed AS (
+  SELECT c.vec_id, any_value(c.embedding) AS embedding,
+         {bucket_cols}
+  FROM corpus c, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY c.vec_id),
+bands AS (
+  {band_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+sims AS (
+  SELECT cand.id_a, cand.id_b,
+         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS n_a,
+         sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS n_b
+  FROM cand JOIN bucketed a ON cand.id_a = a.vec_id
+            JOIN bucketed b ON cand.id_b = b.vec_id,
+       generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY cand.id_a, cand.id_b),
+pairs AS (
+  SELECT id_a, id_b FROM sims WHERE dot / (n_a * n_b) >= 0.99),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT cp.vec_id,
+       COALESCE(c.cluster_id, cp.vec_id) AS cluster_id,
+       COALESCE(c.cluster_id, cp.vec_id) = cp.vec_id AS is_canonical
+FROM corpus cp LEFT JOIN comp c ON c.node = cp.vec_id
+"""
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (SRP-LSH bucketed) — Spark-only rows check (recall is
     probe-dependent; no SQL oracle by design, the exact variant is the
@@ -1030,6 +1099,7 @@ EXT_QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "classifier_score": (q_classifier_score, SQL_CLASSIFIER_SCORE),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "decontam_bloom": (q_decontam_bloom, SQL_DECONTAM_BLOOM),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),

@@ -490,3 +490,41 @@ def embedding_near_dups(
         .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = N_SRP_BANDS,
+    band_bits: int = SRP_BAND_BITS,
+    dim: int = _SRP_MAX_DIM,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: embedding-cosine near-dup
+    pairs (banded SRP candidates, exact cosine verify) → connected
+    components → keep the minimum-id vector per semantic cluster.
+    Output: (id, cluster_id, is_canonical) for EVERY corpus vector
+    (singletons are their own canonical cluster).
+
+    Composition of two already-scale-shaped stages: the pair stage never
+    leaves its LSH buckets, and the clustering rounds shuffle only
+    (node, label) pairs over a near-dup graph whose components are tiny.
+    The reassembly is one left join on the corpus id — embeddings
+    themselves never move."""
+    from .cluster import connected_components
+
+    pairs = embedding_near_dups(
+        corpus, threshold, id_col, vec_col, n_bands, band_bits, dim
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    ids = corpus.select(F.col(id_col))
+    lbl = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        ids.join(comps, ids[id_col] == comps["node"], "left")
+        .select(
+            F.col(id_col),
+            lbl.alias("cluster_id"),
+            (lbl == F.col(id_col)).alias("is_canonical"),
+        )
+    )

@@ -257,3 +257,32 @@ def test_ivf_refined_recall_vs_exact(spark, emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"refined-IVF recall {recall:.2f} below floor"
+
+
+def test_semantic_dedup_planted(spark):
+    """Planted exact-duplicate vectors collapse to one canonical id per
+    cluster; untouched vectors stay canonical singletons."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join("/root/testdata/sf0.001", "embeddings.parquet"))
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    out = semantic_dedup(corpus, threshold=0.99, dim=64).cache()
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == corpus.count()
+    # each planted copy clusters with its source, source id is canonical
+    for vid in range(10):
+        assert rows[100000 + vid].cluster_id == vid
+        assert not rows[100000 + vid].is_canonical
+        assert rows[vid].cluster_id == vid and rows[vid].is_canonical
+    # canonical set = one per cluster
+    n_clusters = out.select("cluster_id").distinct().count()
+    n_canonical = out.filter("is_canonical").count()
+    assert n_clusters == n_canonical
+    out.unpersist()
