@@ -39,7 +39,7 @@ _CHECK_FIRST = [
     "decontam_fuzzy", "corpus_pipeline", "pack_sequences",
     # (b) new this round / fixed or behavior-touched this round
     "repetition_stats", "span_dedup", "decontam_bloom", "jsonl_scan",
-    "classifier_score", "lm_score", "semantic_dedup",
+    "classifier_score", "lm_score", "semantic_dedup", "domain_flags",
     "sessionize_batch", "media_stats", "approx_aggs", "asof_join",
     "weighted_mean", "masked_weighted_mean", "gridmet_pipeline",
     "cfsv2_median_pipeline", "cfsv2_ensemble_pipeline", "tpch_weighted_mean",

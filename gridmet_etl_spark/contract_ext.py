@@ -1095,7 +1095,60 @@ FROM scored GROUP BY doc_id
 """
 
 
+_BLOCKLIST = ["site0.example.com", "cdn1.net"]
+
+
+def q_domain_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain hygiene (RefinedWeb-style blocklist filter) over text
+    augmented with synthetic links (the corpus has none): per-doc domain
+    set, link count, blocklist flag. Domains sorted so the array→csv
+    rendering is canonical in both engines."""
+    from .operators.textops import domain_flags
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.com/p?x=1 and http://cdn"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".net/lib.js"),
+        ),
+    )
+    out = domain_flags(aug, _BLOCKLIST)
+    return out.select(
+        "doc_id",
+        F.array_join(F.array_sort("domains"), ",").alias("domains_csv"),
+        F.col("n_links").cast("long").alias("n_links"),
+        "blocklisted",
+    )
+
+
+SQL_DOMAIN_FLAGS = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.Example.com/p?x=1 and http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+              || '.net/lib.js' AS t
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(t, 'https?://([^/\s:?#]+)', 1),
+                        x -> lower(x)) AS doms
+  FROM aug)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(doms)), ',') AS domains_csv,
+       len(doms) AS n_links,
+       len(list_intersect(list_distinct(doms),
+           ['site0.example.com', 'cdn1.net'])) > 0 AS blocklisted
+FROM d
+"""
+
+
 EXT_QUERIES = {
+    "domain_flags": (q_domain_flags, SQL_DOMAIN_FLAGS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "classifier_score": (q_classifier_score, SQL_CLASSIFIER_SCORE),
     "lm_score": (q_lm_score, SQL_LM_SCORE),

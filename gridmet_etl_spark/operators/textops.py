@@ -340,3 +340,38 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         mean_word_length(c).alias("mean_word_len"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+DOMAIN_RE = r"https?://([^/\s:?#]+)"
+
+
+def url_domains(text: Column | str) -> Column:
+    """Array of URL hostnames appearing in the text (scheme-stripped,
+    lowercased). Pure regexp_extract_all — scan-speed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(DOMAIN_RE), 1), lambda d: F.lower(d)
+    )
+
+
+def domain_flags(
+    docs: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL/domain hygiene pass (the RefinedWeb-style domain filter): per
+    doc, the distinct domains it links to, whether any is blocklisted, and
+    the link count. The blocklist rides as an array literal (real lists are
+    ~10^5 entries — still a broadcast-sized structure; beyond that, switch
+    the membership test to a broadcast semi join on the exploded domain
+    column). Row-local projection — no shuffle."""
+    c = F.col(text_col)
+    doms = F.array_distinct(url_domains(c))
+    blocked = F.array(*[F.lit(b.lower()) for b in blocklist])
+    return docs.select(
+        F.col(id_col),
+        doms.alias("domains"),
+        F.size(url_domains(c)).alias("n_links"),
+        (F.size(F.array_intersect(doms, blocked)) > 0).alias("blocklisted"),
+    )

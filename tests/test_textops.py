@@ -142,3 +142,17 @@ def test_repetition_kernel_matches_column_twin(spark, docs):
         assert a[k].n_bigrams == b[k].n_bigrams
         for col in ("top_word_frac", "top_bigram_frac", "dup_5gram_frac"):
             assert abs(a[k][col] - b[k][col]) < 1e-12, (k, col)
+
+
+def test_domain_flags_golden(spark):
+    from gridmet_etl_spark.operators.textops import domain_flags
+
+    rows = [
+        (1, "x https://Bad.com/a http://ok.org/b https://bad.com/c y"),
+        (2, "no links here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in domain_flags(df, ["bad.com"]).collect()}
+    assert sorted(got[1].domains) == ["bad.com", "ok.org"]
+    assert got[1].n_links == 3 and got[1].blocklisted
+    assert got[2].domains == [] and got[2].n_links == 0 and not got[2].blocklisted
