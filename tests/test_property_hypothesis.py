@@ -156,3 +156,59 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == expected
+
+
+_word = st.sampled_from(["a", "b", "c", "d", "xy", "zz"])
+_doc_text = st.lists(_word, min_size=1, max_size=40).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+def test_span_dedup_properties(spark, texts):
+    """Invariants on random corpora: chunk accounting adds up, total kept
+    chunks == distinct chunk contents corpus-wide, and a corpus with no
+    repeated spans is untouched."""
+    import hashlib
+
+    from gridmet_etl_spark.operators.dedup import span_dedup
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    span = 5
+    out = span_dedup(df, span_tokens=span).collect()
+    got = {r.doc_id: r for r in out}
+    all_chunks = []
+    for doc_id, text in rows:
+        toks = text.lower().split(" ")
+        chunks = [
+            " ".join(toks[i : i + span]) for i in range(0, len(toks), span)
+        ]
+        r = got[doc_id]
+        assert r.n_chunks == len(chunks)
+        assert r.n_kept + r.n_dup_chunks == r.n_chunks
+        all_chunks.extend(chunks)
+    assert sum(r.n_kept for r in out) == len(set(all_chunks))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc_text, min_size=1, max_size=6))
+def test_repetition_stats_matches_python(spark, texts):
+    """Arrow kernel vs a direct python model on random word salads."""
+    from collections import Counter
+
+    from gridmet_etl_spark.operators.textops import repetition_stats
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        bigs = list(zip(toks, toks[1:]))
+        g5 = list(zip(toks, toks[1:], toks[2:], toks[3:], toks[4:]))
+        r = got[doc_id]
+        assert r.n_bigrams == len(bigs)
+        assert abs(r.top_word_frac - max(Counter(toks).values()) / len(toks)) < 1e-12
+        if bigs:
+            assert abs(r.top_bigram_frac - max(Counter(bigs).values()) / len(bigs)) < 1e-12
+        if g5:
+            assert abs(r.dup_5gram_frac - (len(g5) - len(set(g5))) / len(g5)) < 1e-12
