@@ -115,10 +115,27 @@ def _cosine_topk_np_400k(spark):
     return cosine_topk_np(big, queries, k=10)
 
 
+def _span_dedup_stress(spark):
+    """Span-dedup over the sf documents replicated ×20 with remapped ids
+    (~100k docs at sf0.1; every replica's spans are dups of the original's)
+    — stresses the first-occurrence window on the digest relation and the
+    id-keyed reassembly join at 20× the base corpus."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    big = docs.crossJoin(spark.range(20).withColumnRenamed("id", "rep")).select(
+        (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text"
+    )
+    return span_dedup(big)
+
+
 EXTRA_BENCH = {
     "cfsv2_scale_stress_8.6M": _cfsv2_scale_stress,
     "minhash_lsh_fast": _minhash_fast,
     "cosine_topk_np_400k": _cosine_topk_np_400k,
+    "span_dedup_100k_docs": _span_dedup_stress,
 }
 
 
