@@ -1147,7 +1147,181 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality-filter rule sets (Gopher / C4) + TF-IDF + count-min sketch
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = "['the','be','to','of','and','that','have','with']"
+
+
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import gopher_flags
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = gopher_flags(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", R).alias("mean_word_len"),
+        F.round("symbol_ratio", R).alias("symbol_ratio"),
+        F.round("alpha_frac", R).alias("alpha_frac"),
+        "stop_hits",
+        "word_count_ok",
+        "word_len_ok",
+        "stop_ok",
+        "gopher_pass",
+    )
+
+
+SQL_GOPHER_FILTERS = rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+         len(list_filter(regexp_extract_all(text, '\S+'),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                         w -> list_contains({_GOPHER_STOPS}, w))) AS stop_hits
+  FROM documents),
+derived AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS mwl,
+         CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / n_words ELSE 0.0 END AS sym,
+         CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS alpha,
+         stop_hits
+  FROM base)
+SELECT doc_id, n_words,
+       ROUND(mwl, {R}) AS mean_word_len,
+       ROUND(sym, {R}) AS symbol_ratio,
+       ROUND(alpha, {R}) AS alpha_frac,
+       stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+       (mwl >= 3 AND mwl <= 10) AS word_len_ok,
+       (stop_hits >= 2) AS stop_ok,
+       (n_words >= 50 AND n_words <= 100000 AND mwl >= 3 AND mwl <= 10
+        AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 2) AS gopher_pass
+FROM derived
+"""
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .contract import FIXDIR
+    from .operators.quality import c4_clean
+
+    pages = spark.read.parquet(os.path.join(FIXDIR, "webpages.parquet"))
+    out = c4_clean(pages)
+    return out.select(
+        "page_id",
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+        "has_lorem",
+        "has_brace",
+        "c4_keep",
+        F.md5("clean_body").alias("clean_fp"),
+    )
+
+
+def _sql_c4_filters() -> str:
+    from .contract import FIXDIR
+
+    return rf"""
+WITH base AS (
+  SELECT page_id, text, string_split(text, chr(10)) AS lines
+  FROM read_parquet('{os.path.join(FIXDIR, "webpages.parquet")}')),
+kept AS (
+  SELECT page_id, text, lines,
+         list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+                     AND len(regexp_extract_all(l, '\S+')) >= 5) AS keep_lines
+  FROM base),
+clean AS (
+  SELECT page_id, text, len(lines) AS n_lines, len(keep_lines) AS n_lines_kept,
+         COALESCE(array_to_string(keep_lines, chr(10)), '') AS clean_body
+  FROM kept)
+SELECT page_id, n_lines, n_lines_kept,
+       len(regexp_extract_all(clean_body, '[.!?]')) AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{{') AS has_brace,
+       (len(regexp_extract_all(clean_body, '[.!?]')) >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')) AS c4_keep,
+       md5(clean_body) AS clean_fp
+FROM clean
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import tfidf_topk
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return tfidf_topk(docs, k=5)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         ROUND(tf.tf * (ln((1 + n.n_docs) / (1 + dfc.df)) + 1), {R}) AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import cms_build, cms_estimate
+    from .operators.textops import vocab_topk
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    sketch = cms_build(docs)
+    top = vocab_topk(docs, k=20)
+    return cms_estimate(top, sketch).select("token", "n", "est")
+
+
+def _sql_cms_bucket(row_expr: str, token_expr: str) -> str:
+    """DuckDB twin of sketch.cms_bucket: md5-prefix bucket, width 256."""
+    return (
+        f"CAST('0x' || substr(md5('r' || {row_expr} || ':' || {token_expr}), 1, 6)"
+        f" AS BIGINT) % 256"
+    )
+
+
+SQL_CMS_COUNTS = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (
+  SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token),
+top AS (
+  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 20),
+cells AS (
+  SELECT r.r AS row, {_sql_cms_bucket("r.r", "counts.token")} AS bucket,
+         sum(n) AS cnt
+  FROM counts CROSS JOIN (VALUES (0),(1),(2),(3)) r(r)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT top.token, top.n, cells.cnt
+  FROM top CROSS JOIN (VALUES (0),(1),(2),(3)) r(r)
+  JOIN cells ON cells.row = r.r
+            AND cells.bucket = {_sql_cms_bucket("r.r", "top.token")})
+SELECT token, n, CAST(min(cnt) AS BIGINT) AS est
+FROM probes GROUP BY token, n
+"""
+
+
 EXT_QUERIES = {
+    "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),
+    "c4_filters": (q_c4_filters, _sql_c4_filters()),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     "domain_flags": (q_domain_flags, SQL_DOMAIN_FLAGS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "classifier_score": (q_classifier_score, SQL_CLASSIFIER_SCORE),

@@ -288,10 +288,58 @@ def make_documents(n: int = 120) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+WEB_SENTENCE_VOCAB = DOC_VOCAB + ["the", "and", "with", "that", "of", "to"]
+WEB_NAV_WORDS = ["home", "about", "contact", "login", "search"]
+
+
+def make_webpages(n: int = 150) -> pd.DataFrame:
+    """Deterministic multi-line web-page-ish documents (seed-42) for the
+    C4/Gopher line-level cleaning rules: a mix of proper sentences (terminal
+    punctuation, >=5 words), short nav-menu lines, bullet lines, ellipsis
+    truncations, and a few pages poisoned with ``lorem ipsum`` or ``{`` so
+    the page-drop rules fire. Single-space tokenization throughout so Spark
+    and DuckDB word splits agree exactly."""
+    rng = np.random.default_rng(SEED)
+    rows = []
+    for i in range(n):
+        n_lines = int(rng.integers(3, 12))
+        lines = []
+        for _ in range(n_lines):
+            kind = rng.choice(
+                ["sentence", "short", "nav", "bullet", "ellipsis"],
+                p=[0.55, 0.1, 0.1, 0.15, 0.1],
+            )
+            if kind == "sentence":
+                n_tok = int(rng.integers(5, 15))
+                words = list(rng.choice(WEB_SENTENCE_VOCAB, n_tok))
+                end = rng.choice([".", "!", "?", '."'])
+                lines.append(" ".join(words) + end)
+            elif kind == "short":  # ends in punctuation but < 5 words
+                n_tok = int(rng.integers(1, 4))
+                lines.append(" ".join(rng.choice(WEB_SENTENCE_VOCAB, n_tok)) + ".")
+            elif kind == "nav":  # no terminal punctuation
+                n_tok = int(rng.integers(1, 5))
+                lines.append(" ".join(rng.choice(WEB_NAV_WORDS, n_tok)))
+            elif kind == "bullet":
+                n_tok = int(rng.integers(2, 8))
+                lines.append("- " + " ".join(rng.choice(WEB_SENTENCE_VOCAB, n_tok)))
+            else:  # ellipsis truncation
+                n_tok = int(rng.integers(3, 9))
+                lines.append(" ".join(rng.choice(WEB_SENTENCE_VOCAB, n_tok)) + "...")
+        text = "\n".join(lines)
+        if i % 17 == 0:
+            text += "\nthis page contains lorem ipsum placeholder text."
+        if i % 23 == 0:
+            text += '\nfunction f() { return 1; }'
+        rows.append({"page_id": i, "url": f"https://example{i % 7}.test/p/{i}", "text": text})
+    return pd.DataFrame(rows)
+
+
 def generate(outdir: str) -> None:
     os.makedirs(outdir, exist_ok=True)
     elev = make_elevation()
     tables = {
+        "webpages": make_webpages(),
         "media": make_media(),
         "grid": make_grid(),
         "grid_ens": make_grid_ens(),

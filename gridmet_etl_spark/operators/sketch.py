@@ -1,0 +1,83 @@
+"""Count-min sketch over token frequencies — fixed-size mergeable summary.
+
+The sketch is a d x w matrix of counters; each of d hash rows maps a token
+to one of w buckets and the estimate is min over rows of the bucket sum
+(Cormode & Muthukrishnan 2005). Overestimates only, never under.
+
+Built distributively: explode tokens -> per-(row,bucket) partial-agg sums.
+The shuffle carries at most d*w rows per upstream partition (the map-side
+combine collapses each partition to its touched cells), so sketch
+construction is scan-dominated at any corpus size and the final sketch is
+d*w rows total — it BROADCASTS to wherever estimates are needed.
+
+Hashing is md5-prefix based (``conv(substr(md5('r<i>:'||token),1,6),16,10)
+% w``) rather than xxhash64 so a DuckDB oracle can replicate the bucket
+function bit-for-bit (same trick as operators/dedup.py minhash parity).
+Production would swap in xxhash64 (same shape, one expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(token: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Deterministic, DuckDB-replicable bucket for one sketch row."""
+    h = F.md5(F.concat(F.lit(f"r{row}:"), token))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % width
+
+
+def cms_build(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the sketch: one (row, bucket, cnt) tuple per non-empty cell.
+
+    explode tokens -> posexplode the d bucket ids per token -> groupBy
+    (row, bucket) sum. Partial aggregation bounds the shuffle at d*w rows
+    per partition regardless of corpus size.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    buckets = toks.select(
+        F.posexplode(
+            F.array(*[cms_bucket(F.col("token"), r, width) for r in range(depth)])
+        ).alias("row", "bucket")
+    )
+    return buckets.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    tokens: DataFrame,
+    sketch: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each token's frequency from a built sketch.
+
+    The sketch is <= d*w rows — broadcast it; the token side never
+    shuffles (d broadcast left joins, one per sketch row, folded with
+    ``least``). Returns the input plus an ``est`` column (min over rows of
+    the matching cell; missing cell => 0).
+    """
+    out = tokens
+    est_cols = []
+    for r in range(depth):
+        row_cells = sketch.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("cnt").alias(f"_c{r}")
+        )
+        out = out.join(
+            F.broadcast(row_cells),
+            cms_bucket(F.col(token_col), r, width) == F.col(f"_b{r}"),
+            "left",
+        )
+        est_cols.append(F.coalesce(F.col(f"_c{r}"), F.lit(0)))
+    return out.select(*tokens.columns, F.least(*est_cols).alias("est"))

@@ -324,6 +324,51 @@ def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFra
     return counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
 
 
+def tfidf_topk(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tf = in-document count; df = number of documents containing the term;
+    idf = ln((1+N)/(1+df)) + 1 (sklearn's smooth idf). Rank per doc on
+    (round(tfidf,6) desc, term asc) so float-sum ordering can't flip ranks
+    across engines.
+
+    Scale: explode → partial-agg (doc, term) counts (shuffle carries the
+    per-doc distinct terms, not raw tokens); df is a vocabulary-sized
+    aggregate reused via a shuffle join on term — at web scale both sides
+    of that join are vocabulary-keyed, orders of magnitude below corpus
+    size, and AQE picks broadcast when df fits. The final top-k window
+    partitions by doc_id — perfectly parallel, no global sort.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + 1),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table: adds
     n_tokens, n_tokens_bpe, lang_pred, quality, punct_ratio, stop_ratio,
