@@ -125,8 +125,14 @@ def _span_dedup_stress(spark):
     from gridmet_etl_spark.operators.dedup import span_dedup
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    big = docs.crossJoin(spark.range(20).withColumnRenamed("id", "rep")).select(
-        (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text"
+    # range on the STREAMED side so the replicated corpus inherits its
+    # parallelism — docs.crossJoin(range) keeps the single-file scan's one
+    # partition and serializes the whole digest pass onto one core.
+    big = (
+        spark.range(0, 20, 1, 20)
+        .withColumnRenamed("id", "rep")
+        .crossJoin(F.broadcast(docs))
+        .select((F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text")
     )
     return span_dedup(big)
 

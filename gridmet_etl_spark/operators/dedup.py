@@ -379,11 +379,27 @@ def span_dedup(
         return F.concat_ws(" ", F.slice(toks, i * span_tokens + 1, span_tokens))
 
     base = docs.select(F.col(id_col), normalized.alias("_t"))
+    # explode chunk indices THEN md5 as a plain projection: the digest stays
+    # inside whole-stage codegen (an md5 inside transform() is interpreted
+    # per element — benched ~20% slower at 100k docs; same lesson as the
+    # minhash explode-vs-HOF note in _minhash_wide).
     meta = base.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), last_idx), lambda i: F.md5(chunk_at(i)))
-        ).alias("chunk_idx", "h"),
+        F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
+        F.col("_t"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.split(F.col("_t"), " "),
+                    F.col("chunk_idx") * span_tokens + 1,
+                    span_tokens,
+                ),
+            )
+        ).alias("h"),
     )
     w = Window.partitionBy("h").orderBy(F.col(id_col), F.col("chunk_idx"))
     keep = (
