@@ -38,7 +38,7 @@ _CHECK_FIRST = [
     "clean_text", "vocab_topk", "pii_flags", "decontam_exact",
     "decontam_fuzzy", "corpus_pipeline", "pack_sequences",
     # (b) new this round / fixed or behavior-touched this round
-    "gopher_filters", "c4_filters", "tfidf_topk", "cms_counts",
+    "gopher_filters", "c4_filters", "tfidf_topk", "cms_counts", "rp_project",
     "repetition_stats", "span_dedup", "decontam_bloom", "jsonl_scan",
     "classifier_score", "lm_score", "semantic_dedup", "domain_flags",
     "sessionize_batch", "media_stats", "approx_aggs", "asof_join",

@@ -1317,7 +1317,34 @@ FROM probes GROUP BY token, n
 """
 
 
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import RP_OUT_DIM, rp_project
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    out = rp_project(emb)
+    return out.select(
+        "vec_id", *[F.round(f"rp{j}", R).alias(f"rp{j}") for j in range(RP_OUT_DIM)]
+    )
+
+
+def _sql_rp_project() -> str:
+    from .operators.similarity import RP_OUT_DIM, _rp_sign_py
+
+    comps = []
+    for j in range(RP_OUT_DIM):
+        # fold the identical ±1 sign literals into a CASE-free inline array
+        signs = ",".join(str(_rp_sign_py(j, d)) for d in range(64))
+        comps.append(
+            f"ROUND(list_sum(list_transform(generate_series(1, len(embedding)),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]))"
+            f" / sqrt({RP_OUT_DIM}), {R}) AS rp{j}"
+        )
+    cols = ",\n       ".join(comps)
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
 EXT_QUERIES = {
+    "rp_project": (q_rp_project, _sql_rp_project()),
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),
     "c4_filters": (q_c4_filters, _sql_c4_filters()),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),

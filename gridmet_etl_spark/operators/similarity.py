@@ -267,6 +267,56 @@ def srp_bucket(
     return out.cast("int")
 
 
+RP_OUT_DIM = 8
+
+
+def _rp_sign_py(out_idx: int, dim_idx: int) -> float:
+    """Deterministic Rademacher ±1 component (Achlioptas 2003 sparse-JL
+    family, density 1): md5 parity, reproducible in any engine — the DuckDB
+    oracle evaluates the identical formula in SQL."""
+    import hashlib
+
+    h = hashlib.md5(f"rp{out_idx}:{dim_idx}".encode()).hexdigest()
+    return 1.0 if int(h[:6], 16) % 2 == 0 else -1.0
+
+
+def rp_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = RP_OUT_DIM,
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: embed ``vec_col`` (dim d)
+    into ``out_dim`` components, out_j = Σ_d v[d]·s[j,d] / sqrt(out_dim)
+    with deterministic ±1 signs. Distances are preserved in expectation
+    (JL lemma), so the reduced vectors feed cheap pre-filters in front of
+    exact reranking.
+
+    Scale: the sign matrix folds into out_dim × dim plan literals — the
+    whole transform is row-local multiply-add, computable at WRITE time for
+    a 100 TB corpus (no shuffle, pipelines into the scan like srp_bucket).
+    Adds columns rp0..rp{out_dim-1}; the fold is a sequential left-to-right
+    sum so the float result is reproducible across engines.
+    """
+    inv_sqrt = 1.0 / (out_dim**0.5)
+    vec = F.col(vec_col)
+    cols = list(df.columns)
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(_rp_sign_py(j, d)) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.slice(signs, 1, F.least(F.size(vec), F.lit(dim))),
+                lambda x, s: F.coalesce(x.cast("double"), F.lit(0.0))
+                * F.coalesce(s, F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append((proj * F.lit(inv_sqrt)).alias(f"rp{j}"))
+    return df.select(*cols)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -286,3 +286,33 @@ def test_semantic_dedup_planted(spark):
     n_canonical = out.filter("is_canonical").count()
     assert n_clusters == n_canonical
     out.unpersist()
+
+
+def test_rp_project_jl_property(spark, emb, emb_np):
+    import numpy as np
+
+    from gridmet_etl_spark.operators.similarity import RP_OUT_DIM, rp_project
+
+    out = rp_project(emb).orderBy("vec_id").collect()
+    ids, X = emb_np  # (vec_id array, matrix) module fixture
+    order = np.argsort(ids)
+    X = X[order]
+    R = np.array([[r[f"rp{j}"] for j in range(RP_OUT_DIM)] for r in out])
+    assert R.shape == (len(X), RP_OUT_DIM)
+    # JL unbiasedness: E||Rx||^2 = ||x||^2 — with ±1/sqrt(k) signs the
+    # squared-distance ratio is 1 in expectation; at k=8 individual pairs
+    # are ~50% noisy but the MEAN over 300 pairs must sit near 1.
+    rng = np.random.default_rng(42)
+    pairs = rng.integers(0, len(X), size=(300, 2))
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    d_orig = np.array([np.sum((X[a] - X[b]) ** 2) for a, b in pairs])
+    d_proj = np.array([np.sum((R[a] - R[b]) ** 2) for a, b in pairs])
+    ratio = np.mean(d_proj / d_orig)
+    assert 0.8 < ratio < 1.2
+    # and distances still carry signal (positively correlated)
+    corr = np.corrcoef(d_orig, d_proj)[0, 1]
+    assert corr > 0.1
+
+    # determinism: same input -> bit-identical output
+    again = rp_project(emb).orderBy("vec_id").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
