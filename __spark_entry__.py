@@ -30,6 +30,9 @@ _MERGED = {**DOMAIN_QUERIES, **EXT_QUERIES}
 # round-1-green, untouched TPC-H family, so across rounds every distinct
 # capability has a driver-green row on record.
 _CHECK_FIRST = [
+    # (0) new this round, never driver-checked
+    "bm25_topk", "pmi_bigrams", "chunk_windows", "weighted_sample",
+    "curriculum_order", "climatology_anomaly", "gap_fill",
     # (a) ext queries unchecked in round 1
     "minhash_lsh", "simhash", "simhash_near_dups", "cosine_topk",
     "cosine_topk_np", "embedding_near_dups", "cosine_topk_lsh", "ivf_topk",

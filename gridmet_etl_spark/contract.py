@@ -1464,7 +1464,73 @@ GROUP BY lang
 """
 
 
+def q_climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import climatology_anomaly
+
+    out = climatology_anomaly(_grid(spark), keys=("var", "ens", "i", "j"))
+    return out.select(
+        "var", "ens", "time", "i", "j", "value",
+        F.round("clim", R).alias("clim"),
+        # + 0.0 normalizes IEEE -0.0 (tiny negative anomalies round to it)
+        (F.round("anomaly", R) + F.lit(0.0)).alias("anomaly"),
+    )
+
+
+SQL_CLIMATOLOGY_ANOMALY = f"""
+SELECT var, ens, time, i, j, value,
+       ROUND(avg(value) OVER w, {R}) AS clim,
+       ROUND(value - avg(value) OVER w, {R}) + 0.0 AS anomaly
+FROM '{FX["grid"]}'
+WINDOW w AS (PARTITION BY var, ens, i, j)
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import gap_fill_linear
+
+    out = gap_fill_linear(
+        _grid(spark), key_cols=("var", "ens", "i", "j"),
+        ts_col="time", value_col="value",
+    )
+    return out.select(
+        "var", "ens", "i", "j", "t_us", "value", "was_null",
+        F.round("filled", R).alias("filled"),
+    )
+
+
+SQL_GAP_FILL = f"""
+WITH b AS (
+  SELECT var, ens, i, j, epoch_us(CAST(time AS TIMESTAMP)) AS t_us, value
+  FROM '{FX["grid"]}'),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN value IS NOT NULL THEN t_us END IGNORE NULLS)
+      OVER wp AS pt,
+    last_value(value IGNORE NULLS) OVER wp AS pv,
+    first_value(CASE WHEN value IS NOT NULL THEN t_us END IGNORE NULLS)
+      OVER wn AS nt,
+    first_value(value IGNORE NULLS) OVER wn AS nv
+  FROM b
+  WINDOW
+    wp AS (PARTITION BY var, ens, i, j ORDER BY t_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    wn AS (PARTITION BY var, ens, i, j ORDER BY t_us
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT var, ens, i, j, t_us, value, value IS NULL AS was_null,
+       ROUND(COALESCE(
+         value,
+         CASE WHEN nt = pt THEN pv
+              ELSE pv + (nv - pv)
+                   * (CAST(t_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+         END,
+         pv, nv), {R}) AS filled
+FROM w
+"""
+
+
 DOMAIN_QUERIES = {
+    "climatology_anomaly": (q_climatology_anomaly, SQL_CLIMATOLOGY_ANOMALY),
+    "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "weighted_mean": (q_weighted_mean, SQL_WEIGHTED_MEAN),
     "masked_weighted_mean": (q_masked_weighted_mean, SQL_MASKED_WEIGHTED_MEAN),

@@ -1343,7 +1343,143 @@ def _sql_rp_project() -> str:
     return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
 
 
+BM25_QUERY_TERMS = ["spark", "table", "hash", "merge", "window"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return bm25_topk(docs, BM25_QUERY_TERMS, k=20)
+
+
+def _sql_bm25_topk() -> str:
+    from .operators.retrieval import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in sorted(BM25_QUERY_TERMS))
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dls AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dls),
+tf AS (
+  SELECT b.doc_id, u.term, count(*) AS tf
+  FROM base b, unnest(b.toks) AS u(term)
+  WHERE u.term IN ({terms})
+  GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, dls.dl,
+         ln(1 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+           * CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0}
+           / (CAST(tf.tf AS DOUBLE)
+              + {BM25_K1} * (1.0 - {BM25_B}
+                 + {BM25_B} * dls.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))) AS s
+  FROM tf JOIN dfc USING (term) JOIN dls USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, CAST(dl AS INTEGER) AS dl, count(*) AS n_matched,
+       ROUND(sum(s), {R}) AS score
+FROM scored GROUP BY doc_id, dl
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import pmi_bigrams
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return pmi_bigrams(docs, min_count=5, k=20)
+
+
+SQL_PMI_BIGRAMS = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT term, count(*) AS c
+  FROM toks, unnest(t) AS u(term) WHERE term <> '' GROUP BY 1),
+n1s AS (SELECT sum(c) AS n1 FROM uni),
+big AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram, count(*) AS c_xy
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  GROUP BY 1 HAVING count(*) >= 5),
+n2s AS (SELECT sum(greatest(len(t) - 1, 0)) AS n2 FROM toks)
+SELECT b.bigram, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+       ROUND(ln((CAST(b.c_xy AS DOUBLE) / n2s.n2)
+                / ((CAST(ux.c AS DOUBLE) / n1s.n1)
+                   * (CAST(uy.c AS DOUBLE) / n1s.n1))), {R}) AS pmi
+FROM big b
+JOIN uni ux ON ux.term = split_part(b.bigram, ' ', 1)
+JOIN uni uy ON uy.term = split_part(b.bigram, ' ', 2)
+CROSS JOIN n1s CROSS JOIN n2s
+ORDER BY pmi DESC, bigram LIMIT 20
+"""
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import chunk_windows
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return chunk_windows(docs, window=32, stride=16)
+
+
+SQL_CHUNK_WINDOWS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id,
+       array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
+       CAST(len(t[start + 1 : start + 32]) AS BIGINT) AS n_tokens
+FROM toks, unnest(generate_series(0, len(t) - 1, 16)) AS g(start)
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return weighted_sample(docs, k=100)
+
+
+def _sql_weighted_sample() -> str:
+    from .operators.sampling import HASH_BUCKETS, sql_hash_bucket
+
+    bucket = sql_hash_bucket("doc_id", "wrs")
+    return f"""
+SELECT doc_id, n_chars AS weight,
+       ROUND(ln(({bucket} + 1) / {float(HASH_BUCKETS)}) / n_chars, {R}) AS wrs_key
+FROM documents
+ORDER BY wrs_key DESC, doc_id LIMIT 100
+"""
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import curriculum_order
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return curriculum_order(docs)
+
+
+def _sql_curriculum_order() -> str:
+    from .operators.sampling import CURRICULUM_THRESHOLDS, sql_hash_bucket
+
+    t1, t2, t3 = CURRICULUM_THRESHOLDS
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(floor(length(text) * 1000 / len(string_split(text, ' '))) AS BIGINT)
+           AS difficulty
+  FROM documents)
+SELECT doc_id, difficulty,
+       CASE WHEN difficulty < {t1} THEN 0
+            WHEN difficulty < {t2} THEN 1
+            WHEN difficulty < {t3} THEN 2
+            ELSE 3 END AS stage,
+       {sql_hash_bucket("doc_id", "curr")} AS order_key
+FROM d
+"""
+
+
 EXT_QUERIES = {
+    "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
+    "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
+    "curriculum_order": (q_curriculum_order, _sql_curriculum_order()),
     "rp_project": (q_rp_project, _sql_rp_project()),
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),
     "c4_filters": (q_c4_filters, _sql_c4_filters()),

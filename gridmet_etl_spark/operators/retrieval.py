@@ -1,0 +1,183 @@
+"""Corpus retrieval / collocation operators: BM25 ranked retrieval and
+PMI bigram collocations over the documents table.
+
+Both are pure ``pyspark.sql.functions`` plans (no UDFs) designed for a
+100 TB corpus scan:
+
+- ``bm25_topk`` filters the token array to the query vocabulary BEFORE the
+  explode, so the exploded relation is |docs| x |matched query terms| —
+  independent of document length. Corpus-wide statistics (N, avg doclen)
+  are a single 1-row aggregate cross-joined (broadcast) back; per-term
+  document frequencies are a |query|-row relation joined broadcast. The
+  final top-k is ``orderBy().limit()`` → TakeOrderedAndProject (per-partition
+  partial top-k, no single-partition window).
+- ``pmi_bigrams`` shuffles only vocabulary-sized count relations (partial
+  aggregation map-side); the corpus itself is scanned once and never
+  shuffled.
+
+Determinism/parity: tokenization is single-space split, scores use a fixed
+arithmetic shape (same division order in the DuckDB oracle), and ranking is
+on the rounded score with the natural key as tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens, word_ngrams
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 (Lucene idf
+    variant: ``ln(1 + (N - df + .5)/(df + .5))`` — always positive).
+
+    Output: (doc_id, dl, n_matched, score) — score rounded for
+    cross-engine rank stability, ties broken by doc_id.
+    """
+    qset = sorted(set(query_terms))
+    toks = tokens(text_col)
+    base = docs.select(F.col(id_col), F.size(toks).alias("dl"), toks.alias("_toks"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )  # 1 row -> broadcast cross join
+    tf = (
+        base.select(
+            id_col,
+            "dl",
+            # prune to query vocabulary BEFORE exploding: output is bounded by
+            # matches, not document length
+            F.explode(F.filter(F.col("_toks"), lambda t: t.isin(*qset))).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))  # |query| rows
+    joined = tf.join(F.broadcast(dfc), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfc = F.col("tf").cast("double")
+    norm = tfc + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl
+    )
+    contrib = idf * tfc * F.lit(BM25_K1 + 1.0) / norm
+    scored = (
+        joined.groupBy(id_col, "dl")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.sum(contrib), round_digits).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Posting-list inverted index: per term, document frequency, total term
+    frequency, and the doc_id-ordered posting list rendered as
+    ``"doc:tf,doc:tf,..."``.
+
+    One explode + two partial-aggregated shuffles; the second is
+    vocabulary-sized. Posting-list skew is real (stop-words at corpus scale
+    have |docs|-length lists): pair with a ``min_df``/stop-list or shard hot
+    terms downstream — the groupBy itself is AQE-skew-splittable because the
+    list render is associative-free only at the final agg.
+    """
+    toks = tokens(text_col)
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    posting = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("tf")))),
+            lambda x: F.concat_ws(":", x[id_col].cast("string"), x["tf"].cast("string")),
+        ),
+        ",",
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            posting.alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    ``pmi = ln((c_xy / N2) / ((c_x / N1) * (c_y / N1)))``.
+
+    The arithmetic is staged as double divisions in a fixed order (never
+    products of raw counts, which would overflow int64 at corpus scale).
+    Output: (bigram, c_xy, c_x, c_y, pmi), ranked by rounded pmi with the
+    bigram string as tie-break.
+    """
+    toks = tokens(text_col)
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        docs.select(F.explode(word_ngrams(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    n1 = uni.agg(F.sum("c").alias("n1"))  # 1 row
+    n2 = (
+        docs.select(F.size(word_ngrams(toks, 2)).alias("nb"))
+        .agg(F.sum("nb").alias("n2"))
+    )  # 1 row
+    parts = bi.select(
+        "bigram",
+        "c_xy",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("x"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("y"),
+    )
+    joined = (
+        parts.join(uni.select(F.col("term").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("term").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    p_xy = F.col("c_xy").cast("double") / F.col("n2")
+    p_x = F.col("c_x").cast("double") / F.col("n1")
+    p_y = F.col("c_y").cast("double") / F.col("n1")
+    out = joined.select(
+        "bigram",
+        "c_xy",
+        "c_x",
+        "c_y",
+        F.round(F.log(p_xy / (p_x * p_y)), round_digits).alias("pmi"),
+    )
+    return out.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(k)

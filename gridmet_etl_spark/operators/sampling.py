@@ -181,3 +181,76 @@ def pack_shards(
             (F.col("_before") / budget).cast("long").alias("shard"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "wrs",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-ES): each row gets
+    key ``u^(1/w)`` with deterministic uniform ``u`` derived from md5 of the
+    id; the k largest keys are a weighted sample without replacement.
+
+    We rank on ``ln(u)/w`` (monotone in ``u^(1/w)``, avoids pow underflow
+    for large weights), rounded so both engines agree on the rank order,
+    with the id as tie-break. ``u = (bucket+1)/2^24`` ∈ (0, 1].
+
+    Scale: pure scan + TakeOrderedAndProject (per-partition partial top-k,
+    driver merges k rows) — no shuffle, no single-partition stage, stable
+    under any partitioning of a 100 TB input.
+    """
+    u = (hash_bucket(F.col(id_col), salt) + 1) / F.lit(float(HASH_BUCKETS))
+    key = F.round(F.log(u) / F.col(weight_col), round_digits)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("wrs_key"),
+        )
+        .orderBy(F.col("wrs_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# Curriculum difficulty-tier thresholds on chars-per-1000-tokens (mean word
+# length * 1000, integer-floored). Fixed constants — NOT data-dependent
+# quantiles — so stage assignment is a scan-speed predicate that never
+# re-buckets when the corpus grows.
+CURRICULUM_THRESHOLDS = (5300, 5500, 5650)
+
+
+def curriculum_order(
+    docs: DataFrame,
+    thresholds: tuple[int, ...] = CURRICULUM_THRESHOLDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "curr",
+) -> DataFrame:
+    """Curriculum ordering for training: assign each document a difficulty
+    stage (easy → hard tiers of mean word length, a classic text-difficulty
+    proxy) and a deterministic within-stage shuffle key. Sorting the corpus
+    by (stage, order_key) on write yields a curriculum schedule with
+    shuffled stages.
+
+    Difficulty = floor(n_chars * 1000 / n_tokens) in exact integer
+    arithmetic (cross-engine safe — no float rounding at bucket edges).
+    Pure projection: no shuffle, no window; the actual ordering is a
+    sort-on-write concern downstream.
+    """
+    from .textops import tokens
+
+    ntok = F.size(tokens(text_col))
+    diff = F.floor(F.length(F.col(text_col)).cast("long") * 1000 / ntok).cast("long")
+    stage = F.lit(len(thresholds))
+    for i, t in enumerate(reversed(thresholds)):
+        stage = F.when(diff < t, F.lit(len(thresholds) - 1 - i)).otherwise(stage)
+    return docs.select(
+        F.col(id_col),
+        diff.alias("difficulty"),
+        stage.cast("int").alias("stage"),
+        hash_bucket(F.col(id_col), salt).alias("order_key"),
+    )

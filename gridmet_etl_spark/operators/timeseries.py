@@ -1,0 +1,115 @@
+"""Time-series operators over the long-form grid / events tables:
+climatological anomalies and gap-filling by linear interpolation.
+
+Both echo reference semantics (rmcd-mscb/gridmet-etl fills missing feature
+days from donor cells — gridmet_etl/etl.py missingness handling — and its
+downstream consumers work in anomaly space) but are expressed as Spark
+window plans:
+
+- ``climatology_anomaly``: one shuffle on the climatology key (cell), then
+  a window average — no self-join, no second scan. At 100 TB the partition
+  count is |cells| (millions of small groups), the shape AQE coalesces
+  well.
+- ``gap_fill_linear``: per-key ordered window; prev/next non-null
+  neighbors come from ONE struct carried by last/first(ignorenulls) so
+  value and timestamp always originate from the same row (the asof-join
+  composite-row lesson). Both frames share the partition ordering → a
+  single sort, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def climatology_anomaly(
+    grid: DataFrame,
+    keys: Sequence[str] = ("var", "i", "j"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-cell climatology (mean over the time dimension) and the anomaly
+    of each observation against it. Output adds ``clim`` and ``anomaly``
+    columns; rounding is the contract edge's concern."""
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    clim = F.avg(value_col).over(w)
+    return grid.select(
+        *grid.columns,
+        clim.alias("clim"),
+        (F.col(value_col) - clim).alias("anomaly"),
+    )
+
+
+def resample_time(
+    df: DataFrame,
+    freq: str = "week",
+    keys: Sequence[str] = ("var", "ens", "i", "j"),
+    ts_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Downsample a long-form series to ``freq`` buckets (``date_trunc``
+    units: week/month/quarter/...) with count/mean/min/max per bucket.
+
+    One partially-aggregated shuffle on (keys, bucket) — output-sized, like
+    the core weighted aggregation; NULL observations count toward ``n_obs``
+    via a separate count so gap density is visible per bucket."""
+    bucket = F.date_trunc(freq, F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col)
+    return (
+        df.groupBy(*[F.col(k) for k in keys], bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(v).alias("n_obs"),
+            F.avg(v).alias("vmean"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+        )
+    )
+
+
+def _guarded(ts_us: Column, v: Column) -> Column:
+    """NULL unless the value is present; ties (t, v) into one struct so the
+    ignorenulls scan can never mix fields from different rows."""
+    return F.when(v.isNotNull(), F.struct(ts_us.alias("t"), v.alias("v")))
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fill NULL values per key by linear interpolation between the nearest
+    preceding and following non-null observations (forward/backward fill at
+    the series edges). Time arithmetic is in microseconds.
+
+    Output adds ``t_us`` (epoch micros), ``was_null`` and ``filled``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col)
+    base = df.withColumn("t_us", t).withColumn("_g", _guarded(F.col("t_us"), v))
+    w = Window.partitionBy(*keys).orderBy("t_us", *order_cols)
+    prev = F.last("_g", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.first("_g", ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    frac = (F.col("t_us") - prev["t"]).cast("double") / (
+        (nxt["t"] - prev["t"]).cast("double")
+    )
+    # equal-timestamp neighbors would divide by zero (engine-dependent):
+    # degenerate to the preceding value
+    interp = F.when(nxt["t"] == prev["t"], prev["v"]).otherwise(
+        prev["v"] + (nxt["v"] - prev["v"]) * frac
+    )
+    filled = F.coalesce(v, interp, prev["v"], nxt["v"])
+    return (
+        base.withColumn("was_null", v.isNull())
+        .withColumn("filled", filled)
+        .drop("_g")
+    )
