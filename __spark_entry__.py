@@ -33,6 +33,7 @@ _CHECK_FIRST = [
     # (0) new this round, never driver-checked
     "bm25_topk", "pmi_bigrams", "chunk_windows", "weighted_sample",
     "curriculum_order", "climatology_anomaly", "gap_fill",
+    "inverted_index", "pagerank", "resample_weekly",
     # (a) ext queries unchecked in round 1
     "minhash_lsh", "simhash", "simhash_near_dups", "cosine_topk",
     "cosine_topk_np", "embedding_near_dups", "cosine_topk_lsh", "ivf_topk",

@@ -1528,8 +1528,33 @@ FROM w
 """
 
 
+def q_resample_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import resample_time
+
+    out = resample_time(_grid(spark), freq="week")
+    return out.select(
+        "var", "ens", "i", "j",
+        F.col("bucket").cast("date").alias("bucket"),
+        "n_rows", "n_obs",
+        F.round("vmean", R).alias("vmean"),
+        "vmin", "vmax",
+    )
+
+
+SQL_RESAMPLE_WEEKLY = f"""
+SELECT var, ens, i, j,
+       CAST(date_trunc('week', CAST(time AS TIMESTAMP)) AS DATE) AS bucket,
+       count(*) AS n_rows, count(value) AS n_obs,
+       ROUND(avg(value), {R}) AS vmean,
+       min(value) AS vmin, max(value) AS vmax
+FROM '{FX["grid"]}'
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 DOMAIN_QUERIES = {
     "climatology_anomaly": (q_climatology_anomaly, SQL_CLIMATOLOGY_ANOMALY),
+    "resample_weekly": (q_resample_weekly, SQL_RESAMPLE_WEEKLY),
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "weighted_mean": (q_weighted_mean, SQL_WEIGHTED_MEAN),

@@ -1474,7 +1474,96 @@ FROM d
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import inverted_index
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return inverted_index(docs, min_df=5)
+
+
+SQL_INVERTED_INDEX = """
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY 1, 2)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term HAVING count(*) >= 5
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over a synthetic deterministic link layer on the
+    webpages fixture (its text carries no URLs, so the query appends two
+    arithmetic out-links per page — same trick as domain_flags)."""
+    from .contract import FIXDIR
+    from .operators.graph import link_graph, pagerank
+
+    pages = spark.read.parquet(os.path.join(FIXDIR, "webpages.parquet"))
+    aug = pages.select(
+        "page_id",
+        "url",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://example"),
+            ((F.col("page_id") * 7 + 1) % 50).cast("string"),
+            F.lit(".test/a and https://example"),
+            ((F.col("page_id") * 13 + 2) % 50).cast("string"),
+            F.lit(".test/b"),
+        ).alias("text"),
+    )
+    ranks = pagerank(link_graph(aug), damping=0.85, iters=5)
+    n = F.lit(150)  # fixed display scale (same constant in the oracle)
+    return ranks.select(
+        "node", (F.round(F.col("rank") * n * 1000, R)).alias("rank_scaled")
+    ).orderBy("node")
+
+
+def _sql_pagerank(iters: int = 5, d: float = 0.85) -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "webpages.parquet")
+    ctes = [
+        rf"""aug AS (
+  SELECT page_id,
+         lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS src,
+         text || ' see https://example' || CAST((page_id * 7 + 1) % 50 AS VARCHAR)
+              || '.test/a and https://example' || CAST((page_id * 13 + 2) % 50 AS VARCHAR)
+              || '.test/b' AS t
+  FROM read_parquet('{path}'))""",
+        r"""edges AS (
+  SELECT DISTINCT src, u.dst
+  FROM (SELECT src,
+               list_transform(regexp_extract_all(t, 'https?://([^/\s:?#]+)', 1),
+                              x -> lower(x)) AS dsts
+        FROM aug) a, unnest(list_distinct(a.dsts)) AS u(dst)
+  WHERE u.dst <> a.src AND a.src <> '')""",
+        """nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        """deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)""",
+        """ew AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src))""",
+        """nn AS (SELECT count(*) AS n FROM nodes)""",
+        """pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""pr{i + 1} AS (
+  SELECT n.node,
+         (1 - {d}) / nn.n + {d} * COALESCE(c.s, 0.0) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (SELECT ew.dst AS node, sum(p.rank / ew.outdeg) AS s
+             FROM pr{i} p JOIN ew ON ew.src = p.node
+             GROUP BY ew.dst) c USING (node))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(rank * 150 * 1000, {R}) AS rank_scaled"
+        + f"\nFROM pr{iters} ORDER BY node"
+    )
+
+
 EXT_QUERIES = {
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "pagerank": (q_pagerank, _sql_pagerank()),
     "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
