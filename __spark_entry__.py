@@ -34,6 +34,8 @@ _CHECK_FIRST = [
     "bm25_topk", "pmi_bigrams", "chunk_windows", "weighted_sample",
     "curriculum_order", "climatology_anomaly", "gap_fill",
     "inverted_index", "pagerank", "resample_weekly",
+    "zscore_grid", "winsorize_grid", "histogram_docs", "profile_lineitem",
+    "upsert_orders",
     # (a) ext queries unchecked in round 1
     "minhash_lsh", "simhash", "simhash_near_dups", "cosine_topk",
     "cosine_topk_np", "embedding_near_dups", "cosine_topk_lsh", "ivf_topk",

@@ -1552,9 +1552,59 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 
+def q_zscore_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.normalize import zscore_normalize
+
+    out = zscore_normalize(_grid(spark), keys=("var", "ens"))
+    return out.select(
+        "var", "ens", "time", "i", "j", "value",
+        F.round("mu", R).alias("mu"),
+        F.round("sigma", R).alias("sigma"),
+        F.round("z", R).alias("z"),
+    )
+
+
+SQL_ZSCORE_GRID = f"""
+WITH s AS (
+  SELECT var, ens, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM '{FX["grid"]}' GROUP BY 1, 2)
+SELECT g.var, g.ens, g.time, g.i, g.j, g.value,
+       ROUND(s.mu, {R}) AS mu, ROUND(s.sigma, {R}) AS sigma,
+       ROUND(CASE WHEN s.sigma > 0 THEN (g.value - s.mu) / s.sigma END, {R}) AS z
+FROM '{FX["grid"]}' g JOIN s USING (var, ens)
+"""
+
+
+def q_winsorize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.normalize import winsorize_clip
+
+    out = winsorize_clip(_grid(spark), keys=("var",), p_lo=0.05, p_hi=0.95)
+    return out.select(
+        "var", "ens", "time", "i", "j", "value",
+        F.round("lo", R).alias("lo"),
+        F.round("hi", R).alias("hi"),
+        F.round("clipped", R).alias("clipped"),
+    )
+
+
+SQL_WINSORIZE_GRID = f"""
+WITH b AS (
+  SELECT var, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM '{FX["grid"]}' GROUP BY 1)
+SELECT g.var, g.ens, g.time, g.i, g.j, g.value,
+       ROUND(b.lo, {R}) AS lo, ROUND(b.hi, {R}) AS hi,
+       ROUND(CASE WHEN g.value < b.lo THEN b.lo
+                  WHEN g.value > b.hi THEN b.hi
+                  ELSE g.value END, {R}) AS clipped
+FROM '{FX["grid"]}' g JOIN b USING (var)
+"""
+
+
 DOMAIN_QUERIES = {
     "climatology_anomaly": (q_climatology_anomaly, SQL_CLIMATOLOGY_ANOMALY),
     "resample_weekly": (q_resample_weekly, SQL_RESAMPLE_WEEKLY),
+    "zscore_grid": (q_zscore_grid, SQL_ZSCORE_GRID),
+    "winsorize_grid": (q_winsorize_grid, SQL_WINSORIZE_GRID),
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "weighted_mean": (q_weighted_mean, SQL_WEIGHTED_MEAN),

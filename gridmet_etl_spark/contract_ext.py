@@ -1561,8 +1561,101 @@ def _sql_pagerank(iters: int = 5, d: float = 0.85) -> str:
     )
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 4000.0, 20
+
+
+def q_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import histogram_fixed
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return histogram_fixed(
+        docs, "n_chars", lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS, keys=("lang",)
+    )
+
+
+def _sql_histogram_docs() -> str:
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    return f"""
+SELECT lang,
+       CAST(least(greatest(floor((n_chars - {HIST_LO}) / {width}), 0),
+                  {HIST_BINS - 1}) AS INTEGER) AS bin,
+       count(*) AS n,
+       {HIST_LO} + CAST(least(greatest(floor((n_chars - {HIST_LO}) / {width}), 0),
+                  {HIST_BINS - 1}) AS INTEGER) * {width} AS bin_lo
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+PROFILE_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+PROFILE_OTHER_COLS = ["l_returnflag", "l_shipdate"]
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import data_profile
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return data_profile(li, PROFILE_NUM_COLS, PROFILE_OTHER_COLS)
+
+
+def _sql_profile_lineitem() -> str:
+    selects = []
+    for c in PROFILE_NUM_COLS:
+        selects.append(
+            f"SELECT '{c}' AS \"column\", count(*) AS n,"
+            f" count(*) - count({c}) AS n_null, count(DISTINCT {c}) AS n_distinct,"
+            f" CAST(min({c}) AS DOUBLE) AS vmin, CAST(max({c}) AS DOUBLE) AS vmax"
+            f" FROM lineitem"
+        )
+    for c in PROFILE_OTHER_COLS:
+        selects.append(
+            f"SELECT '{c}' AS \"column\", count(*) AS n,"
+            f" count(*) - count({c}) AS n_null, count(DISTINCT {c}) AS n_distinct,"
+            f" CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS vmax"
+            f" FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: every 97th order gets a price bump + status 'U' (update
+    path) and a shifted-key twin (insert path); additions avoid ROUND so the
+    doubles stay bit-identical across engines."""
+    from .operators.merge import upsert_by_key
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    mod = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    ins = mod.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
+    return upsert_by_key(orders, mod.unionByName(ins), ["o_orderkey"])
+
+
+SQL_UPSERT_ORDERS = """
+WITH m AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0),
+u AS (
+  SELECT * FROM m
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM m)
+SELECT * FROM u
+UNION ALL
+SELECT o.* FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = o.o_orderkey)
+"""
+
+
 EXT_QUERIES = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "histogram_docs": (q_histogram_docs, _sql_histogram_docs()),
+    "profile_lineitem": (q_profile_lineitem, _sql_profile_lineitem()),
+    "upsert_orders": (q_upsert_orders, SQL_UPSERT_ORDERS),
     "pagerank": (q_pagerank, _sql_pagerank()),
     "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
