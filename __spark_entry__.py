@@ -35,7 +35,7 @@ _CHECK_FIRST = [
     "curriculum_order", "climatology_anomaly", "gap_fill",
     "inverted_index", "pagerank", "resample_weekly",
     "zscore_grid", "winsorize_grid", "histogram_docs", "profile_lineitem",
-    "upsert_orders",
+    "upsert_orders", "rag_pipeline",
     # (1) round-1 red rows fixed this round + behavior-touched operators (7)
     "sessionize_batch", "media_stats", "approx_aggs", "asof_join",
     "masked_weighted_mean", "embedding_near_dups", "ivf_topk",
@@ -48,9 +48,10 @@ _CHECK_FIRST = [
     "minhash_lsh", "simhash_near_dups", "cosine_topk_np", "dedup_clusters",
     "corpus_pipeline", "pack_sequences", "shard_pack", "decontam_exact",
     "decontam_fuzzy", "split_assign", "stratified_sample", "mixture_sample",
-    "winnow_fingerprints", "clean_text", "vocab_topk",
+    "winnow_fingerprints", "clean_text",
     # ---- driver cap (50) reached; tail below is round-1-driver-green ----
-    "pii_flags", "simhash", "cosine_topk", "cosine_topk_lsh", "kmeans_assign",
+    "vocab_topk", "pii_flags", "simhash", "cosine_topk", "cosine_topk_lsh",
+    "kmeans_assign",
     "weighted_mean", "gridmet_pipeline",
     "cfsv2_median_pipeline", "cfsv2_ensemble_pipeline", "tpch_weighted_mean",
     "pivot_wide", "unpivot_long", "fill_pipeline", "qa_checks",

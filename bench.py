@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "repetition_stats",
     "span_dedup",
     "decontam_bloom",
+    "bm25_topk",
+    "inverted_index",
+    "upsert_orders",
+    "rag_pipeline",
 ]
 
 
@@ -137,8 +141,30 @@ def _span_dedup_stress(spark):
     return span_dedup(big)
 
 
+def _pagerank_1m_edges(spark):
+    """PageRank power iteration over a synthetic ~1M-edge / 100k-node graph
+    (Knuth-hash arithmetic edges, generated JVM-side across 32 partitions):
+    3 rounds of edge-sized join + partial-agg — the |edges| ≫ |nodes| regime
+    a host graph has at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.graph import pagerank
+
+    edges = (
+        spark.range(0, 1_000_000, 1, 32)
+        .select(
+            (F.col("id") % 100_000).alias("src"),
+            ((F.col("id") * 2654435761) % 100_000).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iters=3)
+
+
 EXTRA_BENCH = {
     "cfsv2_scale_stress_8.6M": _cfsv2_scale_stress,
+    "pagerank_1M_edges": _pagerank_1m_edges,
     "minhash_lsh_fast": _minhash_fast,
     "cosine_topk_np_400k": _cosine_topk_np_400k,
     "span_dedup_100k_docs": _span_dedup_stress,

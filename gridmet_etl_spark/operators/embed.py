@@ -1,0 +1,116 @@
+"""Deterministic hashed bag-of-words embeddings — the engine-portable stand-
+in for a learned encoder in the RAG indexing pipeline (plans/rag.py). A
+production deployment swaps ``hash_embed`` for an Arrow ``mapInPandas``
+model call with the SAME output schema; everything downstream (normalize,
+index, retrieve) is unchanged.
+
+Design for parity and scale:
+
+- Components are EXACT INTEGERS until the final normalization: per token
+  and dimension, ``md5(token ':' dim)`` → first 6 hex digits → int →
+  centered into [-500, 500]; a document's component is the integer sum.
+  Integer arithmetic is bit-identical across engines, so the only float ops
+  are one sqrt and one divide at the edge.
+- The plan is explode → codegen hash projection (dims columns) → one
+  partially-aggregated shuffle keyed by the doc id. No HOF lambdas (they
+  are interpreted, ~2× slower — measured in round 1), no Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens
+
+EMBED_DIMS = 8
+_MOD = 1001  # component range [-500, 500]
+
+
+def _tok_component(tok: Column, dim: int) -> Column:
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", tok, F.lit(str(dim)))), 1, 6), 16, 10)
+    return (h.cast("long") % _MOD) - F.lit((_MOD - 1) // 2)
+
+
+def hash_embed(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    text_col: str = "text",
+    dims: int = EMBED_DIMS,
+) -> DataFrame:
+    """Integer embedding components per row of ``df``: output is
+    ``(*id_cols, e0..e{dims-1}, nrm2)`` where ``e_d`` is the exact integer
+    dim-d component and ``nrm2`` its exact squared L2 norm. Rows with no
+    tokens embed to the zero vector."""
+    ids = list(id_cols)
+    tok = (
+        df.select(*ids, F.explode(tokens(text_col)).alias("_t"))
+        .where(F.col("_t") != "")
+    )
+    comps = [_tok_component(F.col("_t"), d).alias(f"e{d}") for d in range(dims)]
+    agg = (
+        tok.select(*ids, *comps)
+        .groupBy(*ids)
+        .agg(*[F.sum(f"e{d}").alias(f"e{d}") for d in range(dims)])
+    )
+    nrm2 = None
+    for d in range(dims):
+        sq = F.col(f"e{d}") * F.col(f"e{d}")
+        nrm2 = sq if nrm2 is None else nrm2 + sq
+    # left join back so token-less rows keep a (zero) embedding
+    base = df.select(*ids)
+    out = base.join(agg, ids, "left")
+    zero = [F.coalesce(F.col(f"e{d}"), F.lit(0)).alias(f"e{d}") for d in range(dims)]
+    return out.select(*ids, *zero).withColumn(
+        "nrm2", sum(F.col(f"e{d}") * F.col(f"e{d}") for d in range(dims))
+    )
+
+
+def cosine_retrieve(
+    index: DataFrame,
+    queries: DataFrame,
+    id_cols: Sequence[str],
+    k: int = 5,
+    dims: int = EMBED_DIMS,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k index rows per query by cosine over hashed embeddings. The
+    query side is broadcast (RAG query batches are small); the index scans
+    once, never shuffles — the only exchange carries k×|queries| candidate
+    rows into the final per-query window.
+
+    Dot products are exact int64 sums; cosine = dot / sqrt(q2 * c2) is the
+    single float step, rounded for stable cross-engine ranking (ties break
+    on the id columns)."""
+    ids = list(id_cols)
+    q = F.broadcast(
+        queries.select(
+            F.col("query_id"),
+            *[F.col(f"e{d}").alias(f"qe{d}") for d in range(dims)],
+            F.col("nrm2").alias("qn2"),
+        )
+    )
+    dot = None
+    for d in range(dims):
+        term = F.col(f"e{d}") * F.col(f"qe{d}")
+        dot = term if dot is None else dot + term
+    scored = (
+        index.where(F.col("nrm2") > 0)
+        .crossJoin(q.where(F.col("qn2") > 0))
+        .withColumn(
+            "score",
+            F.round(dot / F.sqrt(F.col("nrm2").cast("double") * F.col("qn2")), round_digits),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), *[F.col(c) for c in ids]
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", *ids, "score", F.col("rk").alias("rank"))
+    )
