@@ -809,11 +809,13 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_events(spark, _t(sf_dir, "events")).select("user_id", "ts", "value", "event_id")
     wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ (unix_micros rejects it); timestamp subtraction
+    # yields a day-time interval on both tz and ntz inputs, so the 30-min
+    # gap test stays timezone-independent.
     flagged = e.withColumn(
         "new_s",
         F.when(
-            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(wo)))
-            > 30 * 60 * 1_000_000,
+            (F.col("ts") - F.lag("ts", 1).over(wo)) > F.expr("INTERVAL 30 MINUTES"),
             1,
         ).otherwise(0),
     )

@@ -13,8 +13,16 @@ oracle checks; the streaming form adds only the watermarks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _us(col: str) -> Column:
+    """Epoch micros for TIMESTAMP and TIMESTAMP_NTZ alike (unix_micros
+    rejects ntz; the cast reads ntz wall time in the session zone, pinned
+    UTC in session.py, and all uses here are differences so any fixed
+    offset cancels)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def attribution_join(
@@ -42,13 +50,13 @@ def attribution_join(
             r,
             (F.col(user_col) == F.col("_ru"))
             & (F.col("r_ts") >= F.col("l_ts"))
-            & (F.unix_micros("r_ts") - F.unix_micros("l_ts") <= horizon * 1_000_000),
+            & (_us("r_ts") - _us("l_ts") <= horizon * 1_000_000),
         )
         .select(
             user_col,
             "left_id",
             "right_id",
-            ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000.0).alias("lag_seconds"),
+            ((_us("r_ts") - _us("l_ts")) / 1_000_000.0).alias("lag_seconds"),
         )
     )
 
@@ -91,6 +99,6 @@ def streaming_attribution(
             user_col,
             "left_id",
             "right_id",
-            ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000.0).alias("lag_seconds"),
+            ((_us("r_ts") - _us("l_ts")) / 1_000_000.0).alias("lag_seconds"),
         )
     )
