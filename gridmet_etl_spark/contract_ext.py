@@ -473,10 +473,13 @@ FROM grams
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned ANN through the REAL index path: lowest-id seeds →
-    3 rounds of Lloyd refinement (kmeans_refine) → probe the 4 nearest of 8
-    refined clusters. Rows-only check — the exact brute-force variant is the
-    oracle-checked baseline; test_similarity pins recall vs exact top-k."""
+    """IVF ANN through the REAL index path: lowest-id seeds → 3 rounds of
+    Lloyd refinement (kmeans_refine) → cluster-join probe. Probes ALL 8
+    clusters, which makes the result EXACTLY the brute-force top-k (cluster
+    assignment partitions the corpus), so the exact-cosine oracle checks the
+    whole index path end-to-end: assignment, probe ordering, cluster join,
+    rank. The recall of partial probing (n_probe=4) is pinned separately in
+    test_similarity against exact top-k."""
     from .operators.similarity import ivf_centroids, ivf_topk, kmeans_refine
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
@@ -484,7 +487,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_topk(emb, queries, cents, k=10, n_probe=4)
+    out = ivf_topk(emb, queries, cents, k=10, n_probe=8, rank_round=R)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", R).alias("cosine_sim"), "rank"
     )
@@ -873,14 +876,63 @@ FROM survivors s LEFT JOIN train_shards t ON s.doc_id = t.doc_id
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd-refined IVF assignment (3 rounds of spherical k-means over the
-    lowest-id seeds, then nearest-centroid labels). Rows-only check — the
-    iterative refinement has no single-statement SQL equivalent; the numpy
-    golden in test_similarity pins the values."""
+    lowest-id seeds, then nearest-centroid labels). The refinement is
+    deterministic (lowest-id seeds, lowest-cid tie-breaks, empty clusters
+    keep their centroid), so the oracle unrolls the same 3 Lloyd iterations
+    as chained CTEs; the output is integer labels, robust to float-sum
+    order. The numpy golden in test_similarity additionally pins values."""
     from .operators.similarity import ivf_assign, ivf_centroids, kmeans_refine
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     cents = kmeans_refine(emb, ivf_centroids(emb, n_centroids=8), n_iter=3)
     return ivf_assign(emb, cents).select("vec_id", "cluster")
+
+
+def _sql_kmeans_assign(n_centroids: int = 8, n_iter: int = 3, dim: int = _EMB_DIM) -> str:
+    """Unrolled Lloyd refinement as chained CTEs (deterministic — mirrors
+    kmeans_refine exactly: cosine argmax assignment with lowest-cid ties,
+    per-dim mean recompute, empty clusters keep their previous centroid)."""
+
+    def _assign(src: str, cents: str, out: str) -> str:
+        return f"""
+s_{out} AS (
+  SELECT e.vec_id, c.cid,
+         sum(CAST(e.embedding[i] AS DOUBLE) * c.c[i]) AS dot,
+         sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS nv,
+         sqrt(sum(c.c[i] * c.c[i])) AS nc
+  FROM {src} e, {cents} c, generate_series(1, {dim}) g(i)
+  GROUP BY e.vec_id, c.cid),
+{out} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot / (nv * nc) DESC, cid) AS rn
+    FROM s_{out}) WHERE rn = 1)"""
+
+    parts = [
+        f"""e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {n_centroids}))"""
+    ]
+    for it in range(n_iter):
+        parts.append(_assign("e", f"c{it}", f"a{it}"))
+        parts.append(f"""
+m{it} AS (
+  SELECT a.cid, i, avg(CAST(e.embedding[i] AS DOUBLE)) AS m
+  FROM a{it} a JOIN e USING (vec_id), generate_series(1, {dim}) g(i)
+  GROUP BY a.cid, i),
+c{it + 1} AS (
+  SELECT p.cid, coalesce(n.c, p.c) AS c
+  FROM c{it} p LEFT JOIN
+       (SELECT cid, list(m ORDER BY i) AS c FROM m{it} GROUP BY cid) n
+       USING (cid))""")
+    parts.append(_assign("e", f"c{n_iter}", "final_assign"))
+    return (
+        "WITH " + ",".join(parts)
+        + "\nSELECT vec_id, cid AS cluster FROM final_assign"
+    )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1752,8 +1804,8 @@ EXT_QUERIES = {
     "cosine_topk_np": (q_cosine_topk_np, SQL_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "cosine_topk_lsh": (q_cosine_topk_lsh, None),  # rows-only by design
-    "ivf_topk": (q_ivf_topk, None),  # rows-only by design
-    "kmeans_assign": (q_kmeans_assign, None),  # rows-only: iterative (numpy-golden tested)
+    "ivf_topk": (q_ivf_topk, SQL_COSINE_TOPK),  # exhaustive probe == exact
+    "kmeans_assign": (q_kmeans_assign, _sql_kmeans_assign()),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "split_assign": (q_split_assign, _sql_split_assign()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),

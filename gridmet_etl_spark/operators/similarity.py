@@ -442,11 +442,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    rank_round: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query searches only its n_probe nearest
     centroid clusters. With the corpus pre-partitioned by cluster, the scan
     prunes to n_probe/n_centroids of the data. Same output schema as
-    cosine_topk; recall rises with n_probe."""
+    cosine_topk; recall rises with n_probe. When ``n_probe ==
+    len(centroids)`` every cluster is probed, and because cluster
+    assignment is a partition of the corpus the result is EXACTLY the
+    brute-force top-k — the index-completeness property the contract
+    oracle checks. ``rank_round`` ranks on the rounded similarity for
+    cross-engine-reproducible tie-breaks (same knob as cosine_topk)."""
     assigned = ivf_assign(corpus, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cluster"
     )
@@ -468,7 +474,10 @@ def ivf_topk(
             query_id_col, "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    order_col = (
+        F.round("cosine_sim", rank_round) if rank_round is not None else F.col("cosine_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(order_col.desc(), F.col("neighbor_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -17,12 +17,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _us(col: str) -> Column:
-    """Epoch micros for TIMESTAMP and TIMESTAMP_NTZ alike (unix_micros
-    rejects ntz; the cast reads ntz wall time in the session zone, pinned
-    UTC in session.py, and all uses here are differences so any fixed
-    offset cancels)."""
-    return F.unix_micros(F.col(col).cast("timestamp"))
+def _lag_seconds(l_col: str, r_col: str) -> Column:
+    """Wall-clock seconds from l to r. ``timestampdiff`` operates on the
+    timestamps' own fields for TIMESTAMP and TIMESTAMP_NTZ alike — no
+    session-timezone cast, so the value is correct even under a DST
+    session zone (a cast-to-epoch difference would be off by the DST step
+    for pairs spanning a transition)."""
+    return F.expr(f"timestampdiff(MICROSECOND, {l_col}, {r_col})") / 1_000_000.0
 
 
 def attribution_join(
@@ -44,19 +45,18 @@ def attribution_join(
     r = events.filter(F.col("event_type") == right_type).select(
         F.col(user_col).alias("_ru"), F.col("event_id").alias("right_id"), F.col(ts_col).alias("r_ts")
     )
-    horizon = within_minutes * 60
     return (
         l.join(
             r,
             (F.col(user_col) == F.col("_ru"))
             & (F.col("r_ts") >= F.col("l_ts"))
-            & (_us("r_ts") - _us("l_ts") <= horizon * 1_000_000),
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
         )
         .select(
             user_col,
             "left_id",
             "right_id",
-            ((_us("r_ts") - _us("l_ts")) / 1_000_000.0).alias("lag_seconds"),
+            _lag_seconds("l_ts", "r_ts").alias("lag_seconds"),
         )
     )
 
@@ -99,6 +99,6 @@ def streaming_attribution(
             user_col,
             "left_id",
             "right_id",
-            ((_us("r_ts") - _us("l_ts")) / 1_000_000.0).alias("lag_seconds"),
+            _lag_seconds("l_ts", "r_ts").alias("lag_seconds"),
         )
     )
