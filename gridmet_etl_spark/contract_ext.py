@@ -437,14 +437,21 @@ SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
 
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (SRP-LSH bucketed) — Spark-only rows check (recall is
-    probe-dependent; no SQL oracle by design, the exact variant is the
-    oracle-checked baseline)."""
+    """SRP-LSH ANN probed over the FULL Hamming cube (n_probes = n_planes+1):
+    every bucket is reached exactly once, so the bucketed path must
+    reproduce the exact brute-force top-k — the oracle checks the whole
+    index machinery (bucketing, mask probing, bucket equi-join, rank).
+    Partial-probe recall (the production trade-off) is pinned separately
+    in test_similarity."""
+    from .operators.similarity import N_LSH_PLANES
+
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = cosine_topk_lsh(emb, queries, k=10, n_probes=2)
+    out = cosine_topk_lsh(
+        emb, queries, k=10, n_probes=N_LSH_PLANES + 1, rank_round=R
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", R).alias("cosine_sim"), "rank"
     )
@@ -1770,7 +1777,324 @@ WHERE r.rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# round 3: event-sequence analytics, graph, similarity joins, robust stats
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (earliest-completion semantics):
+    chained per-user min-ts aggs, every shuffle keyed on user_id."""
+    from .operators.funnel import funnel_conversion
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    return funnel_conversion(e, ["view", "click", "purchase"])
+
+
+SQL_FUNNEL_STEPS = """
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (cohort = first-activity week)."""
+    from .operators.funnel import retention_cohorts
+    from .sources.readers import read_events
+
+    return retention_cohorts(read_events(spark, _t(sf_dir, "events")))
+
+
+SQL_RETENTION_COHORTS = """
+WITH wk AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+first AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, w AS active_week FROM wk)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over each user's time-ordered event stream."""
+    from .operators.funnel import event_transitions
+    from .sources.readers import read_events
+
+    return event_transitions(read_events(spark, _t(sf_dir, "events")))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM ev),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n FROM pairs
+  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the synthetic deterministic link graph
+    (same link layer as pagerank), degree-oriented wedge join."""
+    from .contract import FIXDIR
+    from .operators.graph import link_graph, triangle_count
+
+    pages = spark.read.parquet(os.path.join(FIXDIR, "webpages.parquet"))
+    aug = pages.select(
+        "page_id",
+        "url",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://example"),
+            ((F.col("page_id") * 7 + 1) % 50).cast("string"),
+            F.lit(".test/a and https://example"),
+            ((F.col("page_id") * 13 + 2) % 50).cast("string"),
+            F.lit(".test/b"),
+        ).alias("text"),
+    )
+    return triangle_count(link_graph(aug))
+
+
+def _sql_triangle_count() -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "webpages.parquet")
+    return rf"""
+WITH aug AS (
+  SELECT page_id,
+         lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS src,
+         text || ' see https://example' || CAST((page_id * 7 + 1) % 50 AS VARCHAR)
+              || '.test/a and https://example' || CAST((page_id * 13 + 2) % 50 AS VARCHAR)
+              || '.test/b' AS t
+  FROM read_parquet('{path}')),
+edges AS (
+  SELECT DISTINCT src, u.dst
+  FROM (SELECT src,
+               list_transform(regexp_extract_all(t, 'https?://([^/\s:?#]+)', 1),
+                              x -> lower(x)) AS dsts
+        FROM aug) a, unnest(list_distinct(a.dsts)) AS u(dst)
+  WHERE u.dst <> a.src AND a.src <> ''),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT unnest([u, v, w]) AS node FROM tri)
+GROUP BY node
+"""
+
+
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.8 set-similarity self-join over document token
+    sets — prefix-filtered candidates (lossless), verified with array
+    arithmetic. The brute-force oracle proves zero recall loss."""
+    from .operators.simjoin import jaccard_join
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return jaccard_join(docs, threshold=0.8)
+
+
+SQL_JACCARD_JOIN = """
+WITH d AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> ''))) AS s
+  FROM documents),
+d2 AS (SELECT * FROM d WHERE len(s) > 0),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id)
+SELECT a, b, ROUND(CAST(i AS DOUBLE) / u, 6) AS jaccard
+FROM p WHERE CAST(i AS DOUBLE) / u >= 0.8
+"""
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage: part-name pairs within a brand block at
+    levenshtein ≤ 3 (early-exit threshold form on the Spark side)."""
+    from .operators.simjoin import fuzzy_join
+
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    return fuzzy_join(part, part, "p_brand", "p_name", 3, "p_partkey")
+
+
+SQL_FUZZY_JOIN = """
+SELECT a.p_brand AS block, a.p_partkey AS a_id, b.p_partkey AS b_id,
+       a.p_name AS a_name, b.p_name AS b_name,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier summary (modified z-score on MAD)."""
+    from .operators.normalize import mad_outliers
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    return mad_outliers(e, keys=("event_type",), value_col="value", k=3.5)
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+         any_value(m.med) AS med
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+SELECT e.event_type, count(e.value) AS n,
+       CAST(sum(CASE WHEN d.mad > 0 AND 0.6745 * abs(e.value - d.med) / d.mad > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(any_value(d.med), 6) AS med, ROUND(any_value(d.mad), 6) AS mad
+FROM events e JOIN mad d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count binning of order totals: 8 ntiles, (o_totalprice,
+    o_orderkey) tiebreak for deterministic membership."""
+    from .operators.normalize import ntile_bins
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return ntile_bins(orders, "o_totalprice", "o_orderkey", n_bins=8)
+
+
+SQL_NTILE_BINS = """
+SELECT bin, count(*) AS n, ROUND(min(v), 6) AS lo, ROUND(max(v), 6) AS hi
+FROM (SELECT o_totalprice AS v,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders)
+GROUP BY bin
+"""
+
+
+def q_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length gate: keep docs at percent_rank ≥ 0.75 within
+    their source (rank-based membership — reproducible across engines,
+    unlike a filter against an interpolated percentile value)."""
+    from .operators.quality import percentile_cut
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return percentile_cut(docs, keys=("source",), value_col="n_chars",
+                          id_col="doc_id", cut=0.75)
+
+
+SQL_PERCENTILE_CUT = """
+SELECT doc_id, source, n_chars, ROUND(pr, 6) AS pr
+FROM (SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents)
+WHERE pr >= 0.75
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (nats) — the
+    row-local gibberish/boilerplate signal; pure expression chain."""
+    from .operators.textops import char_entropy
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select("doc_id", F.round(char_entropy("text"), 6).alias("h"))
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id)
+SELECT c.doc_id,
+       ROUND(-sum((CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)) + 0.0, 6) AS h
+FROM cnt c JOIN tot USING (doc_id)
+GROUP BY c.doc_id
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit diff across a CDC application: upsert_orders' output (plus a
+    %101 delete) vs the base snapshot → added/removed/changed keys."""
+    from .operators.merge import snapshot_diff, upsert_by_key
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    mod = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    ins = mod.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
+    new = upsert_by_key(orders, mod.unionByName(ins), ["o_orderkey"]).where(
+        F.col("o_orderkey") % 101 != 0
+    )
+    return snapshot_diff(orders, new, ["o_orderkey"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH m AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0),
+u AS (
+  SELECT * FROM m
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM m),
+upserted AS (
+  SELECT * FROM u
+  UNION ALL
+  SELECT o.* FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = o.o_orderkey)),
+new AS (SELECT * FROM upserted WHERE o_orderkey % 101 <> 0),
+diff AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                    AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                    AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                    AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                    AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+              THEN 'changed' END AS change
+  FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, change FROM diff WHERE change IS NOT NULL
+"""
+
+
 EXT_QUERIES = {
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "triangle_count": (q_triangle_count, _sql_triangle_count()),
+    "jaccard_join": (q_jaccard_join, SQL_JACCARD_JOIN),
+    "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "ntile_bins": (q_ntile_bins, SQL_NTILE_BINS),
+    "percentile_cut": (q_percentile_cut, SQL_PERCENTILE_CUT),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "rag_pipeline": (q_rag_pipeline, _sql_rag_pipeline()),
     "histogram_docs": (q_histogram_docs, _sql_histogram_docs()),
@@ -1803,7 +2127,7 @@ EXT_QUERIES = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_topk_np": (q_cosine_topk_np, SQL_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
-    "cosine_topk_lsh": (q_cosine_topk_lsh, None),  # rows-only by design
+    "cosine_topk_lsh": (q_cosine_topk_lsh, SQL_COSINE_TOPK),  # full-cube probe == exact
     "ivf_topk": (q_ivf_topk, SQL_COSINE_TOPK),  # exhaustive probe == exact
     "kmeans_assign": (q_kmeans_assign, _sql_kmeans_assign()),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),

@@ -1,0 +1,122 @@
+"""Event-sequence analytics: funnels, retention cohorts, and transition
+matrices — the product-analytics surface over an append-only event stream
+(reference analogue: the T2 incremental events table; SURVEY §2 T2/W).
+
+Scale design (100 TB of events):
+
+- ``funnel_conversion`` is a chain of per-user min-timestamp aggregations,
+  one per funnel step: every stage shuffles on ``user_id`` only, and each
+  stage's input is the (already user-deduplicated) survivor set of the
+  previous stage, so volume is monotone non-increasing. With the events
+  table pre-bucketed by user the whole chain is shuffle-free.
+- ``retention_cohorts`` is two user-keyed aggs + one user-keyed join +
+  a (cohort, offset)-keyed count: all shuffles are user- or output-sized.
+- ``event_transitions`` is a single window (partitioned by user — no
+  global window) + a (from, to)-keyed count: the classic Markov
+  transition matrix in two map-side-combinable passes.
+
+Every function is pure DataFrame/codegen — no UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel user counts: a user completes step k iff they have a
+    step-k event STRICTLY after their earliest completion of step k-1
+    (earliest-completion semantics — the standard product-analytics
+    definition, deterministic regardless of event order).
+
+    Output: (step, step_name, n_users) — one row per funnel step.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    survivors = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    levels = [survivors]
+    for step in steps[1:]:
+        survivors = (
+            events.filter(F.col(type_col) == step)
+            .join(survivors, user_col)
+            .filter(F.col(ts_col) > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        levels.append(survivors)
+    counts = None
+    for i, (name, lvl) in enumerate(zip(steps, levels)):
+        row = lvl.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    return counts
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-activity week;
+    for each (cohort_week, week_offset ≥ 0) the number of distinct cohort
+    users active that week.
+
+    Output: (cohort_week, week_offset, n_users).
+    """
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first = events.groupBy(user_col).agg(
+        F.min(week).alias("cohort_week")
+    )
+    active = events.select(F.col(user_col), week.alias("active_week")).distinct()
+    return (
+        active.join(first, user_col)
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+            user_col,
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov transition counts: for each user's time-ordered event stream
+    (ties broken by event id for determinism), count (from_type, to_type)
+    adjacent pairs and the row-normalized transition probability.
+
+    Output: (from_type, to_type, n, p) with p = n / Σ_to n.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
+    )

@@ -89,3 +89,59 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the undirected simple graph of a
+    (src, dst) edge list (direction dropped, self-loops and duplicates
+    removed).
+
+    Uses DEGREE ORIENTATION — each undirected edge points from its lower
+    (degree, node) endpoint to the higher — so every triangle is enumerated
+    exactly once from its lowest-degree corner, and the wedge join's
+    fan-out is Σ d_out(v)² with d_out ≤ O(√m) on any graph: the bound that
+    keeps the join from exploding on skewed (power-law) host graphs, where
+    the naive canonical a<b orientation puts all wedges on the hubs. Two
+    edge-keyed shuffles (wedge build + closing-edge semi-join); nothing
+    corpus-sized.
+
+    Output: (node, n_triangles) for nodes in ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.struct("deg", "node").alias("ka"))
+    db = deg.select(F.col("node").alias("b"), F.struct("deg", "node").alias("kb"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+        )
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2"))
+    wedges = (
+        e1.join(e2, "u")
+        .where(F.col("k1") < F.col("k2"))
+        .select("u", "v1", "v2")
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"])
+    return (
+        tris.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -33,3 +33,34 @@ def upsert_by_key(
     probe = F.broadcast(upd) if broadcast_updates else upd
     survivors = base.join(probe.select(*keys), keys, "left_anti")
     return survivors.unionByName(upd)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Key-level diff of two snapshots of the same relation — the audit
+    step between CDC applications (upsert_by_key produces ``new``; this
+    reports what changed): each key is classed ``added`` / ``removed`` /
+    ``changed`` (any compare column differs, NULL-safe) — unchanged keys
+    are dropped.
+
+    One full outer join on the key: the single shuffle both relations
+    need anyway, comparisons are codegen. NULL-safe equality (``<=>``)
+    keeps NULL→value transitions visible.
+
+    Output: (keys…, change) for changed keys only.
+    """
+    keys = list(keys)
+    cmp_cols = [c for c in (compare_cols or old.columns) if c not in keys]
+    o = old.select(*keys, F.struct(*cmp_cols).alias("_o"), F.lit(1).alias("_lo"))
+    n = new.select(*keys, F.struct(*cmp_cols).alias("_n"), F.lit(1).alias("_rn"))
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_lo").isNull(), F.lit("added"))
+        .when(F.col("_rn").isNull(), F.lit("removed"))
+        .when(~F.col("_o").eqNullSafe(F.col("_n")), F.lit("changed"))
+    )
+    return joined.select(*keys, change.alias("change")).where(F.col("change").isNotNull())

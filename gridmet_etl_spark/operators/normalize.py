@@ -56,3 +56,73 @@ def winsorize_clip(
         v > F.col("hi"), F.col("hi")
     ).otherwise(v)
     return df.join(F.broadcast(bounds), keys).withColumn("clipped", clipped)
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str] = ("var",),
+    value_col: str = "value",
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier summary via the median absolute deviation:
+    a row is an outlier when ``0.6745·|v - median| / MAD > k`` (the
+    standard modified-z-score rule; 0.6745 ≈ Φ⁻¹(0.75) scales MAD to σ
+    under normality — unlike z-scores, neither statistic is dragged by the
+    outliers being hunted). Same two-pass aggregate/broadcast shape as
+    zscore_normalize, done twice (median, then MAD of residuals); the exact
+    ``percentile`` keeps a per-group value map — at 100 TB swap in
+    ``approx_percentile`` (documented knob, identical plan shape).
+
+    Output: one row per group — (keys…, n, n_outliers, med, mad),
+    med/mad rounded to 6.
+    """
+    keys = list(keys)
+    v = F.col(value_col)
+    med = df.groupBy(*keys).agg(F.percentile(v, F.lit(0.5)).alias("med"))
+    resid = df.join(F.broadcast(med), keys).withColumn("_ad", F.abs(v - F.col("med")))
+    mad = resid.groupBy(*keys).agg(
+        F.percentile(F.col("_ad"), F.lit(0.5)).alias("mad"), F.first("med").alias("med")
+    )
+    flagged = df.join(F.broadcast(mad), keys).withColumn(
+        "_out",
+        (F.col("mad") > 0)
+        & (F.lit(0.6745) * F.abs(v - F.col("med")) / F.col("mad") > k),
+    )
+    return flagged.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.sum(F.col("_out").cast("long")).alias("n_outliers"),
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+    )
+
+
+def ntile_bins(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 4,
+) -> DataFrame:
+    """Equal-count quantile binning (the complement of profile.histogram_
+    fixed's equal-WIDTH bins): ntile over (value, id) — the id tiebreak
+    makes bin membership deterministic — then per-bin stats.
+
+    The global ntile is a single total-order sort: fine for binning a
+    bounded relation (feature stats, per-shard manifests); to bin a
+    100 TB fact, compute approx-percentile cutoffs on a sample and bin by
+    comparison instead (profile.histogram_fixed shape). That trade-off is
+    the point of having both.
+
+    Output: (bin, n, lo, hi) — lo/hi the bin's value range, rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(value_col), F.col(id_col))
+    return (
+        df.select(F.col(value_col).alias("v"), F.ntile(n_bins).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("v"), 6).alias("lo"),
+            F.round(F.max("v"), 6).alias("hi"),
+        )
+    )

@@ -21,6 +21,8 @@ the 100 TB training-data use case (see SURVEY.md extension ops).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -129,4 +131,38 @@ def c4_clean(docs: DataFrame, text_col: str = "text", id_col: str = "page_id") -
         has_brace.alias("has_brace"),
         ((n_sentences >= 3) & ~has_lorem & ~has_brace).alias("c4_keep"),
         cleaned.alias("clean_body"),
+    )
+
+
+def percentile_cut(
+    docs: DataFrame,
+    keys: Sequence[str] = ("source",),
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    cut: float = 0.75,
+) -> DataFrame:
+    """Keep each group's top (1 - cut) fraction by ``value_col`` — the
+    per-domain percentile gate curation pipelines apply so one verbose
+    domain can't crowd out the rest (absolute thresholds do exactly that).
+
+    Selection is by ``percent_rank`` ≥ cut with ties broken by id: an
+    exact rational of two counts, so membership is reproducible across
+    engines — a filter against an interpolated percentile VALUE would sit
+    a float ulp away from flipping boundary rows. The window partitions by
+    group (never global); at 100 TB the equivalent shape is the two-pass
+    rank-vs-group-count join, same contract.
+
+    Output: (id, keys…, value, pr) with pr rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col), F.col(id_col))
+    return (
+        docs.select(
+            F.col(id_col), *keys, F.col(value_col),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .where(F.col("pr") >= cut)
+        .withColumn("pr", F.round("pr", 6))
     )

@@ -326,9 +326,16 @@ def cosine_topk_lsh(
     query_id_col: str = "query_id",
     n_planes: int = N_LSH_PLANES,
     n_probes: int = 1,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only corpus buckets within Hamming distance
     < n_probes of the query's bucket (n_probes=1 → exact bucket only).
+    ``n_probes = n_planes + 1`` probes the ENTIRE Hamming cube: every
+    corpus vector is then a candidate exactly once (one bucket per vector,
+    one probe per mask), so the result is EXACTLY the brute-force top-k —
+    the completeness property the contract oracle checks. ``rank_round``
+    ranks on the rounded similarity (cross-engine tie-break parity, same
+    knob as cosine_topk).
 
     Probing enumerates the Hamming ball on the QUERY side (explode over the
     Σ C(n_planes, d<n_probes) flip masks) so the corpus side stays a plain
@@ -357,9 +364,10 @@ def cosine_topk_lsh(
         "neighbor_id",
         cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    order_col = (
+        F.round("cosine_sim", rank_round) if rank_round is not None else F.col("cosine_sim")
     )
+    w = Window.partitionBy(query_id_col).orderBy(order_col.desc(), F.col("neighbor_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -1,0 +1,117 @@
+"""Similarity self-joins with sound candidate pruning — the record-linkage
+/ near-dup-join layer (complements operators.dedup, which targets the
+document-dedup pipeline): prefix-filtered exact Jaccard set-similarity
+join and blocked edit-distance join.
+
+Scale design (100 TB):
+
+- ``jaccard_join`` never enumerates all pairs. Tokens get a GLOBAL rarity
+  order (corpus frequency asc, token asc — a total order, vocabulary-sized
+  relation); each record keeps only its prefix (|s| - ceil(τ·|s|) + 1
+  rarest tokens), a LOSSLESS filter for Jaccard ≥ τ (any qualifying pair
+  must share a prefix token — |A∩B| ≥ τ|A∪B| ≥ τ|A| leaves too few
+  non-prefix slots to hold the whole intersection). Candidates come from an
+  equi-join on prefix tokens — and because prefixes hold each record's
+  RAREST tokens, the per-token bucket fan-out is the smallest any blocking
+  on this corpus could give. Verification is array arithmetic on the
+  candidate set only.
+- ``fuzzy_join`` blocks on an equality key (brand, host, shard id …) —
+  the classic record-linkage design: candidates form within blocks via
+  equi-join (shuffle keyed on the block), the edit-distance predicate is
+  codegen (``levenshtein`` with an early-exit threshold). Within a block,
+  recall is exact; cross-block matches are out of contract by definition
+  of the blocking key (stated, not silent).
+
+No UDFs anywhere; everything is expression-level and partial-agg friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _token_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, s): sorted distinct non-empty whitespace tokens of lowercased
+    text; empty sets dropped (Jaccard undefined)."""
+    s = F.array_sort(
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+        )
+    )
+    return docs.select(F.col(id_col).alias("id"), s.alias("s")).where(F.size("s") > 0)
+
+
+def jaccard_join(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold over distinct-token sets, with
+    lossless prefix filtering (PPJoin-style candidate generation).
+
+    Output: (a, b, jaccard) with a < b, jaccard rounded to 6.
+    """
+    sets = _token_sets(docs, id_col, text_col)
+    tok = sets.select("id", F.size("s").alias("sz"), F.explode("s").alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n_global"))
+    w = Window.partitionBy("id").orderBy("n_global", "token")
+    prefix = (
+        tok.join(freq, "token")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "token")
+    )
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "token")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("id").alias("b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .where(jac >= threshold)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_col: str,
+    name_col: str,
+    max_dist: int,
+    id_col: str,
+) -> DataFrame:
+    """Blocked edit-distance join: candidate pairs share ``block_col``
+    (equi-join — the shuffle key), matches have levenshtein ≤ max_dist
+    (threshold form codegen-early-exits on distant strings). Self-join
+    safe: pairs are emitted once with a_id < b_id.
+
+    Output: (block, a_id, b_id, a_name, b_name, dist).
+    """
+    l = left.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("a_id"),
+        F.col(name_col).alias("a_name"),
+    )
+    r = right.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("b_id"),
+        F.col(name_col).alias("b_name"),
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        l.join(r, "block")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(F.levenshtein(F.col("a_name"), F.col("b_name"), max_dist) >= 0)
+        .select("block", "a_id", "b_id", "a_name", "b_name", dist.alias("dist"))
+    )

@@ -420,3 +420,34 @@ def domain_flags(
         F.size(url_domains(c)).alias("n_links"),
         (F.size(F.array_intersect(doms, blocked)) > 0).alias("blocklisted"),
     )
+
+
+def char_entropy(text: Column | str) -> Column:
+    """Shannon entropy (nats) of the character distribution — the cheap
+    gibberish/boilerplate signal: natural prose sits near 3 nats, repeated
+    padding and base64 blobs fall far outside. Pure expression chain:
+    sort the chars, reduce runs to (char, count) via the sorted-run trick
+    (same as _max_run_count), then -Σ p·ln p. Row-local, scan-speed,
+    shuffle-free at any scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.array_sort(F.split(c, ""))
+    n = F.size(chars)
+    # counts of each run in the sorted char array: positions where the
+    # value changes mark run starts; run length = next_start - start
+    starts = F.filter(
+        F.transform(chars, lambda x, i: F.struct(i.alias("i"), x.alias("ch"))),
+        # 0-based F.get is NULL at -1, and (i == 0) | NULL is true (Kleene)
+        lambda s: (s["i"] == 0) | (F.get(chars, s["i"] - 1) != s["ch"]),
+    )
+    bounds = F.zip_with(
+        starts,
+        F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                 F.array(F.struct(n.alias("i"), F.lit("").alias("ch")))),
+        lambda s, nxt: (nxt["i"] - s["i"]).cast("double"),
+    )
+    p = F.transform(bounds, lambda cnt: cnt / n.cast("double"))
+    # + 0.0 canonicalizes IEEE -0.0 (an all-same-char doc) to +0.0 so the
+    # value hashes identically across engines
+    h = -F.aggregate(p, F.lit(0.0), lambda acc, x: acc + x * F.log(x)) + F.lit(0.0)
+    # split('', '') yields [''] (one empty token), so gate on text length
+    return F.when(F.length(c) > 0, h)

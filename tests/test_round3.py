@@ -1,0 +1,284 @@
+"""Round-3 operators: event-sequence analytics (funnel, retention,
+transitions), triangle counting, similarity joins, robust stats, snapshot
+diff, char entropy."""
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+
+
+TS = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _t(minutes):
+    return datetime(2024, 1, 1, 12, minutes, 0)
+
+
+class TestFunnel:
+    def test_ordered_completion(self, spark):
+        from gridmet_etl_spark.operators.funnel import funnel_conversion
+
+        e = _events(
+            spark,
+            [
+                # u1 completes all 3 in order
+                (1, 1, "view", _t(0), 1.0),
+                (2, 1, "click", _t(1), 1.0),
+                (3, 1, "purchase", _t(2), 1.0),
+                # u2: click BEFORE view -> stops at view
+                (4, 2, "click", _t(0), 1.0),
+                (5, 2, "view", _t(1), 1.0),
+                (6, 2, "purchase", _t(2), 1.0),  # no click after view
+                # u3: view only
+                (7, 3, "view", _t(0), 1.0),
+            ],
+        )
+        out = {
+            r["step_name"]: r["n_users"]
+            for r in funnel_conversion(e, ["view", "click", "purchase"]).collect()
+        }
+        assert out == {"view": 3, "click": 1, "purchase": 1}
+
+    def test_strictly_after(self, spark):
+        from gridmet_etl_spark.operators.funnel import funnel_conversion
+
+        e = _events(
+            spark,
+            [(1, 1, "view", _t(0), 1.0), (2, 1, "click", _t(0), 1.0)],
+        )
+        out = {
+            r["step_name"]: r["n_users"]
+            for r in funnel_conversion(e, ["view", "click"]).collect()
+        }
+        assert out == {"view": 1, "click": 0}
+
+
+class TestRetention:
+    def test_triangle(self, spark):
+        from gridmet_etl_spark.operators.funnel import retention_cohorts
+
+        e = _events(
+            spark,
+            [
+                # u1 first week W0 (Mon 2024-01-01), active W0 and W2
+                (1, 1, "view", datetime(2024, 1, 2), 1.0),
+                (2, 1, "view", datetime(2024, 1, 16), 1.0),
+                # u2 first week W1
+                (3, 2, "view", datetime(2024, 1, 10), 1.0),
+            ],
+        )
+        rows = {
+            (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+            for r in retention_cohorts(e).collect()
+        }
+        assert rows == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-08", 0): 1,
+        }
+
+
+class TestTransitions:
+    def test_probabilities_row_normalize(self, spark):
+        from gridmet_etl_spark.operators.funnel import event_transitions
+
+        e = _events(
+            spark,
+            [
+                (1, 1, "a", _t(0), 1.0),
+                (2, 1, "b", _t(1), 1.0),
+                (3, 1, "a", _t(2), 1.0),
+                (4, 1, "c", _t(3), 1.0),
+                (5, 2, "a", _t(0), 1.0),
+                (6, 2, "b", _t(1), 1.0),
+            ],
+        )
+        rows = {(r["from_type"], r["to_type"]): (r["n"], r["p"]) for r in event_transitions(e).collect()}
+        assert rows[("a", "b")] == (2, round(2 / 3, 6))
+        assert rows[("a", "c")] == (1, round(1 / 3, 6))
+        assert rows[("b", "a")] == (1, 1.0)
+        # per-source probabilities sum to 1
+        sums = {}
+        for (f_, _), (_, p) in rows.items():
+            sums[f_] = sums.get(f_, 0.0) + p
+        for s in sums.values():
+            assert abs(s - 1.0) < 1e-5
+
+
+class TestTriangles:
+    def test_k4_plus_edge(self, spark):
+        from gridmet_etl_spark.operators.graph import triangle_count
+
+        k4 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+        edges = spark.createDataFrame(
+            [(f"n{a}", f"n{b}") for a, b in k4] + [("p", "q"), ("q", "p")],
+            "src string, dst string",
+        )
+        out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        # K4: each vertex sits in C(3,2)=3 triangles; p,q in none
+        assert out == {"nw": 3, "nx": 3, "ny": 3, "nz": 3}
+
+    def test_direction_and_dups_ignored(self, spark):
+        from gridmet_etl_spark.operators.graph import triangle_count
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")],
+            "src string, dst string",
+        )
+        out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        assert out == {"a": 1, "b": 1, "c": 1}
+
+
+class TestJaccardJoin:
+    def test_matches_brute_force(self, spark):
+        from gridmet_etl_spark.operators.simjoin import jaccard_join
+
+        docs = spark.createDataFrame(
+            [
+                (1, "red green blue"),
+                (2, "red green blue yellow"),
+                (3, "red green blue"),
+                (4, "cyan magenta"),
+                (5, "cyan magenta black white gray"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_join(docs, 0.5).collect()}
+        # brute force over distinct token sets
+        sets = {1: {"red", "green", "blue"}, 2: {"red", "green", "blue", "yellow"},
+                3: {"red", "green", "blue"}, 4: {"cyan", "magenta"},
+                5: {"cyan", "magenta", "black", "white", "gray"}}
+        expect = {}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.5:
+                    expect[(a, b)] = round(j, 6)
+        assert out == expect
+        assert (1, 3) in out and out[(1, 3)] == 1.0
+
+    def test_prefix_filter_lossless_on_fixture(self, spark, fixdir):
+        """Recall proof on real-ish data: prefix-filtered result == brute
+        force (crossJoin) on a 60-doc slice."""
+        import os
+
+        from gridmet_etl_spark.operators.simjoin import _token_sets, jaccard_join
+
+        docs = (
+            spark.read.parquet(os.path.join(fixdir, "webpages.parquet"))
+            .select(F.col("page_id").alias("doc_id"), "text")
+            .limit(60)
+        )
+        got = {(r["a"], r["b"]) for r in jaccard_join(docs, 0.3).collect()}
+        sets = _token_sets(docs, "doc_id", "text")
+        a = sets.select(F.col("id").alias("a"), F.col("s").alias("sa"))
+        b = sets.select(F.col("id").alias("b"), F.col("s").alias("sb"))
+        inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+        union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+        brute = {
+            (r["a"], r["b"])
+            for r in a.crossJoin(b)
+            .where(F.col("a") < F.col("b"))
+            .where(inter / union >= 0.3)
+            .collect()
+        }
+        assert got == brute
+
+
+class TestFuzzyJoin:
+    def test_blocked_levenshtein(self, spark):
+        from gridmet_etl_spark.operators.simjoin import fuzzy_join
+
+        df = spark.createDataFrame(
+            [
+                (1, "B1", "red widget"),
+                (2, "B1", "red widgit"),   # dist 1
+                (3, "B1", "blue bolt"),    # far
+                (4, "B2", "red widget"),   # other block: excluded
+            ],
+            "pk long, brand string, name string",
+        )
+        out = [
+            (r["a_id"], r["b_id"], r["dist"])
+            for r in fuzzy_join(df, df, "brand", "name", 2, "pk").collect()
+        ]
+        assert out == [(1, 2, 1)]
+
+
+class TestRobustStats:
+    def test_mad_flags_outlier(self, spark):
+        from gridmet_etl_spark.operators.normalize import mad_outliers
+
+        vals = [float(x) for x in [10, 11, 12, 13, 14, 1000]]
+        df = spark.createDataFrame([("g", v) for v in vals], "var string, value double")
+        row = mad_outliers(df, keys=("var",), value_col="value").collect()[0]
+        assert row["n"] == 6
+        assert row["n_outliers"] == 1
+        assert row["med"] == 12.5
+        # MAD of |v-12.5| = median(2.5,1.5,.5,.5,1.5,987.5) = 1.5
+        assert row["mad"] == 1.5
+
+    def test_ntile_deterministic(self, spark):
+        from gridmet_etl_spark.operators.normalize import ntile_bins
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, v double"
+        )
+        rows = {r["bin"]: (r["n"], r["lo"], r["hi"]) for r in ntile_bins(df, "v", "id", 4).collect()}
+        assert rows == {1: (2, 0.0, 1.0), 2: (2, 2.0, 3.0), 3: (2, 4.0, 5.0), 4: (2, 6.0, 7.0)}
+
+    def test_percentile_cut_rank_membership(self, spark):
+        from gridmet_etl_spark.operators.quality import percentile_cut
+
+        df = spark.createDataFrame(
+            [(i, "s", i * 10) for i in range(1, 6)] + [(9, "t", 5)],
+            "doc_id long, source string, n_chars long",
+        )
+        out = {(r["doc_id"], r["source"]) for r in percentile_cut(df, cut=0.75).collect()}
+        # pr for n=5: (k-1)/4 -> 0.75 at 4th, 1.0 at 5th; single-row group pr=0
+        assert out == {(4, "s"), (5, "s")}
+
+
+class TestCharEntropy:
+    @pytest.mark.parametrize(
+        "text,expect",
+        [("aaaa", 0.0), ("ab", math.log(2)), ("abab", math.log(2)), ("abcd", math.log(4))],
+    )
+    def test_known_values(self, spark, text, expect):
+        from gridmet_etl_spark.operators.textops import char_entropy
+
+        df = spark.createDataFrame([(text,)], "text string")
+        got = df.select(char_entropy("text").alias("h")).collect()[0]["h"]
+        assert abs(got - expect) < 1e-9
+
+    def test_empty_is_null(self, spark):
+        from gridmet_etl_spark.operators.textops import char_entropy
+
+        df = spark.createDataFrame([("",)], "text string")
+        assert df.select(char_entropy("text").alias("h")).collect()[0]["h"] is None
+
+
+class TestSnapshotDiff:
+    def test_classes(self, spark):
+        from gridmet_etl_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+            "k long, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 2.0), (3, "CHANGED", 3.0), (4, "now-set", 4.0), (5, "new", 5.0)],
+            "k long, s string, v double",
+        )
+        out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+        # key 2 unchanged -> absent; NULL -> value transition visible
+        assert out == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
