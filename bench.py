@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "inverted_index",
     "upsert_orders",
     "rag_pipeline",
+    "char_entropy",
+    "event_transitions",
+    "triangle_count",
+    "snapshot_diff",
+    "fuzzy_join",
 ]
 
 
@@ -162,7 +167,23 @@ def _pagerank_1m_edges(spark):
     return pagerank(edges, iters=3)
 
 
+def _jaccard_500docs(spark):
+    """Prefix-filtered exact Jaccard self-join on a 500-doc slice. The sf
+    synthetic docs are near-uniformly similar (tiny shared vocab), so the
+    TRUE pair set is quadratic in corpus size — benching a fixed slice
+    measures the operator, not the fixture's pathological output size."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.simjoin import jaccard_join
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).filter(
+        F.col("doc_id") < 500
+    )
+    return jaccard_join(docs, threshold=0.8)
+
+
 EXTRA_BENCH = {
+    "jaccard_join_500docs": _jaccard_500docs,
     "cfsv2_scale_stress_8.6M": _cfsv2_scale_stress,
     "pagerank_1M_edges": _pagerank_1m_edges,
     "minhash_lsh_fast": _minhash_fast,

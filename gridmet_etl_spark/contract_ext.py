@@ -1728,8 +1728,10 @@ def _sql_rag_pipeline() -> str:
     dims = range(EMBED_DIMS)
 
     def comps(tok: str) -> str:
+        # one md5 per token, dim d reads hex window [4d, 4d+4) — the exact
+        # twin of embed._tok_component's single-digest slicing
         return ",\n         ".join(
-            f"SUM(CAST('0x' || substr(md5({tok} || ':{d}'), 1, 6) AS BIGINT)"
+            f"SUM(CAST('0x' || substr(md5({tok}), {4 * d + 1}, 4) AS BIGINT)"
             f" % {_MOD} - {half}) AS e{d}"
             for d in dims
         )

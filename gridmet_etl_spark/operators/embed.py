@@ -6,14 +6,17 @@ index, retrieve) is unchanged.
 
 Design for parity and scale:
 
-- Components are EXACT INTEGERS until the final normalization: per token
-  and dimension, ``md5(token ':' dim)`` → first 6 hex digits → int →
+- Components are EXACT INTEGERS until the final normalization: ONE
+  ``md5(token)`` per token, dim d reads hex window [4d, 4d+4) → int →
   centered into [-500, 500]; a document's component is the integer sum.
   Integer arithmetic is bit-identical across engines, so the only float ops
-  are one sqrt and one divide at the edge.
-- The plan is explode → codegen hash projection (dims columns) → one
-  partially-aggregated shuffle keyed by the doc id. No HOF lambdas (they
-  are interpreted, ~2× slower — measured in round 1), no Python.
+  are one sqrt and one divide at the edge. (Round 3: was md5(token:dim)
+  per dimension — 8 md5s per token; slicing one digest cut rag_pipeline
+  embed time ~8×/hash. A projection boundary materializes the digest so
+  codegen cannot re-evaluate it per dimension.)
+- The plan is explode → one md5 → codegen slice projection (dims columns)
+  → one partially-aggregated shuffle keyed by the doc id. No HOF lambdas
+  (they are interpreted, ~2× slower — measured in round 1), no Python.
 """
 
 from __future__ import annotations
@@ -29,8 +32,10 @@ EMBED_DIMS = 8
 _MOD = 1001  # component range [-500, 500]
 
 
-def _tok_component(tok: Column, dim: int) -> Column:
-    h = F.conv(F.substring(F.md5(F.concat_ws(":", tok, F.lit(str(dim)))), 1, 6), 16, 10)
+def _tok_component(digest: Column, dim: int) -> Column:
+    """Dim-d integer component from a token's md5 hex digest: 4-hex-digit
+    window starting at 4·dim (32 hex chars serve dims ≤ 8)."""
+    h = F.conv(F.substring(digest, 4 * dim + 1, 4), 16, 10)
     return (h.cast("long") % _MOD) - F.lit((_MOD - 1) // 2)
 
 
@@ -45,25 +50,26 @@ def hash_embed(
     dim-d component and ``nrm2`` its exact squared L2 norm. Rows with no
     tokens embed to the zero vector."""
     ids = list(id_cols)
-    tok = (
-        df.select(*ids, F.explode(tokens(text_col)).alias("_t"))
-        .where(F.col("_t") != "")
-    )
-    comps = [_tok_component(F.col("_t"), d).alias(f"e{d}") for d in range(dims)]
+    # explode_outer keeps token-less rows as one NULL-token row, so the
+    # aggregate covers EVERY input row and no join-back is needed (the old
+    # base-left-join shape planned a SortMergeJoin between two same-sized
+    # relations and evaluated the upstream subtree twice)
+    tok = df.select(
+        *ids,
+        F.explode_outer(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("_t"),
+    ).select(*ids, F.md5("_t").alias("_h"))
+    comps = [
+        F.coalesce(_tok_component(F.col("_h"), d), F.lit(0)).alias(f"e{d}")
+        for d in range(dims)
+    ]
     agg = (
         tok.select(*ids, *comps)
         .groupBy(*ids)
         .agg(*[F.sum(f"e{d}").alias(f"e{d}") for d in range(dims)])
     )
-    nrm2 = None
-    for d in range(dims):
-        sq = F.col(f"e{d}") * F.col(f"e{d}")
-        nrm2 = sq if nrm2 is None else nrm2 + sq
-    # left join back so token-less rows keep a (zero) embedding
-    base = df.select(*ids)
-    out = base.join(agg, ids, "left")
-    zero = [F.coalesce(F.col(f"e{d}"), F.lit(0)).alias(f"e{d}") for d in range(dims)]
-    return out.select(*ids, *zero).withColumn(
+    return agg.withColumn(
         "nrm2", sum(F.col(f"e{d}") * F.col(f"e{d}") for d in range(dims))
     )
 

@@ -61,12 +61,22 @@ def jaccard_join(
         tok.join(freq, "token")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "token")
+        .select("id", "sz", "token")
     )
+    # second SOUND prune before the (comparatively expensive) array verify:
+    # J(A,B) ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|) — the length-ratio
+    # filter rides the prefix equi-join for free and cuts the candidate set
+    # before any token array moves
     cand = (
         prefix.alias("l")
         .join(prefix.alias("r"), "token")
-        .where(F.col("l.id") < F.col("r.id"))
+        .where(
+            (F.col("l.id") < F.col("r.id"))
+            & (
+                F.greatest(F.col("l.sz"), F.col("r.sz")) * threshold
+                <= F.least(F.col("l.sz"), F.col("r.sz"))
+            )
+        )
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )

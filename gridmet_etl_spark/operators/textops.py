@@ -425,29 +425,40 @@ def domain_flags(
 def char_entropy(text: Column | str) -> Column:
     """Shannon entropy (nats) of the character distribution — the cheap
     gibberish/boilerplate signal: natural prose sits near 3 nats, repeated
-    padding and base64 blobs fall far outside. Pure expression chain:
-    sort the chars, reduce runs to (char, count) via the sorted-run trick
-    (same as _max_run_count), then -Σ p·ln p. Row-local, scan-speed,
-    shuffle-free at any scale."""
+    padding and base64 blobs fall far outside.
+
+    Single left-to-right ``aggregate`` over the SORTED char array with a
+    (prev, run, Σ r·ln r) accumulator; H = ln n − (Σ r·ln r)/n. The lambda
+    closes over NO outer expression — a lambda that re-references the
+    array (e.g. ``F.get(chars, i-1)``) re-evaluates the whole
+    split+sort per element, which is O(n²·log n) per row and took one
+    sf0.1 partition from milliseconds to minutes. Row-local, shuffle-free,
+    scan-speed at any scale."""
     c = F.col(text) if isinstance(text, str) else text
     chars = F.array_sort(F.split(c, ""))
-    n = F.size(chars)
-    # counts of each run in the sorted char array: positions where the
-    # value changes mark run starts; run length = next_start - start
-    starts = F.filter(
-        F.transform(chars, lambda x, i: F.struct(i.alias("i"), x.alias("ch"))),
-        # 0-based F.get is NULL at -1, and (i == 0) | NULL is true (Kleene)
-        lambda s: (s["i"] == 0) | (F.get(chars, s["i"] - 1) != s["ch"]),
+    n = F.size(chars).cast("double")
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0.0).alias("run"),
+        F.lit(0.0).alias("s"),
     )
-    bounds = F.zip_with(
-        starts,
-        F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-                 F.array(F.struct(n.alias("i"), F.lit("").alias("ch")))),
-        lambda s, nxt: (nxt["i"] - s["i"]).cast("double"),
-    )
-    p = F.transform(bounds, lambda cnt: cnt / n.cast("double"))
+
+    def step(acc: Column, ch: Column) -> Column:
+        same = acc["prev"].isNotNull() & (ch == acc["prev"])
+        run = F.when(same, acc["run"] + 1.0).otherwise(F.lit(1.0))
+        s = F.when(
+            same | acc["prev"].isNull(), acc["s"]
+        ).otherwise(acc["s"] + acc["run"] * F.log(acc["run"]))
+        return F.struct(ch.alias("prev"), run.alias("run"), s.alias("s"))
+
+    def finish(acc: Column) -> Column:
+        return F.when(
+            acc["prev"].isNotNull(), acc["s"] + acc["run"] * F.log(acc["run"])
+        ).otherwise(acc["s"])
+
+    s_total = F.aggregate(chars, zero, step, finish)
     # + 0.0 canonicalizes IEEE -0.0 (an all-same-char doc) to +0.0 so the
     # value hashes identically across engines
-    h = -F.aggregate(p, F.lit(0.0), lambda acc, x: acc + x * F.log(x)) + F.lit(0.0)
+    h = F.log(n) - s_total / n + F.lit(0.0)
     # split('', '') yields [''] (one empty token), so gate on text length
     return F.when(F.length(c) > 0, h)

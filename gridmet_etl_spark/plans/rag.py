@@ -45,6 +45,10 @@ def rag_retrieve(
     )
     qemb = hash_embed(qdf, ["query_id"], text_col="text", dims=dims)
     hits = cosine_retrieve(index, qemb, ["doc_id", "chunk_id"], k=k, dims=dims)
-    return hits.join(
+    # hits is k×|queries| rows by construction — broadcast it so the text
+    # re-attach is a map-side hash join against the chunk scan (without the
+    # hint Catalyst sees two unknown-size relations and sort-merges, which
+    # shuffles AND re-sorts every chunk of the corpus)
+    return F.broadcast(hits).join(
         chunks.select("doc_id", "chunk_id", "chunk_text"), ["doc_id", "chunk_id"]
     ).select("query_id", "rank", "doc_id", "chunk_id", "score", "chunk_text")

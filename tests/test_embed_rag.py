@@ -13,7 +13,7 @@ from gridmet_etl_spark.plans.rag import rag_retrieve
 
 
 def _py_component(tok: str, dim: int) -> int:
-    h = int(hashlib.md5(f"{tok}:{dim}".encode()).hexdigest()[:6], 16)
+    h = int(hashlib.md5(tok.encode()).hexdigest()[4 * dim : 4 * dim + 4], 16)
     return h % _MOD - (_MOD - 1) // 2
 
 
