@@ -2085,7 +2085,85 @@ SELECT o_orderkey, change FROM diff WHERE change IS NOT NULL
 """
 
 
+def q_coarsen_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial regrid: 2×2 cell-block means over the ensemble grid fixture
+    — one output-sized shuffle with map-side partial agg."""
+    from .contract import FIXDIR
+    from .operators.bbox import coarsen_grid
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid_ens.parquet"))
+    return coarsen_grid(grid, factor=2)
+
+
+def _sql_coarsen_grid() -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid_ens.parquet")
+    return f"""
+SELECT var, ens, time, CAST(i // 2 AS INTEGER) AS ci, CAST(j // 2 AS INTEGER) AS cj,
+       ROUND(avg(value), 6) AS mean_value, count(value) AS n_cells
+FROM read_parquet('{path}')
+GROUP BY var, ens, time, ci, cj
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton write-layout keys for the distinct grid cells — the
+    clustering key that makes bbox predicates touch O(few) row groups."""
+    from .contract import FIXDIR
+    from .operators.scale import zorder_key
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    return (
+        grid.select("i", "j").distinct().select("i", "j", zorder_key("i", "j").alias("zkey"))
+    )
+
+
+def _sql_zorder_layout(bits: int = 16) -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid.parquet")
+    terms = " + ".join(
+        f"(((i >> {b}) & 1) << {2 * b}) + (((j >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    return f"""
+SELECT i, j, CAST({terms} AS BIGINT) AS zkey
+FROM (SELECT DISTINCT i, j FROM read_parquet('{path}'))
+"""
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup: lowest-id keeper per payload digest; payload
+    bytes never shuffle (digest projection only)."""
+    from .contract import FX, _pq
+    from .operators.multimodal import media_dedup
+
+    return media_dedup(_pq(spark, FX["media"]))
+
+
+def _sql_media_dedup() -> str:
+    from .contract import FX
+
+    return f"""
+WITH d AS (
+  SELECT media_id, kind, md5(hex(payload)) AS digest
+  FROM read_parquet('{FX["media"]}')),
+r AS (
+  SELECT media_id, kind, digest,
+         row_number() OVER (PARTITION BY digest ORDER BY media_id) AS rn,
+         count(*) OVER (PARTITION BY digest) AS n_copies
+  FROM d)
+SELECT media_id, kind, digest, n_copies FROM r WHERE rn = 1
+"""
+
+
 EXT_QUERIES = {
+    "coarsen_grid": (q_coarsen_grid, _sql_coarsen_grid()),
+    "zorder_layout": (q_zorder_layout, _sql_zorder_layout()),
+    "media_dedup": (q_media_dedup, _sql_media_dedup()),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),

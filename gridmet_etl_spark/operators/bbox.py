@@ -78,3 +78,32 @@ def bounds_to_cells(
 def time_filter(grid: DataFrame, start_date: str, end_date: str) -> DataFrame:
     """P3: inclusive [start, end] date-range restriction (etl.py:407, 670)."""
     return grid.filter(F.col("time").between(F.lit(start_date), F.lit(end_date)))
+
+
+def coarsen_grid(
+    grid: DataFrame,
+    factor: int = 2,
+    keys: tuple[str, ...] = ("var", "ens", "time"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Spatial regrid-by-aggregation: collapse each ``factor × factor``
+    block of cells to its mean (the standard downsample step before
+    coarse-resolution analysis or visualization; the reference's regrid
+    path delegates to xarray coarsen-like slicing, etl.py:273-281 dims).
+
+    One shuffle keyed (keys…, ci, cj) with map-side partial aggregation —
+    shuffle volume is output-sized (input/factor²). NULLs (missing cells)
+    are excluded per Spark/SQL avg semantics; ``n_cells`` exposes the
+    divisor so a coverage-weighted consumer can re-weight.
+
+    Output: (keys…, ci, cj, mean_value, n_cells).
+    """
+    ci = F.floor(F.col("i") / factor).cast("int").alias("ci")
+    cj = F.floor(F.col("j") / factor).cast("int").alias("cj")
+    return (
+        grid.groupBy(*[F.col(k) for k in keys], ci, cj)
+        .agg(
+            F.round(F.avg(value_col), 6).alias("mean_value"),
+            F.count(value_col).alias("n_cells"),
+        )
+    )

@@ -163,3 +163,27 @@ def make_media_fixture(spark: SparkSession, n: int = 64, seed: int = 42) -> Data
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_dedup(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Exact dedup over opaque binary payloads: canonical digest (md5 over
+    hex — portable across engines, see q_media_stats) → keep the lowest id
+    per digest. Payload bytes never shuffle: the exchange carries
+    (digest, id) pairs only, then winners re-join nothing (all needed
+    columns ride the digest projection).
+
+    Output: (media_id, kind, digest, n_copies) — one row per distinct
+    payload, id = the keeper.
+    """
+    from pyspark.sql import Window
+
+    digested = media.select(
+        F.col(id_col), F.col("kind"), F.md5(F.hex("payload")).alias("digest")
+    )
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        digested.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(Window.partitionBy("digest")))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "kind", "digest", "n_copies")
+    )

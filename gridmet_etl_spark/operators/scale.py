@@ -86,3 +86,31 @@ def salted_sum(
         .groupBy(*group_cols)
         .agg(*phase2_aggs)
     )
+
+
+def zorder_key(
+    i: Column | str,
+    j: Column | str,
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two cell
+    indexes — the write-layout clustering key that keeps spatially-near
+    cells byte-near in storage, so a bbox predicate touches O(few) row
+    groups instead of striping across the whole file. Pure bit arithmetic
+    (codegen, no shuffle); used as ``df.repartitionByRange(N,
+    zorder_key("i","j")).sortWithinPartitions(...)`` at write time.
+
+    Sound for 0 ≤ i,j < 2^bits (grid indexes are bounded by the raster
+    dims); bits ≤ 31 keeps the result in a positive long.
+    """
+    ic = F.col(i) if isinstance(i, str) else i
+    jc = F.col(j) if isinstance(j, str) else j
+    ic, jc = ic.cast("long"), jc.cast("long")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftrightunsigned(ic, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftrightunsigned(jc, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return key

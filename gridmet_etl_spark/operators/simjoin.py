@@ -122,6 +122,11 @@ def fuzzy_join(
     return (
         l.join(r, "block")
         .where(F.col("a_id") < F.col("b_id"))
+        # sound O(1) pre-filter: levenshtein ≥ |len(a) − len(b)|, so pairs
+        # further apart in length than the threshold never reach the DP
+        .where(
+            F.abs(F.length("a_name") - F.length("b_name")) <= max_dist
+        )
         .where(F.levenshtein(F.col("a_name"), F.col("b_name"), max_dist) >= 0)
         .select("block", "a_id", "b_id", "a_name", "b_name", dist.alias("dist"))
     )

@@ -282,3 +282,79 @@ class TestSnapshotDiff:
         out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
         # key 2 unchanged -> absent; NULL -> value transition visible
         assert out == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+class TestCoarsenZorderMedia:
+    def test_coarsen_means(self, spark):
+        from gridmet_etl_spark.operators.bbox import coarsen_grid
+
+        rows = [
+            ("t", 0, "2024-01-01", i, j, float(i * 10 + j))
+            for i in range(4)
+            for j in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "var string, ens int, time string, i int, j int, value double"
+        )
+        out = {
+            (r["ci"], r["cj"]): (r["mean_value"], r["n_cells"])
+            for r in coarsen_grid(df, factor=2).collect()
+        }
+        # block (0,0): cells (0,0),(0,1),(1,0),(1,1) -> mean of 0,1,10,11
+        assert out[(0, 0)] == (5.5, 4)
+        assert out[(1, 1)] == (27.5, 4)
+        assert len(out) == 4
+
+    def test_coarsen_skips_nulls(self, spark):
+        from gridmet_etl_spark.operators.bbox import coarsen_grid
+
+        df = spark.createDataFrame(
+            [("t", 0, "d", 0, 0, 2.0), ("t", 0, "d", 0, 1, None)],
+            "var string, ens int, time string, i int, j int, value double",
+        )
+        r = coarsen_grid(df, factor=2).collect()[0]
+        assert (r["mean_value"], r["n_cells"]) == (2.0, 1)
+
+    def test_zorder_known_values(self, spark):
+        from gridmet_etl_spark.operators.scale import zorder_key
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], "i int, j int"
+        )
+        out = {(r["i"], r["j"]): r["z"] for r in df.select("i", "j", zorder_key("i", "j").alias("z")).collect()}
+        # interleave: i bits at even positions, j bits at odd
+        assert out[(0, 0)] == 0
+        assert out[(1, 0)] == 1
+        assert out[(0, 1)] == 2
+        assert out[(1, 1)] == 3
+        # i=3 (11b) -> 0b0101; j=5 (101b) -> 0b100010; total 0b100111 = 39
+        assert out[(3, 5)] == 39
+
+    def test_zorder_locality(self, spark):
+        """Adjacent cells in a 2x2 block land in one 4-key run."""
+        from gridmet_etl_spark.operators.scale import zorder_key
+
+        df = spark.createDataFrame(
+            [(i, j) for i in range(8) for j in range(8)], "i int, j int"
+        )
+        rows = df.select("i", "j", zorder_key("i", "j").alias("z")).collect()
+        # z // 4 is constant within each 2x2 block (and distinct across
+        # blocks, since the 64 keys are a permutation of 0..63)
+        by_block = {}
+        for r in rows:
+            by_block.setdefault((r["i"] // 2, r["j"] // 2), set()).add(r["z"] // 4)
+        assert all(len(v) == 1 for v in by_block.values())
+
+    def test_media_dedup_keeps_lowest_id(self, spark):
+        from gridmet_etl_spark.operators.multimodal import media_dedup
+
+        df = spark.createDataFrame(
+            [
+                (3, "image", bytearray(b"AAA")),
+                (1, "image", bytearray(b"AAA")),
+                (2, "audio", bytearray(b"BBB")),
+            ],
+            "media_id long, kind string, payload binary",
+        )
+        out = {r["media_id"]: r["n_copies"] for r in media_dedup(df).collect()}
+        assert out == {1: 2, 2: 1}
