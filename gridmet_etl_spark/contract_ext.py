@@ -2160,7 +2160,32 @@ SELECT media_id, kind, digest, n_copies FROM r WHERE rn = 1
 """
 
 
+def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-6h-window top-3 event types (batch twin of streaming_trending;
+    per-window rank, window-partitioned — never global)."""
+    from .sources.readers import read_events
+    from .streaming.events import trending_topk
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    return trending_topk(e, window="6 hours", k=3)
+
+
+SQL_TRENDING_TOPK = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type) AS rank
+  FROM counts)
+SELECT window_start, event_type, n, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 EXT_QUERIES = {
+    "trending_topk": (q_trending_topk, SQL_TRENDING_TOPK),
     "coarsen_grid": (q_coarsen_grid, _sql_coarsen_grid()),
     "zorder_layout": (q_zorder_layout, _sql_zorder_layout()),
     "media_dedup": (q_media_dedup, _sql_media_dedup()),

@@ -213,3 +213,57 @@ def incremental_append(df: DataFrame, out_dir: str, partition_col: str = "day") 
     df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
         partition_col
     ).parquet(out_dir)
+
+
+def trending_topk(
+    events: DataFrame,
+    window: str = "6 hours",
+    k: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-window top-k event types by count — the 'trending now' rollup.
+
+    Batch form: tumbling-window counts + per-window rank (count desc, type
+    asc tie-break). The window partitions per time bucket, never globally;
+    the count relation is |windows| × |types| — output-sized.
+
+    Streaming form (``streaming_trending``): the SAME windowed count runs
+    incrementally under a watermark; the rank is applied by the sink/
+    consumer per completed window (complete-mode rank inside the stream
+    would retract; emitting counts and ranking the tiny per-window
+    relation downstream is the bounded-state design)."""
+    from pyspark.sql import Window as W
+
+    counts = events.groupBy(
+        F.window(ts_col, window).alias("w"), F.col(type_col)
+    ).agg(F.count("*").alias("n"))
+    rank_w = W.partitionBy("w").orderBy(F.col("n").desc(), F.col(type_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(type_col),
+            "n",
+            "rank",
+        )
+    )
+
+
+def streaming_trending(
+    events_stream: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "12 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``trending_topk``'s count stage: watermarked
+    tumbling-window counts in update mode; state is |open windows| ×
+    |types| and the watermark closes windows for eviction."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(type_col))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), F.col(type_col), "n")
+    )

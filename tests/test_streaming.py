@@ -264,3 +264,48 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     assert got == expected and len(expected) > 0
     # the 60-min click attributed to nothing
     assert not any(rid == eid for (_, _, rid) in got)
+
+
+def test_streaming_trending_counts_match_batch(spark, events_dir, tmp_path):
+    """streaming_trending (watermarked windowed counts) drains to the same
+    per-window counts trending_topk ranks in batch (expired windows)."""
+    from gridmet_etl_spark.streaming.events import streaming_trending, trending_topk
+
+    stream = stream_events(spark, events_dir)
+    agg = streaming_trending(stream, window="6 hours", watermark="12 hours")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_available_now(agg, out, ck)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+
+    batch = spark.read.parquet(events_dir)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    expected = (
+        batch.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("exp_n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "event_type", "exp_n")
+        .filter(F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 12 HOURS"))
+    )
+    j = got.join(expected, ["window_start", "event_type"])
+    assert j.count() == expected.count()
+    assert j.filter(F.col("n") != F.col("exp_n")).count() == 0
+
+    # the batch twin ranks exactly these counts: top-1 of each expired
+    # window agrees with a manual max over the drained counts
+    from pyspark.sql import Window as W
+
+    topk = trending_topk(batch, window="6 hours", k=1).withColumnRenamed("n", "bn")
+    top_drained = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("event_type"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    jj = top_drained.join(topk, ["window_start", "event_type"])
+    assert jj.filter(F.col("n") != F.col("bn")).count() == 0
+    assert jj.count() == top_drained.count()
