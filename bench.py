@@ -182,8 +182,53 @@ def _jaccard_500docs(spark):
     return jaccard_join(docs, threshold=0.8)
 
 
+def _triangle_1m_edges(spark):
+    """Degree-oriented triangle counting on the same synthetic ~1M-edge /
+    100k-node graph as pagerank_1M_edges — demonstrates the wedge join's
+    d_out ≤ O(√m) bound at a graph size where a naive a<b orientation
+    would hub-explode."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.graph import triangle_count
+
+    edges = (
+        spark.range(0, 1_000_000, 1, 32)
+        .select(
+            (F.col("id") % 100_000).alias("src"),
+            ((F.col("id") * 2654435761) % 100_000).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return triangle_count(edges)
+
+
+def _funnel_12m_events(spark):
+    """Funnel over the sf events replicated ×50 with remapped users (~12M
+    events at sf0.1): the chained user-keyed min-ts aggregations at a
+    user-cardinality 50× the base fixture."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.funnel import funnel_conversion
+    from gridmet_etl_spark.sources.readers import read_events
+
+    e = read_events(spark, os.path.join(SF_DIR, "events.parquet"))
+    big = (
+        spark.range(0, 50, 1, 32)
+        .withColumnRenamed("id", "rep")
+        .crossJoin(F.broadcast(e))
+        .select(
+            (F.col("event_id") * 50 + F.col("rep")).alias("event_id"),
+            (F.col("user_id") * 50 + F.col("rep")).alias("user_id"),
+            "event_type", "ts", "value",
+        )
+    )
+    return funnel_conversion(big, ["view", "click", "purchase"])
+
+
 EXTRA_BENCH = {
     "jaccard_join_500docs": _jaccard_500docs,
+    "triangle_1M_edges": _triangle_1m_edges,
+    "funnel_12M_events": _funnel_12m_events,
     "cfsv2_scale_stress_8.6M": _cfsv2_scale_stress,
     "pagerank_1M_edges": _pagerank_1m_edges,
     "minhash_lsh_fast": _minhash_fast,

@@ -2184,7 +2184,57 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 focal mean over the grid fixture (scatter formulation — one
+    output-sized shuffle, no self-join)."""
+    from .contract import FIXDIR
+    from .operators.bbox import focal_mean
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    return focal_mean(grid, radius=1, keys=("var", "time"))
+
+
+def _sql_focal_mean() -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid.parquet")
+    return f"""
+WITH g AS (SELECT var, time, i, j, value FROM read_parquet('{path}'))
+SELECT a.var, a.time, a.i, a.j,
+       ROUND(avg(b.value), 6) AS focal_value, count(b.value) AS n_nbrs
+FROM g a JOIN g b
+  ON a.var = b.var AND a.time = b.time
+ AND abs(a.i - b.i) <= 1 AND abs(a.j - b.j) <= 1
+GROUP BY a.var, a.time, a.i, a.j
+"""
+
+
+def q_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 'best k' curation gate: top-5 docs by length (windowed
+    per group; deterministic id tie-break)."""
+    from .operators.sampling import topk_per_group
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return topk_per_group(
+        docs.select("doc_id", "source", "n_chars"),
+        keys=("source",), order_col="n_chars", id_col="doc_id", k=5,
+    )
+
+
+SQL_TOPK_PER_SOURCE = """
+SELECT doc_id, source, n_chars, CAST(rank AS INTEGER) AS rank
+FROM (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents)
+WHERE rank <= 5
+"""
+
+
 EXT_QUERIES = {
+    "focal_mean": (q_focal_mean, _sql_focal_mean()),
+    "topk_per_source": (q_topk_per_source, SQL_TOPK_PER_SOURCE),
     "trending_topk": (q_trending_topk, SQL_TRENDING_TOPK),
     "coarsen_grid": (q_coarsen_grid, _sql_coarsen_grid()),
     "zorder_layout": (q_zorder_layout, _sql_zorder_layout()),

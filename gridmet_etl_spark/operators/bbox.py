@@ -107,3 +107,59 @@ def coarsen_grid(
             F.count(value_col).alias("n_cells"),
         )
     )
+
+
+def focal_mean(
+    grid: DataFrame,
+    radius: int = 1,
+    keys: tuple[str, ...] = ("var", "ens", "time"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Focal (neighborhood) mean: each cell's value averaged with its
+    (2r+1)² spatial neighbors — the raster smoothing / focal-statistics
+    primitive (xarray ``rolling(i=..., j=...).mean()`` analogue).
+
+    SCATTER formulation, not a self-join: every cell emits one
+    contribution row per neighborhood it belongs to (explode over the
+    (2r+1)² offsets — row-local), then ONE shuffle keyed
+    (keys…, ti, tj) partial-aggregates the sums. A join formulation would
+    shuffle the grid twice and build a hash table per partition; the
+    scatter's explode factor is the fixed 9 (r=1) and the shuffle volume
+    is 9× cell count of (key, sum, count) partials — map-side combine
+    collapses them before the wire. Edge cells average over their
+    existing neighbors (``n_nbrs`` exposes the divisor); halo targets
+    outside the grid are dropped by the final semi-join against the real
+    cell set (broadcast — the distinct (i, j) relation is raster-sized,
+    ~810k cells in the reference domain).
+
+    Output: (keys…, i, j, focal_value, n_nbrs).
+    """
+    offs = [
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di in range(-radius, radius + 1)
+        for dj in range(-radius, radius + 1)
+    ]
+    contrib = grid.select(
+        *[F.col(k) for k in keys],
+        F.explode(F.array(*offs)).alias("_o"),
+        F.col("i"),
+        F.col("j"),
+        F.col(value_col),
+    ).select(
+        *[F.col(k) for k in keys],
+        (F.col("i") + F.col("_o.di")).alias("ti"),
+        (F.col("j") + F.col("_o.dj")).alias("tj"),
+        F.col(value_col),
+    )
+    agg = contrib.groupBy(*[F.col(k) for k in keys], "ti", "tj").agg(
+        F.round(F.avg(value_col), 6).alias("focal_value"),
+        F.count(value_col).alias("n_nbrs"),
+    )
+    cells = grid.select(F.col("i").alias("ti"), F.col("j").alias("tj")).distinct()
+    return agg.join(F.broadcast(cells), ["ti", "tj"], "left_semi").select(
+        *keys,
+        F.col("ti").alias("i"),
+        F.col("tj").alias("j"),
+        "focal_value",
+        "n_nbrs",
+    )

@@ -18,6 +18,8 @@ broadcast of group offsets.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -254,3 +256,26 @@ def curriculum_order(
         stage.cast("int").alias("stage"),
         hash_bucket(F.col(id_col), salt).alias("order_key"),
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (desc; id asc tie-break) —
+    the per-domain 'keep the best k' curation gate. The window partitions
+    per group (parallelism = |groups|, never a global sort); at extreme
+    per-group cardinality the same contract is served by a groupBy
+    min_by-heap aggregate, but the windowed form pipelines into
+    whole-stage codegen and AQE handles moderate skew.
+
+    Output: df columns + rank.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), F.col(id_col))
+    return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

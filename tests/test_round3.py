@@ -358,3 +358,47 @@ class TestCoarsenZorderMedia:
         )
         out = {r["media_id"]: r["n_copies"] for r in media_dedup(df).collect()}
         assert out == {1: 2, 2: 1}
+
+
+class TestFocalTopk:
+    def test_focal_mean_center_and_edges(self, spark):
+        from gridmet_etl_spark.operators.bbox import focal_mean
+
+        rows = [
+            ("t", "d", i, j, float(i * 3 + j)) for i in range(3) for j in range(3)
+        ]
+        df = spark.createDataFrame(rows, "var string, time string, i int, j int, value double")
+        out = {
+            (r["i"], r["j"]): (r["focal_value"], r["n_nbrs"])
+            for r in focal_mean(df, radius=1, keys=("var", "time")).collect()
+        }
+        # center cell (1,1): mean of all 9 = 4.0
+        assert out[(1, 1)] == (4.0, 9)
+        # corner (0,0): neighbors {0,1,3,4} -> mean 2.0 over 4 cells
+        assert out[(0, 0)] == (2.0, 4)
+        # no halo targets outside the grid
+        assert set(out) == {(i, j) for i in range(3) for j in range(3)}
+
+    def test_focal_mean_skips_null_values(self, spark):
+        from gridmet_etl_spark.operators.bbox import focal_mean
+
+        df = spark.createDataFrame(
+            [("t", "d", 0, 0, 6.0), ("t", "d", 0, 1, None)],
+            "var string, time string, i int, j int, value double",
+        )
+        out = {(r["i"], r["j"]): (r["focal_value"], r["n_nbrs"])
+               for r in focal_mean(df, keys=("var", "time")).collect()}
+        assert out == {(0, 0): (6.0, 1), (0, 1): (6.0, 1)}
+
+    def test_topk_per_group(self, spark):
+        from gridmet_etl_spark.operators.sampling import topk_per_group
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 30), (3, "a", 20), (4, "b", 5), (5, "a", 30)],
+            "doc_id long, source string, n_chars long",
+        )
+        out = [(r["doc_id"], r["rank"]) for r in
+               topk_per_group(df, ("source",), "n_chars", "doc_id", k=2)
+               .orderBy("source", "rank").collect()]
+        # ties on 30 break toward lower doc_id
+        assert out == [(2, 1), (5, 2), (4, 1)]
