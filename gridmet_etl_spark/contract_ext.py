@@ -29,6 +29,16 @@ from .operators.textops import LANG_MARKERS, LANG_ORDER, STOPWORDS, analyze_docu
 R = 6
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table spread across cores. The sf fixture is ONE parquet
+    file (one row group -> one scan task), which serializes every heavy
+    per-row stage (shingle/minhash/regexp) onto a single core locally;
+    production corpora have many splits and get this parallelism from the
+    scan itself. The exchange moves the raw text exactly once."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -102,8 +112,7 @@ def _sql_quality(text_expr: str) -> str:
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
-    out = analyze_documents(docs)
+    out = analyze_documents(_docs_par(spark, sf_dir))
     return out.select(
         "doc_id",
         "n_tokens",
@@ -184,7 +193,7 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs over a bounded corpus slice (the full
     shingle→minhash→band→bucket-join pipeline, oracle-checked)."""
-    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 300)
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 300)
     return minhash_lsh_candidates(docs).select("doc_a", "doc_b")
 
 
@@ -205,7 +214,7 @@ FROM bands a JOIN bands b
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 500)
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
     return simhash(docs).select("doc_id", "simhash")
 
 
@@ -841,7 +850,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard packing of the train split — one lazy DAG, full oracle."""
     from .plans.corpus import corpus_pipeline
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs_par(spark, sf_dir)
     train_corpus = docs.filter(F.col("doc_id") < 400)
     bench = docs.filter(F.col("doc_id") >= 400)
     return corpus_pipeline(train_corpus, bench, budget=2000, group_width=100)
@@ -1019,7 +1028,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans. Only span digests shuffle; text is recomputed row-locally."""
     from .operators.dedup import span_dedup
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs_par(spark, sf_dir)
     return span_dedup(docs, span_tokens=20)
 
 
@@ -1536,8 +1545,7 @@ FROM d
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.retrieval import inverted_index
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
-    return inverted_index(docs, min_df=5)
+    return inverted_index(_docs_par(spark, sf_dir), min_df=5)
 
 
 SQL_INVERTED_INDEX = """
@@ -1716,8 +1724,7 @@ RAG_QUERIES = ["spark hash join", "window aggregation query", "table scan merge"
 def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.rag import rag_retrieve
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
-    return rag_retrieve(spark, docs, RAG_QUERIES, k=5)
+    return rag_retrieve(spark, _docs_par(spark, sf_dir), RAG_QUERIES, k=5)
 
 
 def _sql_rag_pipeline() -> str:
@@ -1937,7 +1944,11 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.simjoin import fuzzy_join
 
     part = spark.read.parquet(_t(sf_dir, "part"))
-    return fuzzy_join(part, part, "p_brand", "p_name", 3, "p_partkey")
+    # single-file fixture -> one scan task; the brand side broadcasts, so
+    # probe parallelism = left scan tasks. Spread the left side across
+    # cores (production tables have many splits and skip this).
+    left = part.repartition(spark.sparkContext.defaultParallelism)
+    return fuzzy_join(left, part, "p_brand", "p_name", 3, "p_partkey")
 
 
 SQL_FUZZY_JOIN = """
@@ -2020,6 +2031,10 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textops import char_entropy
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
+    # the sf fixture is ONE parquet file -> one scan task; spread the
+    # row-local entropy compute across cores (production corpora have many
+    # splits and skip this — the exchange carries the raw text once)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select("doc_id", F.round(char_entropy("text"), 6).alias("h"))
 
 
