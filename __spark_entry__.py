@@ -36,7 +36,7 @@ _CHECK_FIRST = [
     "triangle_count", "jaccard_join", "fuzzy_join", "mad_outliers",
     "ntile_bins", "percentile_cut", "char_entropy", "snapshot_diff",
     "coarsen_grid", "zorder_layout", "media_dedup", "trending_topk",
-    "focal_mean", "topk_per_source",
+    "focal_mean", "topk_per_source", "trend_slope", "cross_correlation",
     # (0b) never driver-checked before this round (6)
     "vocab_topk", "pii_flags", "simhash", "cosine_topk", "cosine_topk_lsh",
     "kmeans_assign",
@@ -49,9 +49,8 @@ _CHECK_FIRST = [
     "tpch_cube", "tpch_rollup", "tpch_q5ish", "tpch_q7ish", "tpch_q13ish",
     "tpch_q16ish", "tpch_q18ish", "tpch_q19ish", "tpch_above_avg",
     "tpch_outer_agg", "salted_agg", "range_join", "exact_dedup",
-    "ngram_jaccard", "text_analysis",
     # ---- driver cap (50) reached; tail below was green in r1 or r2 ----
-    "bigram_topk", "events_props_json",
+    "ngram_jaccard", "text_analysis", "bigram_topk", "events_props_json",
     "pivot_wide", "unpivot_long", "fill_pipeline", "qa_checks",
     "ensemble_median", "ensemble_stats", "ensemble_quantiles",
     "nearest_donor", "bbox_filter", "time_filter", "catalog_lookup",

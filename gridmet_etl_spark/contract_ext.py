@@ -2247,7 +2247,66 @@ WHERE rank <= 5
 """
 
 
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell OLS climate trend (slope/intercept/Pearson r of value over
+    epoch days) — native regr_* aggregates, one |series|-sized shuffle."""
+    from .contract import FIXDIR
+    from .operators.timeseries import trend_slope
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    return trend_slope(grid, keys=("var", "i", "j"))
+
+
+def _sql_trend_slope() -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid.parquet")
+    return f"""
+SELECT var, i, j,
+       ROUND(regr_slope(value, x), 6) AS slope,
+       ROUND(regr_intercept(value, x), 6) AS intercept,
+       ROUND(corr(value, x), 6) AS r,
+       count(value) AS n_obs
+FROM (SELECT var, i, j, value,
+             CAST(date_diff('day', DATE '1970-01-01', time) AS DOUBLE) AS x
+      FROM read_parquet('{path}'))
+GROUP BY var, i, j
+"""
+
+
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Pearson correlation between the tmmx and tmmn series —
+    conditional-aggregation pairing (no self-join), two bounded shuffles."""
+    from .contract import FIXDIR
+    from .operators.timeseries import cross_correlation
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    return cross_correlation(grid, "tmmx", "tmmn", keys=("i", "j"))
+
+
+def _sql_cross_correlation() -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid.parquet")
+    return f"""
+WITH paired AS (
+  SELECT i, j, time,
+         first(value) FILTER (WHERE var = 'tmmx') AS a,
+         first(value) FILTER (WHERE var = 'tmmn') AS b
+  FROM read_parquet('{path}')
+  WHERE var IN ('tmmx', 'tmmn')
+  GROUP BY i, j, time)
+SELECT i, j, ROUND(corr(a, b), 6) AS r, count(*) AS n_obs
+FROM paired WHERE a IS NOT NULL AND b IS NOT NULL
+GROUP BY i, j
+"""
+
+
 EXT_QUERIES = {
+    "trend_slope": (q_trend_slope, _sql_trend_slope()),
+    "cross_correlation": (q_cross_correlation, _sql_cross_correlation()),
     "focal_mean": (q_focal_mean, _sql_focal_mean()),
     "topk_per_source": (q_topk_per_source, SQL_TOPK_PER_SOURCE),
     "trending_topk": (q_trending_topk, SQL_TRENDING_TOPK),

@@ -113,3 +113,84 @@ def gap_fill_linear(
         .withColumn("filled", filled)
         .drop("_g")
     )
+
+
+def trend_slope(
+    grid: DataFrame,
+    keys: Sequence[str] = ("var", "i", "j"),
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series OLS linear trend (the climate trend-analysis primitive:
+    slope of value over time in units/day, plus intercept and Pearson r).
+    Native ``regr_slope``/``regr_intercept``/``corr`` aggregates — one
+    shuffle keyed on the series id with map-side partials (each partial
+    carries the 6 OLS moments, constant size), so shuffle volume is
+    |series|-sized regardless of history length.
+
+    Output: (keys…, slope, intercept, r, n_obs); slope per DAY of epoch
+    time, rounded to 6.
+    """
+    keys = list(keys)
+    x = F.unix_date(F.col(time_col).cast("date")).cast("double")
+    v = F.col(value_col)
+    # Pearson r from moments rather than F.corr: ANSI mode makes corr
+    # RAISE on a zero-variance series (constant value at a cell); the
+    # guarded covar/stddev form yields NULL there, matching SQL corr
+    agg = grid.groupBy(*keys).agg(
+        F.round(F.regr_slope(v, x), 6).alias("slope"),
+        F.round(F.regr_intercept(v, x), 6).alias("intercept"),
+        F.covar_samp(v, x).alias("_cov"),
+        F.stddev_samp(v).alias("_sv"),
+        # pairwise-complete like SQL corr: x rows where v is NULL must not
+        # contribute to sigma_x
+        F.stddev_samp(F.when(v.isNotNull(), x)).alias("_sx"),
+        F.count(v).alias("n_obs"),
+    )
+    r = F.when(
+        (F.col("_sv") > 0) & (F.col("_sx") > 0),
+        F.round(F.col("_cov") / (F.col("_sv") * F.col("_sx")), 6),
+    )
+    return agg.select(*keys, "slope", "intercept", r.alias("r"), "n_obs")
+
+
+def cross_correlation(
+    grid: DataFrame,
+    var_a: str,
+    var_b: str,
+    keys: Sequence[str] = ("i", "j"),
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-cell Pearson correlation between two variables' time series
+    (e.g. tmmx vs sph coupling). Self-join-free: pivot the two variables
+    into one row per (cell, time) via conditional aggregation (FIRST over
+    a filtered value — one shuffle), then ``corr`` per cell (second
+    shuffle, |cells|-sized).
+
+    Output: (keys…, r, n_obs) for cells where both series observed.
+    """
+    keys = list(keys)
+    v = F.col(value_col)
+    paired = (
+        grid.where(F.col("var").isin(var_a, var_b))
+        .groupBy(*keys, F.col(time_col))
+        .agg(
+            F.first(F.when(F.col("var") == var_a, v), ignorenulls=True).alias("_a"),
+            F.first(F.when(F.col("var") == var_b, v), ignorenulls=True).alias("_b"),
+        )
+        .where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    )
+    # same ANSI-safe moment form as trend_slope (F.corr raises on a
+    # zero-variance side; this yields NULL like SQL corr)
+    agg = paired.groupBy(*keys).agg(
+        F.covar_samp("_a", "_b").alias("_cov"),
+        F.stddev_samp("_a").alias("_sa"),
+        F.stddev_samp("_b").alias("_sb"),
+        F.count("*").alias("n_obs"),
+    )
+    r = F.when(
+        (F.col("_sa") > 0) & (F.col("_sb") > 0),
+        F.round(F.col("_cov") / (F.col("_sa") * F.col("_sb")), 6),
+    )
+    return agg.select(*keys, r.alias("r"), "n_obs")

@@ -402,3 +402,35 @@ class TestFocalTopk:
                .orderBy("source", "rank").collect()]
         # ties on 30 break toward lower doc_id
         assert out == [(2, 1), (5, 2), (4, 1)]
+
+
+class TestTrendCorr:
+    def test_trend_slope_exact_line(self, spark):
+        from gridmet_etl_spark.operators.timeseries import trend_slope
+
+        rows = [("t", 0, 0, f"2024-01-0{d}", 10.0 + 2.0 * d) for d in range(1, 8)]
+        df = spark.createDataFrame(rows, "var string, i int, j int, time string, value double") \
+            .withColumn("time", F.to_date("time"))
+        r = trend_slope(df).collect()[0]
+        assert r["slope"] == 2.0 and r["r"] == 1.0 and r["n_obs"] == 7
+
+    def test_trend_constant_series_null_r(self, spark):
+        from gridmet_etl_spark.operators.timeseries import trend_slope
+
+        rows = [("t", 0, 0, f"2024-01-0{d}", 5.0) for d in range(1, 5)]
+        df = spark.createDataFrame(rows, "var string, i int, j int, time string, value double") \
+            .withColumn("time", F.to_date("time"))
+        r = trend_slope(df).collect()[0]
+        assert r["slope"] == 0.0 and r["r"] is None
+
+    def test_cross_correlation_sign(self, spark):
+        from gridmet_etl_spark.operators.timeseries import cross_correlation
+
+        rows = []
+        for d in range(1, 6):
+            rows.append(("a", 0, 0, f"2024-01-0{d}", float(d)))
+            rows.append(("b", 0, 0, f"2024-01-0{d}", float(-2 * d)))
+        df = spark.createDataFrame(rows, "var string, i int, j int, time string, value double") \
+            .withColumn("time", F.to_date("time"))
+        r = cross_correlation(df, "a", "b").collect()[0]
+        assert r["r"] == -1.0 and r["n_obs"] == 5
