@@ -2304,7 +2304,70 @@ GROUP BY i, j
 """
 
 
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token log-odds drift between the src0-src9 and src10-src19 halves
+    of the corpus (the snapshot-drift monitor)."""
+    from .operators.textops import token_drift
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    side = F.length("source") <= 4  # src0..src9 vs src10..src19
+    return token_drift(docs, side, k=20)
+
+
+SQL_TOKEN_DRIFT = """
+WITH toks AS (
+  SELECT length(source) <= 4 AS side, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+t2 AS (SELECT side, token FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN side THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM t2 GROUP BY token),
+totals AS (
+  SELECT CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+         CAST(sum(CASE WHEN side THEN 0 ELSE 1 END) AS BIGINT) AS t_b
+  FROM t2),
+scored AS (
+  SELECT token, n_a, n_b,
+         ROUND(ln(((n_a + 1.0) / (t_a + 2.0)) / (1.0 - (n_a + 1.0) / (t_a + 2.0)))
+             - ln(((n_b + 1.0) / (t_b + 2.0)) / (1.0 - (n_b + 1.0) / (t_b + 2.0))), 6) AS delta
+  FROM counts CROSS JOIN totals)
+SELECT token, n_a, n_b, delta FROM scored
+ORDER BY abs(delta) DESC, token LIMIT 20
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (regex sentence/word/syllable
+    proxies, row-local)."""
+    from .operators.textops import flesch_reading_ease
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select(
+        "doc_id", F.round(flesch_reading_ease("text"), 6).alias("flesch")
+    )
+
+
+SQL_READABILITY = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS words_split,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vowel_groups
+  FROM documents)
+SELECT doc_id,
+       ROUND(206.835
+             - 1.015 * (CAST(greatest(words_split, 1) AS DOUBLE) / sentences)
+             - 84.6 * (CAST(greatest(vowel_groups, greatest(words_split, 1)) AS DOUBLE)
+                       / greatest(words_split, 1)), 6) AS flesch
+FROM m
+"""
+
+
 EXT_QUERIES = {
+    "token_drift": (q_token_drift, SQL_TOKEN_DRIFT),
+    "readability": (q_readability, SQL_READABILITY),
     "trend_slope": (q_trend_slope, _sql_trend_slope()),
     "cross_correlation": (q_cross_correlation, _sql_cross_correlation()),
     "focal_mean": (q_focal_mean, _sql_focal_mean()),

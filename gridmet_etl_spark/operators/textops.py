@@ -462,3 +462,66 @@ def char_entropy(text: Column | str) -> Column:
     h = F.log(n) - s_total / n + F.lit(0.0)
     # split('', '') yields [''] (one empty token), so gate on text length
     return F.when(F.length(c) > 0, h)
+
+
+def token_drift(
+    docs: DataFrame,
+    split_predicate: Column,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-usage drift between two sub-corpora (split by a boolean
+    predicate): add-one-smoothed log-odds ratio per token, top-k by
+    |delta| (the Monroe-style 'fightin' words' statistic, simplified to a
+    flat prior). The monitoring primitive between corpus snapshots /
+    domains — tokens with large |delta| mark the distribution shift.
+
+    One explode → (side, token) count shuffle (vocabulary-sized after
+    map-side combine), scalar totals broadcast back, top-k via
+    TakeOrderedAndProject. delta = ln(p1/(1-p1)) − ln(p2/(1-p2)) with
+    p_i = (c_i + 1)/(n_i + 2).
+
+    Output: (token, n_a, n_b, delta) — delta > 0 ⇒ over-represented in
+    the predicate=true side; ties break token asc.
+    """
+    toks = docs.select(
+        split_predicate.alias("_side"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.sum(F.col("_side").cast("long")).alias("n_a"),
+        F.sum((~F.col("_side")).cast("long")).alias("n_b"),
+    )
+    totals = toks.groupBy().agg(
+        F.sum(F.col("_side").cast("long")).alias("t_a"),
+        F.sum((~F.col("_side")).cast("long")).alias("t_b"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p_a = (F.col("n_a") + 1) / (F.col("t_a") + 2)
+    p_b = (F.col("n_b") + 1) / (F.col("t_b") + 2)
+    delta = F.round(
+        F.log(p_a / (1 - p_a)) - F.log(p_b / (1 - p_b)), 6
+    )
+    return (
+        j.select("token", "n_a", "n_b", delta.alias("delta"))
+        .orderBy(F.abs(F.col("delta")).desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def flesch_reading_ease(text: Column | str) -> Column:
+    """Flesch reading-ease score from regex proxies: sentences =
+    [.!?]+ runs (min 1), words = whitespace tokens, syllables = [aeiouy]+
+    vowel groups (min 1/word). Row-local codegen (regexp_count), zero
+    shuffle — pairs with quality_score in one projection."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.greatest(token_count(c), F.lit(1)).cast("double")
+    sentences = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1)).cast("double")
+    syllables = F.greatest(
+        F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+")), words
+    ).cast("double")
+    return (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )

@@ -434,3 +434,33 @@ class TestTrendCorr:
             .withColumn("time", F.to_date("time"))
         r = cross_correlation(df, "a", "b").collect()[0]
         assert r["r"] == -1.0 and r["n_obs"] == 5
+
+
+class TestDriftReadability:
+    def test_token_drift_direction(self, spark):
+        from gridmet_etl_spark.operators.textops import token_drift
+
+        docs = spark.createDataFrame(
+            [(1, "a", "alpha alpha beta"), (2, "a", "alpha gamma"),
+             (3, "b", "delta delta beta"), (4, "b", "delta gamma")],
+            "doc_id long, grp string, text string",
+        )
+        out = {r["token"]: r for r in
+               token_drift(docs, F.col("grp") == "a", k=10).collect()}
+        assert out["alpha"]["delta"] > 0 and out["alpha"]["n_a"] == 3
+        assert out["delta"]["delta"] < 0 and out["delta"]["n_b"] == 3
+        # shared tokens drift less than exclusive ones
+        assert abs(out["beta"]["delta"]) < abs(out["alpha"]["delta"])
+
+    def test_flesch_simple_vs_polysyllabic(self, spark):
+        from gridmet_etl_spark.operators.textops import flesch_reading_ease
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat. the dog ran."),
+             (2, "extraordinarily incomprehensible multidimensionality consideration")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["f"] for r in
+               df.select("doc_id", flesch_reading_ease("text").alias("f")).collect()}
+        assert out[1] > 80          # short monosyllabic sentences read easy
+        assert out[2] < out[1] - 50  # long polysyllabic one-sentence text reads hard
