@@ -2365,7 +2365,48 @@ FROM m
 """
 
 
+def q_bilinear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear point sampling of the grid at the 50 feature locations
+    (scatter-4-corners on the broadcast point side; grid never shuffles)."""
+    from .contract import FIXDIR
+    from .fixtures import RES, X1, Y1
+    from .operators.bbox import bilinear_interpolate
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    pts = spark.read.parquet(os.path.join(FIXDIR, "features.parquet"))
+    return bilinear_interpolate(grid, pts, y1=Y1, x1=X1, res=RES)
+
+
+def _sql_bilinear_interp() -> str:
+    from .contract import FIXDIR
+    from .fixtures import RES, X1, Y1
+
+    gpath = os.path.join(FIXDIR, "grid.parquet")
+    fpath = os.path.join(FIXDIR, "features.parquet")
+    return f"""
+WITH p AS (
+  SELECT feature_id,
+         CAST(floor(({Y1} - lat) / {RES}) AS INTEGER) AS i0,
+         CAST(floor((lon - {X1}) / {RES}) AS INTEGER) AS j0,
+         ({Y1} - lat) / {RES} - floor(({Y1} - lat) / {RES}) AS di,
+         (lon - {X1}) / {RES} - floor((lon - {X1}) / {RES}) AS dj
+  FROM read_parquet('{fpath}')),
+corners AS (
+  SELECT feature_id, i0 + c.da AS i, j0 + c.db AS j,
+         (1 - abs(di - c.da)) * (1 - abs(dj - c.db)) AS w
+  FROM p, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(da, db))
+SELECT c.feature_id, g.var, g.time,
+       ROUND(sum(c.w * g.value)
+             / sum(CASE WHEN g.value IS NOT NULL THEN c.w END), 6) AS interp_value,
+       ROUND(sum(CASE WHEN g.value IS NOT NULL THEN c.w END), 6) AS w_mass
+FROM read_parquet('{gpath}') g JOIN corners c ON g.i = c.i AND g.j = c.j
+GROUP BY c.feature_id, g.var, g.time
+"""
+
+
 EXT_QUERIES = {
+    "bilinear_interp": (q_bilinear_interp, _sql_bilinear_interp()),
     "token_drift": (q_token_drift, SQL_TOKEN_DRIFT),
     "readability": (q_readability, SQL_READABILITY),
     "trend_slope": (q_trend_slope, _sql_trend_slope()),

@@ -163,3 +163,69 @@ def focal_mean(
         "focal_value",
         "n_nbrs",
     )
+
+
+def bilinear_interpolate(
+    grid: DataFrame,
+    points: DataFrame,
+    y1: float,
+    x1: float,
+    res: float,
+    keys: tuple[str, ...] = ("var", "time"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Bilinear interpolation of the gridded field to point locations —
+    the point-sampling alternative to area-weight aggregation (the
+    reference's grid→polygon path; stations/points want this form).
+
+    Geometry: fractional cell coords fi = (y1 − lat)/res (descending-lat
+    convention, bounds_to_cells), fj = (lon − x1)/res. Each point scatters
+    to its 4 surrounding corners with weights (1−di)(1−dj) etc — a
+    row-local explode on the POINT side (|points| × 4 rows, broadcast);
+    the grid is probed by an equi-join on (i, j) and never shuffles.
+    Missing corners (edge/NULL cells) renormalize by the present weight
+    mass. One output-sized aggregation keyed (feature, keys…).
+
+    Output: (feature_id, keys…, interp_value, w_mass).
+    """
+    fi = (F.lit(y1) - F.col("lat")) / F.lit(res)
+    fj = (F.col("lon") - F.lit(x1)) / F.lit(res)
+    corners = [
+        F.struct(F.lit(a).alias("da"), F.lit(b).alias("db"))
+        for a in (0, 1)
+        for b in (0, 1)
+    ]
+    pts = (
+        points.select(
+            "feature_id",
+            F.floor(fi).cast("int").alias("i0"),
+            F.floor(fj).cast("int").alias("j0"),
+            (fi - F.floor(fi)).alias("di"),
+            (fj - F.floor(fj)).alias("dj"),
+        )
+        .select(
+            "feature_id",
+            F.explode(F.array(*corners)).alias("_c"),
+            "i0", "j0", "di", "dj",
+        )
+        .select(
+            "feature_id",
+            (F.col("i0") + F.col("_c.da")).alias("i"),
+            (F.col("j0") + F.col("_c.db")).alias("j"),
+            (
+                (1 - F.abs(F.col("di") - F.col("_c.da")))
+                * (1 - F.abs(F.col("dj") - F.col("_c.db")))
+            ).alias("w"),
+        )
+    )
+    joined = grid.join(F.broadcast(pts), ["i", "j"])
+    v = F.col(value_col)
+    return (
+        joined.groupBy("feature_id", *[F.col(k) for k in keys])
+        .agg(
+            F.round(
+                F.sum(F.col("w") * v) / F.sum(F.when(v.isNotNull(), F.col("w"))), 6
+            ).alias("interp_value"),
+            F.round(F.sum(F.when(v.isNotNull(), F.col("w"))), 6).alias("w_mass"),
+        )
+    )

@@ -464,3 +464,45 @@ class TestDriftReadability:
                df.select("doc_id", flesch_reading_ease("text").alias("f")).collect()}
         assert out[1] > 80          # short monosyllabic sentences read easy
         assert out[2] < out[1] - 50  # long polysyllabic one-sentence text reads hard
+
+
+class TestBilinear:
+    def test_linear_field_exact(self, spark):
+        """Bilinear interpolation reproduces a linear field exactly."""
+        from gridmet_etl_spark.operators.bbox import bilinear_interpolate
+
+        y1, x1, res = 10.0, 0.0, 1.0
+        cells = [
+            ("t", "d", i, j, y1 - i * res, x1 + j * res, 2.0 * i + 3.0 * j)
+            for i in range(4) for j in range(4)
+        ]
+        grid = spark.createDataFrame(
+            cells, "var string, time string, i int, j int, lat double, lon double, value double"
+        )
+        # point at fractional cell coords (fi, fj) = (1.25, 2.5)
+        pts = spark.createDataFrame(
+            [(7, y1 - 1.25 * res, x1 + 2.5 * res)], "feature_id long, lat double, lon double"
+        )
+        r = bilinear_interpolate(grid, pts, y1=y1, x1=x1, res=res).collect()[0]
+        assert r["interp_value"] == round(2.0 * 1.25 + 3.0 * 2.5, 6)
+        assert r["w_mass"] == 1.0
+
+    def test_cell_center_identity_and_missing_corner(self, spark):
+        from gridmet_etl_spark.operators.bbox import bilinear_interpolate
+
+        y1, x1, res = 10.0, 0.0, 1.0
+        cells = [("t", "d", 0, 0, 10.0, 0.0, 8.0), ("t", "d", 0, 1, 10.0, 1.0, None),
+                 ("t", "d", 1, 0, 9.0, 0.0, 4.0), ("t", "d", 1, 1, 9.0, 1.0, None)]
+        grid = spark.createDataFrame(
+            cells, "var string, time string, i int, j int, lat double, lon double, value double"
+        )
+        pts = spark.createDataFrame(
+            [(1, 10.0, 0.0), (2, 9.5, 0.5)], "feature_id long, lat double, lon double"
+        )
+        out = {r["feature_id"]: r for r in
+               bilinear_interpolate(grid, pts, y1=y1, x1=x1, res=res).collect()}
+        # point exactly on cell (0,0): identity
+        assert out[1]["interp_value"] == 8.0
+        # midpoint with the j=1 column missing: renormalized mean of 8, 4
+        assert out[2]["interp_value"] == 6.0
+        assert out[2]["w_mass"] == 0.5
