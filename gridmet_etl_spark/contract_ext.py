@@ -2405,7 +2405,81 @@ GROUP BY c.feature_id, g.var, g.time
 """
 
 
+def q_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly heating/cooling degree days per cell from tmmx/tmmn (K→°C
+    at the edge; conditional-agg pairing, no self-join)."""
+    from .contract import FIXDIR
+    from .operators.timeseries import degree_days
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    return degree_days(grid)
+
+
+def _sql_degree_days() -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid.parquet")
+    return f"""
+WITH paired AS (
+  SELECT i, j, time,
+         first(value) FILTER (WHERE var = 'tmmx') AS tx,
+         first(value) FILTER (WHERE var = 'tmmn') AS tn
+  FROM read_parquet('{path}')
+  WHERE var IN ('tmmx', 'tmmn')
+  GROUP BY i, j, time),
+daily AS (
+  SELECT i, j, CAST(date_trunc('month', time) AS DATE) AS month,
+         ((tx - 273.15) + (tn - 273.15)) / 2 AS t
+  FROM paired WHERE tx IS NOT NULL AND tn IS NOT NULL)
+SELECT i, j, month,
+       ROUND(sum(greatest(18.3 - t, 0.0)), 6) AS hdd,
+       ROUND(sum(greatest(t - 18.3, 0.0)), 6) AS cdd,
+       count(*) AS n_days
+FROM daily GROUP BY i, j, month
+"""
+
+
+def q_climate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship climate composition: anomaly → per-cell OLS trend →
+    3×3 focal smoothing, one DAG, every shuffle |cells|-sized."""
+    from .contract import FIXDIR
+    from .plans.climate import climate_pipeline
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    return climate_pipeline(grid, var="tmmx")
+
+
+def _sql_climate_pipeline() -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid.parquet")
+    return f"""
+WITH sel AS (
+  SELECT i, j, time, value FROM read_parquet('{path}') WHERE var = 'tmmx'),
+anom AS (
+  SELECT i, j, time, value - avg(value) OVER (PARTITION BY i, j) AS anomaly
+  FROM sel),
+trend AS (
+  SELECT i, j,
+         ROUND(regr_slope(anomaly,
+               CAST(date_diff('day', DATE '1970-01-01', time) AS DOUBLE)), 6)
+           AS slope
+  FROM anom GROUP BY i, j),
+smooth AS (
+  SELECT a.i, a.j, ROUND(avg(b.slope), 6) AS trend_smooth,
+         count(b.slope) AS n_nbrs
+  FROM trend a JOIN trend b
+    ON abs(a.i - b.i) <= 1 AND abs(a.j - b.j) <= 1
+  GROUP BY a.i, a.j)
+SELECT i, j, trend_smooth, n_nbrs FROM smooth
+"""
+
+
 EXT_QUERIES = {
+    "climate_pipeline": (q_climate_pipeline, _sql_climate_pipeline()),
+    "degree_days": (q_degree_days, _sql_degree_days()),
     "bilinear_interp": (q_bilinear_interp, _sql_bilinear_interp()),
     "token_drift": (q_token_drift, SQL_TOKEN_DRIFT),
     "readability": (q_readability, SQL_READABILITY),

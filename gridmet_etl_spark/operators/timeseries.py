@@ -194,3 +194,49 @@ def cross_correlation(
         F.round(F.col("_cov") / (F.col("_sa") * F.col("_sb")), 6),
     )
     return agg.select(*keys, r.alias("r"), "n_obs")
+
+
+def degree_days(
+    grid: DataFrame,
+    base_c: float = 18.3,
+    tmax_var: str = "tmmx",
+    tmin_var: str = "tmmn",
+    keys: Sequence[str] = ("i", "j"),
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Heating/cooling degree days from daily temperature extremes: the
+    daily mean T = (tmax + tmin)/2 (°C; inputs are K per the reference's
+    gridMET convention, converted at this edge), HDD = Σ max(0, base − T),
+    CDD = Σ max(0, T − base) per cell per month.
+
+    Two bounded shuffles: conditional-agg pairing of the two variables per
+    (cell, day) — the same no-self-join shape as cross_correlation — then
+    the monthly rollup (output-sized, map-side partials).
+
+    Output: (keys…, month, hdd, cdd, n_days).
+    """
+    from ..functions.units import kelvin_to_celsius
+
+    keys = list(keys)
+    v = F.col(value_col)
+    paired = (
+        grid.where(F.col("var").isin(tmax_var, tmin_var))
+        .groupBy(*keys, F.col(time_col))
+        .agg(
+            F.first(F.when(F.col("var") == tmax_var, v), ignorenulls=True).alias("_tx"),
+            F.first(F.when(F.col("var") == tmin_var, v), ignorenulls=True).alias("_tn"),
+        )
+        .where(F.col("_tx").isNotNull() & F.col("_tn").isNotNull())
+    )
+    t_mean = (kelvin_to_celsius(F.col("_tx")) + kelvin_to_celsius(F.col("_tn"))) / 2
+    daily = paired.select(
+        *keys,
+        F.date_trunc("month", F.col(time_col)).cast("date").alias("month"),
+        t_mean.alias("_t"),
+    )
+    return daily.groupBy(*keys, "month").agg(
+        F.round(F.sum(F.greatest(F.lit(base_c) - F.col("_t"), F.lit(0.0))), 6).alias("hdd"),
+        F.round(F.sum(F.greatest(F.col("_t") - F.lit(base_c), F.lit(0.0))), 6).alias("cdd"),
+        F.count("*").alias("n_days"),
+    )

@@ -506,3 +506,23 @@ class TestBilinear:
         # midpoint with the j=1 column missing: renormalized mean of 8, 4
         assert out[2]["interp_value"] == 6.0
         assert out[2]["w_mass"] == 0.5
+
+
+class TestDegreeDays:
+    def test_hdd_cdd(self, spark):
+        from gridmet_etl_spark.operators.timeseries import degree_days
+
+        # day 1: mean (30+10)/2 = 20C -> CDD 1.7; day 2: mean 10C -> HDD 8.3
+        rows = [
+            ("tmmx", 0, 0, "2024-01-01", 273.15 + 30.0),
+            ("tmmn", 0, 0, "2024-01-01", 273.15 + 10.0),
+            ("tmmx", 0, 0, "2024-01-02", 273.15 + 15.0),
+            ("tmmn", 0, 0, "2024-01-02", 273.15 + 5.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "var string, i int, j int, time string, value double"
+        ).withColumn("time", F.to_date("time"))
+        r = degree_days(df).collect()[0]
+        assert r["n_days"] == 2
+        assert abs(r["cdd"] - 1.7) < 1e-6
+        assert abs(r["hdd"] - 8.3) < 1e-6
