@@ -2477,7 +2477,88 @@ SELECT i, j, trend_smooth, n_nbrs FROM smooth
 """
 
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted join on a deliberately hot key (l_partkey % 10 —
+    ten keys carry the whole lineitem table), aggregated per key. The
+    oracle is the PLAIN join+agg: salting must be invisible in the
+    result."""
+    from .operators.scale import salted_join
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        (F.col("l_partkey") % 10).alias("hot_key"), "l_extendedprice"
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("hot_key"), (F.col("id") * 0.01 + 1.0).alias("rate")
+    )
+    joined = salted_join(li, dim, "hot_key", n_salts=16)
+    return joined.groupBy("hot_key").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("rate")), 4).alias("adj_revenue"),
+    )
+
+
+SQL_SKEW_JOIN = """
+SELECT l_partkey % 10 AS hot_key, count(*) AS n,
+       ROUND(sum(l_extendedprice * ((l_partkey % 10) * 0.01 + 1.0)), 4) AS adj_revenue
+FROM lineitem
+GROUP BY l_partkey % 10
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operations over two doc-id ranges' source sets:
+    INTERSECT and EXCEPT tagged into one result (dedup semantics)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    a = docs.where(F.col("doc_id") < 250).select("source")
+    b = docs.where(F.col("doc_id") >= 250).select("source")
+    both = a.intersect(b).select(F.lit("both").alias("op"), "source")
+    only_a = a.subtract(b).select(F.lit("only_first").alias("op"), "source")
+    return both.unionByName(only_a)
+
+
+SQL_SET_OPS = """
+SELECT 'both' AS op, source FROM
+  (SELECT source FROM documents WHERE doc_id < 250
+   INTERSECT
+   SELECT source FROM documents WHERE doc_id >= 250)
+UNION ALL
+SELECT 'only_first', source FROM
+  (SELECT DISTINCT source FROM documents WHERE doc_id < 250
+   EXCEPT
+   SELECT source FROM documents WHERE doc_id >= 250)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup): per (status,
+    priority), per status, and grand total in ONE pass — Spark expands to
+    a single Expand + aggregate, no re-scan per set."""
+    spark.read.parquet(_t(sf_dir, "orders")).createOrReplaceTempView("_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, ROUND(sum(o_totalprice), 4) AS revenue,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, ROUND(sum(o_totalprice), 4) AS revenue,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 EXT_QUERIES = {
+    "skew_join": (q_skew_join, SQL_SKEW_JOIN),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "climate_pipeline": (q_climate_pipeline, _sql_climate_pipeline()),
     "degree_days": (q_degree_days, _sql_degree_days()),
     "bilinear_interp": (q_bilinear_interp, _sql_bilinear_interp()),

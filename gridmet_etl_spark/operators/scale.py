@@ -114,3 +114,33 @@ def zorder_key(
             + F.shiftleft(F.shiftrightunsigned(jc, b).bitwiseAND(F.lit(1)), 2 * b + 1)
         )
     return key
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join for a hot-keyed fact against a small dim WITHOUT
+    broadcast (the fallback when the dim exceeds the broadcast budget but a
+    handful of fact keys dominate): the fact side salts each row into one of
+    ``n_salts`` sub-keys; the dim side replicates every row across all
+    salts. The shuffle then spreads the hottest key over n_salts tasks
+    instead of one straggler. Result is EXACTLY the plain join (salting
+    only refines the partitioning — the oracle is the unsalted form).
+
+    AQE's skew-join handles the sort-merge case adaptively; explicit
+    salting remains the portable form for shuffle-hash joins and for
+    engines/stages where AQE cannot split (e.g. bucketed tables).
+
+    Output: fact columns + dim columns (key deduplicated).
+    """
+    salt = (F.rand(seed=7) * n_salts).cast("int")
+    f = fact.withColumn("_salt", salt)
+    d = dim.crossJoin(
+        F.broadcast(
+            fact.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")

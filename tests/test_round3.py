@@ -526,3 +526,28 @@ class TestDegreeDays:
         assert r["n_days"] == 2
         assert abs(r["cdd"] - 1.7) < 1e-6
         assert abs(r["hdd"] - 8.3) < 1e-6
+
+
+class TestSaltedJoinSetOps:
+    def test_salted_join_equals_plain(self, spark):
+        from gridmet_etl_spark.operators.scale import salted_join
+
+        fact = spark.createDataFrame(
+            [(i % 3, float(i)) for i in range(100)], "k long, v double"
+        )
+        dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, tag string")
+        got = salted_join(fact, dim, "k").groupBy("k", "tag").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        )
+        plain = fact.join(dim, "k").groupBy("k", "tag").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+    def test_salted_join_spreads_hot_key(self, spark):
+        from gridmet_etl_spark.operators.scale import salted_join
+
+        fact = spark.createDataFrame([(1, float(i)) for i in range(1000)], "k long, v double")
+        dim = spark.createDataFrame([(1, "hot")], "k long, tag string")
+        out = salted_join(fact, dim, "k", n_salts=8)
+        assert out.count() == 1000
