@@ -2555,7 +2555,46 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-DAY revenue per order priority using a RANGE frame over
+    epoch days — unlike the ROWS frame (events_moving_avg), RANGE stays
+    correct when days are missing: the frame is defined by the time VALUE,
+    not the row offset."""
+    from pyspark.sql import Window as W
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    d = F.unix_date(F.col("day")).cast("long")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(d)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        F.round("rev", 4).alias("rev"),
+        F.round(F.sum("rev").over(w), 4).alias("rev_7d"),
+    )
+
+
+SQL_RANGE_FRAME_SUM = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, day, ROUND(rev, 4) AS rev,
+       ROUND(sum(rev) OVER (PARTITION BY o_orderpriority
+                            ORDER BY date_diff('day', DATE '1970-01-01', day)
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rev_7d
+FROM daily
+"""
+
+
 EXT_QUERIES = {
+    "range_frame_sum": (q_range_frame_sum, SQL_RANGE_FRAME_SUM),
     "skew_join": (q_skew_join, SQL_SKEW_JOIN),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
