@@ -2593,7 +2593,139 @@ FROM daily
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag (RANGE-frame
+    cumulative weights — tie-order-independent)."""
+    from .operators.normalize import weighted_median
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return weighted_median(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem)
+SELECT l_returnflag, min(v) AS wmedian, ROUND(any_value(tw), 6) AS total_w
+FROM c WHERE cw >= tw / 2 GROUP BY l_returnflag
+"""
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from first view to
+    the first purchase after it; per-distribution count/mean/median
+    (integer-second lags → exact sums, interpolation rounds at 6)."""
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    views = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_buy")
+    )
+    lags = (
+        views.join(purch, "user_id")
+        .where(F.col("t_buy") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t_buy").alias("t_first_buy"), F.first("t_view").alias("t_view"))
+        .select(
+            F.expr("timestampdiff(SECOND, t_view, t_first_buy)").alias("lag_s")
+        )
+    )
+    return lags.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.avg("lag_s"), 6).alias("mean_lag_s"),
+        F.round(F.percentile(F.col("lag_s").cast("double"), F.lit(0.5)), 6).alias("p50_lag_s"),
+        F.round(F.percentile(F.col("lag_s").cast("double"), F.lit(0.9)), 6).alias("p90_lag_s"),
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+v AS (SELECT user_id, min(ts) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+l AS (
+  -- floored elapsed seconds (epoch_us // 1e6), matching Spark's
+  -- timestampdiff(SECOND); date_diff('second') counts boundary
+  -- CROSSINGS and disagrees by 1 on sub-second offsets
+  SELECT e.user_id,
+         (epoch_us(min(e.ts)) - epoch_us(v.t_view)) // 1000000 AS lag_s
+  FROM ev e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id, v.t_view)
+SELECT count(*) AS n_converted,
+       ROUND(avg(lag_s), 6) AS mean_lag_s,
+       ROUND(quantile_cont(CAST(lag_s AS DOUBLE), 0.5), 6) AS p50_lag_s,
+       ROUND(quantile_cont(CAST(lag_s AS DOUBLE), 0.9), 6) AS p90_lag_s
+FROM l
+"""
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day — the window countDistinct Spark
+    lacks, rewritten as first-seen day per user → daily new-user counts →
+    cumulative sum over the bounded |days| relation (the scalable form:
+    the corpus-sized work is one user-keyed min; only day-rows see a
+    global window)."""
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select("day", "new_users", F.sum("new_users").over(w).alias("cum_users"))
+
+
+SQL_CUMULATIVE_USERS = """
+WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+daily AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+def q_rebased_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index series: daily revenue per priority rebased to 100 at each
+    partition's first day (first_value window — one sort per group)."""
+    from pyspark.sql import Window as W
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = W.partitionBy("o_orderpriority").orderBy("day")
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        F.round("rev", 4).alias("rev"),
+        F.round(F.lit(100.0) * F.col("rev") / F.first("rev").over(w), 6).alias("idx"),
+    )
+
+
+SQL_REBASED_SERIES = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, day, ROUND(rev, 4) AS rev,
+       ROUND(100.0 * rev / first_value(rev) OVER (PARTITION BY o_orderpriority
+                                                  ORDER BY day), 6) AS idx
+FROM daily
+"""
+
+
 EXT_QUERIES = {
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
+    "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
+    "rebased_series": (q_rebased_series, SQL_REBASED_SERIES),
     "range_frame_sum": (q_range_frame_sum, SQL_RANGE_FRAME_SUM),
     "skew_join": (q_skew_join, SQL_SKEW_JOIN),
     "set_ops": (q_set_ops, SQL_SET_OPS),

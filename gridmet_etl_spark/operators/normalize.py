@@ -126,3 +126,40 @@ def ntile_bins(
             F.round(F.max("v"), 6).alias("hi"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose cumulative
+    weight reaches half the group's total. The cumulative window uses the
+    default RANGE frame (ORDER BY value → all peers of a tied value are
+    included), so the result is deterministic under any tie order and
+    reproducible across engines — no row_number tiebreak needed.
+
+    Two windows over one group-keyed sort (same partitioning, single
+    shuffle), then a min-aggregation. Weights that are exact integers in
+    double stay exact under summation (< 2^53), so the half-total
+    comparison has no float fuzz on count-like weights.
+
+    Output: (keys…, wmedian, total_w).
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    wp = Window.partitionBy(*keys)
+    cum = F.sum(weight_col).over(wp.orderBy(F.col(value_col)))
+    tot = F.sum(weight_col).over(wp)
+    c = df.select(*keys, F.col(value_col).alias("_v"),
+                  cum.alias("_cw"), tot.alias("_tw"))
+    return (
+        c.where(F.col("_cw") >= F.col("_tw") / 2)
+        .groupBy(*keys)
+        .agg(
+            F.min("_v").alias("wmedian"),
+            F.round(F.first("_tw"), 6).alias("total_w"),
+        )
+    )

@@ -551,3 +551,28 @@ class TestSaltedJoinSetOps:
         dim = spark.createDataFrame([(1, "hot")], "k long, tag string")
         out = salted_join(fact, dim, "k", n_salts=8)
         assert out.count() == 1000
+
+
+class TestWeightedMedian:
+    def test_known_value(self, spark):
+        from gridmet_etl_spark.operators.normalize import weighted_median
+
+        # values 1..4 with weights 1,1,1,5 -> total 8, half 4; cum at v=4 is 8,
+        # cum at v=3 is 3 < 4 -> weighted median 4
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 5.0)],
+            "k string, v double, w double",
+        )
+        r = weighted_median(df, ["k"], "v", "w").collect()[0]
+        assert r["wmedian"] == 4.0 and r["total_w"] == 8.0
+
+    def test_tie_order_independent(self, spark):
+        from gridmet_etl_spark.operators.normalize import weighted_median
+
+        # duplicated median value across rows: RANGE frame counts all peers
+        df = spark.createDataFrame(
+            [("g", 2.0, 1.0), ("g", 2.0, 1.0), ("g", 1.0, 1.0), ("g", 3.0, 1.0)],
+            "k string, v double, w double",
+        )
+        r = weighted_median(df, ["k"], "v", "w").collect()[0]
+        assert r["wmedian"] == 2.0
