@@ -2721,7 +2721,43 @@ FROM daily
 """
 
 
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per cell — the grouped-map Arrow kernel with
+    a full pairwise-slope SQL oracle."""
+    from .contract import FIXDIR
+    from .operators.timeseries import theilsen_trend
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    out = theilsen_trend(grid.where(F.col("var").isin("tmmx", "pr")))
+    # cells with <2 valid observations have no pairwise slopes: the kernel
+    # emits an n_pairs=0 marker row, the SQL group simply vanishes — align
+    return out.where(F.col("n_pairs") > 0)
+
+
+def _sql_theilsen_trend() -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid.parquet")
+    return f"""
+WITH s AS (
+  SELECT var, i, j,
+         CAST(date_diff('day', DATE '1970-01-01', time) AS DOUBLE) AS x,
+         value AS v
+  FROM read_parquet('{path}')
+  WHERE var IN ('tmmx', 'pr') AND value IS NOT NULL),
+pairs AS (
+  SELECT a.var, a.i, a.j, (b.v - a.v) / (b.x - a.x) AS sl
+  FROM s a JOIN s b
+    ON a.var = b.var AND a.i = b.i AND a.j = b.j AND a.x < b.x)
+SELECT var, i, j, ROUND(quantile_cont(sl, 0.5), 6) AS slope,
+       count(*) AS n_pairs
+FROM pairs GROUP BY var, i, j
+"""
+
+
 EXT_QUERIES = {
+    "theilsen_trend": (q_theilsen_trend, _sql_theilsen_trend()),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
     "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),

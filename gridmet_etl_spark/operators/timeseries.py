@@ -240,3 +240,60 @@ def degree_days(
         F.round(F.sum(F.greatest(F.col("_t") - F.lit(base_c), F.lit(0.0))), 6).alias("cdd"),
         F.count("*").alias("n_days"),
     )
+
+
+def theilsen_trend(
+    grid: DataFrame,
+    keys: Sequence[str] = ("var", "i", "j"),
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil–Sen robust trend per series: the MEDIAN of all pairwise
+    slopes (vⱼ−vᵢ)/(xⱼ−xᵢ), xᵢ = epoch days — insensitive to outliers
+    where OLS (trend_slope) is dragged. No closed-form aggregate exists,
+    so this is the repo's one GROUPED-MAP Arrow kernel with a full oracle:
+    ``applyInPandas`` receives each series as a pandas frame, numpy
+    broadcasts the pairwise slope matrix, ``np.median`` interpolates even
+    counts exactly like SQL ``quantile_cont`` — bit-comparable across
+    engines at 6 decimals.
+
+    Scale: one shuffle keyed on the series id; per-group work is
+    O(n²) in SERIES LENGTH (bounded: 365·years points per cell — subsample
+    pairs for multi-decade dailies), never corpus-sized. NULL values drop
+    per pair like SQL arithmetic.
+
+    Output: (keys…, slope, n_pairs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = list(keys)
+    out_fields = ", ".join(f"{k} string" if k == "var" else f"{k} int" for k in keys)
+    schema = f"{out_fields}, slope double, n_pairs long"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf.dropna(subset=[value_col])
+        x = pd.to_datetime(sub[time_col]).map(pd.Timestamp.toordinal).to_numpy(
+            dtype=np.float64
+        ) - 719163.0  # epoch-day offset (1970-01-01 ordinal)
+        y = sub[value_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        head = {k: [pdf[k].iloc[0]] for k in keys}
+        if n < 2:
+            return pd.DataFrame({**head, "slope": [None], "n_pairs": [0]})
+        ii, jj = np.triu_indices(n, k=1)
+        valid = x[jj] != x[ii]
+        slopes = (y[jj][valid] - y[ii][valid]) / (x[jj][valid] - x[ii][valid])
+        if not len(slopes):
+            return pd.DataFrame({**head, "slope": [None], "n_pairs": [0]})
+        return pd.DataFrame(
+            {
+                **head,
+                "slope": [round(float(np.median(slopes)), 6)],
+                "n_pairs": [int(len(slopes))],
+            }
+        )
+
+    return grid.select(*keys, time_col, value_col).groupBy(*keys).applyInPandas(
+        kernel, schema
+    )

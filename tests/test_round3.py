@@ -576,3 +576,30 @@ class TestWeightedMedian:
         )
         r = weighted_median(df, ["k"], "v", "w").collect()[0]
         assert r["wmedian"] == 2.0
+
+
+class TestTheilSen:
+    def test_outlier_resistant(self, spark):
+        from gridmet_etl_spark.operators.timeseries import theilsen_trend
+
+        # clean slope 2.0 with one wild outlier on day 4
+        rows = [("t", 0, 0, f"2024-01-0{d}", 10.0 + 2.0 * d) for d in range(1, 8)]
+        rows[3] = ("t", 0, 0, "2024-01-04", 500.0)
+        df = spark.createDataFrame(
+            rows, "var string, i int, j int, time string, value double"
+        ).withColumn("time", F.to_date("time"))
+        r = theilsen_trend(df).collect()[0]
+        assert r["slope"] == 2.0       # median slope ignores the outlier
+        assert r["n_pairs"] == 21
+
+    def test_null_and_tiny_series(self, spark):
+        from gridmet_etl_spark.operators.timeseries import theilsen_trend
+
+        df = spark.createDataFrame(
+            [("t", 0, 0, "2024-01-01", 1.0), ("t", 0, 0, "2024-01-02", None),
+             ("t", 0, 0, "2024-01-03", 5.0), ("u", 1, 1, "2024-01-01", 9.0)],
+            "var string, i int, j int, time string, value double",
+        ).withColumn("time", F.to_date("time"))
+        out = {(r["var"], r["i"]): r for r in theilsen_trend(df).collect()}
+        assert out[("t", 0)]["slope"] == 2.0 and out[("t", 0)]["n_pairs"] == 1
+        assert out[("u", 1)]["slope"] is None and out[("u", 1)]["n_pairs"] == 0
