@@ -40,7 +40,8 @@ _CHECK_FIRST = [
     "token_drift", "readability", "bilinear_interp", "degree_days",
     "climate_pipeline", "skew_join", "set_ops", "grouping_sets",
     "range_frame_sum", "weighted_median", "conversion_lag",
-    "cumulative_users", "rebased_series", "theilsen_trend",
+    "cumulative_users", "rebased_series", "theilsen_trend", "props_map",
+    "calendar_gaps",
     # (0b) never driver-checked before this round (6)
     "vocab_topk", "pii_flags", "simhash", "cosine_topk", "cosine_topk_lsh",
     "kmeans_assign",
@@ -49,11 +50,11 @@ _CHECK_FIRST = [
     # (2) last checked in round 1 — oldest green rows, re-verify (31)
     "weighted_mean", "gridmet_pipeline", "cfsv2_median_pipeline",
     "cfsv2_ensemble_pipeline", "tpch_weighted_mean", "tpch_q1",
-    "tpch_join3", "tpch_window_topk", "tpch_topn", "tpch_semi_anti",
+    "tpch_join3",
     # ---- driver cap (50) reached; tail below was green in r1 or r2 ----
+    "tpch_window_topk", "tpch_topn", "tpch_semi_anti",
     "tpch_cube", "tpch_rollup", "tpch_q5ish", "tpch_q7ish",
-    "tpch_q13ish",
-    "tpch_q16ish", "tpch_q18ish", "tpch_q19ish",
+    "tpch_q13ish", "tpch_q16ish", "tpch_q18ish", "tpch_q19ish",
     "tpch_above_avg", "tpch_outer_agg",
     "salted_agg", "range_join", "exact_dedup",
     "ngram_jaccard", "text_analysis", "bigram_topk", "events_props_json",

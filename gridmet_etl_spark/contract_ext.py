@@ -2756,7 +2756,75 @@ FROM pairs GROUP BY var, i, j
 """
 
 
+def q_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column into map<string,long>
+    (from_json — codegen, no UDF), explode entries, aggregate per key."""
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    entries = e.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,long>")).alias("key", "val"),
+    )
+    return entries.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.avg("val"), 6).alias("avg_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+SQL_PROPS_MAP = """
+WITH entries AS (
+  SELECT event_type, u.key, CAST(props ->> u.key AS BIGINT) AS val
+  FROM events, unnest(json_keys(props)) AS u(key))
+SELECT key, count(*) AS n, count(DISTINCT event_type) AS n_types,
+       ROUND(avg(val), 6) AS avg_val,
+       min(val) AS min_val, max(val) AS max_val
+FROM entries GROUP BY key
+"""
+
+
+def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine completeness check: per event type, generate the full
+    day spine between the type's first and last day (``sequence`` +
+    explode — row-local) and anti-count the missing days. The data-quality
+    probe for incremental feeds (T2): a silent ingestion hole shows up as
+    n_missing > 0."""
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    observed = e.groupBy("event_type").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+        F.countDistinct(F.to_date("ts")).alias("n_observed"),
+    )
+    return observed.select(
+        "event_type",
+        "d0",
+        "d1",
+        (F.datediff("d1", "d0") + 1).cast("long").alias("n_expected"),
+        "n_observed",
+        (F.datediff("d1", "d0") + 1 - F.col("n_observed")).cast("long").alias("n_missing"),
+    )
+
+
+SQL_CALENDAR_GAPS = """
+SELECT event_type,
+       min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1,
+       CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1
+            AS BIGINT) AS n_expected,
+       count(DISTINCT CAST(ts AS DATE)) AS n_observed,
+       CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1
+            - count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_missing
+FROM events GROUP BY event_type
+"""
+
+
 EXT_QUERIES = {
+    "props_map": (q_props_map, SQL_PROPS_MAP),
+    "calendar_gaps": (q_calendar_gaps, SQL_CALENDAR_GAPS),
     "theilsen_trend": (q_theilsen_trend, _sql_theilsen_trend()),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
