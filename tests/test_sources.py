@@ -187,3 +187,36 @@ def test_jsonl_reader_no_inference_job(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
     assert [f.name for f in df.schema.fields] == ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_jsonl_corrupt_record_isolation(spark, tmp_path):
+    """Malformed JSONL lines must not poison the read: PERMISSIVE mode
+    parses good rows and captures bad lines in _corrupt_record for a
+    quarantine sink (the 100 TB reality: some shard always has a bad
+    line; FAILFAST would kill the whole job)."""
+    import json as _json
+
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "good one", "lang": "en",
+                     "source": "s", "n_chars": 8}),
+        '{"doc_id": 2, "text": "broken',          # truncated JSON
+        _json.dumps({"doc_id": 3, "text": "also good", "lang": "en",
+                     "source": "s", "n_chars": 9}),
+    ]
+    p.write_text("\n".join(lines))
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long, _corrupt_record string")
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert {r["doc_id"] for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
+    assert "broken" in bad.collect()[0]["_corrupt_record"]
+    df.unpersist()

@@ -309,3 +309,30 @@ def test_streaming_trending_counts_match_batch(spark, events_dir, tmp_path):
     jj = top_drained.join(topk, ["window_start", "event_type"])
     assert jj.filter(F.col("n") != F.col("bn")).count() == 0
     assert jj.count() == top_drained.count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir, tmp_path):
+    """Stream-static join: each micro-batch enriches against a static
+    (broadcast) dimension — the standard dim-lookup pattern; drained
+    result equals the batch join."""
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0), ("purchase", 5.0), ("signup", 0.5),
+         ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    stream = stream_events(spark, events_dir)
+    enriched = stream.join(F.broadcast(dim), "event_type").select(
+        "event_id", "event_type", (F.col("value") * F.col("weight")).alias("wv")
+    )
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_available_now(enriched, out, ck)
+    got = spark.read.parquet(out)
+
+    batch = spark.read.parquet(events_dir).join(dim, "event_type").select(
+        "event_id", (F.col("value") * F.col("weight")).alias("wv")
+    )
+    assert got.count() == batch.count()
+    j = got.join(batch.withColumnRenamed("wv", "bwv"), "event_id")
+    assert j.count() == batch.count()
+    assert j.filter(F.abs(F.col("wv") - F.col("bwv")) > 1e-12).count() == 0
