@@ -225,10 +225,56 @@ def _funnel_12m_events(spark):
     return funnel_conversion(big, ["view", "click", "purchase"])
 
 
+def _theilsen_3650_series(spark):
+    """Theil–Sen over 3,650 synthetic series × 128 points (~29M pairwise
+    slopes through the grouped-map Arrow kernel) — the robust-trend
+    workload at two decades of weekly observations per cell."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.timeseries import theilsen_trend
+
+    n_series, n_pts = 3650, 128
+    g = (
+        spark.range(0, n_series * n_pts, 1, 32)
+        .select(
+            F.lit("synt").alias("var"),
+            (F.col("id") % n_series).cast("int").alias("i"),
+            F.lit(0).alias("j"),
+            F.date_add(F.lit("2004-01-01"), ((F.col("id") / n_series) % n_pts).cast("int") * 7).alias("time"),
+            (F.sin(F.col("id") % 997) * 5 + (F.col("id") / n_series) * 0.01).alias("value"),
+        )
+    )
+    return theilsen_trend(g)
+
+
+def _bilinear_100k_points(spark):
+    """Bilinear sampling of the grid fixture at 100k synthetic points —
+    the station-extraction workload; the 4-corner explode stays broadcast
+    and the grid side never shuffles."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.fixtures import RES, X1, Y1
+    from gridmet_etl_spark.operators.bbox import bilinear_interpolate
+    from gridmet_etl_spark.sources.readers import read_grid
+
+    grid = read_grid(
+        spark,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "grid.parquet"),
+    ).repartition(32)  # single-file fixture -> spread the probe side
+    pts = spark.range(100_000).select(
+        F.col("id").alias("feature_id"),
+        (F.lit(Y1) - (F.pmod(F.col("id") * 7919, 39_000) / 1000.0) * F.lit(RES)).alias("lat"),
+        (F.lit(X1) + (F.pmod(F.col("id") * 104729, 39_000) / 1000.0) * F.lit(RES)).alias("lon"),
+    )
+    return bilinear_interpolate(grid, pts, y1=Y1, x1=X1, res=RES)
+
+
 EXTRA_BENCH = {
     "jaccard_join_500docs": _jaccard_500docs,
     "triangle_1M_edges": _triangle_1m_edges,
     "funnel_12M_events": _funnel_12m_events,
+    "theilsen_3650_series": _theilsen_3650_series,
+    "bilinear_100k_points": _bilinear_100k_points,
     "cfsv2_scale_stress_8.6M": _cfsv2_scale_stress,
     "pagerank_1M_edges": _pagerank_1m_edges,
     "minhash_lsh_fast": _minhash_fast,
