@@ -2822,7 +2822,154 @@ FROM events GROUP BY event_type
 """
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion test: users split by id parity (the
+    deterministic assignment), conversion = a heavy purchaser (≥14
+    purchase events — the fixture's every user buys at least once, so
+    plain any-purchase is degenerate p=1); per-arm rates plus the pooled
+    two-proportion z — one user-keyed agg and a scalar combine. z is NULL
+    if a degenerate pool ever makes se = 0 (guarded both engines)."""
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    users = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 14
+        ).cast("int").alias("converted")
+    )
+    arms = users.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("c_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    p_pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return j.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.when(se > 0, F.round((p_a - p_b) / se, 6)).alias("z"),
+    )
+
+
+SQL_AB_TEST = """
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT user_id % 2 AS arm, count(*) AS n,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM users GROUP BY user_id % 2),
+j AS (
+  SELECT a.n AS n_a, a.conv AS c_a, b.n AS n_b, b.conv AS c_b
+  FROM (SELECT * FROM arms WHERE arm = 0) a,
+       (SELECT * FROM arms WHERE arm = 1) b)
+SELECT n_a, c_a, n_b, c_b,
+       ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+         ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 6)
+       END AS z
+FROM j
+"""
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): parts not dominated on (price asc,
+    size desc) — a correlated NOT EXISTS expressed as a left-anti
+    inequality join. The dominating side prunes to the frontier
+    candidates via broadcast; at scale the standard trick is a pre-filter
+    on a coarse dominance grid before the anti-join."""
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    p = part.select("p_partkey", "p_retailprice", "p_size")
+    dom = p.select(
+        F.col("p_retailprice").alias("d_price"), F.col("p_size").alias("d_size")
+    )
+    cond = (
+        (F.col("d_price") <= F.col("p_retailprice"))
+        & (F.col("d_size") >= F.col("p_size"))
+        & (
+            (F.col("d_price") < F.col("p_retailprice"))
+            | (F.col("d_size") > F.col("p_size"))
+        )
+    )
+    return p.join(F.broadcast(dom), cond, "left_anti").select(
+        "p_partkey", F.round("p_retailprice", 4).alias("p_retailprice"), "p_size"
+    )
+
+
+SQL_SKYLINE_PARTS = """
+SELECT p_partkey, ROUND(p_retailprice, 4) AS p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part d
+  WHERE d.p_retailprice <= p.p_retailprice AND d.p_size >= p.p_size
+    AND (d.p_retailprice < p.p_retailprice OR d.p_size > p.p_size))
+"""
+
+
+def q_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly counts: remove each type's day-of-week
+    mean from the daily revenue series, flag |residual| > 2σ (population σ
+    of residuals) — the STL-lite monitor for weekly-periodic metrics."""
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("v")
+    )
+    from pyspark.sql import Window as W
+
+    w_dow = W.partitionBy("event_type", F.dayofweek("day"))
+    w_all = W.partitionBy("event_type")
+    resid = daily.withColumn("r", F.col("v") - F.avg("v").over(w_dow))
+    scored = resid.withColumn("sigma", F.stddev_pop("r").over(w_all))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum((F.abs(F.col("r")) > 2 * F.col("sigma")).cast("long")).alias("n_anomalies"),
+            F.round(F.first("sigma"), 6).alias("sigma"),
+        )
+    )
+
+
+SQL_DOW_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+  FROM events GROUP BY 1, 2),
+resid AS (
+  SELECT event_type, day, v,
+         v - avg(v) OVER (PARTITION BY event_type, dayofweek(day)) AS r
+  FROM daily),
+scored AS (
+  SELECT event_type, r,
+         stddev_pop(r) OVER (PARTITION BY event_type) AS sigma
+  FROM resid)
+SELECT event_type, count(*) AS n_days,
+       CAST(sum(CASE WHEN abs(r) > 2 * sigma THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       ROUND(any_value(sigma), 6) AS sigma
+FROM scored GROUP BY event_type
+"""
+
+
 EXT_QUERIES = {
+    "ab_test": (q_ab_test, SQL_AB_TEST),
+    "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
+    "dow_anomaly": (q_dow_anomaly, SQL_DOW_ANOMALY),
     "props_map": (q_props_map, SQL_PROPS_MAP),
     "calendar_gaps": (q_calendar_gaps, SQL_CALENDAR_GAPS),
     "theilsen_trend": (q_theilsen_trend, _sql_theilsen_trend()),
