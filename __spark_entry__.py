@@ -42,16 +42,17 @@ _CHECK_FIRST = [
     "range_frame_sum", "weighted_median", "conversion_lag",
     "cumulative_users", "rebased_series", "theilsen_trend", "props_map",
     "calendar_gaps", "ab_test", "skyline_parts", "dow_anomaly",
+    "rolling_actives", "benford_check", "embedding_stats",
     # (0b) never driver-checked before this round (6)
     "vocab_topk", "pii_flags", "simhash", "cosine_topk", "cosine_topk_lsh",
     "kmeans_assign",
     # (1) implementation/oracle touched this round (2)
     "ivf_topk", "attribution_join",
-    # (2) last checked in round 1 — oldest green rows, re-verify (31)
-    "weighted_mean", "gridmet_pipeline", "cfsv2_median_pipeline",
-    "cfsv2_ensemble_pipeline",
+    # (2) last checked in round 1 — oldest green rows, re-verify
+    "weighted_mean",
     # ---- driver cap (50) reached; tail below was green in r1 or r2 ----
-    "tpch_weighted_mean", "tpch_q1",
+    "gridmet_pipeline", "cfsv2_median_pipeline",
+    "cfsv2_ensemble_pipeline", "tpch_weighted_mean", "tpch_q1",
     "tpch_join3", "tpch_window_topk", "tpch_topn", "tpch_semi_anti",
     "tpch_cube", "tpch_rollup", "tpch_q5ish", "tpch_q7ish",
     "tpch_q13ish", "tpch_q16ish", "tpch_q18ish", "tpch_q19ish",

@@ -2966,7 +2966,124 @@ FROM scored GROUP BY event_type
 """
 
 
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — windowed
+    countDistinct doesn't exist, so each (user, day) presence SCATTERS to
+    the 7 report days it supports (row-local explode of day offsets, the
+    focal-mean trick on the time axis) and one groupBy counts distinct
+    users per report day. Presence relation is |users|×|days| bounded;
+    nothing corpus-sized shuffles twice."""
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    presence = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    scattered = presence.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+    )
+    return (
+        scattered.join(
+            F.broadcast(bounds),
+            (F.col("report_day") >= F.col("d0")) & (F.col("report_day") <= F.col("d1")),
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("actives_7d"))
+    )
+
+
+SQL_ROLLING_ACTIVES = """
+WITH presence AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+scattered AS (
+  SELECT user_id, day + CAST(o.off AS INTEGER) AS report_day
+  FROM presence, (SELECT unnest(generate_series(0, 6)) AS off) o)
+SELECT s.report_day, count(DISTINCT s.user_id) AS actives_7d
+FROM scattered s, bounds b
+WHERE s.report_day BETWEEN b.d0 AND b.d1
+GROUP BY s.report_day
+"""
+
+
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed vs expected
+    digit frequencies and the chi-square contribution per digit — the
+    classic synthetic/fabricated-data smell test (synthetic uniform data
+    FAILS Benford, which is the point of the audit column)."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    d = F.substring(F.abs(F.col("o_totalprice")).cast("string"), 1, 1).cast("int")
+    digits = orders.select(d.alias("digit")).where(F.col("digit").between(1, 9))
+    n_tot = digits.count()
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    expected = F.log10(1 + 1 / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.lit(float(n_tot)), 6).alias("observed_p"),
+        F.round(expected, 6).alias("benford_p"),
+        F.round(
+            F.pow(F.col("n") - F.lit(float(n_tot)) * expected, 2)
+            / (F.lit(float(n_tot)) * expected),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+SQL_BENFORD_CHECK = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(abs(o_totalprice) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders),
+d2 AS (SELECT digit FROM digits WHERE digit BETWEEN 1 AND 9),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM d2),
+counts AS (SELECT digit, count(*) AS n FROM d2 GROUP BY digit)
+SELECT digit, n,
+       ROUND(n / t, 6) AS observed_p,
+       ROUND(log10(1 + 1.0 / digit), 6) AS benford_p,
+       ROUND(pow(n - t * log10(1 + 1.0 / digit), 2)
+             / (t * log10(1 + 1.0 / digit)), 6) AS chi2_term
+FROM counts, tot
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution stats (mean/std/min/max) — the
+    feature-drift monitor between corpus snapshots; posexplode is
+    row-local, the only shuffle carries dim-keyed partials (64 groups)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    comp = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    return comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_pop("x"), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("vmin"),
+        F.round(F.max("x"), 6).alias("vmax"),
+    )
+
+
+SQL_EMBEDDING_STATS = """
+WITH comp AS (
+  SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) u(i))
+SELECT dim, count(*) AS n,
+       ROUND(avg(x), 6) AS mean,
+       ROUND(stddev_pop(x), 6) AS std,
+       ROUND(min(x), 6) AS vmin, ROUND(max(x), 6) AS vmax
+FROM comp GROUP BY dim
+"""
+
+
 EXT_QUERIES = {
+    "rolling_actives": (q_rolling_actives, SQL_ROLLING_ACTIVES),
+    "benford_check": (q_benford_check, SQL_BENFORD_CHECK),
+    "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
     "ab_test": (q_ab_test, SQL_AB_TEST),
     "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
     "dow_anomaly": (q_dow_anomaly, SQL_DOW_ANOMALY),
