@@ -43,15 +43,14 @@ _CHECK_FIRST = [
     "cumulative_users", "rebased_series", "theilsen_trend", "props_map",
     "calendar_gaps", "ab_test", "skyline_parts", "dow_anomaly",
     "rolling_actives", "benford_check", "embedding_stats",
+    "impute_median", "cooccurrence_topk",
     # (0b) never driver-checked before this round (6)
-    "vocab_topk", "pii_flags", "simhash", "cosine_topk", "cosine_topk_lsh",
+    "vocab_topk", "pii_flags", "cosine_topk", "cosine_topk_lsh",
     "kmeans_assign",
     # (1) implementation/oracle touched this round (2)
-    "ivf_topk", "attribution_join",
-    # (2) last checked in round 1 — oldest green rows, re-verify
-    "weighted_mean",
+    "ivf_topk", "attribution_join", "simhash",
     # ---- driver cap (50) reached; tail below was green in r1 or r2 ----
-    "gridmet_pipeline", "cfsv2_median_pipeline",
+    "weighted_mean", "gridmet_pipeline", "cfsv2_median_pipeline",
     "cfsv2_ensemble_pipeline", "tpch_weighted_mean", "tpch_q1",
     "tpch_join3", "tpch_window_topk", "tpch_topn", "tpch_semi_anti",
     "tpch_cube", "tpch_rollup", "tpch_q5ish", "tpch_q7ish",

@@ -3080,7 +3080,101 @@ FROM comp GROUP BY dim
 """
 
 
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL imputation by per-series median (the simple alternative to
+    gap_fill_linear's interpolation): broadcast group medians back, count
+    the filled cells per series. Two-pass aggregate/broadcast shape —
+    the fact table never shuffles."""
+    from .contract import FIXDIR
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    med = grid.groupBy("var", "i", "j").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    filled = grid.join(F.broadcast(med), ["var", "i", "j"]).select(
+        "var", "i", "j",
+        F.col("value").isNull().cast("long").alias("was_null"),
+        F.coalesce("value", "med").alias("v"),
+    )
+    return filled.groupBy("var", "i", "j").agg(
+        F.sum("was_null").alias("n_filled"),
+        F.round(F.avg("v"), 6).alias("mean_after"),
+    )
+
+
+def _sql_impute_median() -> str:
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid.parquet")
+    return f"""
+WITH g AS (SELECT var, i, j, value FROM read_parquet('{path}')),
+med AS (
+  SELECT var, i, j, quantile_cont(value, 0.5) AS med
+  FROM g GROUP BY var, i, j)
+SELECT g.var, g.i, g.j,
+       CAST(sum(CASE WHEN g.value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_filled,
+       ROUND(avg(coalesce(g.value, m.med)), 6) AS mean_after
+FROM g JOIN med m ON g.var = m.var AND g.i = m.i AND g.j = m.j
+GROUP BY g.var, g.i, g.j
+"""
+
+
+def q_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket token co-occurrence: among the 50 globally most
+    frequent tokens (count desc, token asc), the top-20 PAIRS by number
+    of co-containing documents. Presence is semi-joined against the tiny
+    broadcast vocabulary before any pair forms, so the pair explosion is
+    C(50,2)-bounded per doc, not vocabulary-squared."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).where(F.col("token") != "")
+    top = (
+        tok.groupBy("token").agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(50)
+        .select("token")
+    )
+    present = tok.join(F.broadcast(top), "token")
+    a = present.select("doc_id", F.col("token").alias("tok_a"))
+    b = present.select("doc_id", F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return pairs.orderBy(
+        F.col("n_docs").desc(), F.col("tok_a"), F.col("tok_b")
+    ).limit(20)
+
+
+SQL_COOCCURRENCE_TOPK = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, u.token
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       unnest(list_distinct(t)) AS u(token)
+  WHERE u.token <> ''),
+top AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS df FROM tok GROUP BY token
+    ORDER BY df DESC, token LIMIT 50)),
+present AS (SELECT t.doc_id, t.token FROM tok t JOIN top USING (token)),
+pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_docs
+  FROM present a JOIN present b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token)
+SELECT tok_a, tok_b, n_docs FROM pairs
+ORDER BY n_docs DESC, tok_a, tok_b LIMIT 20
+"""
+
+
 EXT_QUERIES = {
+    "impute_median": (q_impute_median, _sql_impute_median()),
+    "cooccurrence_topk": (q_cooccurrence_topk, SQL_COOCCURRENCE_TOPK),
     "rolling_actives": (q_rolling_actives, SQL_ROLLING_ACTIVES),
     "benford_check": (q_benford_check, SQL_BENFORD_CHECK),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
