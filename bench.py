@@ -247,10 +247,10 @@ def _theilsen_3650_series(spark):
     return theilsen_trend(g)
 
 
-def _bilinear_100k_points(spark):
-    """Bilinear sampling of the grid fixture at 100k synthetic points —
-    the station-extraction workload; the 4-corner explode stays broadcast
-    and the grid side never shuffles."""
+def _bilinear_25k_points(spark):
+    """Bilinear sampling of the grid fixture at 25k synthetic points
+    (~1M interpolated values out) — the station-extraction workload; the
+    4-corner explode stays broadcast and the grid side never shuffles."""
     from pyspark.sql import functions as F
 
     from gridmet_etl_spark.fixtures import RES, X1, Y1
@@ -261,7 +261,7 @@ def _bilinear_100k_points(spark):
         spark,
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "grid.parquet"),
     ).repartition(32)  # single-file fixture -> spread the probe side
-    pts = spark.range(100_000).select(
+    pts = spark.range(25_000).select(
         F.col("id").alias("feature_id"),
         (F.lit(Y1) - (F.pmod(F.col("id") * 7919, 39_000) / 1000.0) * F.lit(RES)).alias("lat"),
         (F.lit(X1) + (F.pmod(F.col("id") * 104729, 39_000) / 1000.0) * F.lit(RES)).alias("lon"),
@@ -274,7 +274,7 @@ EXTRA_BENCH = {
     "triangle_1M_edges": _triangle_1m_edges,
     "funnel_12M_events": _funnel_12m_events,
     "theilsen_3650_series": _theilsen_3650_series,
-    "bilinear_100k_points": _bilinear_100k_points,
+    "bilinear_25k_points": _bilinear_25k_points,
     "cfsv2_scale_stress_8.6M": _cfsv2_scale_stress,
     "pagerank_1M_edges": _pagerank_1m_edges,
     "minhash_lsh_fast": _minhash_fast,
