@@ -20,8 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gridmet_etl_spark.contract import DOMAIN_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext import EXT_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext2 import EXT2_QUERIES  # noqa: E402
 
-_MERGED = {**DOMAIN_QUERIES, **EXT_QUERIES}
+_MERGED = {**DOMAIN_QUERIES, **EXT_QUERIES, **EXT2_QUERIES}
 
 # The driver caps its per-round oracle comparison at the first 50 queries
 # in registration order, so ORDER decides coverage. Round-3 window: (0)
@@ -49,7 +50,13 @@ _CHECK_FIRST = [
     "kmeans_assign",
     # (1) implementation/oracle touched this round (2)
     "ivf_topk", "attribution_join", "simhash",
-    # ---- driver cap (50) reached; tail below was green in r1 or r2 ----
+    # ---- driver cap (50) reached ----
+    # (2) session-B round-3 additions — next in line for the r4 window;
+    # all 12 verified green by tools/check_oracle.py at sf0.01
+    "tpch_q15ish", "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
+    "autocorr_daily", "ewma_daily", "scd2_users", "corr_matrix",
+    "target_encode", "ref_integrity", "skew_profile", "khop_reach",
+    # ---- tail below was green in r1 or r2 ----
     "weighted_mean", "gridmet_pipeline", "cfsv2_median_pipeline",
     "cfsv2_ensemble_pipeline", "tpch_weighted_mean", "tpch_q1",
     "tpch_join3", "tpch_window_topk", "tpch_topn", "tpch_semi_anti",

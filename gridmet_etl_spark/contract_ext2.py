@@ -1,0 +1,518 @@
+"""Round-3 session-B contract entries: warehouse depth (TPC-H q15/q17/q21/
+q22 analogues, SCD2, referential integrity, skew profiling), ML-prep
+(target encoding, correlation matrix), and time-series depth (ACF, EWMA,
+k-hop graph reach).
+
+Same float discipline as contract.py: every float aggregate rounded to 6 in
+BOTH engines; timestamps cast to µs on the oracle side (events.ts is
+TIMESTAMP_NS in DuckDB, Spark reads µs — the sessionize_batch lesson).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .contract import FIXDIR, R, _pq, _t
+
+# ---------------------------------------------------------------------------
+# TPC-H q15ish: top-revenue supplier(s) over a ship-date quarter
+# ---------------------------------------------------------------------------
+
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top_supplier): revenue view per supplier over one
+    quarter, then the supplier(s) achieving the global max. The max is a
+    1-row broadcast (scalar-subquery decorrelation by hand); revenue
+    equality is compared at 2 decimals so cross-engine float-sum order
+    cannot flip the argmax."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    sup = _pq(spark, _t(sf_dir, "supplier"))
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(_Q15_LO))
+            & (F.col("l_shipdate") < F.lit(_Q15_HI))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+SQL_TPCH_Q15ISH = f"""
+WITH rev AS (
+  SELECT l_suppkey, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}' AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q17ish: small-quantity-order revenue (correlated avg per part)
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#1"
+
+
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand's parts. The correlated scalar subquery (per-part avg quantity)
+    becomes a broadcast-joined pre-aggregate; the fact table never
+    shuffles."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    part = _pq(spark, _t(sf_dir, "part")).where(F.col("p_brand") == _Q17_BRAND)
+    avg_qty = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_cut"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(avg_qty), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.lit(_Q17_BRAND).alias("p_brand"),
+            F.round(F.sum("l_extendedprice") / 7.0, R).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+SQL_TPCH_Q17ISH = f"""
+WITH cuts AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut FROM lineitem GROUP BY l_partkey)
+SELECT '{_Q17_BRAND}' AS p_brand,
+       ROUND(sum(l_extendedprice) / 7.0, {R}) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_brand = '{_Q17_BRAND}'
+JOIN cuts USING (l_partkey)
+WHERE l_quantity < qty_cut
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q21ish: the lone returning supplier in multi-supplier orders
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
+    schema's columns: orders served by ≥2 distinct suppliers where EXACTLY
+    ONE supplier has a returned line ('R') — that supplier takes the blame.
+    The double EXISTS/NOT-EXISTS collapses into one per-order aggregate
+    (conditional distinct counts), then a per-supplier count. Shuffles:
+    |orders| then |suppliers| — both output-sized."""
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    sup = _pq(spark, _t(sf_dir, "supplier"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "n_ret_supp"
+        ),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("blame"),
+    )
+    blamed = per_order.where((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+    counts = blamed.groupBy("blame").agg(F.count("*").alias("numwait"))
+    return (
+        counts.join(F.broadcast(sup), counts["blame"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21ISH = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp,
+         max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS blame
+  FROM lineitem GROUP BY l_orderkey)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = blame
+WHERE n_supp >= 2 AND n_ret_supp = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q22ish: well-funded customers who never ordered, by nation
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers with balance
+    above the positive-balance average and NO orders since 1999 (funded but
+    churned), rolled up by nation. Scalar avg broadcast + left-anti join
+    against orders (the orders side prunes on the date predicate and
+    reduces to its distinct custkeys before the join)."""
+    cust = _pq(spark, _t(sf_dir, "customer"))
+    orders = _pq(spark, _t(sf_dir, "orders")).where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    nation = _pq(spark, _t(sf_dir, "nation"))
+    cut = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("bal_cut"))
+    idle = (
+        cust.crossJoin(F.broadcast(cut))
+        .where(F.col("c_acctbal") > F.col("bal_cut"))
+        .join(orders.select(F.col("o_custkey").alias("c_custkey")).distinct(), "c_custkey", "left_anti")
+    )
+    return (
+        idle.join(F.broadcast(nation), idle["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), R).alias("total_bal"),
+        )
+    )
+
+
+SQL_TPCH_Q22ISH = f"""
+SELECT n_name, count(*) AS n_custs, ROUND(sum(c_acctbal), {R}) AS total_bal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/lag-7 autocorrelation of each event type's daily-count series
+    (forecasting/seasonality primitive). The daily rollup shrinks the data
+    to |types|×|days| before the window, so the ACF stage is driver-cheap
+    at any corpus size."""
+    from .operators.timeseries import autocorrelation
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    return autocorrelation(daily, ["event_type"], "day", "n", lags=(1, 7))
+
+
+SQL_AUTOCORR_DAILY = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+lagged AS (
+  SELECT event_type, n AS y,
+         lag(n, 1) OVER w AS x1,
+         lag(n, 7) OVER w AS x7
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+l AS (
+  SELECT event_type, 1 AS lag, y, x1 AS x FROM lagged WHERE x1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 7, y, x7 FROM lagged WHERE x7 IS NOT NULL)
+SELECT event_type, lag,
+       CASE WHEN stddev_samp(y) > 0 AND stddev_samp(x) > 0
+            THEN ROUND(covar_samp(y, x) / (stddev_samp(y) * stddev_samp(x)), {R})
+       END AS acf,
+       count(*) AS n_pairs
+FROM l GROUP BY event_type, lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Truncated EWMA over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day half-life-7 exponentially weighted moving average of each
+    event type's daily value total — the trend-smoothing primitive, in the
+    truncated-exact form both engines can compute bit-stably."""
+    from .operators.timeseries import ewma_truncated
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), R).alias("v")
+    )
+    return ewma_truncated(daily, ["event_type"], "day", "v", half_life_days=7.0, window_days=14)
+
+
+SQL_EWMA_DAILY = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(sum(value), {R}) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT a.event_type, a.day,
+       ROUND(sum(pow(0.5, (a.day - c.day) / 7.0) * c.v)
+             / sum(pow(0.5, (a.day - c.day) / 7.0)), {R}) AS ewma,
+       count(*) AS n_in_window
+FROM daily a
+JOIN daily c ON c.event_type = a.event_type
+            AND a.day - c.day >= 0 AND a.day - c.day < 14
+GROUP BY a.event_type, a.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build from the event log
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: each user's event_type run-length history as
+    [valid_from, valid_to) versioned rows (operators/scd.py). One
+    user-keyed shuffle; oracle casts ns→µs at the edge (sessionize
+    lesson)."""
+    from .operators.scd import scd2_history
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    # restrict to a deterministic slice so ties cannot exist: one event per
+    # (user, ts) pair is guaranteed by event_id uniqueness — keep ts+type
+    return scd2_history(e, ["user_id"], "event_type", "ts")
+
+
+SQL_SCD2_USERS = """
+WITH changed AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+runs AS (
+  SELECT user_id, ts, event_type,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to_ns
+  FROM changed
+  WHERE prev IS NULL OR event_type <> prev)
+SELECT user_id, event_type,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       CAST(valid_to_ns AS TIMESTAMP) AS valid_to,
+       valid_to_ns IS NULL AS is_current
+FROM runs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix of lineitem measures
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 6 pairwise Pearson correlations of the lineitem measures in ONE
+    aggregate scan (operators/mlprep.corr_pairs)."""
+    from .operators.mlprep import corr_pairs
+
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    out = corr_pairs(li, _CORR_COLS)
+    return out.select("col_a", "col_b", F.round("corr", R).alias("corr"))
+
+
+def _sql_corr_matrix() -> str:
+    arms = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            arms.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" ROUND(corr({a}, {b}), {R}) AS corr FROM lineitem"
+            )
+    return " UNION ALL ".join(arms)
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding of part brand by line revenue
+# ---------------------------------------------------------------------------
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe categorical encode: p_brand → smoothed mean
+    l_extendedprice (m=10 prior toward the global mean). The encode table
+    is |brands|-sized; facts never shuffle (broadcast part join)."""
+    from .operators.mlprep import target_encode
+
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    part = _pq(spark, _t(sf_dir, "part"))
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    )
+    out = target_encode(joined, "p_brand", "l_extendedprice", m=10.0)
+    return out.select("p_brand", "n", F.round("enc", R).alias("enc"))
+
+
+SQL_TARGET_ENCODE = f"""
+WITH j AS (
+  SELECT p_brand, l_extendedprice FROM lineitem JOIN part ON p_partkey = l_partkey),
+g AS (SELECT sum(l_extendedprice) / count(l_extendedprice) AS mu FROM j)
+SELECT p_brand, count(l_extendedprice) AS n,
+       ROUND((sum(l_extendedprice) + 10.0 * mu) / (count(l_extendedprice) + 10.0), {R}) AS enc
+FROM j CROSS JOIN g
+GROUP BY p_brand, mu
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity orphan check
+# ---------------------------------------------------------------------------
+
+
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ gate: orphan foreign keys across the star schema (lineitem →
+    orders/part/supplier, orders → customer). Dimensions broadcast; facts
+    scan without shuffling."""
+    from .operators.mlprep import referential_orphans
+
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    orders = _pq(spark, _t(sf_dir, "orders"))
+    out_li = referential_orphans(
+        li,
+        {
+            "l_orderkey": (orders, "o_orderkey"),
+            "l_partkey": (_pq(spark, _t(sf_dir, "part")), "p_partkey"),
+            "l_suppkey": (_pq(spark, _t(sf_dir, "supplier")), "s_suppkey"),
+        },
+        relation="lineitem",
+    )
+    out_o = referential_orphans(
+        orders,
+        {"o_custkey": (_pq(spark, _t(sf_dir, "customer")), "c_custkey")},
+        relation="orders",
+    )
+    return out_li.unionByName(out_o)
+
+
+SQL_REF_INTEGRITY = """
+SELECT 'lineitem' AS relation, 'l_orderkey' AS fk,
+       count(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL THEN 1 END) AS n_orphans,
+       count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_null
+FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON o_orderkey = l_orderkey
+UNION ALL
+SELECT 'lineitem', 'l_partkey',
+       count(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL THEN 1 END),
+       count(CASE WHEN l_partkey IS NULL THEN 1 END)
+FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON p_partkey = l_partkey
+UNION ALL
+SELECT 'lineitem', 'l_suppkey',
+       count(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL THEN 1 END),
+       count(CASE WHEN l_suppkey IS NULL THEN 1 END)
+FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s ON s_suppkey = l_suppkey
+UNION ALL
+SELECT 'orders', 'o_custkey',
+       count(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL THEN 1 END),
+       count(CASE WHEN o_custkey IS NULL THEN 1 END)
+FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON c_custkey = o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile
+# ---------------------------------------------------------------------------
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size distribution of the l_orderkey join key — the diagnostic
+    that decides salting/AQE-skew-join settings before a big join."""
+    from .operators.mlprep import key_skew_profile
+
+    li = _pq(spark, _t(sf_dir, "lineitem"))
+    return key_skew_profile(li, ["l_orderkey"])
+
+
+SQL_SKEW_PROFILE = """
+SELECT group_size, count(*) AS n_keys
+FROM (SELECT l_orderkey, count(*) AS group_size FROM lineitem GROUP BY l_orderkey)
+GROUP BY group_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability over the synthetic link graph
+# ---------------------------------------------------------------------------
+
+_KHOP_K = 3
+_KHOP_SEED = "example1.test"
+
+
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS neighborhood of one seed host over the deterministic link
+    layer (same augmentation as pagerank) — crawl-frontier expansion as
+    bounded iterative joins."""
+    from .operators.graph import k_hop_reach, link_graph
+
+    pages = spark.read.parquet(os.path.join(FIXDIR, "webpages.parquet"))
+    aug = pages.select(
+        "page_id",
+        "url",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://example"),
+            ((F.col("page_id") * 7 + 1) % 50).cast("string"),
+            F.lit(".test/a and https://example"),
+            ((F.col("page_id") * 13 + 2) % 50).cast("string"),
+            F.lit(".test/b"),
+        ).alias("text"),
+    )
+    edges = link_graph(aug)
+    seeds = spark.createDataFrame([(_KHOP_SEED,)], "node string")
+    return k_hop_reach(edges, seeds, k=_KHOP_K)
+
+
+def _sql_khop_reach() -> str:
+    path = os.path.join(FIXDIR, "webpages.parquet")
+    return rf"""
+WITH RECURSIVE aug AS (
+  SELECT page_id,
+         lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS src,
+         text || ' see https://example' || CAST((page_id * 7 + 1) % 50 AS VARCHAR)
+              || '.test/a and https://example' || CAST((page_id * 13 + 2) % 50 AS VARCHAR)
+              || '.test/b' AS t
+  FROM read_parquet('{path}')),
+edges AS (
+  SELECT DISTINCT src, u.dst
+  FROM (SELECT src,
+               list_transform(regexp_extract_all(t, 'https?://([^/\s:?#]+)', 1),
+                              x -> lower(x)) AS dsts
+        FROM aug) a, unnest(list_distinct(a.dsts)) AS u(dst)
+  WHERE u.dst <> a.src AND a.src <> ''),
+reach(node, hops) AS (
+  SELECT '{_KHOP_SEED}' AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hops < {_KHOP_K})
+SELECT node, CAST(min(hops) AS INT) AS hops FROM reach GROUP BY node
+"""
+
+
+EXT2_QUERIES = {
+    "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
+    "tpch_q17ish": (q_tpch_q17ish, SQL_TPCH_Q17ISH),
+    "tpch_q21ish": (q_tpch_q21ish, SQL_TPCH_Q21ISH),
+    "tpch_q22ish": (q_tpch_q22ish, SQL_TPCH_Q22ISH),
+    "autocorr_daily": (q_autocorr_daily, SQL_AUTOCORR_DAILY),
+    "ewma_daily": (q_ewma_daily, SQL_EWMA_DAILY),
+    "scd2_users": (q_scd2_users, SQL_SCD2_USERS),
+    "corr_matrix": (q_corr_matrix, _sql_corr_matrix()),
+    "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
+    "ref_integrity": (q_ref_integrity, SQL_REF_INTEGRITY),
+    "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
+    "khop_reach": (q_khop_reach, _sql_khop_reach()),
+}

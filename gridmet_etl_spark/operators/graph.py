@@ -145,3 +145,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def k_hop_reach(edges: DataFrame, seeds: DataFrame, k: int = 3) -> DataFrame:
+    """Bounded-depth BFS: every node reachable from ``seeds`` (column
+    ``node``) in at most ``k`` directed hops, with the minimum hop count.
+
+    Frontier-style iteration: each round joins the CURRENT frontier (nodes
+    first discovered last round) against the edge list, anti-joins the
+    visited set, and unions. k is small and fixed (3-4 for web-graph
+    neighborhood expansion), so lineage stays shallow without checkpoints.
+    At scale the frontier join shuffles |frontier|+|edges| keyed by src —
+    the visited set stays hop-bounded and the anti-join keeps frontiers
+    shrinking; seeds are typically tiny so round 1 is a broadcast join.
+
+    Output: (node, hops) with hops = min #edges from any seed (0 for the
+    seeds themselves).
+    """
+    visited = seeds.select("node").distinct().withColumn("hops", F.lit(0))
+    frontier = visited.select("node")
+    for depth in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited

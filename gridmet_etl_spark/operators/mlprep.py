@@ -1,0 +1,127 @@
+"""Feature-engineering / data-quality primitives for training-table prep:
+smoothed target encoding, pairwise correlation matrices, per-key skew
+profiling, and referential-integrity orphan checks.
+
+No reference-file counterpart (extension surface): these are the tabular
+feature-prep steps a 100 TB training pipeline runs between raw ingest and
+model export. All four are pure DataFrame compositions:
+
+- ``target_encode`` — two aggregates (per-category + global) joined back;
+  the global mean is a 1-row broadcast, the category table is
+  |categories|-sized. No per-row shuffle: the encode output IS the
+  category table (callers join it onto facts map-side).
+- ``corr_pairs`` — every pairwise Pearson coefficient in ONE aggregate
+  pass (C(n,2) `corr` expressions share the scan); output is C(n,2) rows.
+  At 100 TB this is a single map-side-partial-aggregated scan — the
+  shuffle carries one row per column pair.
+- ``key_skew_profile`` — the two-level "how skewed is this join key"
+  diagnostic: group sizes, then a histogram over sizes. Both shuffles are
+  bounded (|keys|, then |distinct sizes|); the heavy first agg is
+  partially aggregated map-side.
+- ``referential_orphans`` — left-anti joins of a fact table against each
+  dimension, counted. Dimension sides are broadcast (they are the small
+  sides by construction), so the fact table is scanned once per FK but
+  never shuffled; at scale the scans share the cached fact relation or
+  run as one pass with `count(CASE WHEN d.key IS NULL)` after left joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m: float = 10.0,
+) -> DataFrame:
+    """Smoothed mean target encoding: ``enc = (sum_c + m*mu) / (n_c + m)``
+    where ``mu`` is the global target mean. Returns one row per category:
+    ``(cat_col, n, enc)``. The smoothing prior keeps rare categories near
+    the global mean (standard leakage-safe encode when fit on train split
+    only)."""
+    per_cat = df.groupBy(cat_col).agg(
+        F.count(target_col).alias("n"),
+        F.sum(target_col).alias("s"),
+    )
+    glob = df.agg(
+        (F.sum(target_col) / F.count(target_col)).alias("mu")
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select(
+            cat_col,
+            "n",
+            ((F.col("s") + F.lit(m) * F.col("mu")) / (F.col("n") + F.lit(m))).alias("enc"),
+        )
+    )
+
+
+def corr_pairs(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in one aggregate pass.
+    Output: ``(col_a, col_b, corr)`` for every a < b pair, ordered."""
+    names = list(cols)
+    exprs = []
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            exprs.append(F.corr(a, b).alias(f"c_{a}_{b}"))
+            pairs.append((a, b))
+    wide = df.agg(*exprs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"c_{a}_{b}").alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        wide.select(F.explode(structs).alias("p"))
+        .select("p.col_a", "p.col_b", "p.corr")
+    )
+
+
+def key_skew_profile(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Join-key skew diagnostic: distribution of per-key group sizes.
+    Output ``(group_size, n_keys)`` — e.g. a key with group_size 10⁶ rows
+    is the salting candidate. Two bounded shuffles (|keys|, |sizes|)."""
+    sizes = df.groupBy(*key_cols).agg(F.count("*").alias("group_size"))
+    return sizes.groupBy("group_size").agg(F.count("*").alias("n_keys"))
+
+
+def referential_orphans(
+    fact: DataFrame,
+    fks: dict[str, tuple[DataFrame, str]],
+    relation: str = "fact",
+) -> DataFrame:
+    """Referential-integrity check: for each ``fk_col -> (dim, pk_col)``
+    mapping, count fact rows whose FK value has no matching dimension row
+    (NULL FKs are counted separately as ``n_null``). Output one row per FK:
+    ``(relation, fk, n_orphans, n_null)``."""
+    outs = []
+    for fk_col, (dim, pk_col) in fks.items():
+        keys = F.broadcast(dim.select(F.col(pk_col).alias("__pk")).distinct())
+        joined = fact.select(F.col(fk_col).alias("__fk")).join(
+            keys, F.col("__fk") == F.col("__pk"), "left"
+        )
+        outs.append(
+            joined.agg(
+                F.lit(relation).alias("relation"),
+                F.lit(fk_col).alias("fk"),
+                F.count(
+                    F.when(F.col("__fk").isNotNull() & F.col("__pk").isNull(), 1)
+                ).alias("n_orphans"),
+                F.count(F.when(F.col("__fk").isNull(), 1)).alias("n_null"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

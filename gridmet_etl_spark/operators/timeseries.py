@@ -297,3 +297,106 @@ def theilsen_trend(
     return grid.select(*keys, time_col, value_col).groupBy(*keys).applyInPandas(
         kernel, schema
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 7),
+) -> DataFrame:
+    """Per-series lag-k autocorrelation (ACF) for each k in ``lags``:
+    Pearson correlation between the series and its k-step-shifted self,
+    pairwise-complete (only positions where both ends exist contribute).
+
+    Plan: ONE shuffle keyed by the series id; all lags share the same
+    window sort (lag() expressions over one partition ordering), then the
+    moments aggregate is map-side partial — per-series output is |lags|
+    constant-size rows. The assumption is a regularly-sampled series
+    (positions, not timestamps, define the lag — resample first if not).
+
+    Output: (keys…, lag, acf, n_pairs); acf is NULL when either side of
+    the lagged pair set has zero variance.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    lagged = df.select(
+        *keys,
+        order_col,
+        F.col(value_col).alias("_v"),
+        *[F.lag(value_col, k).over(w).alias(f"_l{k}") for k in lags],
+    )
+    # moments per (series, lag) computed in one agg over the lag-struct
+    pairs = lagged.select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("_v").alias("y"),
+                        F.col(f"_l{k}").alias("x"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("p"),
+    ).select(*keys, "p.lag", "p.y", "p.x").where(F.col("x").isNotNull())
+    agg = pairs.groupBy(*keys, "lag").agg(
+        F.covar_samp("y", "x").alias("_cov"),
+        F.stddev_samp("y").alias("_sy"),
+        F.stddev_samp("x").alias("_sx"),
+        F.count("*").alias("n_pairs"),
+    )
+    acf = F.when(
+        (F.col("_sy") > 0) & (F.col("_sx") > 0),
+        F.round(F.col("_cov") / (F.col("_sy") * F.col("_sx")), 6),
+    )
+    return agg.select(*keys, "lag", acf.alias("acf"), "n_pairs")
+
+
+def ewma_truncated(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    value_col: str,
+    half_life_days: float = 7.0,
+    window_days: int = 14,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average over a daily series:
+    ``ewma_d = Σ_{k=0..W-1} w_k · x_{d-k} / Σ w_k`` with
+    ``w_k = 0.5^(k/half_life)``, summed over the days that EXIST in the
+    window (gap-tolerant — weights renormalize over present days).
+
+    Truncation makes the statistic exactly computable by both engines (a
+    full-history EWMA is order-dependent recursion); W=14 at half-life 7
+    keeps 75% of the untruncated mass. Plan: a range-bounded self-join on
+    day distance (≤ W-row fan-out per row, pipelined) then one
+    partially-aggregated shuffle keyed (series, day) — output-sized, the
+    same shape as the focal/rolling operators.
+    """
+    keys = list(keys)
+    base = df.select(
+        *keys,
+        F.col(day_col).alias("day"),
+        F.col(value_col).alias("x"),
+    )
+    contrib = base.alias("c")
+    anchor = base.select(*keys, "day").alias("a")
+    dist = F.datediff(F.col("a.day"), F.col("c.day"))
+    joined = anchor.join(
+        contrib,
+        [F.col(f"a.{k}") == F.col(f"c.{k}") for k in keys]
+        + [dist >= 0, dist < window_days],
+    )
+    wgt = F.pow(F.lit(0.5), dist.cast("double") / F.lit(half_life_days))
+    return (
+        joined.groupBy(*[F.col(f"a.{k}").alias(k) for k in keys], F.col("a.day").alias("day"))
+        .agg(
+            F.round(
+                F.sum(wgt * F.col("c.x")) / F.sum(wgt), 6
+            ).alias("ewma"),
+            F.count("*").alias("n_in_window"),
+        )
+    )

@@ -1,0 +1,175 @@
+"""Unit tests for the session-B round-3 operators: ML-prep (target encode,
+corr pairs, skew profile, referential orphans), SCD2 history, ACF/EWMA, and
+k-hop reach — hand-computed golden values on tiny frames, plus plan-shape
+assertions for the scale-critical joins."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridmet_etl_spark.operators.graph import k_hop_reach
+from gridmet_etl_spark.operators.mlprep import (
+    corr_pairs,
+    key_skew_profile,
+    referential_orphans,
+    target_encode,
+)
+from gridmet_etl_spark.operators.scd import scd2_history
+from gridmet_etl_spark.operators.timeseries import autocorrelation, ewma_truncated
+
+
+# ---------------------------------------------------------------------- mlprep
+
+
+def test_target_encode_smoothing(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 100.0)], "cat string, y double"
+    )
+    out = {r["cat"]: r for r in target_encode(df, "cat", "y", m=2.0).collect()}
+    mu = (10 + 20 + 100) / 3.0
+    assert out["a"]["n"] == 2
+    assert out["a"]["enc"] == pytest.approx((30 + 2 * mu) / 4.0)
+    # rare category shrinks toward the global mean
+    assert out["b"]["enc"] == pytest.approx((100 + 2 * mu) / 3.0)
+    assert abs(out["b"]["enc"] - mu) < abs(100 - mu)
+
+
+def test_corr_pairs_golden(spark):
+    rows = [(float(i), 2.0 * i + 1, float(-i), float(i * i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_pairs(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == pytest.approx(1.0)
+    assert out[("a", "c")] == pytest.approx(-1.0)
+    assert len(out) == 3
+
+
+def test_key_skew_profile(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k int"
+    )
+    out = {r["group_size"]: r["n_keys"] for r in key_skew_profile(df, ["k"]).collect()}
+    assert out == {3: 1, 1: 2}
+
+
+def test_referential_orphans_counts(spark):
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (9, 10)], "fk1 int, fk2 int"
+    )
+    d1 = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    d2 = spark.createDataFrame([(10,), (20,)], "pk int")
+    out = {
+        r["fk"]: (r["n_orphans"], r["n_null"])
+        for r in referential_orphans(
+            fact, {"fk1": (d1, "pk"), "fk2": (d2, "pk")}, relation="f"
+        ).collect()
+    }
+    assert out["fk1"] == (1, 0)  # fk1=9 orphaned
+    assert out["fk2"] == (0, 1)  # fk2 NULL once, others resolve
+
+
+def test_referential_orphans_broadcasts(spark):
+    fact = spark.createDataFrame([(1,)], "fk int")
+    dim = spark.createDataFrame([(1,)], "pk int")
+    plan = referential_orphans(fact, {"fk": (dim, "pk")})._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------------------ scd2
+
+
+def test_scd2_history_runs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "x"),
+            (1, 2, "x"),
+            (1, 3, "y"),
+            (1, 4, "x"),
+            (2, 1, "z"),
+        ],
+        "k int, t int, attr string",
+    )
+    out = scd2_history(df, ["k"], "attr", "t").orderBy("k", "valid_from").collect()
+    assert [(r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"]) for r in out] == [
+        (1, "x", 1, 3, False),
+        (1, "y", 3, 4, False),
+        (1, "x", 4, None, True),
+        (2, "z", 1, None, True),
+    ]
+
+
+def test_scd2_single_shuffle(spark):
+    df = spark.createDataFrame([(1, 1, "x")], "k int, t int, attr string")
+    plan = scd2_history(df, ["k"], "attr", "t")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # both windows share one partitioning
+
+
+# ------------------------------------------------------------------ timeseries
+
+
+def test_autocorrelation_perfect_alternation(spark):
+    # period-2 series: acf(1) = -1, acf(2) = +1
+    rows = [("s", i, float(1 if i % 2 else -1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {r["lag"]: r for r in autocorrelation(df, ["k"], "t", "v", lags=(1, 2)).collect()}
+    assert out[1]["acf"] == pytest.approx(-1.0)
+    assert out[2]["acf"] == pytest.approx(1.0)
+    assert out[1]["n_pairs"] == 19
+
+
+def test_autocorrelation_zero_variance_null(spark):
+    df = spark.createDataFrame([("s", i, 5.0) for i in range(5)], "k string, t int, v double")
+    out = autocorrelation(df, ["k"], "t", "v", lags=(1,)).collect()
+    assert out[0]["acf"] is None
+
+
+def test_ewma_truncated_golden(spark):
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = [("s", d0 + datetime.timedelta(days=i), float(v)) for i, v in enumerate([10, 20, 40])]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {r["day"].day: r for r in ewma_truncated(df, ["k"], "day", "v", 7.0, 14).collect()}
+    w1 = 0.5 ** (1 / 7.0)
+    w2 = 0.5 ** (2 / 7.0)
+    assert out[1]["ewma"] == pytest.approx(10.0)
+    assert out[2]["ewma"] == pytest.approx((20 + w1 * 10) / (1 + w1), abs=1e-6)
+    assert out[3]["ewma"] == pytest.approx((40 + w1 * 20 + w2 * 10) / (1 + w1 + w2), abs=1e-6)
+    assert out[3]["n_in_window"] == 3
+
+
+def test_ewma_gap_renormalizes(spark):
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    # day 2 missing: day 3's window holds days {1, 3} only
+    rows = [("s", d0, 10.0), ("s", d0 + datetime.timedelta(days=2), 30.0)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {r["day"].day: r for r in ewma_truncated(df, ["k"], "day", "v", 7.0, 14).collect()}
+    w2 = 0.5 ** (2 / 7.0)
+    assert out[3]["ewma"] == pytest.approx((30 + w2 * 10) / (1 + w2), abs=1e-6)
+    assert out[3]["n_in_window"] == 2
+
+
+# ----------------------------------------------------------------------- graph
+
+
+def test_k_hop_reach_chain_and_cycle(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["hops"] for r in k_hop_reach(edges, seeds, k=3).collect()}
+    # cycle closes back onto visited nodes without re-adding them
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_k_hop_reach_min_hops_on_diamond(spark):
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "t"), ("b", "c"), ("c", "t")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {r["node"]: r["hops"] for r in k_hop_reach(edges, seeds, k=3).collect()}
+    assert out["t"] == 2  # via a, not the 3-hop path via b->c
