@@ -502,7 +502,151 @@ SELECT node, CAST(min(hops) AS INT) AS hops FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Climate batch: heat-wave runs, SPI, frost dates, heat index
+# ---------------------------------------------------------------------------
+
+_HW_THRESH = 285.0  # K; fixture tmmx mean ≈ 284
+_FROST_K = 273.15
+_HI_GATE_F = 70.0  # Rothfusz validity is ≥80 °F; fixture tmmx tops out ~78 °F,
+# so the contract query gates at 70 to exercise the expression (documented)
+
+
+def _fx_grid(spark: SparkSession) -> DataFrame:
+    from .contract import FX
+    from .sources.readers import read_grid
+
+    return read_grid(spark, FX["grid"])
+
+
+def q_heatwave_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal consecutive-day runs of tmmx above
+    threshold per cell (heat-wave detection; operators/timeseries.py
+    ``runs_above_threshold`` — one cell-keyed shuffle, no self-join)."""
+    from .operators.timeseries import runs_above_threshold
+
+    g = _fx_grid(spark).where(F.col("var") == "tmmx")
+    return runs_above_threshold(g, ["i", "j"], "time", "value", _HW_THRESH, min_len=2)
+
+
+def _sql_heatwave_runs() -> str:
+    from .contract import FX
+
+    return f"""
+WITH above AS (
+  SELECT i, j, time, value,
+         CAST(time AS DATE) - CAST(row_number() OVER (
+             PARTITION BY i, j ORDER BY time) AS INT) AS anchor
+  FROM '{FX["grid"]}' WHERE var = 'tmmx' AND value > {_HW_THRESH})
+SELECT i, j, min(time) AS run_start, max(time) AS run_end,
+       count(*) AS run_len, ROUND(max(value), {R}) AS peak
+FROM above GROUP BY i, j, anchor HAVING count(*) >= 2
+"""
+
+
+def q_spi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPI-shaped drought index: 3-day rolling precip totals standardized
+    per cell (operators/timeseries.py ``rolling_zscore`` — both windows
+    share one cell-keyed sort)."""
+    from .operators.timeseries import rolling_zscore
+
+    g = _fx_grid(spark).where(F.col("var") == "pr")
+    return rolling_zscore(g, ["i", "j"], "time", "value", window=3)
+
+
+def _sql_spi_index() -> str:
+    from .contract import FX
+
+    return f"""
+WITH r AS (
+  SELECT i, j, time,
+         sum(value) OVER w AS roll,
+         count(*) OVER w AS cnt
+  FROM '{FX["grid"]}' WHERE var = 'pr'
+  WINDOW w AS (PARTITION BY i, j ORDER BY time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+f AS (SELECT i, j, time, roll FROM r WHERE cnt = 3),
+s AS (SELECT i, j, avg(roll) AS mu, stddev_samp(roll) AS sd FROM f GROUP BY i, j)
+SELECT f.i, f.j, f.time AS day, ROUND(f.roll, {R}) AS roll_sum,
+       CASE WHEN sd > 0 THEN ROUND((f.roll - mu) / sd, {R}) + 0.0 END AS z
+FROM f JOIN s ON f.i = s.i AND f.j = s.j
+"""
+
+
+def q_frost_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell frost summary: first/last sub-freezing day and frost-day
+    count over the period (growing-season primitive). One output-sized
+    aggregate over the partition-pruned tmmn scan."""
+    g = _fx_grid(spark).where(
+        (F.col("var") == "tmmn") & (F.col("value") < _FROST_K)
+    )
+    return g.groupBy("i", "j").agg(
+        F.min("time").alias("first_frost"),
+        F.max("time").alias("last_frost"),
+        F.count("*").alias("n_frost_days"),
+        F.round(F.min("value"), R).alias("coldest_k"),
+    )
+
+
+def _sql_frost_dates() -> str:
+    from .contract import FX
+
+    return f"""
+SELECT i, j, min(time) AS first_frost, max(time) AS last_frost,
+       count(*) AS n_frost_days, ROUND(min(value), {R}) AS coldest_k
+FROM '{FX["grid"]}' WHERE var = 'tmmn' AND value < {_FROST_K}
+GROUP BY i, j
+"""
+
+
+def q_heat_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOAA Rothfusz heat index from tmmx + rmax (functions/physics.py
+    ``heat_index_f``): pivot the two vars onto one row via conditional
+    aggregation (no self-join), then the pure-codegen polynomial."""
+    from .functions.physics import heat_index_f
+
+    g = _fx_grid(spark).where(F.col("var").isin("tmmx", "rmax"))
+    wide = g.groupBy("i", "j", "time").agg(
+        F.max(F.when(F.col("var") == "tmmx", F.col("value"))).alias("t_k"),
+        F.max(F.when(F.col("var") == "rmax", F.col("value"))).alias("rh"),
+    )
+    t_f = (F.col("t_k") - 273.15) * (9.0 / 5.0) + 32.0
+    return (
+        wide.where(t_f >= _HI_GATE_F)
+        .select(
+            "i",
+            "j",
+            F.col("time").alias("day"),
+            F.round(t_f, R).alias("t_f"),
+            F.round(heat_index_f("t_k", "rh"), R).alias("hi_f"),
+        )
+    )
+
+
+def _sql_heat_index() -> str:
+    from .contract import FX
+
+    return f"""
+WITH wide AS (
+  SELECT i, j, time,
+         max(CASE WHEN var = 'tmmx' THEN value END) AS t_k,
+         max(CASE WHEN var = 'rmax' THEN value END) AS rh
+  FROM '{FX["grid"]}' WHERE var IN ('tmmx', 'rmax')
+  GROUP BY i, j, time),
+f AS (SELECT i, j, time, (t_k - 273.15) * (9.0/5.0) + 32.0 AS t, rh FROM wide)
+SELECT i, j, time AS day, ROUND(t, {R}) AS t_f,
+       ROUND(-42.379 + 2.04901523*t + 10.14333127*rh
+             - 0.22475541*t*rh - 6.83783e-3*t*t - 5.481717e-2*rh*rh
+             + 1.22874e-3*t*t*rh + 8.5282e-4*t*rh*rh
+             - 1.99e-6*t*t*rh*rh, {R}) AS hi_f
+FROM f WHERE t >= {_HI_GATE_F}
+"""
+
+
 EXT2_QUERIES = {
+    "heatwave_runs": (q_heatwave_runs, _sql_heatwave_runs()),
+    "spi_index": (q_spi_index, _sql_spi_index()),
+    "frost_dates": (q_frost_dates, _sql_frost_dates()),
+    "heat_index": (q_heat_index, _sql_heat_index()),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
     "tpch_q17ish": (q_tpch_q17ish, SQL_TPCH_Q17ISH),
     "tpch_q21ish": (q_tpch_q21ish, SQL_TPCH_Q21ISH),

@@ -400,3 +400,82 @@ def ewma_truncated(
             F.count("*").alias("n_in_window"),
         )
     )
+
+
+def runs_above_threshold(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    value_col: str,
+    threshold: float,
+    min_len: int = 2,
+) -> DataFrame:
+    """Gaps-and-islands run detection: maximal runs of CONSECUTIVE days with
+    ``value_col > threshold`` per series (heat waves, dry spells, outage
+    streaks). The classic anchor trick — ``day_number - row_number`` is
+    constant within a consecutive run — turns run detection into one window
+    plus one aggregate, both keyed by the series id (ONE shuffle; no
+    self-joins). Output: (keys…, run_start, run_end, run_len, peak).
+    """
+    keys = list(keys)
+    above = df.where(F.col(value_col) > threshold).select(
+        *keys, F.col(day_col).alias("day"), F.col(value_col).alias("v")
+    )
+    w = Window.partitionBy(*keys).orderBy("day")
+    anchored = above.withColumn(
+        "_anchor", F.unix_date(F.col("day")) - F.row_number().over(w)
+    )
+    runs = anchored.groupBy(*keys, "_anchor").agg(
+        F.min("day").alias("run_start"),
+        F.max("day").alias("run_end"),
+        F.count("*").alias("run_len"),
+        F.round(F.max("v"), 6).alias("peak"),
+    )
+    return runs.where(F.col("run_len") >= min_len).drop("_anchor")
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    value_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """SPI-shaped index: ``window``-day rolling sum per series, standardized
+    against that series' own rolling-sum distribution (the Standardized
+    Precipitation Index computation pattern, with the gamma fit replaced by
+    the z-score normal approximation so both engines agree exactly).
+
+    Both windows (rolling frame + whole-series stats) share ONE partition
+    ordering → one shuffle keyed by the series. Only complete windows
+    qualify. Output: (keys…, day, roll_sum, z); z NULL on zero variance.
+    """
+    keys = list(keys)
+    frame = (
+        Window.partitionBy(*keys).orderBy("day").rowsBetween(-(window - 1), 0)
+    )
+    rolled = (
+        df.select(*keys, F.col(day_col).alias("day"), F.col(value_col).alias("v"))
+        .withColumn("roll_sum", F.sum("v").over(frame))
+        .withColumn("_cnt", F.count("*").over(frame))
+        .where(F.col("_cnt") == window)
+    )
+    w_all = Window.partitionBy(*keys)
+    out = rolled.select(
+        *keys,
+        "day",
+        F.col("roll_sum").alias("_roll"),
+        F.avg("roll_sum").over(w_all).alias("_mu"),
+        F.stddev_samp("roll_sum").over(w_all).alias("_sd"),
+    )
+    # standardize the UNROUNDED sum; round only at the display edge (the
+    # oracle does the same — rounding before the divide shifts z at 1e-6)
+    # + 0.0 normalizes IEEE -0.0 (a roll_sum sitting just under its mean
+    # rounds to it) for cross-engine value parity
+    z = F.when(
+        F.col("_sd") > 0,
+        F.round((F.col("_roll") - F.col("_mu")) / F.col("_sd"), 6) + F.lit(0.0),
+    )
+    return out.select(
+        *keys, "day", F.round("_roll", 6).alias("roll_sum"), z.alias("z")
+    )

@@ -173,3 +173,52 @@ def test_k_hop_reach_min_hops_on_diamond(spark):
     seeds = spark.createDataFrame([("s",)], "node string")
     out = {r["node"]: r["hops"] for r in k_hop_reach(edges, seeds, k=3).collect()}
     assert out["t"] == 2  # via a, not the 3-hop path via b->c
+
+
+# --------------------------------------------------------------------- climate
+
+
+def test_runs_above_threshold_islands(spark):
+    import datetime
+
+    from gridmet_etl_spark.operators.timeseries import runs_above_threshold
+
+    d0 = datetime.date(2024, 1, 1)
+    # above on days 0,1 (run of 2), below day 2, above days 3,4,5 (run of 3),
+    # isolated day 7 (run of 1, dropped at min_len=2)
+    vals = {0: 5.0, 1: 6.0, 2: 1.0, 3: 7.0, 4: 8.0, 5: 9.0, 7: 5.0}
+    rows = [("c", d0 + datetime.timedelta(days=k), v) for k, v in vals.items()]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = sorted(
+        (r["run_start"].day, r["run_end"].day, r["run_len"], r["peak"])
+        for r in runs_above_threshold(df, ["k"], "day", "v", 4.0, min_len=2).collect()
+    )
+    assert out == [(1, 2, 2, 6.0), (4, 6, 3, 9.0)]
+
+
+def test_rolling_zscore_window_and_standardization(spark):
+    import datetime
+
+    from gridmet_etl_spark.operators.timeseries import rolling_zscore
+
+    d0 = datetime.date(2024, 1, 1)
+    series = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [("c", d0 + datetime.timedelta(days=i), v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {r["day"].day: r for r in rolling_zscore(df, ["k"], "day", "v", window=3).collect()}
+    # complete windows only: days 3,4,5 with sums 6, 9, 12
+    assert sorted(out) == [3, 4, 5]
+    assert out[3]["roll_sum"] == 6.0 and out[5]["roll_sum"] == 12.0
+    # sums {6,9,12}: mean 9, sd 3 -> z = -1, 0, 1
+    assert out[3]["z"] == -1.0 and out[4]["z"] == 0.0 and out[5]["z"] == 1.0
+
+
+def test_heat_index_reference_point(spark):
+    from gridmet_etl_spark.functions.physics import heat_index_f
+
+    # NOAA heat-index chart: T=90F, RH=70% -> HI 105F (chart rounds to
+    # integers; the raw Rothfusz regression lands at ~105.9)
+    t_k = (90.0 - 32.0) * 5.0 / 9.0 + 273.15
+    df = spark.createDataFrame([(t_k, 70.0)], "t double, rh double")
+    hi = df.select(heat_index_f("t", "rh").alias("hi")).collect()[0]["hi"]
+    assert abs(hi - 105.0) < 1.5
