@@ -642,7 +642,102 @@ FROM f WHERE t >= {_HI_GATE_F}
 """
 
 
+# ---------------------------------------------------------------------------
+# Threshold-crossing alerts (batch twin of streaming/alerts.py)
+# ---------------------------------------------------------------------------
+
+_ALERT_THRESH = 70.0
+
+
+def q_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring gate: the first day each event type's daily count rises
+    above threshold after being at-or-below it (hysteresis — no re-alert
+    while it stays high). Batch twin of
+    streaming/alerts.py::streaming_threshold_alerts; ONE lag window keyed
+    by type over the |types|×|days| rollup."""
+    from .sources.readers import read_events
+    from .streaming.alerts import threshold_alerts
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    return threshold_alerts(daily, ["event_type"], "day", "n", _ALERT_THRESH)
+
+
+SQL_THRESHOLD_ALERTS = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+lagged AS (
+  SELECT event_type, day, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM daily)
+SELECT event_type, day, n
+FROM lagged
+WHERE n > {_ALERT_THRESH} AND (prev IS NULL OR prev <= {_ALERT_THRESH})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval×interval overlap join: activity spans × campaign windows
+# ---------------------------------------------------------------------------
+
+_CAMPAIGNS = [
+    ("launch", "2024-01-05 00:00:00", "2024-01-10 00:00:00"),
+    ("midmonth", "2024-01-14 12:00:00", "2024-01-18 00:00:00"),
+    ("finale", "2024-01-25 00:00:00", "2024-01-31 00:00:00"),
+]
+
+
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (operators/rangejoin.py::overlap_join): per-user
+    daily activity spans [first event, last event] against campaign windows,
+    rolled up per campaign. Granule-bucketed equi-join (1-day granules) with
+    the first-shared-granule dedup gate — no cartesian, no distinct."""
+    from .operators.rangejoin import overlap_join
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    spans = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("l_start"), F.max("ts").alias("l_end")
+    )
+    camps = spark.createDataFrame(
+        _CAMPAIGNS, "campaign string, r_start string, r_end string"
+    ).select(
+        "campaign",
+        F.col("r_start").cast("timestamp").alias("r_start"),
+        F.col("r_end").cast("timestamp").alias("r_end"),
+    )
+    hits = overlap_join(
+        spans, F.broadcast(camps), granule_seconds=86400,
+        l_start="l_start", l_end="l_end", r_start="r_start", r_end="r_end",
+    )
+    return hits.groupBy("campaign").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _sql_overlap_join() -> str:
+    vals = ", ".join(
+        f"('{c}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for c, s, e in _CAMPAIGNS
+    )
+    return f"""
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS l_start, max(ts) AS l_end
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+camps(campaign, r_start, r_end) AS (VALUES {vals})
+SELECT campaign, count(*) AS n_spans, count(DISTINCT user_id) AS n_users
+FROM spans JOIN camps
+  ON l_start < r_end AND r_start < l_end
+GROUP BY campaign
+"""
+
+
 EXT2_QUERIES = {
+    "overlap_join": (q_overlap_join, _sql_overlap_join()),
+    "threshold_alerts": (q_threshold_alerts, SQL_THRESHOLD_ALERTS),
     "heatwave_runs": (q_heatwave_runs, _sql_heatwave_runs()),
     "spi_index": (q_spi_index, _sql_spi_index()),
     "frost_dates": (q_frost_dates, _sql_frost_dates()),

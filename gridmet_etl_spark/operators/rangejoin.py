@@ -68,3 +68,59 @@ def range_join(
         if c != on:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
     return matched.drop("_g").unionByName(unmatched.drop("_g"))
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | None = None,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    granule_seconds: int = 3600,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (half-open semantics:
+    ``l_start < r_end AND r_start < l_end``) — sessions × campaign windows,
+    maintenance × outage reconciliation, genomic-range intersection.
+
+    Same granule-bucketing strategy as ``range_join``, applied to BOTH
+    sides: each interval explodes into the granules it spans, candidates
+    meet on (key, granule) as an equi-join, the exact overlap predicate
+    filters, and duplicates from multi-granule overlaps collapse via the
+    granule-equality trick: a candidate pair is kept only on the FIRST
+    granule both intervals share (greatest of the two start-granules), so
+    no distinct/shuffle is needed for dedup. Cost tracks
+    Σ spans/granule, never |left| × |right|.
+    """
+    g = F.lit(granule_seconds)
+
+    def _secs(c: str):
+        # TIMESTAMP_NTZ has no direct long cast; routing through timestamp
+        # applies the session offset UNIFORMLY to both sides, which cannot
+        # break candidate generation (pairs shift into the same granules)
+        # and the exact overlap predicate below compares original values
+        return F.col(c).cast("timestamp").cast("long")
+
+    def _granules(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_g",
+            F.explode(
+                F.sequence((_secs(s) / g).cast("long"), (_secs(e) / g).cast("long"))
+            ),
+        ).withColumn("_sg", (_secs(s) / g).cast("long"))
+
+    lg = _granules(left, l_start, l_end)
+    rg = _granules(right, r_start, r_end).withColumnRenamed("_sg", "_rsg")
+    keys = ["_g"] if on is None else ["_g", on]
+    return (
+        lg.join(rg, keys, "inner")
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            # first-shared-granule gate: emit each overlapping pair exactly
+            # once without a distinct
+            & (F.col("_g") == F.greatest(F.col("_sg"), F.col("_rsg")))
+        )
+        .drop("_g", "_sg", "_rsg")
+    )

@@ -222,3 +222,71 @@ def test_heat_index_reference_point(spark):
     df = spark.createDataFrame([(t_k, 70.0)], "t double, rh double")
     hi = df.select(heat_index_f("t", "rh").alias("hi")).collect()[0]["hi"]
     assert abs(hi - 105.0) < 1.5
+
+
+# ------------------------------------------------------------- overlap/alerts
+
+
+def test_overlap_join_exact_pairs_no_dupes(spark):
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.rangejoin import overlap_join
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    left = spark.createDataFrame(
+        [(1, t(0), t(5)), (2, t(10), t(11)), (3, t(20), t(23))],
+        "lid int, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        # A spans hours 3..12 (overlaps 1 and 2); B spans 11..21 (overlaps
+        # 2 boundary-exclusive? 2 ends at 11 -> strict overlap needs
+        # r_start < l_end: 11 < 11 false -> only 3); C disjoint
+        [("A", t(3), t(12)), ("B", t(11), t(21)), ("C", t(6), t(9))],
+        "rid string, r_start timestamp, r_end timestamp",
+    )
+    out = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join(left, right, granule_seconds=3600).collect()
+    )
+    assert out == [(1, "A"), (2, "A"), (3, "B")]
+    # multi-granule overlaps emit exactly once (no distinct in the plan)
+    plan = overlap_join(left, right, granule_seconds=3600)._jdf.queryExecution().executedPlan().toString()
+    assert "Distinct" not in plan and "Cartesian" not in plan
+
+
+def test_overlap_join_granule_invariance(spark):
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.rangejoin import overlap_join
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    left = spark.createDataFrame(
+        [(i, t(i), t(i + 3)) for i in range(0, 18)],
+        "lid int, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [("w", t(4), t(9)), ("v", t(14), t(15))],
+        "rid string, r_start timestamp, r_end timestamp",
+    )
+    fine = sorted((r["lid"], r["rid"]) for r in overlap_join(left, right, granule_seconds=600).collect())
+    coarse = sorted((r["lid"], r["rid"]) for r in overlap_join(left, right, granule_seconds=86400).collect())
+    assert fine == coarse and len(fine) > 0
+
+
+def test_threshold_alerts_hysteresis(spark):
+    from gridmet_etl_spark.streaming.alerts import threshold_alerts
+
+    rows = [("k", i, v) for i, v in enumerate([1.0, 5.0, 6.0, 2.0, 7.0, 8.0, 9.0])]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = sorted(r["t"] for r in threshold_alerts(df, ["k"], "t", "v", 4.0).collect())
+    # alerts at first crossing (t=1) and re-crossing after the dip (t=4);
+    # t=2,5,6 suppressed while still above
+    assert out == [1, 4]
+
+
+def test_threshold_alerts_first_row_already_above(spark):
+    from gridmet_etl_spark.streaming.alerts import threshold_alerts
+
+    df = spark.createDataFrame([("k", 0, 9.0), ("k", 1, 9.5)], "k string, t int, v double")
+    out = [r["t"] for r in threshold_alerts(df, ["k"], "t", "v", 4.0).collect()]
+    assert out == [0]

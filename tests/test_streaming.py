@@ -336,3 +336,32 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir, tmp_path):
     j = got.join(batch.withColumnRenamed("wv", "bwv"), "event_id")
     assert j.count() == batch.count()
     assert j.filter(F.abs(F.col("wv") - F.col("bwv")) > 1e-12).count() == 0
+
+
+def test_streaming_threshold_alerts_match_batch(spark, events_dir, tmp_path):
+    """streaming_threshold_alerts (applyInPandasWithState hysteresis) drains
+    to EXACTLY the batch twin's below->above transition set per user."""
+    from gridmet_etl_spark.streaming.alerts import (
+        streaming_threshold_alerts,
+        threshold_alerts,
+    )
+
+    thresh = 5.0
+    stream = stream_events(spark, events_dir)
+    alerts = streaming_threshold_alerts(
+        stream, thresh, key_col="user_id", ts_col="ts", value_col="value"
+    )
+    out = str(tmp_path / "out")
+    run_available_now(alerts, out, str(tmp_path / "ck"))
+    got = {
+        (r["key"], r["ts"], round(r["value"], 6))
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch = spark.read.parquet(events_dir).select("user_id", "ts", "value")
+    want = {
+        (r["user_id"], r["ts"], round(r["value"], 6))
+        for r in threshold_alerts(batch, ["user_id"], "ts", "value", thresh).collect()
+    }
+    assert len(want) > 0
+    assert got == want
