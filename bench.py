@@ -269,7 +269,52 @@ def _bilinear_25k_points(spark):
     return bilinear_interpolate(grid, pts, y1=Y1, x1=X1, res=RES)
 
 
+def _scd2_1m_changes(spark):
+    """SCD2 build over a 1M-row synthetic change log (50k keys × 20 changes
+    each): one key-keyed shuffle, lag/lead run-length compression — the CDC
+    dimension-versioning workload."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.scd import scd2_history
+
+    n_keys, n_chg = 50_000, 20
+    log = spark.range(0, n_keys * n_chg, 1, 32).select(
+        (F.col("id") % n_keys).alias("k"),
+        (F.col("id") / n_keys).cast("int").alias("t"),
+        # ~35% of consecutive rows change attribute value
+        F.concat(F.lit("v"), (F.pmod(F.col("id") * 2654435761, 100) < 35).cast("int")
+                 * F.pmod(F.col("id"), 7)).alias("attr"),
+    )
+    return scd2_history(log, ["k"], "attr", "t")
+
+
+def _overlap_200k_spans(spark):
+    """Overlap join of 200k activity spans against 200 campaign windows over
+    a 1-year horizon: granule-bucketed candidates (1-day granules), no
+    cartesian — the ad-attribution reconciliation workload."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.rangejoin import overlap_join
+
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    spans = spark.range(200_000, numPartitions=32).select(
+        F.col("id").alias("span_id"),
+        (base + F.make_interval(secs=F.pmod(F.col("id") * 104729, 31_536_000))).alias("l_start"),
+        (base + F.make_interval(secs=F.pmod(F.col("id") * 104729, 31_536_000)
+                                + F.pmod(F.col("id") * 7919, 86_400) + 600)).alias("l_end"),
+    )
+    camps = spark.range(200).select(
+        F.col("id").alias("campaign"),
+        (base + F.make_interval(secs=F.col("id") * 157_680)).alias("r_start"),
+        (base + F.make_interval(secs=F.col("id") * 157_680 + 259_200)).alias("r_end"),
+    )
+    hits = overlap_join(spans, F.broadcast(camps), granule_seconds=86_400)
+    return hits.groupBy("campaign").agg(F.count("*").alias("n"))
+
+
 EXTRA_BENCH = {
+    "scd2_1M_changes": _scd2_1m_changes,
+    "overlap_200k_spans": _overlap_200k_spans,
     "jaccard_join_500docs": _jaccard_500docs,
     "triangle_1M_edges": _triangle_1m_edges,
     "funnel_12M_events": _funnel_12m_events,
