@@ -57,7 +57,7 @@ _CHECK_FIRST = [
     "autocorr_daily", "ewma_daily", "scd2_users", "corr_matrix",
     "target_encode", "ref_integrity", "skew_profile", "khop_reach",
     "heatwave_runs", "spi_index", "frost_dates", "heat_index",
-    "overlap_join", "threshold_alerts",
+    "overlap_join", "threshold_alerts", "centroid_classify", "knn_eval",
     # ---- tail below was green in r1 or r2 ----
     "weighted_mean", "gridmet_pipeline", "cfsv2_median_pipeline",
     "cfsv2_ensemble_pipeline", "tpch_weighted_mean", "tpch_q1",

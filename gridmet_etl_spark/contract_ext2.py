@@ -735,7 +735,86 @@ GROUP BY campaign
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding classification evals: nearest-centroid + leave-one-out kNN
+# ---------------------------------------------------------------------------
+
+_EMB_DIM64 = 64
+
+
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio nearest-centroid confusion rollup over the labeled embedding
+    table (operators/mlprep.py::nearest_centroid): centroids broadcast,
+    corpus dot products row-local, rank on rounded cosine."""
+    from .operators.mlprep import nearest_centroid
+
+    emb = _pq(spark, _t(sf_dir, "embeddings"))
+    return nearest_centroid(emb, rank_round=R)
+
+
+SQL_CENTROID_CLASSIFY = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+cent AS (
+  SELECT label AS clabel, g.i,
+         avg(CAST(embedding[g.i] AS DOUBLE)) AS c
+  FROM e, generate_series(1, {_EMB_DIM64}) g(i)
+  GROUP BY label, g.i),
+s AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         sum(CAST(e.embedding[c.i] AS DOUBLE) * c.c) AS dot,
+         sqrt(sum(CAST(e.embedding[c.i] AS DOUBLE) * CAST(e.embedding[c.i] AS DOUBLE))) AS nv,
+         sqrt(sum(c.c * c.c)) AS nc
+  FROM e JOIN cent c ON TRUE
+  GROUP BY e.vec_id, e.label, c.clabel),
+a AS (
+  SELECT label, clabel AS assigned,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(dot / (nv * nc), {R}) DESC, clabel) AS rn
+  FROM s)
+SELECT label, assigned, count(*) AS n FROM a WHERE rn = 1 GROUP BY label, assigned
+"""
+
+
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label-vote confusion rollup
+    (operators/mlprep.py::knn_classify) — the embedding-quality eval."""
+    from .operators.mlprep import knn_classify
+
+    emb = _pq(spark, _t(sf_dir, "embeddings"))
+    return knn_classify(emb, k=5, rank_round=R)
+
+
+SQL_KNN_EVAL = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         q.label AS qlabel, e.label AS nlabel,
+         sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.embedding[g.i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS ne,
+         sqrt(sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(q.embedding[g.i] AS DOUBLE))) AS nq
+  FROM embeddings q
+  JOIN embeddings e ON e.vec_id <> q.vec_id,
+       generate_series(1, {_EMB_DIM64}) g(i)
+  GROUP BY q.vec_id, e.vec_id, q.label, e.label),
+ranked AS (
+  SELECT query_id, qlabel, nlabel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(dot / (ne * nq), {R}) DESC, neighbor_id) AS rn
+  FROM pairs),
+votes AS (
+  SELECT query_id, qlabel, nlabel, count(*) AS v
+  FROM ranked WHERE rn <= 5 GROUP BY query_id, qlabel, nlabel),
+pred AS (
+  SELECT query_id, qlabel, nlabel AS predicted,
+         row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nlabel) AS rn
+  FROM votes)
+SELECT qlabel AS label, predicted, count(*) AS n
+FROM pred WHERE rn = 1 GROUP BY qlabel, predicted
+"""
+
+
 EXT2_QUERIES = {
+    "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),
+    "knn_eval": (q_knn_eval, SQL_KNN_EVAL),
     "overlap_join": (q_overlap_join, _sql_overlap_join()),
     "threshold_alerts": (q_threshold_alerts, SQL_THRESHOLD_ALERTS),
     "heatwave_runs": (q_heatwave_runs, _sql_heatwave_runs()),

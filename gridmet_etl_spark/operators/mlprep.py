@@ -125,3 +125,123 @@ def referential_orphans(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def nearest_centroid(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank_round: int = 6,
+) -> DataFrame:
+    """Nearest-centroid classification (Rocchio) over a labeled embedding
+    table: per-label mean vectors, then each vector assigned to the
+    cosine-nearest centroid. Returns the confusion rollup
+    ``(label, assigned, n)``.
+
+    Scale shape: centroids aggregate per (label, dim) in ONE exploded
+    partial-agg shuffle (|labels|×dim rows), collapse to |labels| array
+    rows, and BROADCAST; the assignment dot products run row-locally via
+    zip_with/aggregate (no corpus shuffle). Ranking uses the rounded
+    cosine with a label tiebreak so engines with different float-sum
+    orders agree."""
+    expl = df.select(
+        label_col, F.posexplode(vec_col).alias("pos", "v")
+    )
+    cents = (
+        expl.groupBy(label_col, "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("pc")
+        )
+        .select(
+            F.col(label_col).alias("centroid_label"),
+            F.transform("pc", lambda s: s["c"]).alias("cvec"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("cvec"), lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("cvec", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    scored = (
+        df.select(id_col, label_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            label_col,
+            "centroid_label",
+            F.round(dot / (nv * nc), rank_round).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), "centroid_label")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(label_col, F.col("centroid_label").alias("assigned"))
+    )
+    return assigned.groupBy(label_col, "assigned").agg(F.count("*").alias("n"))
+
+
+def knn_classify(
+    df: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank_round: int = 6,
+) -> DataFrame:
+    """Leave-one-out k-NN label evaluation: each vector's label predicted by
+    majority vote of its k cosine-nearest OTHER vectors (the embedding-
+    quality eval harness). Returns the confusion rollup
+    ``(label, predicted, n)``.
+
+    Reuses the brute-force broadcast scan (similarity.cosine_topk): corpus
+    scanned once, never shuffled; the only exchanges carry k×|queries|
+    candidate rows and the vote counts. For large tables, sample the query
+    side — the corpus side stays full."""
+    from .similarity import cosine_topk
+
+    queries = df.select(F.col(id_col).alias("query_id"), vec_col)
+    topk = cosine_topk(df, queries, k=k, id_col=id_col, vec_col=vec_col,
+                       rank_round=rank_round)
+    labels = F.broadcast(df.select(F.col(id_col).alias("neighbor_id"),
+                                   F.col(label_col).alias("neighbor_label")))
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count("*").alias("v"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("v").desc(), "neighbor_label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_label").alias("predicted"))
+    )
+    truth = F.broadcast(
+        df.select(F.col(id_col).alias("query_id"), F.col(label_col))
+    )
+    return pred.join(truth, "query_id").groupBy(label_col, "predicted").agg(
+        F.count("*").alias("n")
+    )

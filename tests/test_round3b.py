@@ -290,3 +290,33 @@ def test_threshold_alerts_first_row_already_above(spark):
     df = spark.createDataFrame([("k", 0, 9.0), ("k", 1, 9.5)], "k string, t int, v double")
     out = [r["t"] for r in threshold_alerts(df, ["k"], "t", "v", 4.0).collect()]
     assert out == [0]
+
+
+# -------------------------------------------------------- classification evals
+
+
+def test_nearest_centroid_separable(spark):
+    from gridmet_etl_spark.operators.mlprep import nearest_centroid
+
+    # two well-separated 3-d clusters -> zero confusion
+    rows = [
+        (0, 0, [1.0, 0.0, 0.1]), (1, 0, [0.9, 0.1, 0.0]), (2, 0, [1.0, 0.1, 0.1]),
+        (3, 1, [0.0, 1.0, 0.1]), (4, 1, [0.1, 0.9, 0.0]), (5, 1, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {(r["label"], r["assigned"]): r["n"] for r in nearest_centroid(df).collect()}
+    assert out == {(0, 0): 3, (1, 1): 3}
+
+
+def test_knn_classify_majority(spark):
+    from gridmet_etl_spark.operators.mlprep import knn_classify
+
+    # 4+4 separable points, k=3: every leave-one-out vote is unanimous
+    rows = [
+        (i, 0, [1.0 + 0.01 * i, 0.0]) for i in range(4)
+    ] + [
+        (10 + i, 1, [0.0, 1.0 + 0.01 * i]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {(r["label"], r["predicted"]): r["n"] for r in knn_classify(df, k=3).collect()}
+    assert out == {(0, 0): 4, (1, 1): 4}
