@@ -812,7 +812,91 @@ FROM pred WHERE rn = 1 GROUP BY qlabel, predicted
 """
 
 
+# ---------------------------------------------------------------------------
+# Field gradient + seasonal decomposition
+# ---------------------------------------------------------------------------
+
+_GRAD_DAY = "1980-01-03"
+
+
+def q_terrain_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-difference gradient of one day's tmmx field
+    (operators/bbox.py::field_gradient — scatter stencil, one partial-agg
+    shuffle, interior cells only)."""
+    from .operators.bbox import field_gradient
+
+    g = _fx_grid(spark).where(
+        (F.col("var") == "tmmx") & (F.col("time") == F.lit(_GRAD_DAY))
+    )
+    out = field_gradient(g, keys=("var", "time"))
+    return out.select("i", "j", "dx", "dy", "grad_mag", "aspect")
+
+
+def _sql_terrain_gradient() -> str:
+    from .contract import FX
+
+    return f"""
+WITH f AS (
+  SELECT i, j, value FROM '{FX["grid"]}'
+  WHERE var = 'tmmx' AND time = DATE '{_GRAD_DAY}'),
+st AS (
+  SELECT c.i, c.j,
+         (e.value - w.value) / 2.0 + 0.0 AS dx,
+         (n.value - s.value) / 2.0 + 0.0 AS dy
+  FROM f c
+  JOIN f e ON e.i = c.i AND e.j = c.j + 1
+  JOIN f w ON w.i = c.i AND w.j = c.j - 1
+  JOIN f n ON n.i = c.i + 1 AND n.j = c.j
+  JOIN f s ON s.i = c.i - 1 AND s.j = c.j)
+SELECT i, j,
+       ROUND(dx, {R}) + 0.0 AS dx,
+       ROUND(dy, {R}) + 0.0 AS dy,
+       ROUND(sqrt(dx * dx + dy * dy), {R}) AS grad_mag,
+       ROUND(atan2(dy, dx), {R}) + 0.0 AS aspect
+FROM st
+"""
+
+
+def q_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each event type's daily-count
+    series: centered 7-point MA trend, phase-mean seasonal (integer
+    day-mod-period phase — engine-portable), residual."""
+    from .operators.timeseries import seasonal_decompose
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    return seasonal_decompose(daily, ["event_type"], "day", "n", period=7)
+
+
+SQL_SEASONAL_DECOMP = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+t AS (
+  SELECT event_type, day, v,
+         avg(v) OVER w AS trend, count(*) OVER w AS cnt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+f AS (
+  SELECT event_type, day, v, trend, v - trend AS det,
+         CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS phase
+  FROM t WHERE cnt = 7),
+s AS (SELECT event_type, phase, avg(det) AS seasonal
+      FROM f GROUP BY event_type, phase)
+SELECT f.event_type, f.day, ROUND(v, {R}) AS value, ROUND(trend, {R}) AS trend,
+       ROUND(seasonal, {R}) + 0.0 AS seasonal,
+       ROUND(det - seasonal, {R}) + 0.0 AS resid
+FROM f JOIN s ON f.event_type = s.event_type AND f.phase = s.phase
+"""
+
+
 EXT2_QUERIES = {
+    "terrain_gradient": (q_terrain_gradient, _sql_terrain_gradient()),
+    "seasonal_decomp": (q_seasonal_decomp, SQL_SEASONAL_DECOMP),
     "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),
     "knn_eval": (q_knn_eval, SQL_KNN_EVAL),
     "overlap_join": (q_overlap_join, _sql_overlap_join()),

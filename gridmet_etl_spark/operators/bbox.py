@@ -229,3 +229,77 @@ def bilinear_interpolate(
             F.round(F.sum(F.when(v.isNotNull(), F.col("w"))), 6).alias("w_mass"),
         )
     )
+
+
+def field_gradient(
+    grid: DataFrame,
+    keys: tuple[str, ...] = ("var", "ens", "time"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Central-difference gradient of a gridded field: ∂v/∂j (x / east),
+    ∂v/∂i (y / north), magnitude, and aspect (atan2(dy, dx)) per cell —
+    the terrain-slope / thermal-gradient primitive.
+
+    Same SCATTER shape as ``focal_mean``: each cell emits 4 tagged
+    contribution rows (to its N/S/E/W neighbors — row-local explode), ONE
+    partial-agg shuffle reassembles each target cell's stencil via
+    conditional MAX. Interior cells only (all four neighbors present);
+    no self-joins, shuffle volume is 4× cells of constant-width partials.
+
+    Output: (keys…, i, j, dx, dy, grad_mag, aspect).
+    """
+    offs = [
+        # (di, dj, role): the neighbor AT (i+di, j+dj) receives this cell's
+        # value tagged with the role it plays in THAT cell's stencil
+        (0, 1, "w"),   # cell scatters east -> serves as target's west value
+        (0, -1, "e"),
+        (1, 0, "s"),   # cell scatters north (i+1) -> target's south value
+        (-1, 0, "n"),
+    ]
+    contrib = grid.select(
+        *[F.col(k) for k in keys],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(di).alias("di"), F.lit(dj).alias("dj"), F.lit(role).alias("role")
+                    )
+                    for di, dj, role in offs
+                ]
+            )
+        ).alias("_o"),
+        "i",
+        "j",
+        F.col(value_col).alias("v"),
+    ).select(
+        *[F.col(k) for k in keys],
+        (F.col("i") + F.col("_o.di")).alias("ti"),
+        (F.col("j") + F.col("_o.dj")).alias("tj"),
+        F.col("_o.role").alias("role"),
+        "v",
+    )
+    stencil = contrib.groupBy(*[F.col(k) for k in keys], "ti", "tj").agg(
+        F.max(F.when(F.col("role") == "w", F.col("v"))).alias("vw"),
+        F.max(F.when(F.col("role") == "e", F.col("v"))).alias("ve"),
+        F.max(F.when(F.col("role") == "s", F.col("v"))).alias("vs"),
+        F.max(F.when(F.col("role") == "n", F.col("v"))).alias("vn"),
+        F.count("*").alias("_n"),
+    )
+    # + 0.0 everywhere a rounded value can be tiny-negative: engines round
+    # to -0.0 vs +0.0 differently (the spi_index lesson); for atan2 the
+    # zero-sign normalization must happen BEFORE the call (atan2(-0.0, x<0)
+    # is -pi but atan2(+0.0, x<0) is +pi)
+    dx = (F.col("ve") - F.col("vw")) / 2.0 + F.lit(0.0)
+    dy = (F.col("vn") - F.col("vs")) / 2.0 + F.lit(0.0)
+    return (
+        stencil.where(F.col("_n") == 4)  # interior: full 4-point stencil
+        .select(
+            *[F.col(k) for k in keys],
+            F.col("ti").alias("i"),
+            F.col("tj").alias("j"),
+            (F.round(dx, 6) + F.lit(0.0)).alias("dx"),
+            (F.round(dy, 6) + F.lit(0.0)).alias("dy"),
+            F.round(F.sqrt(dx * dx + dy * dy), 6).alias("grad_mag"),
+            (F.round(F.atan2(dy, dx), 6) + F.lit(0.0)).alias("aspect"),
+        )
+    )

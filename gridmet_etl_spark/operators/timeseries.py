@@ -499,3 +499,54 @@ def rolling_zscore(
     return out.select(
         *keys, "day", F.round("_roll", 6).alias("roll_sum"), z.alias("z")
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition (classical, moving-average flavor):
+    ``value = trend + seasonal + resid`` per series —
+
+    - trend: centered ``period``-point moving average (full windows only),
+    - seasonal: mean of the detrended values per phase (day-index mod
+      period — engine-portable integer arithmetic, no locale-dependent
+      day-of-week functions),
+    - resid: what remains.
+
+    Plan: the rolling window and the phase aggregate both key on the
+    series id — one sort-shuffle for the window, one |series|×period
+    shuffle for the seasonal means joined back broadcast-style. Output:
+    (keys…, day, value, trend, seasonal, resid) for trend-complete rows;
+    rounding at the display edge only.
+    """
+    keys = list(keys)
+    half = period // 2
+    w = Window.partitionBy(*keys).orderBy("day").rowsBetween(-half, half)
+    base = df.select(
+        *keys, F.col(day_col).alias("day"), F.col(value_col).cast("double").alias("v")
+    )
+    trended = (
+        base.withColumn("_trend", F.avg("v").over(w))
+        .withColumn("_cnt", F.count("*").over(w))
+        .where(F.col("_cnt") == period)
+        .withColumn("_det", F.col("v") - F.col("_trend"))
+        .withColumn("_phase", F.pmod(F.unix_date("day"), period))
+    )
+    seasonal = trended.groupBy(*keys, "_phase").agg(
+        F.avg("_det").alias("_seasonal")
+    )
+    out = trended.join(seasonal, [*keys, "_phase"])
+    # + 0.0: seasonal/resid hover around zero and round to -0.0 differently
+    # across engines (the spi_index lesson)
+    return out.select(
+        *keys,
+        "day",
+        F.round("v", 6).alias("value"),
+        F.round("_trend", 6).alias("trend"),
+        (F.round("_seasonal", 6) + F.lit(0.0)).alias("seasonal"),
+        (F.round(F.col("_det") - F.col("_seasonal"), 6) + F.lit(0.0)).alias("resid"),
+    )

@@ -320,3 +320,58 @@ def test_knn_classify_majority(spark):
     df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
     out = {(r["label"], r["predicted"]): r["n"] for r in knn_classify(df, k=3).collect()}
     assert out == {(0, 0): 4, (1, 1): 4}
+
+
+# ------------------------------------------------------- gradient / decompose
+
+
+def test_field_gradient_linear_ramp(spark):
+    from gridmet_etl_spark.operators.bbox import field_gradient
+
+    # v = 2*j + 3*i: dx = 2, dy = 3 everywhere in the interior
+    rows = [
+        ("v", 0, i, j, float(2 * j + 3 * i))
+        for i in range(4)
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "var string, t int, i int, j int, value double")
+    out = field_gradient(df, keys=("var", "t")).collect()
+    assert len(out) == 4  # 2x2 interior of a 4x4 grid
+    for r in out:
+        assert r["dx"] == 2.0 and r["dy"] == 3.0
+        assert r["grad_mag"] == pytest.approx((4 + 9) ** 0.5, abs=1e-6)
+
+
+def test_field_gradient_single_shuffle(spark):
+    from gridmet_etl_spark.operators.bbox import field_gradient
+
+    df = spark.createDataFrame(
+        [("v", 0, i, j, 1.0) for i in range(3) for j in range(3)],
+        "var string, t int, i int, j int, value double",
+    )
+    plan = field_gradient(df, keys=("var", "t"))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # final+initial plan print
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_seasonal_decompose_reconstructs(spark):
+    import datetime
+
+    from gridmet_etl_spark.operators.timeseries import seasonal_decompose
+
+    d0 = datetime.date(2024, 1, 1)
+    # pure weekly pattern + linear trend
+    rows = [
+        ("s", d0 + datetime.timedelta(days=i), 10.0 + 0.5 * i + [3, -1, 0, 2, -2, 1, -3][i % 7])
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = seasonal_decompose(df, ["k"], "day", "v", period=7).collect()
+    assert len(out) == 22  # 28 - 6 edge rows
+    for r in out:
+        # additivity: value == trend + seasonal + resid (to rounding)
+        assert r["value"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["resid"], abs=5e-6
+        )
+    # residuals of a perfectly periodic + linear series are ~0
+    assert max(abs(r["resid"]) for r in out) < 0.25
