@@ -894,7 +894,41 @@ FROM f JOIN s ON f.event_type = s.event_type AND f.phase = s.phase
 """
 
 
+# ---------------------------------------------------------------------------
+# Temporal (purged/embargoed) split
+# ---------------------------------------------------------------------------
+
+_TSPLIT_TRAIN_END = "2024-01-20 00:00:00"
+_TSPLIT_TEST_START = "2024-01-22 00:00:00"
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal split over the event stream: train < cutoff,
+    2-day embargo band, test ≥ start (operators/sampling.py::temporal_split
+    — a pure predicate, partition-pruning at scale). Output: per-split
+    per-type row counts and value totals."""
+    from .operators.sampling import temporal_split
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    s = temporal_split(e, "ts", _TSPLIT_TRAIN_END, _TSPLIT_TEST_START)
+    return s.groupBy("split", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), R).alias("sum_value"),
+    )
+
+
+SQL_TEMPORAL_SPLIT = f"""
+SELECT CASE WHEN ts < TIMESTAMP '{_TSPLIT_TRAIN_END}' THEN 'train'
+            WHEN ts >= TIMESTAMP '{_TSPLIT_TEST_START}' THEN 'test'
+            ELSE 'embargo' END AS split,
+       event_type, count(*) AS n, ROUND(sum(value), {R}) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 EXT2_QUERIES = {
+    "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
     "terrain_gradient": (q_terrain_gradient, _sql_terrain_gradient()),
     "seasonal_decomp": (q_seasonal_decomp, SQL_SEASONAL_DECOMP),
     "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),

@@ -279,3 +279,25 @@ def topk_per_group(
     keys = list(keys)
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), F.col(id_col))
     return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_end: str,
+    test_start: str,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL split for time-series training: rows strictly
+    before ``train_end`` are 'train', rows at/after ``test_start`` are
+    'test', and the [train_end, test_start) band is the EMBARGO — held out
+    of both sides so look-ahead features computed over windows at the train
+    boundary cannot peek into test (the purged/embargoed split from
+    financial ML). Pure projection — a partition-pruning predicate at
+    scale, no shuffle."""
+    ts = F.col(ts_col)
+    split = (
+        F.when(ts < F.lit(train_end).cast("timestamp"), F.lit("train"))
+        .when(ts >= F.lit(test_start).cast("timestamp"), F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return df.withColumn("split", split)

@@ -375,3 +375,16 @@ def test_seasonal_decompose_reconstructs(spark):
         )
     # residuals of a perfectly periodic + linear series are ~0
     assert max(abs(r["resid"]) for r in out) < 0.25
+
+
+def test_temporal_split_embargo_band(spark):
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.sampling import temporal_split
+
+    rows = [(i, dt.datetime(2024, 1, 1 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    out = {r["id"]: r["split"] for r in temporal_split(df, "ts", "2024-01-04", "2024-01-07").collect()}
+    assert [out[i] for i in range(10)] == (
+        ["train"] * 3 + ["embargo"] * 3 + ["test"] * 4
+    )
