@@ -927,7 +927,149 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Statistical tests: chi-square, Mann–Whitney, KS, AUC
+# ---------------------------------------------------------------------------
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency of event type × day-of-period phase
+    (operators/stats.py::chi_square_contingency) — the independence audit
+    behind dow_anomaly's seasonality assumption."""
+    from .operators.stats import chi_square_contingency
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events")).select(
+        "event_type", F.pmod(F.unix_date(F.to_date("ts")), 7).alias("phase")
+    )
+    return chi_square_contingency(e, "event_type", "phase")
+
+
+SQL_CHI_SQUARE = f"""
+WITH obs AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS phase
+  FROM events),
+cells AS (SELECT event_type, phase, count(*) AS n FROM obs GROUP BY 1, 2),
+rt AS (SELECT event_type, sum(n) AS r FROM cells GROUP BY 1),
+ct AS (SELECT phase, sum(n) AS c FROM cells GROUP BY 1),
+t AS (SELECT sum(n) AS tt FROM cells)
+SELECT event_type, phase, n,
+       ROUND(CAST(r AS DOUBLE) * c / tt, {R}) AS expected,
+       ROUND(pow(n - CAST(r AS DOUBLE) * c / tt, 2) / (CAST(r AS DOUBLE) * c / tt), {R}) AS chi2_term
+FROM cells JOIN rt USING (event_type) JOIN ct USING (phase) CROSS JOIN t
+"""
+
+
+_MW_A, _MW_B = "click", "error"
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between two event types' value distributions
+    (operators/stats.py::mann_whitney_u) — ranks computed DISTRIBUTED via
+    scale.global_rank (range partition + offset prefix sums), no
+    single-partition global sort."""
+    from .operators.stats import mann_whitney_u
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events")).where(
+        F.col("event_type").isin(_MW_A, _MW_B)
+    )
+    return mann_whitney_u(e.select("event_type", "value"), "event_type", "value")
+
+
+SQL_MANN_WHITNEY = f"""
+WITH two AS (
+  SELECT event_type, value AS v FROM events
+  WHERE event_type IN ('{_MW_A}', '{_MW_B}')),
+r0 AS (SELECT event_type, v, row_number() OVER (ORDER BY v) AS rn FROM two),
+ar AS (SELECT v, avg(rn) AS rank FROM r0 GROUP BY v)
+SELECT event_type, count(*) AS n,
+       ROUND(sum(rank), {R}) AS rank_sum,
+       ROUND(sum(rank) - count(*) * (count(*) + 1) / 2.0, {R}) AS u
+FROM r0 JOIN ar USING (v) GROUP BY event_type
+"""
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two event
+    types' value distributions (operators/stats.py::ks_statistic) — ECDF
+    prefix sums distributed by range partition."""
+    from .operators.stats import ks_statistic
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    return ks_statistic(
+        e.select("event_type", "value"), "event_type", "value", _MW_A, _MW_B
+    )
+
+
+SQL_KS_TEST = f"""
+WITH two AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('{_MW_A}', '{_MW_B}')),
+pv AS (
+  SELECT v,
+         count(CASE WHEN g = '{_MW_A}' THEN 1 END) AS na,
+         count(CASE WHEN g = '{_MW_B}' THEN 1 END) AS nb
+  FROM two GROUP BY v),
+c AS (SELECT sum(na) OVER (ORDER BY v) AS ca, sum(nb) OVER (ORDER BY v) AS cb FROM pv),
+t AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM pv)
+SELECT n_a, n_b,
+       ROUND(max(abs(CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)), {R}) AS d_stat
+FROM c CROSS JOIN t GROUP BY n_a, n_b
+"""
+
+
+def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the hashed-BoW classifier's logit against the
+    English-language label (operators/stats.py::auc_score — the
+    Mann–Whitney rank identity, average ranks on ties, distributed
+    ranking). Ranks on the UNROUNDED logit: IEEE division of identical
+    integer operands is bit-identical across engines."""
+    from .operators.scoring import classifier_scores
+    from .operators.stats import auc_score
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    scored = classifier_scores(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")), "doc_id"
+    )
+    return auc_score(scored, "is_en", "logit")
+
+
+SQL_AUC_EVAL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+w AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('w:' || CAST(
+           CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 1024
+         AS VARCHAR)), 1, 6) AS BIGINT) % 2001 - 1000 AS wi
+  FROM toks WHERE tok <> ''),
+agg AS (
+  SELECT doc_id, CAST(sum(wi) AS BIGINT) AS swi, count(*) AS n
+  FROM w GROUP BY doc_id),
+s AS (
+  SELECT a.doc_id, swi / (1000.0 * n) AS score, (d.lang = 'en') AS y
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id),
+r0 AS (SELECT y, score, row_number() OVER (ORDER BY score) AS rn FROM s),
+ar AS (SELECT score, avg(rn) AS rank FROM r0 GROUP BY score),
+j AS (SELECT y, rank FROM r0 JOIN ar USING (score)),
+f AS (
+  SELECT count(CASE WHEN y THEN 1 END) AS n_pos,
+         count(CASE WHEN NOT y THEN 1 END) AS n_neg,
+         sum(CASE WHEN y THEN rank END) AS rp
+  FROM j)
+SELECT n_pos, n_neg,
+       ROUND((rp - n_pos * (n_pos + 1) / 2.0) / (CAST(n_pos AS DOUBLE) * n_neg), {R}) AS auc
+FROM f
+"""
+
+
 EXT2_QUERIES = {
+    "chi_square": (q_chi_square, SQL_CHI_SQUARE),
+    "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
+    "ks_test": (q_ks_test, SQL_KS_TEST),
+    "auc_eval": (q_auc_eval, SQL_AUC_EVAL),
     "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
     "terrain_gradient": (q_terrain_gradient, _sql_terrain_gradient()),
     "seasonal_decomp": (q_seasonal_decomp, SQL_SEASONAL_DECOMP),

@@ -18,6 +18,8 @@ regression-guarded, not aspirational.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -144,3 +146,47 @@ def salted_join(
         )
     )
     return f.join(d, [key, "_salt"]).drop("_salt")
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    tie_cols: Sequence[str] = (),
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Distributed GLOBAL ranking — the scale-correct replacement for the
+    `Window.orderBy(...)` single-partition global sort.
+
+    Two-level shape (same as pack_shards' prefix sums): range-repartition
+    on the order column (equal values co-locate — RangePartitioner maps a
+    key to exactly one partition), row_number WITHIN each partition
+    (parallel windows), then add per-partition offsets computed from the
+    |partitions|-row count relation (the only single-partition stage,
+    bounded at n_parts rows). Output adds:
+
+    - ``rn``:   global row number under (order_col, tie_cols) order
+    - ``rank``: average rank over ties on order_col alone (the form rank
+                tests need: Mann-Whitney, AUC, KS)
+    """
+    from pyspark.sql import Window
+
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = rp.groupBy("_pid").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_pid").orderBy(order_col, *tie_cols)
+    ranked = (
+        rp.withColumn("_lrn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", F.col("_lrn") + F.col("_off"))
+        .drop("_pid", "_lrn", "_off")
+    )
+    # average rank per distinct order value (ties share the mean of their
+    # row numbers); value-keyed shuffle, |distinct values|-sized output
+    avg_r = ranked.groupBy(order_col).agg(F.avg("rn").alias("rank"))
+    return ranked.join(avg_r, order_col)

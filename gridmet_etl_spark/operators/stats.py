@@ -1,0 +1,171 @@
+"""Statistical tests for data monitoring and model evaluation: chi-square
+contingency, Mann–Whitney U, Kolmogorov–Smirnov two-sample, and rank-based
+ROC AUC.
+
+Extension surface (no reference counterpart): the drift-detection and
+eval-harness statistics a production pipeline runs between ingest and
+training. All four are EXACT (no approximation, no RNG) so every one has a
+DuckDB oracle; the rank-based ones route through ``scale.global_rank`` —
+distributed range-partitioned ranking — instead of a single-partition
+global window, so they hold at corpus scale.
+
+Float discipline: IEEE divisions on identical operands are bit-identical
+across engines, so ranking on a computed double (e.g. a logit) is
+cross-engine-safe; display values round at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .scale import global_rank
+
+
+def chi_square_contingency(
+    df: DataFrame, row_col: str, col_col: str, round_digits: int = 6
+) -> DataFrame:
+    """Pearson chi-square contingency table: observed vs expected counts
+    for every (row, col) combination plus each cell's chi² term. One
+    |cells|-sized aggregate; marginals broadcast back (two joins against
+    |rows|- and |cols|-sized relations).
+
+    Output: (row, col, n, expected, chi2_term)."""
+    cells = df.groupBy(row_col, col_col).agg(F.count("*").alias("n"))
+    row_tot = cells.groupBy(row_col).agg(F.sum("n").alias("_r"))
+    col_tot = cells.groupBy(col_col).agg(F.sum("n").alias("_c"))
+    grand = cells.agg(F.sum("n").alias("_t"))
+    exp = (
+        cells.join(F.broadcast(row_tot), row_col)
+        .join(F.broadcast(col_tot), col_col)
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "expected",
+            F.col("_r").cast("double") * F.col("_c") / F.col("_t"),
+        )
+    )
+    chi = (F.col("n") - F.col("expected")) ** 2 / F.col("expected")
+    return exp.select(
+        row_col,
+        col_col,
+        "n",
+        F.round("expected", round_digits).alias("expected"),
+        F.round(chi, round_digits).alias("chi2_term"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) for a two-group comparison:
+    pooled average ranks (ties averaged) via ``global_rank``, then per-group
+    ``U_g = R_g − n_g(n_g+1)/2``. Output one row per group:
+    (group, n, rank_sum, u)."""
+    ranked = global_rank(df.select(group_col, value_col), value_col)
+    per_group = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("rank").alias("_rs"),
+    )
+    return per_group.select(
+        group_col,
+        "n",
+        F.round("_rs", round_digits).alias("rank_sum"),
+        F.round(
+            F.col("_rs") - F.col("n").cast("double") * (F.col("n") + 1) / 2.0,
+            round_digits,
+        ).alias("u"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: max |ECDF_a − ECDF_b| over
+    the pooled distinct values — the standard distribution-drift gate.
+
+    Per distinct value: cumulative counts of each group (value-ordered
+    prefix sums over the |distinct|-bounded relation), ECDF difference,
+    global max. Output: one row (n_a, n_b, d_stat)."""
+    from pyspark.sql import Window
+
+    two = df.where(F.col(group_col).isin(group_a, group_b))
+    per_val = two.groupBy(value_col).agg(
+        F.count(F.when(F.col(group_col) == group_a, 1)).alias("_na"),
+        F.count(F.when(F.col(group_col) == group_b, 1)).alias("_nb"),
+    )
+    # DISTRIBUTED prefix sums over the value-ordered relation — the same
+    # two-level range-partition shape as global_rank: within-partition
+    # cumulative windows run in parallel; only the |partitions|-row offset
+    # relation sees a single-partition window
+    n = df.sparkSession.sparkContext.defaultParallelism
+    rp = per_val.repartitionByRange(n, F.col(value_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ptot = rp.groupBy("_pid").agg(
+        F.sum("_na").alias("_pa"), F.sum("_nb").alias("_pb")
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_pid",
+        F.coalesce(F.sum("_pa").over(w_off), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_pb").over(w_off), F.lit(0)).alias("_ob"),
+    )
+    w_in = Window.partitionBy("_pid").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        rp.withColumn("_la", F.sum("_na").over(w_in))
+        .withColumn("_lb", F.sum("_nb").over(w_in))
+        .join(F.broadcast(offs), "_pid")
+        .select(
+            (F.col("_la") + F.col("_oa")).alias("_ca"),
+            (F.col("_lb") + F.col("_ob")).alias("_cb"),
+        )
+    )
+    totals = per_val.agg(
+        F.sum("_na").alias("n_a"), F.sum("_nb").alias("n_b")
+    )
+    diff = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("_ca").cast("double") / F.col("n_a")
+            - F.col("_cb").cast("double") / F.col("n_b")
+        ).alias("_d"),
+    )
+    return diff.groupBy("n_a", "n_b").agg(
+        F.round(F.max("_d"), round_digits).alias("d_stat")
+    )
+
+
+def auc_score(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC from ranks (the Mann–Whitney identity):
+    ``AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg)`` with average
+    ranks on score ties — ties contribute 0.5, matching the trapezoidal
+    ROC. Ranking is distributed (``global_rank``); the label must be
+    boolean. Output: one row (n_pos, n_neg, auc)."""
+    ranked = global_rank(
+        scored.select(F.col(label_col).alias("_y"), score_col), score_col
+    )
+    agg = ranked.agg(
+        F.count(F.when(F.col("_y"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("_y"), 1)).alias("n_neg"),
+        F.sum(F.when(F.col("_y"), F.col("rank"))).alias("_rp"),
+    )
+    auc = (
+        F.col("_rp") - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
+    return agg.select("n_pos", "n_neg", F.round(auc, round_digits).alias("auc"))

@@ -388,3 +388,87 @@ def test_temporal_split_embargo_band(spark):
     assert [out[i] for i in range(10)] == (
         ["train"] * 3 + ["embargo"] * 3 + ["test"] * 4
     )
+
+
+# ------------------------------------------------------------- rank statistics
+
+
+def test_global_rank_matches_naive(spark):
+    from pyspark.sql import Window
+
+    from gridmet_etl_spark.operators.scale import global_rank
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 3, 8, 3, 5, 1, 9, 5])]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = {r["id"]: (r["rn"], r["rank"]) for r in global_rank(df, "v", tie_cols=("id",), n_parts=3).collect()}
+    naive = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.avg(F.row_number().over(Window.orderBy("v", "id"))).over(
+                Window.partitionBy("v")
+            )
+        ).collect()
+    }
+    assert {k: v[1] for k, v in got.items()} == naive
+    assert sorted(v[0] for v in got.values()) == list(range(1, 9))
+
+
+def test_mann_whitney_golden(spark):
+    from gridmet_etl_spark.operators.stats import mann_whitney_u
+
+    # classic: A = {1,2,3}, B = {4,5}; ranks 1..5 -> R_A=6, U_A=0; R_B=9, U_B=6
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0), ("B", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mann_whitney_u(df, "g", "v").collect()}
+    assert out["A"]["rank_sum"] == 6.0 and out["A"]["u"] == 0.0
+    assert out["B"]["rank_sum"] == 9.0 and out["B"]["u"] == 6.0
+    # identity: U_A + U_B = n_A * n_B
+    assert out["A"]["u"] + out["B"]["u"] == 3 * 2
+
+
+def test_mann_whitney_tie_averaging(spark):
+    from gridmet_etl_spark.operators.stats import mann_whitney_u
+
+    # A = {1, 2}, B = {2, 3}: the tied 2s take rank (2+3)/2 = 2.5
+    rows = [("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mann_whitney_u(df, "g", "v").collect()}
+    assert out["A"]["rank_sum"] == 1.0 + 2.5
+    assert out["B"]["rank_sum"] == 2.5 + 4.0
+
+
+def test_ks_statistic_golden(spark):
+    from gridmet_etl_spark.operators.stats import ks_statistic
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: max ECDF gap at v=2 -> |2/4 - 0/4| = 0.5
+    rows = [("A", float(v)) for v in [1, 2, 3, 4]] + [("B", float(v)) for v in [3, 4, 5, 6]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ks_statistic(df, "g", "v", "A", "B").collect()[0]
+    assert out["n_a"] == 4 and out["n_b"] == 4
+    assert out["d_stat"] == 0.5
+
+
+def test_auc_perfect_and_tied(spark):
+    from gridmet_etl_spark.operators.stats import auc_score
+
+    sep = spark.createDataFrame(
+        [(False, 0.1), (False, 0.2), (True, 0.8), (True, 0.9)], "y boolean, s double"
+    )
+    assert auc_score(sep, "y", "s").collect()[0]["auc"] == 1.0
+    # all-equal scores: every pair ties -> AUC 0.5
+    tied = spark.createDataFrame(
+        [(False, 0.5), (False, 0.5), (True, 0.5), (True, 0.5)], "y boolean, s double"
+    )
+    assert auc_score(tied, "y", "s").collect()[0]["auc"] == 0.5
+
+
+def test_chi_square_independent_uniform(spark):
+    from gridmet_etl_spark.operators.stats import chi_square_contingency
+
+    # perfectly independent 2x2 with equal counts: chi2 terms all 0
+    rows = [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_contingency(df, "r", "c").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["expected"] == 5.0 and r["chi2_term"] == 0.0
