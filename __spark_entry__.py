@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "overlap_join", "threshold_alerts", "centroid_classify", "knn_eval",
     "terrain_gradient", "seasonal_decomp", "temporal_split",
     "chi_square", "mann_whitney", "ks_test", "auc_eval",
+    "trailing_features", "daily_ohlc", "survivorship",
     # ---- tail below was green in r1 or r2 ----
     "weighted_mean", "gridmet_pipeline", "cfsv2_median_pipeline",
     "cfsv2_ensemble_pipeline", "tpch_weighted_mean", "tpch_q1",

@@ -1065,7 +1065,101 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# Trailing features, OHLC resample, survivorship
+# ---------------------------------------------------------------------------
+
+
+def q_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time trailing 90-day order features per customer
+    (operators/mlprep.py::trailing_window_features): strictly-prior RANGE
+    frame — gap-exact, no same-day leakage."""
+    from .operators.mlprep import trailing_window_features
+
+    o = _pq(spark, _t(sf_dir, "orders"))
+    out = trailing_window_features(o, ["o_custkey"], "o_orderdate", "o_totalprice", days=90)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        "n_prior",
+        F.round(F.coalesce(F.col("sum_prior"), F.lit(0.0)), R).alias("sum_prior"),
+    )
+
+
+SQL_TRAILING_FEATURES = f"""
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS day,
+       COALESCE(count(o_totalprice) OVER w, 0) AS n_prior,
+       ROUND(COALESCE(sum(o_totalprice) OVER w, 0.0), {R}) AS sum_prior
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC resample of each event type's value ticks
+    (operators/timeseries.py::resample_ohlc — min_by/max_by argmin/argmax,
+    one partial-agg shuffle; events carry unique timestamps)."""
+    from .operators.timeseries import resample_ohlc
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    return resample_ohlc(e, ["event_type"], "ts", "value")
+
+
+SQL_DAILY_OHLC = f"""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       ROUND(arg_min(value, ts), {R}) AS open,
+       ROUND(max(value), {R}) AS high,
+       ROUND(min(value), {R}) AS low,
+       ROUND(arg_max(value, ts), {R}) AS close,
+       count(*) AS n_ticks
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record election over near-dup clusters
+    (operators/cluster.py::survivorship): exact 3-gram Jaccard ≥ 0.8 pairs
+    → components → survivor = max n_chars (ties to lowest id) + cluster
+    rollup."""
+    from .contract_ext import ngram_jaccard_pairs
+    from .operators.cluster import survivorship
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    return survivorship(pairs, docs, quality_col="n_chars")
+
+
+def _sql_survivorship() -> str:
+    from .contract_ext import SQL_DEDUP_CLUSTERS
+
+    # reuse the dedup_clusters CTE chain (shingles → pairs → components),
+    # swap the final projection for the election + rollup
+    base = SQL_DEDUP_CLUSTERS.split("comp AS")[0]
+    return f"""{base}comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+assign AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+  WHERE d.doc_id < 300),
+elect AS (
+  SELECT cluster_id, doc_id AS survivor_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM assign)
+SELECT a.cluster_id, e.survivor_id,
+       count(*) AS n_members, CAST(sum(a.n_chars) AS BIGINT) AS total_quality
+FROM assign a JOIN elect e ON e.cluster_id = a.cluster_id AND e.rn = 1
+GROUP BY a.cluster_id, e.survivor_id
+"""
+
+
 EXT2_QUERIES = {
+    "trailing_features": (q_trailing_features, SQL_TRAILING_FEATURES),
+    "daily_ohlc": (q_daily_ohlc, SQL_DAILY_OHLC),
+    "survivorship": (q_survivorship, _sql_survivorship()),
     "chi_square": (q_chi_square, SQL_CHI_SQUARE),
     "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
     "ks_test": (q_ks_test, SQL_KS_TEST),

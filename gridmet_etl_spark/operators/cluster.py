@@ -115,3 +115,38 @@ def dedup_clusters(
         F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
         (F.coalesce(F.col("cluster_id"), F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
     )
+
+
+def survivorship(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Entity-resolution survivorship: after clustering near-duplicates,
+    elect one GOLDEN record per cluster by quality (max ``quality_col``,
+    ties to the lowest id — a richer policy than dedup_clusters'
+    min-id canonical) and roll up cluster evidence.
+
+    Plan: cluster assignment (iterative min-label, see
+    ``connected_components``) then two cluster-keyed stages — a window
+    row_number for the election and the rollup aggregate — sharing one
+    partitioning. Output: (cluster_id, survivor_id, n_members,
+    total_quality).
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(pairs, docs, id_col=id_col)
+    joined = clusters.join(docs, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    elected = joined.withColumn("_rn", F.row_number().over(w))
+    survivors = elected.where(F.col("_rn") == 1).select(
+        "cluster_id", F.col(id_col).alias("survivor_id")
+    )
+    rollup = joined.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum(quality_col).alias("total_quality"),
+    )
+    return survivors.join(rollup, "cluster_id")

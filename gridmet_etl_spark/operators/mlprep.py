@@ -245,3 +245,34 @@ def knn_classify(
     return pred.join(truth, "query_id").groupBy(label_col, "predicted").agg(
         F.count("*").alias("n")
     )
+
+
+def trailing_window_features(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+    days: int = 90,
+) -> DataFrame:
+    """Point-in-time trailing-window features (the feature-store primitive):
+    for every row, the count and sum of the SAME key's rows in the previous
+    ``days`` days EXCLUDING the current day — so a model scoring day D only
+    sees strictly-prior history (no same-day leakage).
+
+    One shuffle keyed by the entity; the RANGE frame is value-defined on
+    epoch days, so calendar gaps are handled exactly (a ROWS frame would
+    silently widen across gaps). Output adds ``n_prior`` and
+    ``sum_prior``."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    d = F.unix_date(F.col(date_col).cast("date"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(d)
+        .rangeBetween(-days, -1)
+    )
+    return (
+        df.withColumn("n_prior", F.coalesce(F.count(value_col).over(w), F.lit(0)))
+        .withColumn("sum_prior", F.sum(value_col).over(w))
+    )

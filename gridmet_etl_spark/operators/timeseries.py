@@ -550,3 +550,26 @@ def seasonal_decompose(
         (F.round("_seasonal", 6) + F.lit(0.0)).alias("seasonal"),
         (F.round(F.col("_det") - F.col("_seasonal"), 6) + F.lit(0.0)).alias("resid"),
     )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Daily OHLC (open/high/low/close) resampling of a tick series — the
+    finance-style downsample. OPEN/CLOSE are time-argmin/argmax via
+    ``min_by``/``max_by`` (single aggregate pass, no window, no
+    self-join); one output-sized partial-agg shuffle keyed
+    (keys…, day). Assumes unique timestamps per series (tick data)."""
+    keys = list(keys)
+    day = F.to_date(F.col(ts_col)).alias("day")
+    v = F.col(value_col)
+    return df.groupBy(*keys, day).agg(
+        F.round(F.min_by(v, F.col(ts_col)), 6).alias("open"),
+        F.round(F.max(v), 6).alias("high"),
+        F.round(F.min(v), 6).alias("low"),
+        F.round(F.max_by(v, F.col(ts_col)), 6).alias("close"),
+        F.count("*").alias("n_ticks"),
+    )

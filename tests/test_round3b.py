@@ -472,3 +472,55 @@ def test_chi_square_independent_uniform(spark):
     assert len(out) == 4
     for r in out:
         assert r["expected"] == 5.0 and r["chi2_term"] == 0.0
+
+
+# ------------------------------------------- trailing / ohlc / survivorship
+
+
+def test_trailing_window_features_point_in_time(spark):
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.mlprep import trailing_window_features
+
+    d = lambda i: dt.date(2024, 1, i)
+    rows = [
+        (1, d(1), 10.0), (1, d(5), 20.0), (1, d(5), 5.0), (1, d(10), 40.0),
+        (2, d(1), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, day date, v double")
+    out = trailing_window_features(df, ["k"], "day", "v", days=7).collect()
+    got = {(r["k"], r["day"].day, r["v"]): (r["n_prior"], r["sum_prior"]) for r in out}
+    assert got[(1, 1, 10.0)] == (0, None)        # nothing prior
+    # same-day rows EXCLUDED from each other's windows (leakage-safe)
+    assert got[(1, 5, 20.0)] == (1, 10.0)
+    assert got[(1, 5, 5.0)] == (1, 10.0)
+    # day 10: window [3, 9] holds both day-5 rows, day-1 aged out
+    assert got[(1, 10, 40.0)] == (2, 25.0)
+    assert got[(2, 1, 100.0)] == (0, None)
+
+
+def test_resample_ohlc_golden(spark):
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.timeseries import resample_ohlc
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [("s", t(9), 10.0), ("s", t(11), 30.0), ("s", t(15), 5.0), ("s", t(17), 20.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = resample_ohlc(df, ["k"], "ts", "v").collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n_ticks"]) == (10.0, 30.0, 5.0, 20.0, 4)
+
+
+def test_survivorship_elects_best_quality(spark):
+    from gridmet_etl_spark.operators.cluster import survivorship
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 500), (3, 500), (9, 42)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = {r["cluster_id"]: r for r in survivorship(pairs, docs).collect()}
+    # cluster {1,2,3}: quality tie 2 vs 3 -> lowest id 2 wins
+    assert out[1]["survivor_id"] == 2
+    assert out[1]["n_members"] == 3 and out[1]["total_quality"] == 1100
+    # singleton survives as itself
+    assert out[9]["survivor_id"] == 9 and out[9]["n_members"] == 1
