@@ -157,36 +157,51 @@ def global_rank(
     """Distributed GLOBAL ranking — the scale-correct replacement for the
     `Window.orderBy(...)` single-partition global sort.
 
-    Two-level shape (same as pack_shards' prefix sums): range-repartition
-    on the order column (equal values co-locate — RangePartitioner maps a
-    key to exactly one partition), row_number WITHIN each partition
-    (parallel windows), then add per-partition offsets computed from the
-    |partitions|-row count relation (the only single-partition stage,
-    bounded at n_parts rows). Output adds:
+    Shape: range-repartition on the order column (equal values co-locate —
+    RangePartitioner maps a key to exactly one partition) and sort within
+    partitions; per-row positions come from ``monotonically_increasing_id``
+    (consecutive within a sorted partition), so NO second full-data
+    exchange is needed — the only extra relations are the |partitions|-row
+    count/min-id stats (whose offset cumsum is the one bounded
+    single-partition window) and the |distinct values|-row tie relation
+    (average rank of a tie run = first_rank + (run_len−1)/2, since global
+    row numbers within a tie run are consecutive). Output adds:
 
     - ``rn``:   global row number under (order_col, tie_cols) order
     - ``rank``: average rank over ties on order_col alone (the form rank
                 tests need: Mann-Whitney, AUC, KS)
+
+    The tie join is value-keyed; Catalyst broadcasts it while the distinct
+    relation is small and falls back to a shuffle join at cardinality —
+    consumers that only need per-value ranks (rank sums per group) can
+    aggregate the tie relation directly.
     """
     from pyspark.sql import Window
 
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    rp = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    rp = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col, *tie_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
-    counts = rp.groupBy("_pid").agg(F.count("*").alias("_c"))
+    stats = rp.groupBy("_pid").agg(
+        F.count("*").alias("_c"), F.min("_mid").alias("_m0")
+    )
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    offs = stats.select(
+        "_pid",
+        "_m0",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
     )
-    w_in = Window.partitionBy("_pid").orderBy(order_col, *tie_cols)
     ranked = (
-        rp.withColumn("_lrn", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn("rn", F.col("_lrn") + F.col("_off"))
-        .drop("_pid", "_lrn", "_off")
+        rp.join(F.broadcast(offs), "_pid")
+        .withColumn("rn", F.col("_mid") - F.col("_m0") + 1 + F.col("_off"))
+        .drop("_pid", "_mid", "_m0", "_off")
     )
-    # average rank per distinct order value (ties share the mean of their
-    # row numbers); value-keyed shuffle, |distinct values|-sized output
-    avg_r = ranked.groupBy(order_col).agg(F.avg("rn").alias("rank"))
+    # ties on order_col occupy consecutive global row numbers, so the
+    # average rank of a run is min + (len-1)/2 — no second ranking pass
+    avg_r = ranked.groupBy(order_col).agg(
+        (F.min("rn") + (F.count("*") - 1) / 2.0).alias("rank")
+    )
     return ranked.join(avg_r, order_col)
