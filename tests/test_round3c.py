@@ -1,0 +1,222 @@
+"""Session-C round-3 operators: distributed BPE training, embedding
+covariance/PCA, and the entity-resolution flagship."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridmet_etl_spark.operators.bpe import bpe_encode, bpe_train, bpe_word_freqs
+from gridmet_etl_spark.operators.linalg import (
+    embed_covariance,
+    pca_components,
+    pca_project,
+)
+
+
+# ---------------------------------------------------------------------------
+# reference BPE (pure python, the Sennrich formulation) for goldens
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_freqs: dict[str, int], k: int):
+    """Greedy left-to-right BPE on word types: returns [(l, r, count)]."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    texts = [
+        "lower lower lowest newer newer newer wider wide wide",
+        "low low low lower newest widest wide new new newer",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train(docs, k=5).orderBy("merge_rank").collect()
+    ]
+    freqs = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    assert got == _ref_bpe(freqs, 5)
+
+
+def test_bpe_merge_run_semantics(spark):
+    # greedy left-to-right on runs: 'aaa' under merge (a,a) -> [aa, a];
+    # 'aaaa' -> [aa, aa] — the string-replace formulation must agree.
+    docs = spark.createDataFrame([(0, "aaa aaa aaaa")], "doc_id int, text string")
+    m = bpe_train(docs, k=1).collect()
+    assert (m[0].left_sym, m[0].right_sym) == ("a", "a")
+    # counts: 'aaa' (freq 2) has 2 adjacent pairs, 'aaaa' has 3 -> 7
+    assert m[0].pair_count == 7
+    enc = bpe_encode(docs, [("a", "a")]).select("bpe_tokens").first()[0]
+    assert enc == ["aa", "a", "aa", "a", "aa", "aa"]
+
+
+def test_bpe_no_cross_symbol_merge(spark):
+    # after (x,a) -> 'xa', a later (a,b) merge must NOT split 'xa': the
+    # sentinel wrapping makes '<xa><b>' immune to the '<a><b>' replace.
+    docs = spark.createDataFrame([(0, "xab xab xab ab")], "doc_id int, text string")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(docs, k=2).orderBy("merge_rank").collect()
+    ]
+    freqs = {"xab": 3, "ab": 1}
+    assert merges == [(l, r) for l, r, _ in _ref_bpe(freqs, 2)]
+    enc = bpe_encode(docs, merges).select("bpe_tokens").first()[0]
+    ref_first = _ref_bpe(freqs, 2)
+    # whatever the learned order, encoding must equal the reference encode
+    # of the same merges — spot-check via the 'ab' word staying whole/split
+    assert "".join(enc) == "xabxabxabab"
+
+
+def test_bpe_word_freqs_filters_nonalpha(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab ab 123 a1b -- ab")], "doc_id int, text string"
+    )
+    rows = {r.w: r.freq for r in bpe_word_freqs(docs).collect()}
+    assert rows == {"ab": 3}
+
+
+def test_bpe_encode_no_shuffle(spark):
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id int, text string")
+    plan = bpe_encode(docs, [("a", "b")])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# covariance / PCA
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def small_emb(spark):
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(200, 8)).astype(np.float32)
+    # give the data real structure so PCA ordering is unambiguous
+    x[:, 0] *= 5.0
+    x[:, 1] *= 2.0
+    rows = [(i, [float(v) for v in x[i]]) for i in range(200)]
+    return (
+        spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        .repartition(4),
+        x.astype(np.float64),
+    )
+
+
+def test_embed_covariance_matches_numpy(spark, small_emb):
+    emb, x = small_emb
+    got = {
+        (r.i, r.j): r.cov
+        for r in embed_covariance(emb, dim=8, ndigits=9).collect()
+    }
+    ref = np.cov(x, rowvar=False, bias=True)
+    for i in range(8):
+        for j in range(i, 8):
+            assert got[(i + 1, j + 1)] == pytest.approx(ref[i, j], abs=1e-8)
+
+
+def test_pca_components_golden(spark, small_emb):
+    emb, x = small_emb
+    comps, mean = pca_components(emb, dim=8, k=3)
+    assert mean == pytest.approx(x.mean(axis=0), abs=1e-9)
+    cov = np.cov(x, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    for ci, ei in enumerate(order):
+        ref = v[:, ei]
+        if ref[np.argmax(np.abs(ref))] < 0:
+            ref = -ref
+        assert comps[ci] == pytest.approx(ref, abs=1e-9)
+    # orthonormal
+    assert comps @ comps.T == pytest.approx(np.eye(3), abs=1e-9)
+
+
+def test_pca_project_golden_and_planar(spark, small_emb):
+    emb, x = small_emb
+    comps, mean = pca_components(emb, dim=8, k=2)
+    proj = pca_project(emb, comps, mean)
+    got = {r.vec_id: (r.pc1, r.pc2) for r in proj.collect()}
+    ref = (x - x.mean(axis=0)) @ comps.T
+    for i in range(200):
+        assert got[i][0] == pytest.approx(ref[i, 0], abs=1e-9)
+        assert got[i][1] == pytest.approx(ref[i, 1], abs=1e-9)
+    # the projection pass itself is narrow: no exchange, no python eval
+    # (assert on an input without the fixture's repartition in its lineage)
+    flat = spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id int, embedding array<float>"
+    )
+    plan = (
+        pca_project(flat, comps, mean)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_pca_projected_variance_decreasing(spark, small_emb):
+    emb, x = small_emb
+    comps, mean = pca_components(emb, dim=8, k=3)
+    proj = (x - x.mean(axis=0)) @ comps.T
+    var = proj.var(axis=0)
+    assert var[0] >= var[1] >= var[2]
+    # pc1 must capture the inflated first axis
+    assert var[0] == pytest.approx(np.cov(x, rowvar=False, bias=True).diagonal().max(), rel=0.2)
+
+
+# ---------------------------------------------------------------------------
+# entity resolution flagship
+# ---------------------------------------------------------------------------
+
+
+def test_entity_resolution_small(spark):
+    from gridmet_etl_spark.operators.cluster import survivorship
+    from gridmet_etl_spark.operators.simjoin import fuzzy_join
+
+    rows = [
+        # block A: ids 1,2,3 are one entity chain (1~2, 2~3), 4 is far
+        (1, "A", "acme corp", 10.0),
+        (2, "A", "acme corp.", 30.0),
+        (3, "A", "acme  corp.", 20.0),
+        (4, "A", "zzzzzzzzzz", 99.0),
+        # block B: same name as id 1 but blocked apart — must NOT link
+        (5, "B", "acme corp", 50.0),
+        (6, "B", "acme corpX", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "rid int, blk string, name string, q double")
+    pairs = fuzzy_join(df, df, "blk", "name", 2, "rid").select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+    )
+    out = {
+        r.cluster_id: (r.survivor_id, r.n_members, r.total_quality)
+        for r in survivorship(pairs, df, id_col="rid", quality_col="q").collect()
+    }
+    assert out[1] == (2, 3, 60.0)  # 1-2-3 chain, survivor = max quality id 2
+    assert out[4] == (4, 1, 99.0)  # singleton
+    assert out[5] == (5, 2, 90.0)  # block B pair, blocked away from A
