@@ -162,8 +162,82 @@ HAVING count(*) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# lm_scores: corpus-trained interpolated bigram LM perplexity filter
+# ---------------------------------------------------------------------------
+
+
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filter: every document scored by the average
+    negative log-likelihood under a bigram LM trained on the corpus
+    itself (see operators/lm.py — row-local n-gram derivation, vocab- and
+    bigram-sized training shuffles, broadcast unigram join)."""
+    from .operators.lm import bigram_lm_scores
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return bigram_lm_scores(docs, lam=0.8)
+
+
+SQL_LM_SCORES = r"""
+WITH toks AS (
+  SELECT doc_id, a[i] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+       LATERAL (SELECT unnest(range(1, len(a)+1)) AS i)),
+uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+tot AS (SELECT count(*) AS n_total FROM toks),
+big AS (
+  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+       LATERAL (SELECT unnest(range(1, len(a))) AS i)
+  WHERE len(a) >= 2),
+bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2)
+SELECT s.doc_id, count(*) AS n_bigrams,
+       ROUND(avg(-ln(0.8 * bc.cb / u1.cu + 0.2 * u2.cu / tot.n_total)), 6) AS nll
+FROM big s JOIN bc USING (w1, w2)
+JOIN uni u1 ON u1.w = s.w1 JOIN uni u2 ON u2.w = s.w2, tot
+GROUP BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# containment_dups: asymmetric shingle containment (excerpt detection)
+# ---------------------------------------------------------------------------
+
+
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs (3-gram shingles, overlap ≥ 0.9 of the
+    smaller set) over the bounded corpus slice — the excerpt/boilerplate
+    detector Jaccard misses."""
+    from .operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).where(F.col("doc_id") < 300)
+    out = containment_pairs(docs, k=3, threshold=0.9)
+    return out.select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+
+
+def _sql_containment_dups() -> str:
+    from .contract_ext import _SHINGLE_SQL
+
+    return f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.9
+"""
+
+
 EXT3_QUERIES = {
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "embed_covariance": (q_embed_covariance, SQL_EMBED_COVARIANCE),
     "entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION),
+    "lm_scores": (q_lm_scores, SQL_LM_SCORES),
+    "containment_dups": (q_containment_dups, _sql_containment_dups()),
 }

@@ -423,3 +423,43 @@ def span_dedup(
         (n_chunks - n_kept).alias("n_dup_chunks"),
         F.md5(dedup_text).alias("dedup_digest"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-containment: pairs (a < b) whose shingle-set overlap
+    covers ≥ ``threshold`` of the SMALLER document — catches quotes,
+    excerpts, and boilerplate wrappers that Jaccard misses (a short doc
+    fully embedded in a long one has tiny Jaccard but containment 1.0).
+
+    containment = |A∩B| / min(|A|, |B|). Same shuffle shape as
+    ``ngram_jaccard_pairs``: shingle-keyed equi-join for the intersection
+    (pre-pruned by ``candidates`` when LSH supplies them), then two
+    broadcast-joined size lookups. Output: (doc_a, doc_b, containment).
+    """
+    sh = shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    if candidates is not None:
+        a = a.join(candidates.select("doc_a").distinct(), "doc_a", "left_semi")
+        b = b.join(candidates.select("doc_b").distinct(), "doc_b", "left_semi")
+    pairs = a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b"))
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", F.col("n_inter") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

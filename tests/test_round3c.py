@@ -220,3 +220,59 @@ def test_entity_resolution_small(spark):
     assert out[1] == (2, 3, 60.0)  # 1-2-3 chain, survivor = max quality id 2
     assert out[4] == (4, 1, 99.0)  # singleton
     assert out[5] == (5, 2, 90.0)  # block B pair, blocked away from A
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring + containment
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_scores_golden(spark):
+    import math
+
+    from gridmet_etl_spark.operators.lm import bigram_lm_scores
+
+    texts = {0: "a b a b", 1: "a b c", 2: "c c"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    got = {r.doc_id: (r.n_bigrams, r.nll) for r in bigram_lm_scores(docs, lam=0.5).collect()}
+    # hand-counted model over the 3-doc corpus
+    toks = [w for t in texts.values() for w in t.split()]
+    n = len(toks)
+    cu = {w: toks.count(w) for w in set(toks)}
+    bigs = {d: list(zip(t.split(), t.split()[1:])) for d, t in texts.items()}
+    cb = {}
+    for bs in bigs.values():
+        for b in bs:
+            cb[b] = cb.get(b, 0) + 1
+    for d, bs in bigs.items():
+        nll = -sum(
+            math.log(0.5 * cb[(w1, w2)] / cu[w1] + 0.5 * cu[w2] / n) for w1, w2 in bs
+        ) / len(bs)
+        assert got[d][0] == len(bs)
+        assert got[d][1] == pytest.approx(nll, abs=1e-6)
+    # in-distribution repetition scores better (lower nll) than the rare tail
+    assert got[0][1] < got[1][1]
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from gridmet_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long = "the quick brown fox jumps over the lazy dog " * 20
+    excerpt = "quick brown fox jumps over"
+    docs = spark.createDataFrame(
+        [(1, long), (2, excerpt), (3, "zzz qqq vvv www")],
+        "doc_id int, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == pytest.approx(1.0)
+    # Jaccard at the same strictness misses the excerpt entirely
+    jac = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert all((r.doc_a, r.doc_b) != (1, 2) for r in jac)
+    # unrelated doc is not linked
+    assert not any(3 in p for p in cont)
