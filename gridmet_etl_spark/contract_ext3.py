@@ -234,7 +234,44 @@ WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.9
 """
 
 
+# ---------------------------------------------------------------------------
+# quota_filter: per-source token-budget enforcement (batch twin of the
+# transformWithStateInPandas streaming quota)
+# ---------------------------------------------------------------------------
+
+_QUOTA_BUDGET = 5_000
+
+
+def q_quota_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-come-first-served token budget per source: running prefix sum
+    in doc_id order, keep while the cumulative total stays within budget.
+    The streaming twin (streaming/quota.py) holds one bigint of state per
+    source and is asserted batch-equivalent in tests."""
+    from .streaming.quota import quota_filter
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    return quota_filter(docs, budget=_QUOTA_BUDGET)
+
+
+SQL_QUOTA_FILTER = f"""
+WITH d AS (
+  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT source, doc_id, n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         <= {_QUOTA_BUDGET} AS kept
+FROM d
+"""
+
+
 EXT3_QUERIES = {
+    "quota_filter": (q_quota_filter, SQL_QUOTA_FILTER),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "embed_covariance": (q_embed_covariance, SQL_EMBED_COVARIANCE),
     "entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION),

@@ -365,3 +365,51 @@ def test_streaming_threshold_alerts_match_batch(spark, events_dir, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_quota_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas quota: per-source cumulative token state;
+    AvailableNow drain over a static directory must equal the batch
+    window-prefix-sum twin row-for-row."""
+    from gridmet_etl_spark.streaming.quota import quota_filter, streaming_quota
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+        .select("source", "doc_id", "n_tokens")
+    )
+    src_dir = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src_dir)
+
+    budget = 800  # small enough to bite on the sf0.001 corpus
+    batch = {
+        (r.source, r.doc_id): (r.n_tokens, r.cum_tokens, r.kept)
+        for r in quota_filter(docs, budget=budget).collect()
+    }
+
+    stream = spark.readStream.schema(
+        "source string, doc_id long, n_tokens long"
+    ).parquet(src_dir)
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_quota(stream, budget=budget)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.source, r.doc_id): (r.n_tokens, r.cum_tokens, r.kept)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == batch
+    # budget actually bites: some docs rejected, none over budget kept
+    kept_tokens = {}
+    for (src, _), (n, cum, kept) in got.items():
+        if kept:
+            kept_tokens[src] = max(kept_tokens.get(src, 0), cum)
+    assert all(v <= budget for v in kept_tokens.values())
+    assert any(not kept for (_, _, kept) in got.values())
