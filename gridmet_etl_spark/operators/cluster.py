@@ -43,13 +43,32 @@ def connected_components(
     self join), so without lineage truncation the logical plan doubles per
     round — Catalyst analysis goes exponential long before the data does.
     ``localCheckpoint`` (eager) pins each round's labels and truncates the
-    plan, keeping every round's DAG constant-size."""
+    plan, keeping every round's DAG constant-size.
+
+    Shuffle budget per round: the EDGE relation is shuffled once up front
+    (repartition on the join key, then cached — InMemoryRelation preserves
+    outputPartitioning, so in the non-broadcast regime every round's
+    edges⋈labels SortMergeJoin reads the cache with no new exchange);
+    per-round exchanges are labels-sized only (|nodes|, the near-dup
+    population). When labels fit the broadcast threshold — checkpointed
+    relations carry real size stats — Catalyst picks BroadcastHashJoin and
+    even that exchange disappears. Convergence is a flag carried through
+    the checkpoint (labels are non-increasing ⇒ changed == strictly
+    decreased), so the check is a local scan of pinned rows, not a join."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        # cluster on the per-round JOIN key and CACHE (not checkpoint):
+        # InMemoryRelation preserves outputPartitioning, so every round's
+        # edges⋈labels join reuses this ONE edge shuffle and only the
+        # |nodes|-sized labels side exchanges per round. (localCheckpoint
+        # would pin the rows but drop the partitioning — Scan ExistingRDD
+        # re-exchanges the edge relation every round.)
+        .repartition("dst")
+        .cache()
     )
+    edges.count()  # materialize eagerly, like the checkpoint it replaces
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -65,25 +84,26 @@ def connected_components(
             .agg(F.min("cluster_id").alias("nmin"))
             .withColumnRenamed("src", "node")
         )
-        new_labels = (
+        new_id = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+        )
+        # labels are non-increasing, so "changed" == strictly decreased;
+        # carrying the flag through the checkpoint makes the convergence
+        # check a local scan of the pinned rows — no join, no shuffle
+        new_full = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                new_id.alias("cluster_id"),
+                (new_id < F.col("cluster_id")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("cluster_id", "new_id")
-            .join(labels, "node")
-            .filter(F.col("new_id") != F.col("cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.filter(F.col("chg")).count()
+        labels = new_full.select("node", "cluster_id")
         if changed == 0:
             break
+    edges.unpersist()  # labels are checkpoint-pinned; drop the edge cache
     if changed != 0:
         # silent wrong labels are worse than an error: a component whose
         # diameter exceeds max_iter would keep stale cluster ids and mark
