@@ -170,3 +170,101 @@ def survivorship(
         F.sum(quality_col).alias("total_quality"),
     )
     return survivors.join(rollup, "cluster_id")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Log-diameter connected components via alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the fallback ``connected_components`` names
+    for pathological long-chain graphs, where min-label propagation needs
+    O(diameter) rounds but this converges in O(log n).
+
+    State is an edge multiset over node ids. Each round:
+
+    - **large-star**: per node u, attach every STRICTLY LARGER neighbor to
+      the minimum of N(u) ∪ {u} — long tails collapse toward small ids
+      without ever increasing a node's label.
+    - **small-star**: per node u, attach u and every neighbor ≤ u to that
+      same minimum — flattens the remaining short trees into stars.
+
+    Both are one groupBy(u)+min over the symmetrized edges plus one
+    src-keyed join back (the min relation is |nodes|-sized and broadcasts
+    when it fits) — deliberately NOT a collect_set-per-node formulation,
+    which would materialize a hub's entire neighborhood in one reducer
+    array. Fixpoint when the canonical edge set stops changing (count +
+    order-insensitive hash sum — an internal convergence probe, not a
+    correctness artifact). Output: (node, cluster_id), cluster_id =
+    component-min id, identical contract to ``connected_components``."""
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        sym = _sym(e)
+        # m(u) = min over N(u) ∪ {u}
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        pred = F.col("dst") > F.col("src") if large else F.col("dst") <= F.col("src")
+        attached = (
+            sym.join(mins, "src")
+            .where(pred)
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        if not large:
+            # small-star also re-points u itself at m(u)
+            attached = attached.union(
+                mins.select(F.col("src"), F.col("m").alias("dst"))
+            )
+        return (
+            attached.where(F.col("src") != F.col("dst")).distinct()
+        )
+
+    raw = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # nodes BEFORE the self-edge filter: a degenerate (x, x) pair still
+    # names x, which must appear as a singleton (min-label contract)
+    nodes = (
+        _sym(raw).select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    edges = (
+        raw.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    )
+
+    def _probe(e: DataFrame) -> tuple[int, int]:
+        r = e.agg(
+            F.count("*").alias("n"),
+            # xor-fold: order-insensitive, overflow-free (edges are distinct
+            # so no pair cancellation)
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"])
+
+    sig = _probe(edges)
+    converged = False
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False).localCheckpoint()
+        new_sig = _probe(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # at fixpoint every edge points a node at its component min; nodes with
+    # no outgoing edge are their own minimum (roots / singletons-in-graph)
+    parent = edges.groupBy("src").agg(F.min("dst").alias("root"))
+    return nodes.join(
+        parent.withColumnRenamed("src", "node"), "node", "left"
+    ).select(
+        "node",
+        F.least(F.coalesce(F.col("root"), F.col("node")), F.col("node")).alias(
+            "cluster_id"
+        ),
+    )

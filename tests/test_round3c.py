@@ -276,3 +276,53 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert all((r.doc_a, r.doc_b) != (1, 2) for r in jac)
     # unrelated doc is not linked
     assert not any(3 in p for p in cont)
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star components
+# ---------------------------------------------------------------------------
+
+
+def test_star_cc_matches_minlabel_on_shapes(spark):
+    import random
+
+    from gridmet_etl_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    shapes = {
+        "chain": [(i, i + 1) for i in range(60)],
+        "two_cliques_bridge": [(i, j) for i in range(8) for j in range(i + 1, 8)]
+        + [(10 + i, 10 + j) for i in range(8) for j in range(i + 1, 8)]
+        + [(7, 10)],
+        "self_pair_singleton": [(5, 5), (1, 2)],
+    }
+    random.seed(13)
+    shapes["random"] = [
+        (random.randrange(200), random.randrange(200)) for _ in range(150)
+    ]
+    for name, pairs_py in shapes.items():
+        pdf = spark.createDataFrame(pairs_py, "doc_a long, doc_b long")
+        a = {
+            (r.node, r.cluster_id)
+            for r in connected_components(pdf, max_iter=500).collect()
+        }
+        b = {
+            (r.node, r.cluster_id)
+            for r in connected_components_star(pdf).collect()
+        }
+        assert a == b, name
+
+
+def test_star_cc_log_rounds_on_chain(spark):
+    """A 200-diameter chain converges within the 40-round cap (min-label
+    would need 200 rounds) — the log-diameter property in action."""
+    from gridmet_etl_spark.operators.cluster import connected_components_star
+
+    pdf = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.cluster_id for r in connected_components_star(pdf).collect()}
+    assert len(got) == 201
+    assert set(got.values()) == {0}
