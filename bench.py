@@ -334,12 +334,48 @@ def _entity_resolution_sf(spark):
     return q_entity_resolution(spark, SF_DIR)
 
 
+def _bpe_train_100k_docs(spark):
+    """BPE scale shape made measurable: the corpus replicated 20× (100k
+    docs at sf0.1). Only round 0 (word counting) grows with corpus size —
+    the six merge rounds run on the SAME vocabulary as the 5k-doc entry,
+    so this entry minus bpe_train_6merges ≈ the cost of one corpus-sized
+    aggregation, demonstrating vocab-bounded training."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    big = docs.crossJoin(spark.range(20).select(F.col("id").alias("rep"))).select(
+        (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text"
+    )
+    return bpe_train(big, k=6)
+
+
+def _covariance_200k_vecs(spark):
+    """One-pass 64-dim covariance over 200k synthetic vectors generated
+    JVM-side: 12.8M doubles stream through the Arrow Gram kernel; the only
+    exchange is #partitions × O(d²) partial rows."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.linalg import embed_covariance
+
+    vecs = spark.range(0, 200_000, 1, 32).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "cast(pmod(id * (d + 7) * 2654435761, 1000) as double) / 1000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    return embed_covariance(vecs, dim=64)
+
+
 # driver-looped operators: the iterative work executes during the build
 # call (per-round collect / eager localCheckpoint), so wall-time must wrap
 # the WHOLE call — the noop-write protocol would time only the final stage.
 CALL_TIMED = {
     "bpe_train_6merges": _bpe_train_sf,
     "entity_resolution_part": _entity_resolution_sf,
+    "bpe_train_100k_docs": _bpe_train_100k_docs,
 }
 
 
@@ -356,6 +392,7 @@ EXTRA_BENCH = {
     "minhash_lsh_fast": _minhash_fast,
     "cosine_topk_np_400k": _cosine_topk_np_400k,
     "span_dedup_100k_docs": _span_dedup_stress,
+    "covariance_200k_vecs": _covariance_200k_vecs,
 }
 
 
