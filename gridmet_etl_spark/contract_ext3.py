@@ -270,8 +270,54 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# minhash_estimate: sketch-based Jaccard estimation on LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimates for the LSH candidate pairs
+    (md5 oracle-parity path; |candidates|×n_seeds join, no shingle-set
+    intersection)."""
+    from .contract_ext import _docs_par
+    from .operators.dedup import minhash_jaccard_estimate, minhash_lsh_candidates
+
+    docs = _docs_par(spark, sf_dir).where(F.col("doc_id") < 300)
+    cands = minhash_lsh_candidates(docs)
+    out = minhash_jaccard_estimate(docs, cands)
+    return out.select("doc_a", "doc_b", F.round("est", 6).alias("est"))
+
+
+def _sql_minhash_estimate() -> str:
+    from .contract_ext import _SHINGLE_SQL
+    from .operators.dedup import N_MINHASH_SEEDS, ROWS_PER_BAND
+
+    return f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+sigs AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+  FROM shingles, generate_series(0, {N_MINHASH_SEEDS - 1}) s(seed)
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / {ROWS_PER_BAND}) AS INT) AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(floor(seed / {ROWS_PER_BAND}) AS INT)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       ROUND(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS est
+FROM cands c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+GROUP BY c.doc_a, c.doc_b
+"""
+
+
 EXT3_QUERIES = {
     "quota_filter": (q_quota_filter, SQL_QUOTA_FILTER),
+    "minhash_estimate": (q_minhash_estimate, _sql_minhash_estimate()),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "embed_covariance": (q_embed_covariance, SQL_EMBED_COVARIANCE),
     "entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION),

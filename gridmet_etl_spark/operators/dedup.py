@@ -463,3 +463,47 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def minhash_jaccard_estimate(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_seeds: int = N_MINHASH_SEEDS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash Jaccard ESTIMATE for candidate pairs: the fraction of the
+    ``n_seeds`` signature components on which the two documents agree —
+    E[estimate] = J(A,B), the MinHash sketch property. This is the cheap
+    scoring pass between LSH candidate generation and (optional) exact
+    verification: cost is |candidates| × n_seeds signature-row joins,
+    never a shingle-set intersection.
+
+    Both signature joins are seed+doc keyed; the signature relation is
+    |docs| × n_seeds rows (sketch-sized, corpus-independent per doc).
+    With ``hash_fn="md5"`` the estimate is bit-reproducible in any engine
+    with md5 (the DuckDB oracle recomputes identical signatures);
+    ``xxhash64`` is the faster engine-native twin.
+
+    Output: (doc_a, doc_b, est) with est ∈ {0, 1/n_seeds, ..., 1}.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, k, n_seeds, hash_fn)
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"), "seed", F.col("mh").alias("mh_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"), "seed", F.col("mh").alias("mh_b")
+    )
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.avg(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1.0).otherwise(0.0)
+            ).alias("est")
+        )
+    )

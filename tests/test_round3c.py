@@ -326,3 +326,35 @@ def test_star_cc_log_rounds_on_chain(spark):
     got = {r.node: r.cluster_id for r in connected_components_star(pdf).collect()}
     assert len(got) == 201
     assert set(got.values()) == {0}
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    from gridmet_etl_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup -> est 1.0
+        (3, base.replace("fox", "cat").replace("dog", "pig")),  # near dup
+        (4, "completely different words entirely unrelated content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a int, doc_b int"
+    )
+    est = {
+        (r.doc_a, r.doc_b): r.est
+        for r in minhash_jaccard_estimate(docs, cands).collect()
+    }
+    assert est[(1, 2)] == pytest.approx(1.0)
+    # 16-seed sketch: estimates are coarse (1/16 steps) but must order the
+    # near-dup far above the unrelated pair
+    assert est[(1, 3)] > est[(1, 4)]
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert abs(est[(1, 3)] - exact[(1, 3)]) < 0.35  # sketch tolerance, 16 seeds
