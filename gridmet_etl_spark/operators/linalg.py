@@ -88,9 +88,12 @@ def embed_covariance(
     The join fan-in below is over the partials relation (O(d²) rows):
     count is a 1-row broadcast, the mean vector a d-row broadcast."""
     agg = _partials(emb, vec_col, dim)
-    cnt = agg.where((F.col("i") == -1) & (F.col("j") == -1)).select(
-        F.col("v").alias("n")
-    )
+    # n > 0 guard: an empty input relation yields an empty covariance
+    # (instead of an ANSI divide-by-zero) because the count row is dropped
+    # and the crossJoin below produces nothing
+    cnt = agg.where(
+        (F.col("i") == -1) & (F.col("j") == -1) & (F.col("v") > 0)
+    ).select(F.col("v").alias("n"))
     means = agg.where((F.col("j") == -1) & (F.col("i") > 0)).select(
         F.col("i").alias("mi"), F.col("v").alias("ms")
     )
@@ -128,6 +131,8 @@ def pca_components(
     embedding dimension, never by N. Sign convention: the largest-|loading|
     coordinate of each component is positive."""
     rows = _partials(emb, vec_col, dim).collect()  # O(d²) rows — bounded
+    if not any(r["i"] == -1 and r["v"] > 0 for r in rows):
+        raise ValueError("pca_components: empty embedding relation")
     n = 0.0
     s = np.zeros(dim)
     g = np.zeros((dim, dim))

@@ -358,3 +358,45 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
     }
     assert abs(est[(1, 3)] - exact[(1, 3)]) < 0.35  # sketch tolerance, 16 seeds
+
+
+# ---------------------------------------------------------------------------
+# degenerate inputs
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_empty_vocab_yields_no_merges(spark):
+    docs = spark.createDataFrame([(0, "123 456 --")], "doc_id int, text string")
+    m = bpe_train(docs, k=3)
+    assert m.count() == 0
+    assert m.columns == ["merge_rank", "left_sym", "right_sym", "pair_count"]
+
+
+def test_covariance_empty_input_yields_empty_result(spark):
+    emb = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    assert embed_covariance(emb, dim=4).count() == 0
+
+
+def test_pca_empty_input_raises(spark):
+    emb = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pca_components(emb, dim=4, k=1)
+
+
+def test_quota_zero_budget_rejects_all(spark):
+    from gridmet_etl_spark.streaming.quota import quota_filter
+
+    docs = spark.createDataFrame(
+        [("s", 1, 5), ("s", 2, 3)], "source string, doc_id long, n_tokens long"
+    )
+    out = quota_filter(docs, budget=0).collect()
+    assert all(not r.kept for r in out)
+
+
+def test_fuzzy_join_zero_distance_is_exact_equality(spark):
+    from gridmet_etl_spark.operators.simjoin import fuzzy_join
+
+    rows = [(1, "A", "x"), (2, "A", "x"), (3, "A", "y")]
+    df = spark.createDataFrame(rows, "rid int, blk string, name string")
+    got = {(r.a_id, r.b_id) for r in fuzzy_join(df, df, "blk", "name", 0, "rid").collect()}
+    assert got == {(1, 2)}
