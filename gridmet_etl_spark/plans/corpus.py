@@ -103,3 +103,80 @@ def pack_sequences(
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+def corpus_pipeline_v2(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    budget: int = 2000,
+    source_budget: int = 20_000,
+    nll_cutoff: float = 3.45,
+    min_tokens: int = 5,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    group_width: int = 1_000_000,
+) -> DataFrame:
+    """The modern pretraining recipe, one lazy DAG:
+
+        LM quality scoring (corpus-trained bigram perplexity, lm.py)
+          + clean → exact-dedup → decontaminate        (as corpus_pipeline)
+          → quality gate (nll ≤ cutoff, n_tokens ≥ min)
+          → per-source token-budget quota (FCFS prefix sum, quota.py twin)
+          → leakage-safe split → token-budget shard packing
+
+    Output manifest: (doc_id, source, split, n_tokens, nll, shard).
+
+    Scale composition: every stage keeps the corpus-sized relation in
+    digest/manifest form — the LM join is the one bigram-keyed exchange
+    (lm.py), dedup is the digest shuffle, quota is a source-partitioned
+    prefix sum, packing shuffles ids + token counts. Document bodies are
+    read once (fingerprint + score derivation) and never shuffled."""
+    from ..operators.lm import bigram_lm_scores
+    from ..streaming.quota import quota_filter
+
+    nll = bigram_lm_scores(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "nll"
+    )
+    cleaned = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        clean_text(F.col(text_col)).alias("clean"),
+    ).select(
+        F.col(id_col),
+        "source",
+        F.md5(F.lower(F.col("clean"))).alias("fp"),
+        token_count(F.col("clean")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    kept = (
+        cleaned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    eval_fps = (
+        eval_docs.select(clean_text(F.col(text_col)).alias("clean"))
+        .select(F.md5(F.lower(F.col("clean"))).alias("fp"))
+        .distinct()
+    )
+    decontaminated = kept.join(F.broadcast(eval_fps), "fp", "left_anti")
+    quality = decontaminated.join(nll, id_col).where(
+        (F.col("nll") <= F.lit(nll_cutoff)) & (F.col("n_tokens") >= min_tokens)
+    )
+    quota = quota_filter(
+        quality, budget=source_budget, source_col="source", id_col=id_col
+    ).where(F.col("kept"))
+    admitted = quality.join(
+        quota.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )
+    split_df = deterministic_split(admitted, weights, id_col=id_col).select(
+        id_col, "source", "n_tokens", "nll", "split"
+    )
+    train = split_df.filter(F.col("split") == "train")
+    shards = pack_shards(
+        train, budget, size_col="n_tokens", id_col=id_col, group_width=group_width
+    ).select(F.col(id_col), F.col("shard"))
+    return split_df.join(shards, id_col, "left").select(
+        F.col(id_col), "source", "split", "n_tokens", "nll", "shard"
+    )
