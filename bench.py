@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "fuzzy_join",
     "lm_scores",
     "embed_covariance",
+    "corpus_pipeline_v2",
 ]
 
 
