@@ -413,3 +413,45 @@ def test_streaming_quota_matches_batch(spark, tmp_path):
             kept_tokens[src] = max(kept_tokens.get(src, 0), cum)
     assert all(v <= budget for v in kept_tokens.values())
     assert any(not kept for (_, _, kept) in got.values())
+
+
+def test_incremental_neardup_matches_batch_lsh(spark, tmp_path):
+    """Streaming MinHash near-dup (band-key state across micro-batches):
+    with state='all', flagged docs == docs the BATCH operator pairs with a
+    lower-id partner, regardless of the batch split."""
+    from gridmet_etl_spark.operators.dedup import minhash_lsh_candidates
+    from gridmet_etl_spark.streaming.neardup_stream import incremental_neardup
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    # batch truth: a doc is a near-dup iff some lower-id doc shares a band
+    pairs = minhash_lsh_candidates(docs, hash_fn="xxhash64")
+    batch_dups = {r.doc_b for r in pairs.select("doc_b").distinct().collect()}
+
+    # stream in two arrival waves (files picked up in separate micro-batches)
+    src = str(tmp_path / "landing")
+    docs.filter(F.col("doc_id") < 100).write.parquet(src + "/w1")
+    docs.filter(F.col("doc_id") >= 100).write.parquet(src + "/w2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = incremental_neardup(
+        stream,
+        flags_dir=str(tmp_path / "flags"),
+        bands_dir=str(tmp_path / "bands"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    flags = {
+        r.doc_id: r.is_neardup
+        for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+    }
+    assert len(flags) == 200
+    got_dups = {d for d, f in flags.items() if f}
+    assert got_dups == batch_dups
+    assert len(got_dups) > 0  # fixture corpus does contain near-dups
