@@ -412,10 +412,167 @@ FROM survivors s LEFT JOIN train_shards t ON s.doc_id = t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# lsh_recall: index-quality evaluation of the LSH candidate generator
+# ---------------------------------------------------------------------------
+
+_RECALL_T = 0.8
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of MinHash-LSH candidates against the exact
+    ≥ 0.8-Jaccard truth set on the bounded slice — the index-quality gate
+    you run before trusting an LSH configuration at corpus scale. Both
+    pair sets are md5-deterministic, so even this META-evaluation is
+    oracle-checked."""
+    from .contract_ext import _docs_par
+    from .operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    docs = _docs_par(spark, sf_dir).where(F.col("doc_id") < 300)
+    truth = ngram_jaccard_pairs(docs, threshold=_RECALL_T).select("doc_a", "doc_b")
+    cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    n_true = truth.count()  # driver scalars: 3 bounded counts, then 1 row
+    n_cand = cands.count()
+    n_hit = hit.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_true,
+                n_cand,
+                n_hit,
+                round(n_hit / n_true, 6) if n_true else None,
+                round(n_hit / n_cand, 6) if n_cand else None,
+            )
+        ],
+        "n_true bigint, n_cand bigint, n_hit bigint, recall double, precision double",
+    )
+
+
+def _sql_lsh_recall() -> str:
+    from .contract_ext import _SHINGLE_SQL
+    from .operators.dedup import N_MINHASH_SEEDS, ROWS_PER_BAND
+
+    return f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+truth AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= {_RECALL_T}),
+sigs AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+  FROM shingles, generate_series(0, {N_MINHASH_SEEDS - 1}) s(seed)
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / {ROWS_PER_BAND}) AS INT) AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(floor(seed / {ROWS_PER_BAND}) AS INT)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+hit AS (SELECT * FROM truth SEMI JOIN cands USING (doc_a, doc_b))
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM cands) AS n_cand,
+       (SELECT count(*) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / (SELECT count(*) FROM truth), 6) AS recall,
+       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / (SELECT count(*) FROM cands), 6) AS precision
+"""
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives: contrastive mining over the labeled embeddings
+# ---------------------------------------------------------------------------
+
+from .contract_ext import _EMB_DIM  # noqa: E402
+
+_HN_QUERIES = 20
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest negative per query: the most-cosine-similar vector with a
+    DIFFERENT label — the pair-mining step of contrastive training. Query
+    batch broadcasts; corpus is scanned once; rank on rounded similarity
+    so float-sum order can't flip the argmax."""
+    from .contract import R as _R
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("q_vec").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(
+                F.col(c).cast("array<double>"),
+                F.col(c).cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round(dot / (nrm("embedding") * nrm("q_vec")), _R).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("negative_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("query_id", "negative_id", "sim")
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+  FROM embeddings WHERE vec_id < {_HN_QUERIES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS negative_id,
+         ROUND(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))), 6)
+           AS sim
+  FROM embeddings e, q, generate_series(1, {_EMB_DIM}) g(i)
+  WHERE e.label <> q.q_label
+  GROUP BY q.query_id, e.vec_id)
+SELECT query_id, negative_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, negative_id) AS rn
+  FROM pairs) WHERE rn = 1
+"""
+
+
 EXT3_QUERIES = {
     "quota_filter": (q_quota_filter, SQL_QUOTA_FILTER),
     "minhash_estimate": (q_minhash_estimate, _sql_minhash_estimate()),
     "corpus_pipeline_v2": (q_corpus_pipeline_v2, _sql_corpus_pipeline_v2()),
+    "lsh_recall": (q_lsh_recall, _sql_lsh_recall()),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "embed_covariance": (q_embed_covariance, SQL_EMBED_COVARIANCE),
     "entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION),

@@ -423,3 +423,36 @@ def test_corpus_pipeline_v2_recipe_semantics(spark):
         assert (r.shard is not None) == (r.split == "train")
         per_source[r.source] = per_source.get(r.source, 0) + r.n_tokens
     assert all(v <= _V2_SOURCE_BUDGET for v in per_source.values())
+
+
+def test_lsh_recall_query_reports_sane_metrics(spark):
+    from gridmet_etl_spark.contract_ext3 import q_lsh_recall
+
+    r = q_lsh_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_true > 0 and r.n_cand > 0
+    assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision <= 1.0
+    assert r.n_hit <= min(r.n_true, r.n_cand)
+
+
+def test_hard_negatives_labels_differ_and_argmax(spark):
+    import numpy as np
+
+    from gridmet_etl_spark.contract_ext3 import q_hard_negatives
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.query_id: (r.negative_id, r.sim) for r in q_hard_negatives(spark, sf).collect()}
+    emb = spark.read.parquet(sf + "/embeddings.parquet").collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in emb}
+    for qid, (nid, sim) in out.items():
+        qv, ql = vecs[qid]
+        nv, nl = vecs[nid]
+        assert nl != ql
+        ref = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+        assert sim == pytest.approx(ref, abs=1e-5)
+        # argmax: no different-label vector scores strictly higher (beyond rounding)
+        best = max(
+            float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for vid, (v, l) in vecs.items()
+            if l != ql
+        )
+        assert sim == pytest.approx(best, abs=1e-5)
