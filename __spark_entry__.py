@@ -59,7 +59,7 @@ _CHECK_FIRST = [
     # session-C additions past the cap — first in line for the r4 window;
     # both verified green by tools/check_oracle.py at sf0.01
     "lm_scores", "containment_dups", "quota_filter", "minhash_estimate",
-    "corpus_pipeline_v2", "lsh_recall", "hard_negatives",
+    "corpus_pipeline_v2", "lsh_recall", "hard_negatives", "bpe_compression",
     "cosine_topk", "attribution_join", "simhash",
     # (2) session-B round-3 additions — next in line for the r4 window;
     # all 12 verified green by tools/check_oracle.py at sf0.01

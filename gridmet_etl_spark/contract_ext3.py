@@ -567,8 +567,69 @@ SELECT query_id, negative_id, sim FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# bpe_compression: tokenizer APPLY — learned merges over the whole corpus
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train k merges, then tokenize the corpus with them (bpe_encode's
+    scan-local k-replace pass) and report per-doc compression: char-level
+    token count before vs subword count after. Proves the train+apply
+    round trip end-to-end against an oracle that recomputes BOTH."""
+    from .operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(docs, k=_BPE_K).orderBy("merge_rank").collect()
+    ]  # k rows — driver-bounded
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias(
+            "n_before"
+        ),
+        F.size("bpe_tokens").cast("long").alias("n_after"),
+    )
+
+
+def _sql_bpe_compression(k: int = _BPE_K) -> str:
+    """The training CTE chain from SQL_BPE_MERGES, then the same k literal
+    replaces applied to every (sentinel-wrapped) document, counting one
+    token per '<'."""
+    train = _sql_bpe_merges(k)
+    train_ctes = train[: train.index("\nSELECT 1 AS merge_rank")]
+    doc_parts = [
+        r"""d0 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                        '([a-z])', '<\1>', 'g') AS s,
+         len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_before
+  FROM documents)"""
+    ]
+    for i in range(1, k + 1):
+        doc_parts.append(
+            f"""d{i} AS (
+  SELECT doc_id, replace(s,
+           (SELECT '<' || l || '><' || r || '>' FROM b{i}),
+           (SELECT '<' || l || r || '>' FROM b{i})) AS s, n_before FROM d{i - 1})"""
+        )
+    return (
+        train_ctes
+        + ",\n"
+        + ",\n".join(doc_parts)
+        + f"""
+SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+       CAST(len(s) - len(replace(s, '<', '')) AS BIGINT) AS n_after
+FROM d{k}
+"""
+    )
+
+
 EXT3_QUERIES = {
     "quota_filter": (q_quota_filter, SQL_QUOTA_FILTER),
+    "bpe_compression": (q_bpe_compression, _sql_bpe_compression()),
     "minhash_estimate": (q_minhash_estimate, _sql_minhash_estimate()),
     "corpus_pipeline_v2": (q_corpus_pipeline_v2, _sql_corpus_pipeline_v2()),
     "lsh_recall": (q_lsh_recall, _sql_lsh_recall()),

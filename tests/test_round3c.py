@@ -456,3 +456,15 @@ def test_hard_negatives_labels_differ_and_argmax(spark):
             if l != ql
         )
         assert sim == pytest.approx(best, abs=1e-5)
+
+
+def test_bpe_compression_reduces_tokens(spark):
+    from gridmet_etl_spark.contract_ext3 import q_bpe_compression
+
+    rows = q_bpe_compression(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    total_before = sum(r.n_before for r in rows)
+    total_after = sum(r.n_after for r in rows)
+    # 6 merges over a small-vocab corpus must strictly compress
+    assert total_after < total_before
+    assert all(r.n_after <= r.n_before for r in rows)
