@@ -119,3 +119,28 @@ def test_containment_bounds_and_reflexive_superset(spark, texts):
     }
     assert all(0.0 < c <= 1.0 for c in got.values())
     assert got[(0, 1000)] == pytest.approx(1.0)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_star_cc_equals_minlabel_on_random_graphs(spark, edges):
+    from gridmet_etl_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pdf = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = {
+        (r.node, r.cluster_id)
+        for r in connected_components(pdf, max_iter=500).collect()
+    }
+    b = {
+        (r.node, r.cluster_id) for r in connected_components_star(pdf).collect()
+    }
+    assert a == b

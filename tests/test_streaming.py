@@ -455,3 +455,49 @@ def test_incremental_neardup_matches_batch_lsh(spark, tmp_path):
     got_dups = {d for d, f in flags.items() if f}
     assert got_dups == batch_dups
     assert len(got_dups) > 0  # fixture corpus does contain near-dups
+
+
+def test_streaming_quota_state_across_batches(spark, tmp_path):
+    """Quota state survives micro-batch boundaries: two arrival waves in
+    doc_id order must produce the same decisions as the batch twin over
+    the union."""
+    import time as _time
+
+    from gridmet_etl_spark.streaming.quota import quota_filter, streaming_quota
+
+    rows1 = [("s", i, 300) for i in range(5)]          # 1500 tokens
+    rows2 = [("s", 5 + i, 300) for i in range(5)]      # pushes past budget
+    budget = 2000  # admits docs 0..5 (1800), rejects 6+ — decided in wave 2
+    sdf1 = spark.createDataFrame(rows1, "source string, doc_id long, n_tokens long")
+    sdf2 = spark.createDataFrame(rows2, "source string, doc_id long, n_tokens long")
+    src = str(tmp_path / "landing")
+    sdf1.coalesce(1).write.parquet(src + "/w1")
+    _time.sleep(1.1)  # file-source orders by mod time — wave 1 first
+    sdf2.coalesce(1).write.parquet(src + "/w2")
+
+    stream = (
+        spark.readStream.schema("source string, doc_id long, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_quota(stream, budget=budget)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.cum_tokens, r.kept)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r.doc_id: (r.cum_tokens, r.kept)
+        for r in quota_filter(sdf1.union(sdf2), budget=budget).collect()
+    }
+    assert got == batch
+    assert got[6][1] is False and got[5][1] is True  # boundary in wave 2
