@@ -22,8 +22,9 @@ from gridmet_etl_spark.contract import DOMAIN_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext import EXT_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext2 import EXT2_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext3 import EXT3_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext4 import EXT4_QUERIES  # noqa: E402
 
-_MERGED = {**DOMAIN_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES}
+_MERGED = {**DOMAIN_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES, **EXT4_QUERIES}
 
 # The driver caps its per-round oracle comparison at the first 50 queries
 # in registration order, so ORDER decides coverage. Round-3 window: (0)

@@ -1,4 +1,5 @@
-"""Count-min sketch over token frequencies — fixed-size mergeable summary.
+"""Mergeable sketches: count-min over token frequencies, HyperLogLog
+rollup tables for distinct counts.
 
 The sketch is a d x w matrix of counters; each of d hash rows maps a token
 to one of w buckets and the estimate is min over rows of the bucket sum
@@ -81,3 +82,55 @@ def cms_estimate(
         )
         est_cols.append(F.coalesce(F.col(f"_c{r}"), F.lit(0)))
     return out.select(*tokens.columns, F.least(*est_cols).alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog rollup tables (Apache DataSketches HLL via Spark built-ins)
+# ---------------------------------------------------------------------------
+#
+# The 100 TB pattern the reference's serial `nunique` cannot express: build
+# per-fine-key sketch rows ONCE (e.g. distinct users per day), persist them,
+# then answer every coarser distinct-count question (per week / month /
+# event_type / global) by UNIONING SKETCHES — no rescan of the raw events,
+# no re-shuffle of user ids. Distinct counts do not roll up with sum();
+# sketches do with hll_union_agg. Each sketch is <= 2^lg_k registers
+# (~4 KB at lg_k=12), so a year of daily rollups is |days|x|keys| rows of
+# kilobytes — broadcastable — while the raw table is the 100 TB one.
+#
+# Spark's hll_sketch_agg/hll_union_agg/hll_sketch_estimate are the
+# DataSketches HLL_4 implementation (JVM-side, codegen-friendly); the
+# estimate is engine-specific, so contract queries pair it with the exact
+# twin and hash the exact value + a within-tolerance boolean
+# (the approx_aggs pattern in contract.py).
+
+HLL_LG_K = 12
+
+
+def hll_rollup(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lg_k: int = HLL_LG_K,
+) -> DataFrame:
+    """Per-key HLL sketch of ``col``: one binary sketch row per key group.
+    ONE shuffle keyed by ``keys``, and hll_sketch_agg partially aggregates
+    map-side, so the exchange carries |keys| x ~2^lg_k bytes — output-sized
+    regardless of input rows."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("hll"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def hll_merge(rollup: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge fine-grained sketch rows up to coarser ``keys`` and estimate.
+    The input is the (tiny) rollup table, never the raw events: the shuffle
+    is |coarse keys| sketch rows. ``approx_distinct`` is the DataSketches
+    estimate; exact twins live in the caller's contract."""
+    merged = rollup.groupBy(*keys).agg(
+        F.hll_union_agg("hll").alias("hll"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return merged.withColumn(
+        "approx_distinct", F.hll_sketch_estimate("hll").cast("long")
+    )
