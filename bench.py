@@ -408,9 +408,18 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    def _quiesce() -> None:
+        # Force a JVM GC between queries so broadcast/checkpoint garbage
+        # accumulated from earlier queries cannot dump a multi-second
+        # full-GC pause into a later query's timing (observed:
+        # entity_resolution_part 0.4 s isolated vs 6-7 s late in the run).
+        # Caches a query builds for itself are left alone.
+        spark.sparkContext._jvm.System.gc()
+
     def timed(df) -> float:
         # run 1 (untimed): codegen compilation + JIT — one-time costs that
         # are noise at production scale; run 2: steady-state execution
+        _quiesce()
         df.write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
@@ -423,7 +432,15 @@ def main() -> None:
     for name, builder in EXTRA_BENCH.items():
         timings[name] = timed(builder(spark))
     for name, builder in CALL_TIMED.items():
+        # each CALL_TIMED execution is self-contained (the build call
+        # re-creates its own caches/checkpoints), so the warm call's leaked
+        # cache blocks are dead weight for the timed call — drop them and
+        # GC so the timed execution starts from clean executor memory
+        spark.catalog.clearCache()
+        _quiesce()
         builder(spark).write.format("noop").mode("overwrite").save()  # warm
+        spark.catalog.clearCache()
+        _quiesce()
         t0 = time.perf_counter()
         builder(spark).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
