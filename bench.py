@@ -127,6 +127,56 @@ def _cosine_topk_np_400k(spark):
     return cosine_topk_np(big, queries, k=10)
 
 
+def _pq_adc_400k(spark):
+    """PQ asymmetric-distance ANN over the ×200-replicated 400k-vector
+    corpus: codebooks train on the base sf embeddings (driver traffic =
+    m×ksub×dsub rows per Lloyd round), encode compresses 400k vectors to
+    4 codes each in one zero-shuffle projection, and the ADC scan is m
+    broadcast-LUT lookups per row — the compressed-index twin of
+    cosine_topk_np_400k."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_refine,
+        pq_seed_codebooks,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    books = pq_refine(emb, pq_seed_codebooks(emb), n_iter=2)
+    big = (
+        emb.crossJoin(spark.range(200).withColumnRenamed("id", "rep"))
+        .select((F.col("vec_id") * 200 + F.col("rep")).alias("vec_id"), "embedding")
+        # the sf parquet is one file -> one partition; spread the encode
+        # projection (at scale the corpus arrives already partitioned)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    codes = pq_encode(big, books)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(codes, queries, k=10, codebooks=books)
+
+
+def _hll_rollup_24m(spark):
+    """HLL sketch rollup over 24M synthetic events (1M distinct users,
+    30 days × 5 types): the rollup shuffle carries 150 sketch rows, the
+    merge touches only those — distinct counts at stream scale without a
+    distinct."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.sketch import hll_merge, hll_rollup
+
+    ev = spark.range(0, 24_000_000, 1, 32).select(
+        (F.col("id") % 1_000_000).alias("user_id"),
+        (F.col("id") % 30).cast("int").alias("day"),
+        (F.col("id") % 5).cast("int").alias("event_type"),
+    )
+    daily = hll_rollup(ev, ["event_type", "day"], "user_id")
+    return hll_merge(daily, ["event_type"])
+
+
 def _span_dedup_stress(spark):
     """Span-dedup over the sf documents replicated ×20 with remapped ids
     (~100k docs at sf0.1; every replica's spans are dups of the original's)
@@ -377,6 +427,7 @@ CALL_TIMED = {
     "bpe_train_6merges": _bpe_train_sf,
     "entity_resolution_part": _entity_resolution_sf,
     "bpe_train_100k_docs": _bpe_train_100k_docs,
+    "pq_adc_400k_vecs": _pq_adc_400k,
 }
 
 
@@ -394,6 +445,7 @@ EXTRA_BENCH = {
     "cosine_topk_np_400k": _cosine_topk_np_400k,
     "span_dedup_100k_docs": _span_dedup_stress,
     "covariance_200k_vecs": _covariance_200k_vecs,
+    "hll_rollup_24M_events": _hll_rollup_24m,
 }
 
 

@@ -49,14 +49,14 @@ def _sub_slice(vec_col: str, sub: int, dsub: int) -> Column:
 
 def _l2sq(v: Column, c: list[float]) -> Column:
     """Exact squared L2 between a subvector column and a literal centroid,
-    as a flat codegen sum (no HOF lambdas — they run interpreted)."""
-    terms = [
-        (F.element_at(v, j + 1).cast("double") - F.lit(float(c[j]))) ** 2
-        for j in range(len(c))
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
+    as a flat codegen sum (no HOF lambdas — they run interpreted; and
+    d*d multiplication, not ``**`` — that compiles to POWER(), a libm
+    pow() per term, ~10× a multiply when the projection is this wide)."""
+    out = None
+    for j in range(len(c)):
+        d = F.element_at(v, j + 1).cast("double") - F.lit(float(c[j]))
+        t = d * d
+        out = t if out is None else out + t
     return out
 
 
@@ -91,43 +91,83 @@ def pq_seed_codebooks(
     ]
 
 
+def _codes_matrix(X, books):
+    """numpy argmin assignment for a batch: X is (n, dim) float64, returns
+    (n, m) int codes. Distances accumulate DIM-SEQUENTIALLY (acc += d*d per
+    dim), the same left-fold order as the expression form and the DuckDB
+    oracle's grouped sum — not numpy's pairwise reduction — so cross-engine
+    float parity holds; np.argmin takes the first minimum = lowest-code
+    ties."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0])
+    codes = np.empty((X.shape[0], m), dtype=np.int32)
+    for s, book in enumerate(books):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        dists = np.empty((X.shape[0], len(book)))
+        for c, cent in enumerate(book):
+            acc = np.zeros(X.shape[0])
+            for j in range(dsub):
+                d = Xs[:, j] - cent[j]
+                acc += d * d
+            dists[:, c] = acc
+        codes[:, s] = dists.argmin(axis=1)
+    return codes
+
+
 def pq_refine(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
     n_iter: int = 2,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
-    """Lloyd refinement of all m sub-codebooks in one job per round:
-    assignment is a zero-shuffle projection (m argmin expressions over
-    literal centroids); the mean recompute is ONE exchange keyed
-    (sub, code, dim) with partial aggregation, so the shuffle and the
-    driver collect are both m x ksub x dsub rows (~kB) regardless of
-    corpus size. Empty cells keep their previous centroid."""
+    """Lloyd refinement of all m sub-codebooks in one job per round. The
+    assignment + per-cell partial sums run in ONE Arrow ``mapInPandas``
+    kernel (vectorized numpy argmin — the literal-expression form falls out
+    of whole-stage codegen at m*ksub*dsub terms and evaluates interpreted,
+    ~250 us/row; the kernel is ~0.3 us/row), each batch emitting
+    m x ksub x dsub partial-sum rows. The exchange and the driver collect
+    are therefore both codebook-sized (~kB) regardless of corpus size.
+    Empty cells keep their previous centroid."""
+    import pandas as pd
+
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
     books = [[list(map(float, c)) for c in cb] for cb in codebooks]
     for _ in range(n_iter):
-        assigned = corpus.select(
-            *[
-                _argmin_code(_sub_slice(vec_col, s, dsub), books[s]).alias(f"_a{s}")
-                for s in range(m)
-            ],
-            *[_sub_slice(vec_col, s, dsub).alias(f"_v{s}") for s in range(m)],
-        )
-        long = assigned.select(
-            F.posexplode(F.array(*[F.col(f"_a{s}") for s in range(m)])).alias(
-                "sub", "code"
-            ),
-            F.array(*[F.col(f"_v{s}") for s in range(m)]).alias("_vs"),
-        ).select(
-            "sub",
-            "code",
-            F.posexplode(F.element_at("_vs", F.col("sub") + 1)).alias("dim", "x"),
-        )
+        cur = [[list(c) for c in cb] for cb in books]
+
+        def _partials(batches, _books=cur):
+            import numpy as np
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(list(pdf[vec_col]), dtype=np.float64)
+                codes = _codes_matrix(X, _books)
+                rows = []
+                for s in range(m):
+                    Xs = X[:, s * dsub : (s + 1) * dsub]
+                    for c in range(ksub):
+                        mask = codes[:, s] == c
+                        if mask.any():
+                            sums = Xs[mask].sum(axis=0)
+                            n = int(mask.sum())
+                            rows.extend(
+                                (s, c, j, float(sums[j]), n) for j in range(dsub)
+                            )
+                yield pd.DataFrame(
+                    rows, columns=["sub", "code", "dim", "psum", "pcnt"]
+                )
+
         means = (
-            long.groupBy("sub", "code", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+            corpus.select(vec_col)
+            .mapInPandas(_partials, "sub int, code int, dim int, psum double, pcnt long")
+            .groupBy("sub", "code", "dim")
+            .agg((F.sum("psum") / F.sum("pcnt")).alias("mu"))
             .collect()
         )
         new = {}
@@ -147,19 +187,34 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Codes table (vec_id, code_0..code_{m-1}): expression-only argmin per
-    subspace — a narrow write-time projection, zero shuffle. At 100 TB this
-    is the only pass over the raw vectors; every later search touches just
-    these m small ints per row."""
+    """Codes table (vec_id, code_0..code_{m-1}): one Arrow ``mapInPandas``
+    pass, zero shuffle — at 100 TB this is the only pass over the raw
+    vectors (write-time); every later search touches just m small ints per
+    row. numpy argmin with oracle-parity accumulation (see
+    ``_codes_matrix``); the expression form (``_argmin_code``) exists for
+    plan-literal composition but exceeds codegen limits at production
+    m*ksub."""
+    import pandas as pd
+
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    return corpus.select(
-        F.col(id_col),
-        *[
-            _argmin_code(_sub_slice(vec_col, s, dsub), codebooks[s]).alias(f"code_{s}")
-            for s in range(m)
-        ],
-    )
+    books = [[list(map(float, c)) for c in cb] for cb in codebooks]
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, " + ", ".join(f"code_{s} int" for s in range(m))
+
+    def _encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = _codes_matrix(X, books)
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            for s in range(m):
+                out[f"code_{s}"] = codes[:, s]
+            yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(_encode, schema)
 
 
 def pq_adc_topk(
