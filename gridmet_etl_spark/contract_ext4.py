@@ -192,8 +192,174 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time enrichment (warehouse flagship composition)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: signup events define each user's
+    tier change log -> scd2_history compresses it to [valid_from,
+    valid_to) intervals -> every purchase joins the tier version valid AT
+    ITS OWN timestamp (the as-of semantics that prevents lookahead
+    leakage in feature pipelines). Purchases before the first signup keep
+    NULL. Plan: the history windows and the enrichment join all key on
+    user_id — one partitioning reused end-to-end; per-user histories are
+    tiny, so the interval predicate is a cheap post-join filter."""
+    from .operators.scd import scd2_history
+    from .sources.readers import read_events
+
+    ev = read_events(spark, _t(sf_dir, "events"))
+    changes = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.floor(F.col("value") / 100).cast("int").alias("tier")
+    )
+    hist = scd2_history(changes, ["user_id"], "tier", "ts")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return (
+        facts.join(
+            hist,
+            (facts["user_id"] == hist["user_id"])
+            & (facts["ts"] >= hist["valid_from"])
+            & (hist["valid_to"].isNull() | (facts["ts"] < hist["valid_to"])),
+            "left",
+        )
+        .select(
+            "event_id",
+            facts["user_id"],
+            "tier",
+            F.round(facts["value"], R).alias("value"),
+        )
+    )
+
+
+SQL_SCD2_PIT_ENRICH = f"""
+WITH changes AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(floor(value / 100) AS INTEGER) AS tier
+  FROM events WHERE event_type = 'signup'),
+runs AS (
+  SELECT user_id, ts, tier,
+         lag(tier) OVER (PARTITION BY user_id ORDER BY ts, tier) AS prev
+  FROM changes),
+hist AS (
+  SELECT user_id, tier, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, tier) AS valid_to
+  FROM (SELECT * FROM runs WHERE prev IS NULL OR tier <> prev)),
+facts AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, h.tier, ROUND(f.value, {R}) AS value
+FROM facts f LEFT JOIN hist h
+  ON h.user_id = f.user_id AND f.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (irregular series)
+# ---------------------------------------------------------------------------
+
+
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-per-day time-weighted mean of event values (zero-order
+    hold): the aggregate a plain avg gets wrong under irregular spacing.
+    Single-observation days -> NULL twap."""
+    from .operators.timeseries import time_weighted_avg
+    from .sources.readers import read_events
+
+    ev = read_events(spark, _t(sf_dir, "events")).withColumn(
+        "day", F.to_date("ts")
+    )
+    return time_weighted_avg(ev, ["user_id", "day"])
+
+
+SQL_TWAP_DAILY = """
+WITH obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events),
+stepped AS (
+  SELECT user_id, day, value,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, value))
+SELECT user_id, day,
+       ROUND(sum(value * dt) / sum(dt), 6) AS twap,
+       count(*) AS n_obs
+FROM stepped GROUP BY user_id, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset (diversity sampling / data pruning)
+# ---------------------------------------------------------------------------
+
+_KC_K = 6
+
+
+def q_coreset_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings corpus: 6 farthest-
+    point centers from the lowest-id seed, then every vector labeled with
+    its nearest center and distance. The oracle unrolls the same greedy
+    rounds as CTEs (argmax ties to lowest id, assignment ties to lowest
+    center index)."""
+    from .operators.similarity import kcenter_coreset
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return kcenter_coreset(emb, k=_KC_K)
+
+
+def _sql_coreset_assign(k: int = _KC_K, dim: int = _EMB_DIM) -> str:
+    """Unrolled greedy k-center: d_i = running min distance after center i;
+    s_{i+1} = argmax d_i. Distances via the grouped generate_series sum,
+    multiplication not power, mirroring the Spark expression."""
+    parts = [
+        f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+d0 AS (
+  SELECT e.vec_id, e.v, sum((e.v[i] - c.v[i]) * (e.v[i] - c.v[i])) AS mind
+  FROM e, s0 c, generate_series(1, {dim}) g(i)
+  GROUP BY e.vec_id, e.v)"""
+    ]
+    for r in range(1, k):
+        parts.append(f"""
+s{r} AS (SELECT vec_id, v FROM d{r - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+d{r} AS (
+  SELECT d.vec_id, d.v,
+         least(d.mind, (SELECT sum((d.v[i] - c.v[i]) * (d.v[i] - c.v[i]))
+                        FROM s{r} c, generate_series(1, {dim}) g(i))) AS mind
+  FROM d{r - 1} d)""")
+    centers = " UNION ALL ".join(
+        f"SELECT {cid} AS cid, vec_id, v FROM s{cid}" for cid in range(k)
+    )
+    parts.append(f"""
+centers AS ({centers}),
+dists AS (
+  SELECT e.vec_id, c.cid, c.vec_id AS center_id,
+         sum((e.v[i] - c.v[i]) * (e.v[i] - c.v[i])) AS dist
+  FROM e, centers c, generate_series(1, {dim}) g(i)
+  GROUP BY e.vec_id, c.cid, c.vec_id),
+best AS (
+  SELECT vec_id, center_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM dists)""")
+    return (
+        "WITH " + ",".join(parts)
+        + """
+SELECT vec_id, center_id, ROUND(dist, 6) AS center_dist
+FROM best WHERE rn = 1
+"""
+    )
+
+
 EXT4_QUERIES = {
     "pq_codes": (q_pq_codes, _sql_pq_codes()),
     "pq_topk": (q_pq_topk, _sql_pq_topk()),
     "hll_rollup": (q_hll_rollup, SQL_HLL_ROLLUP),
+    "scd2_pit_enrich": (q_scd2_pit_enrich, SQL_SCD2_PIT_ENRICH),
+    "twap_daily": (q_twap_daily, SQL_TWAP_DAILY),
+    "coreset_assign": (q_coreset_assign, _sql_coreset_assign()),
 }

@@ -595,3 +595,75 @@ def semantic_dedup(
             (lbl == F.col(id_col)).alias("is_canonical"),
         )
     )
+
+
+def _l2_lit(vec: Column, c: list[float]) -> Column:
+    """Exact squared L2 between a vector column and a literal center —
+    flat multiply-add codegen sum (dim-sequential, matching the oracle's
+    grouped sum; d*d not POWER())."""
+    out = None
+    for j, cj in enumerate(c):
+        d = F.element_at(vec, j + 1).cast("double") - F.lit(float(cj))
+        t = d * d
+        out = t if out is None else out + t
+    return out
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection + assignment —
+    the diversity-sampling/data-pruning operator (Sener & Savarese 2018
+    use it for active learning; the same geometry prunes redundant
+    training examples): pick the lowest-id vector, then k-1 times the
+    vector farthest from every selected center, then assign each corpus
+    row to its nearest center.
+
+    Fully deterministic (lowest-id seed, argmax ties to lowest id,
+    assignment ties to lowest center index), so the whole loop carries a
+    DuckDB oracle of unrolled CTEs.
+
+    Scale: each of the k rounds is ONE narrow projection over the corpus
+    (running min-distance folded with ``least`` against the new center
+    literal, pinned with localCheckpoint so the plan stays constant-size)
+    plus a TakeOrdered(1) argmax — no shuffles at all beyond the 1-row
+    collect; the assignment pass is one more narrow projection. Total:
+    k+1 corpus scans, zero exchanges."""
+    sel_rows = (
+        corpus.orderBy(F.col(id_col)).limit(1).select(id_col, vec_col).collect()
+    )
+    centers = [[float(x) for x in sel_rows[0][1]]]
+    center_ids = [sel_rows[0][0]]
+    cur = corpus.select(
+        F.col(id_col), F.col(vec_col), _l2_lit(F.col(vec_col), centers[0]).alias("_mind")
+    ).localCheckpoint()
+    for _ in range(k - 1):
+        far = (
+            cur.orderBy(F.col("_mind").desc(), F.col(id_col))
+            .limit(1)
+            .select(id_col, vec_col)
+            .collect()[0]
+        )
+        centers.append([float(x) for x in far[1]])
+        center_ids.append(far[0])
+        cur = cur.withColumn(
+            "_mind", F.least(F.col("_mind"), _l2_lit(F.col(vec_col), centers[-1]))
+        ).localCheckpoint()
+    entries = [
+        F.struct(
+            _l2_lit(F.col(vec_col), c).alias("dist"), F.lit(cid).alias("cid")
+        )
+        for cid, c in enumerate(centers)
+    ]
+    best = F.array_sort(F.array(*entries))[0]
+    id_to_center = F.create_map(
+        *[x for cid, i in enumerate(center_ids) for x in (F.lit(cid), F.lit(i))]
+    )
+    return corpus.select(
+        F.col(id_col),
+        id_to_center[best["cid"]].alias("center_id"),
+        F.round(best["dist"], 6).alias("center_dist"),
+    )

@@ -573,3 +573,37 @@ def resample_ohlc(
         F.round(F.max_by(v, F.col(ts_col)), 6).alias("close"),
         F.count("*").alias("n_ticks"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted mean for irregularly sampled series (the TWAP/zero-
+    order-hold aggregate a plain ``avg`` gets wrong when observation
+    spacing varies): each observation holds its value until the next one
+    in the same group, so its weight is that gap in microseconds; the
+    group's final observation spans no interval and carries zero weight.
+    Groups with a single observation have no integrable span -> NULL.
+
+    Plan: one lead window + one partial-agg groupBy, both keyed by
+    ``keys`` — a single series-keyed shuffle, same budget as any grouped
+    aggregate. ``timestampdiff`` reads timestamp fields directly (tz/ntz
+    safe, no session-zone cast). Ties on ``ts_col`` order by value for a
+    deterministic hold sequence."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(value_col))
+    gap = F.expr(
+        f"timestampdiff(MICROSECOND, {ts_col}, _nxt)"
+    )
+    stepped = df.withColumn("_nxt", F.lead(ts_col).over(w)).withColumn(
+        "_dt", F.when(F.col("_nxt").isNotNull(), gap).otherwise(F.lit(None))
+    )
+    return stepped.groupBy(*keys).agg(
+        F.round(
+            F.sum(F.col(value_col) * F.col("_dt")) / F.sum("_dt"), 6
+        ).alias("twap"),
+        F.count("*").alias("n_obs"),
+    )
