@@ -355,6 +355,150 @@ FROM best WHERE rn = 1
     )
 
 
+# ---------------------------------------------------------------------------
+# Retrieval quality: NDCG@k of cosine top-k against label relevance
+# ---------------------------------------------------------------------------
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact cosine retriever, binary relevance = neighbor
+    shares the query's label. IDCG uses the corpus-ideal: min(#same-label
+    vectors excluding the query, 10) ones in front. The eval completes the
+    index-quality suite (lsh_recall measures candidate coverage, this
+    measures RANKING quality). All ranking work is the cosine_topk plan;
+    the eval itself is one broadcast label join + a per-query aggregate."""
+    from .operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = cosine_topk(emb, queries, k=10, rank_round=R)
+    labels = emb.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    rel = (
+        hits.join(F.broadcast(qlab), "query_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .withColumn("rel", (F.col("label") == F.col("qlabel")).cast("int"))
+    )
+    n_rel = (
+        emb.alias("a")
+        .join(F.broadcast(qlab), F.col("a.label") == F.col("qlabel"))
+        .where(F.col("a.vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_same"))
+    )
+    dcg = rel.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("_dcg")
+    )
+    # ideal: the min(n_same, 10) relevant docs in front
+    idcg = n_rel.select(
+        "query_id",
+        F.expr(
+            "aggregate(sequence(1, int(least(n_same, 10))), 0.0d,"
+            " (acc, i) -> acc + 1.0d / log2(i + 1))"
+        ).alias("_idcg"),
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            "query_id",
+            F.round("_dcg", R).alias("dcg"),
+            F.round("_idcg", R).alias("idcg"),
+            F.round(F.col("_dcg") / F.col("_idcg"), R).alias("ndcg"),
+        )
+    )
+
+
+SQL_NDCG_EVAL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS qlabel
+           FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS n_e,
+         sqrt(sum(CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) AS n_q
+  FROM embeddings e, q, generate_series(1, {_EMB_DIM}) g(i)
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, q.qlabel, e.vec_id, e.label),
+ranked AS (
+  SELECT query_id, qlabel, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(dot / (n_e * n_q), {R}) DESC, neighbor_id) AS rank
+  FROM pairs),
+dcg AS (
+  SELECT query_id,
+         sum(CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END / log2(rank + 1)) AS _dcg
+  FROM ranked WHERE rank <= 10 GROUP BY query_id),
+nrel AS (
+  SELECT q.query_id, count(*) AS n_same
+  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id
+  GROUP BY q.query_id),
+idcg AS (
+  SELECT n.query_id, sum(1.0 / log2(i + 1)) AS _idcg
+  FROM nrel n, generate_series(1, 10) g(i)
+  WHERE i <= least(n.n_same, 10)
+  GROUP BY n.query_id)
+SELECT d.query_id, ROUND(d._dcg, {R}) AS dcg, ROUND(i._idcg, {R}) AS idcg,
+       ROUND(d._dcg / i._idcg, {R}) AS ndcg
+FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution credit
+# ---------------------------------------------------------------------------
+
+
+def q_multitouch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each click distributes one unit of
+    credit equally over the user's views in the 30 minutes before it
+    (inclusive bounds mirror attribution_join); output is per-VIEW total
+    credit and contributing-click count. Same bounded interval join as
+    attribution_join, plus one view-keyed rollup."""
+    from .sources.readers import read_events
+    from .streaming.attribution import attribution_join
+
+    ev = read_events(spark, _t(sf_dir, "events"))
+    pairs = attribution_join(
+        ev, left_type="view", right_type="click", within_minutes=30
+    )
+    per_click = pairs.groupBy("right_id").agg(
+        F.count("*").alias("n_touch")
+    )
+    return (
+        pairs.join(F.broadcast(per_click), "right_id")
+        .groupBy(F.col("left_id").alias("view_id"))
+        .agg(
+            F.round(F.sum(1.0 / F.col("n_touch")), R).alias("credit"),
+            F.count("*").alias("n_clicks"),
+        )
+    )
+
+
+SQL_MULTITOUCH_CREDIT = f"""
+WITH l AS (SELECT user_id, event_id AS left_id, CAST(ts AS TIMESTAMP) AS l_ts
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, event_id AS right_id, CAST(ts AS TIMESTAMP) AS r_ts
+      FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT l.left_id, r.right_id
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND r.r_ts >= l.l_ts AND r.r_ts <= l.l_ts + INTERVAL 30 MINUTES),
+per_click AS (SELECT right_id, count(*) AS n_touch FROM pairs GROUP BY right_id)
+SELECT p.left_id AS view_id,
+       ROUND(sum(1.0 / pc.n_touch), {R}) AS credit,
+       count(*) AS n_clicks
+FROM pairs p JOIN per_click pc ON p.right_id = pc.right_id
+GROUP BY p.left_id
+"""
+
+
 EXT4_QUERIES = {
     "pq_codes": (q_pq_codes, _sql_pq_codes()),
     "pq_topk": (q_pq_topk, _sql_pq_topk()),
@@ -362,4 +506,6 @@ EXT4_QUERIES = {
     "scd2_pit_enrich": (q_scd2_pit_enrich, SQL_SCD2_PIT_ENRICH),
     "twap_daily": (q_twap_daily, SQL_TWAP_DAILY),
     "coreset_assign": (q_coreset_assign, _sql_coreset_assign()),
+    "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
+    "multitouch_credit": (q_multitouch_credit, SQL_MULTITOUCH_CREDIT),
 }
