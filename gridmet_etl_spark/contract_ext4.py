@@ -499,6 +499,68 @@ GROUP BY p.left_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Label-propagation communities
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous LPA over the 3-gram Jaccard >= 0.5
+    similarity graph (denser than the 0.8 dedup graph, so communities are
+    not just connected components): 3 fixed rounds, most-frequent neighbor
+    label with lowest-label ties. Oracle unrolls the rounds."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import label_propagation
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return label_propagation(pairs, n_rounds=_LPA_ROUNDS).select(
+        F.col("node").alias("doc_id"), "community"
+    )
+
+
+def _sql_lpa_communities(n_rounds: int = _LPA_ROUNDS) -> str:
+    from .contract_ext import _SHINGLE_SQL
+
+    parts = [
+        f"""shingles AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+l0 AS (SELECT DISTINCT src AS node, src AS community FROM edges)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+n{r} AS (
+  SELECT e.src, l.community, count(*) AS n
+  FROM edges e JOIN l{r - 1} l ON l.node = e.dst
+  GROUP BY e.src, l.community),
+t{r} AS (
+  SELECT src AS node, community FROM (
+    SELECT src, community,
+           row_number() OVER (PARTITION BY src ORDER BY n DESC, community) AS rn
+    FROM n{r}) WHERE rn = 1),
+l{r} AS (
+  SELECT l.node, coalesce(t.community, l.community) AS community
+  FROM l{r - 1} l LEFT JOIN t{r} t USING (node))""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node AS doc_id, community FROM l{n_rounds}"
+    )
+
+
 EXT4_QUERIES = {
     "pq_codes": (q_pq_codes, _sql_pq_codes()),
     "pq_topk": (q_pq_topk, _sql_pq_topk()),
@@ -508,4 +570,5 @@ EXT4_QUERIES = {
     "coreset_assign": (q_coreset_assign, _sql_coreset_assign()),
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
     "multitouch_credit": (q_multitouch_credit, SQL_MULTITOUCH_CREDIT),
+    "lpa_communities": (q_lpa_communities, _sql_lpa_communities()),
 }

@@ -175,3 +175,62 @@ def k_hop_reach(edges: DataFrame, seeds: DataFrame, k: int = 3) -> DataFrame:
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 3,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Deterministic synchronous label-propagation communities (Raghavan
+    et al. 2007, made engine-reproducible): labels start as node ids; each
+    round EVERY node simultaneously takes the most frequent label among
+    its neighbors, ties to the SMALLEST label, isolated-from-change nodes
+    keep theirs. A fixed ``n_rounds`` (no convergence race) keeps the
+    result a pure function of the graph, so a DuckDB oracle can unroll the
+    rounds.
+
+    Vs connected components: LPA splits a weakly-bridged component into
+    dense cores (communities), where min-label CC would flood it to one
+    id. Per round: edges ⋈ labels (one |edges| shuffle) → per-(node,
+    label) counts (partial-agg) → per-node argmax window sharing the same
+    node partitioning → left join onto the node list; labels are
+    localCheckpoint-pinned so the iterative plan stays constant-size."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .repartition("dst")
+        .cache()
+    )
+    sym.count()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("community"))
+    for _ in range(n_rounds):
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src", "community")
+            .agg(F.count("*").alias("n"))
+        )
+        top = (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("src").alias("node"), F.col("community").alias("_new"))
+        )
+        labels = (
+            labels.join(top, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("community")).alias("community"),
+            )
+            .localCheckpoint()
+        )
+    return labels
