@@ -236,7 +236,15 @@ def pq_adc_topk(
 
     Output (query_id, neighbor_id, adc_dist, rank) ranks ascending ADC
     distance, rounded to ``rank_round`` for cross-engine tie stability,
-    ties to the lowest neighbor_id."""
+    ties to the lowest neighbor_id.
+
+    Top-k is two-stage: a PARTITION-LOCAL top-k first (window keyed
+    (query_id, partition) — any global top-k row is necessarily top-k in
+    its own partition, so this is an exact pre-prune), then the per-query
+    merge window sees only k x |queries| x |partitions| candidate rows
+    instead of the full scored relation. Without the pre-prune the final
+    exchange collapses |corpus| x |queries| rows into |queries|
+    partitions — a parallelism cliff at small query batches."""
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
@@ -267,11 +275,19 @@ def pq_adc_topk(
             F.round(adc, rank_round if rank_round is not None else 9).alias("adc_dist"),
         )
     )
+    w_local = Window.partitionBy(query_id_col, "_pid").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "adc_dist", "rank")
     )
