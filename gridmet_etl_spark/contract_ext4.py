@@ -356,6 +356,59 @@ FROM best WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# Native session windows (F.session_window)
+# ---------------------------------------------------------------------------
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session windows — the declarative twin of
+    sessionize_batch's lag-window formulation and streaming/events.py's
+    stateful sessionizer. Semantics differ at the boundary: session_window
+    is half-open [start, last+gap), so a gap of EXACTLY 30 minutes starts
+    a new session (the lag form's `>` keeps it); the oracle mirrors the
+    `>=` rule and window end = last event + gap. One user-keyed exchange
+    (partial-agg session merge is Catalyst's MergingSessions operator)."""
+    from .sources.readers import read_events
+
+    ev = read_events(spark, _t(sf_dir, "events"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), R).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessioned AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sidx
+  FROM flagged)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events, ROUND(sum(value), {R}) AS sum_value
+FROM sessioned GROUP BY user_id, sidx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Retrieval quality: NDCG@k of cosine top-k against label relevance
 # ---------------------------------------------------------------------------
 
@@ -571,4 +624,5 @@ EXT4_QUERIES = {
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
     "multitouch_credit": (q_multitouch_credit, SQL_MULTITOUCH_CREDIT),
     "lpa_communities": (q_lpa_communities, _sql_lpa_communities()),
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
 }
