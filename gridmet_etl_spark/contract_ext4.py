@@ -363,11 +363,12 @@ FROM best WHERE rn = 1
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's BUILT-IN session windows — the declarative twin of
     sessionize_batch's lag-window formulation and streaming/events.py's
-    stateful sessionizer. Semantics differ at the boundary: session_window
-    is half-open [start, last+gap), so a gap of EXACTLY 30 minutes starts
-    a new session (the lag form's `>` keeps it); the oracle mirrors the
-    `>=` rule and window end = last event + gap. One user-keyed exchange
-    (partial-agg session merge is Catalyst's MergingSessions operator)."""
+    stateful sessionizer. Boundary semantics (pinned by
+    test_session_window_native): an event at EXACTLY the previous window's
+    end merges into it — i.e. a gap must EXCEED the timeout to split,
+    identical to the lag form's `>` rule — and the reported window end is
+    last event + gap. One user-keyed exchange (partial-agg session merge
+    is Catalyst's MergingSessions operator)."""
     from .sources.readers import read_events
 
     ev = read_events(spark, _t(sf_dir, "events"))
@@ -391,7 +392,7 @@ SQL_SESSION_WINDOWS = f"""
 WITH flagged AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
          CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
-                   >= INTERVAL '30 minutes'
+                   > INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -1,6 +1,7 @@
-"""Native session_window boundary semantics: a gap of exactly the timeout
-starts a NEW session (half-open windows), where the lag-`>` formulation
-keeps it — the documented divergence between the two sessionizers."""
+"""Native session_window boundary semantics, pinned: an event at exactly
+the previous window's end MERGES (a gap must exceed the timeout to
+split — same `>` rule as the lag formulation), and the reported window
+end is last event + gap."""
 
 from pyspark.sql import functions as F
 
@@ -20,14 +21,14 @@ def _native_sessions(df):
     )
 
 
-def test_exact_gap_splits_native_session(spark):
+def test_exact_gap_merges_native_session(spark):
     df = _events(spark, ["2024-01-01 00:00:00", "2024-01-01 00:30:00"])
-    assert _native_sessions(df) == 2  # half-open: [00:00, 00:30) excludes
+    assert _native_sessions(df) == 1  # boundary event joins the window
 
 
-def test_sub_gap_merges_native_session(spark):
-    df = _events(spark, ["2024-01-01 00:00:00", "2024-01-01 00:29:59"])
-    assert _native_sessions(df) == 1
+def test_over_gap_splits_native_session(spark):
+    df = _events(spark, ["2024-01-01 00:00:00", "2024-01-01 00:30:00.000001"])
+    assert _native_sessions(df) == 2
 
 
 def test_window_end_is_last_event_plus_gap(spark):
