@@ -127,6 +127,27 @@ def _cosine_topk_np_400k(spark):
     return cosine_topk_np(big, queries, k=10)
 
 
+def _session_windows_12m(spark):
+    """Native session_window over the ×50-replicated 12M-event stream
+    (MergingSessions partial aggregation): sessions merge map-side, so the
+    ONE user-keyed exchange carries session rows, not events."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.sources.readers import read_events
+
+    e = read_events(spark, os.path.join(SF_DIR, "events.parquet"))
+    big = (
+        spark.range(0, 50, 1, 32)
+        .withColumnRenamed("id", "rep")
+        .crossJoin(F.broadcast(e))
+        .select((F.col("user_id") * 50 + F.col("rep")).alias("user_id"), "ts", "value")
+    )
+    return (
+        big.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
 def _pq_adc_400k(spark):
     """PQ asymmetric-distance ANN over the ×200-replicated 400k-vector
     corpus: codebooks train on the base sf embeddings (driver traffic =
@@ -446,6 +467,7 @@ EXTRA_BENCH = {
     "span_dedup_100k_docs": _span_dedup_stress,
     "covariance_200k_vecs": _covariance_200k_vecs,
     "hll_rollup_24M_events": _hll_rollup_24m,
+    "session_windows_12M": _session_windows_12m,
 }
 
 
