@@ -356,6 +356,162 @@ FROM best WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# HITS hubs/authorities over the synthetic link layer
+# ---------------------------------------------------------------------------
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS (3 unnormalized rounds from all-ones hubs —
+    proportional to normalized HITS per round, see graph.hits) over the
+    same deterministic link layer as the pagerank query. Authority ranking
+    is the curation signal PageRank misses: pages LINKED BY good hubs."""
+    import os as _os
+
+    from .contract import FIXDIR
+    from .operators.graph import hits, link_graph
+
+    pages = spark.read.parquet(_os.path.join(FIXDIR, "webpages.parquet"))
+    aug = pages.select(
+        "page_id",
+        "url",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://example"),
+            ((F.col("page_id") * 7 + 1) % 50).cast("string"),
+            F.lit(".test/a and https://example"),
+            ((F.col("page_id") * 13 + 2) % 50).cast("string"),
+            F.lit(".test/b"),
+        ).alias("text"),
+    )
+    return hits(link_graph(aug), iters=3).orderBy("node")
+
+
+def _sql_hits(iters: int = 3) -> str:
+    import os as _os
+
+    from .contract import FIXDIR
+
+    path = _os.path.join(FIXDIR, "webpages.parquet")
+    ctes = [
+        rf"""aug AS (
+  SELECT page_id,
+         lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS src,
+         text || ' see https://example' || CAST((page_id * 7 + 1) % 50 AS VARCHAR)
+              || '.test/a and https://example' || CAST((page_id * 13 + 2) % 50 AS VARCHAR)
+              || '.test/b' AS t
+  FROM read_parquet('{path}'))""",
+        r"""edges AS (
+  SELECT DISTINCT src, u.dst
+  FROM (SELECT src,
+               list_transform(regexp_extract_all(t, 'https?://([^/\s:?#]+)', 1),
+                              x -> lower(x)) AS dsts
+        FROM aug) a, unnest(list_distinct(a.dsts)) AS u(dst)
+  WHERE u.dst <> a.src AND a.src <> '')""",
+        """nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        """h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i + 1} AS (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN
+       (SELECT e.dst AS node, sum(h.hub) AS v
+        FROM h{i} h JOIN edges e ON e.src = h.node GROUP BY e.dst) s
+       USING (node))""")
+        ctes.append(f"""h{i + 1} AS (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN
+       (SELECT e.src AS node, sum(a.auth) AS v
+        FROM a{i + 1} a JOIN edges e ON e.dst = a.node GROUP BY e.src) s
+       USING (node))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.node, a.auth, h.hub FROM a{iters} a JOIN h{iters} h USING (node) ORDER BY a.node"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_W = 50.0
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of each event type's value distribution
+    against the 'view' baseline: fixed-width bins over [0, 500], add-one
+    smoothing so empty bins stay defined, PSI = sum (p-q)·ln(p/q). The
+    standard train/serve drift gate; two partial-agg passes over events
+    (bin counts are |types|×bins rows) and a broadcast of the baseline."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    binned = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / _PSI_W), F.lit(_PSI_BINS - 1)).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(F.count("*").alias("c"))
+    totals = binned.groupBy("event_type").agg(F.count("*").alias("n"))
+    base = (
+        counts.where(F.col("event_type") == "view")
+        .select("bin", F.col("c").alias("cb"))
+    )
+    base_n = totals.where(F.col("event_type") == "view").select(
+        F.col("n").alias("nb")
+    )
+    bins = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    cur = (
+        totals.where(F.col("event_type") != "view")
+        .crossJoin(bins)
+        .join(counts, ["event_type", "bin"], "left")
+        .select("event_type", "bin", "n", F.coalesce("c", F.lit(0)).alias("cc"))
+    )
+    full = (
+        cur.join(F.broadcast(base), "bin", "left")
+        .crossJoin(F.broadcast(base_n))
+        .select(
+            "event_type",
+            (
+                (F.coalesce("cb", F.lit(0)) + 1)
+                / (F.col("nb") + _PSI_BINS)
+            ).alias("p"),
+            ((F.col("cc") + 1) / (F.col("n") + _PSI_BINS)).alias("q"),
+            "n",
+        )
+    )
+    return full.groupBy("event_type").agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), R).alias("psi"),
+        F.max("n").alias("n_rows"),
+    )
+
+
+SQL_PSI_DRIFT = f"""
+WITH binned AS (
+  SELECT event_type,
+         least(CAST(floor(value / {_PSI_W}) AS BIGINT), {_PSI_BINS - 1}) AS bin
+  FROM events),
+counts AS (SELECT event_type, bin, count(*) AS c FROM binned GROUP BY event_type, bin),
+totals AS (SELECT event_type, count(*) AS n FROM binned GROUP BY event_type),
+base AS (SELECT bin, c AS cb FROM counts WHERE event_type = 'view'),
+base_n AS (SELECT n AS nb FROM totals WHERE event_type = 'view'),
+bins AS (SELECT range AS bin FROM range({_PSI_BINS})),
+cur AS (
+  SELECT t.event_type, b.bin, t.n, COALESCE(c.c, 0) AS cc
+  FROM totals t CROSS JOIN bins b
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.bin = b.bin
+  WHERE t.event_type <> 'view'),
+full_rel AS (
+  SELECT cur.event_type,
+         CAST(COALESCE(base.cb, 0) + 1 AS DOUBLE) / (base_n.nb + {_PSI_BINS}) AS p,
+         CAST(cur.cc + 1 AS DOUBLE) / (cur.n + {_PSI_BINS}) AS q,
+         cur.n
+  FROM cur LEFT JOIN base USING (bin) CROSS JOIN base_n)
+SELECT event_type,
+       ROUND(sum((p - q) * ln(p / q)), {R}) AS psi,
+       max(n) AS n_rows
+FROM full_rel GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Native session windows (F.session_window)
 # ---------------------------------------------------------------------------
 
@@ -626,4 +782,6 @@ EXT4_QUERIES = {
     "multitouch_credit": (q_multitouch_credit, SQL_MULTITOUCH_CREDIT),
     "lpa_communities": (q_lpa_communities, _sql_lpa_communities()),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "hits_scores": (q_hits_scores, _sql_hits()),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
 }

@@ -234,3 +234,56 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) as a FIXED-ROUND, integer-
+    exact power iteration: start from the all-ones hub vector and skip the
+    per-round normalization — each round's normalizer is a global scalar,
+    so unnormalized scores stay exactly proportional to normalized HITS
+    while remaining exact INTEGERS (path counts), which makes the oracle
+    comparison bit-trivial across engines.
+
+    Per round: auth = per-dst sum of hubs (one edge-keyed shuffle +
+    partial agg), then hub = per-src sum of auths (the second). The edge
+    relation shuffles once up front and is cached; score relations are
+    |nodes|-sized; localCheckpoint pins each round."""
+    e = edges.select("src", "dst").distinct().cache()
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        auth = (
+            nodes.join(
+                e.join(hub.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("_a"))
+                .withColumnRenamed("dst", "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("_a"), F.lit(0)).alias("auth"))
+            .localCheckpoint()
+        )
+        hub = (
+            nodes.join(
+                e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum("auth").alias("_h"))
+                .withColumnRenamed("src", "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("_h"), F.lit(0)).alias("hub"))
+            .localCheckpoint()
+        )
+    return auth.join(hub, "node")
