@@ -9,7 +9,7 @@ cross-engine float noise cannot flip the hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .contract import R, _t
@@ -430,6 +430,201 @@ def _sql_hits(iters: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Exact weighted median
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the robust central
+    price where every unit sold counts, not every line item (the exact
+    statistic percentile() cannot weight). Lower-median convention, ties
+    pinned by (orderkey, linenumber)."""
+    from .operators.stats import weighted_median
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    out = weighted_median(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+        tie_cols=("l_orderkey", "l_linenumber"),
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("w_median", 2).alias("w_median"),
+        F.round("total_weight", R).alias("total_weight"),
+    )
+
+
+SQL_WEIGHTED_MEDIAN = f"""
+WITH flagged AS (
+  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem),
+crossing AS (
+  SELECT l_returnflag, l_extendedprice, tw,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM flagged WHERE cw * 2 >= tw)
+SELECT l_returnflag, ROUND(l_extendedprice, 2) AS w_median,
+       ROUND(tw, {R}) AS total_weight
+FROM crossing WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV (cumulative revenue by cohort age)
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curves: users cohorted by first-activity week,
+    purchase revenue accumulated by weeks-since-cohort. Completes the
+    cohort suite (retention_cohorts counts users; this follows the money).
+    Plan: one user-keyed min-ts agg (broadcast back), one
+    (cohort, age)-keyed partial agg, then a cumulative window over the
+    |cohorts|×|ages| relation — bounded, never the events table."""
+    from .sources.readers import read_events
+
+    ev = read_events(spark, _t(sf_dir, "events"))
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(first), "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7
+            ).alias("age_week"),
+            "value",
+        )
+        .groupBy("cohort_week", "age_week")
+        .agg(F.sum("value").alias("_rev"), F.count("*").alias("n_purchases"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort_week",
+        "age_week",
+        "n_purchases",
+        F.round(F.sum("_rev").over(w), R).alias("cum_revenue"),
+    )
+
+
+SQL_COHORT_LTV = f"""
+WITH first AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id),
+rev AS (
+  SELECT f.cohort_week,
+         CAST(floor(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS age_week,
+         sum(e.value) AS _rev, count(*) AS n_purchases
+  FROM events e JOIN first f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY f.cohort_week, age_week)
+SELECT cohort_week, age_week, n_purchases,
+       ROUND(sum(_rev) OVER (PARTITION BY cohort_week ORDER BY age_week
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {R})
+         AS cum_revenue
+FROM rev
+"""
+
+
+# ---------------------------------------------------------------------------
+# TextRank-style keyword extraction (word graph → integer HITS)
+# ---------------------------------------------------------------------------
+
+_TR_K = 20
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based keyword extraction (TextRank's shape, Mihalcea & Tarau
+    2004): adjacent-word co-occurrence edges over the corpus (both
+    directions, distinct), ranked by the integer-exact HITS iteration —
+    words endorsed by well-connected neighbors win. Edge building is one
+    codegen pass (split → zip-adjacent → explode); the graph is
+    vocabulary-sized, so every iteration shuffle is tiny relative to the
+    corpus. Top-20 by authority, ties to the word."""
+    from .operators.graph import hits
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 300)
+    toks = docs.select(
+        F.split(F.lower(F.regexp_replace("text", r"[^A-Za-z ]", " ")), r"\s+").alias("t")
+    ).select(F.filter("t", lambda x: F.length(x) >= 3).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("src"), F.col("p.1").alias("dst"))
+    edges = (
+        pairs.where(F.col("src") != F.col("dst"))
+        .union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    scored = hits(edges, iters=3)
+    w = Window.orderBy(F.col("auth").desc(), F.col("node"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TR_K)
+        .select(F.col("node").alias("word"), "auth", "rank")
+    )
+
+
+def _sql_textrank(k: int = _TR_K, iters: int = 3) -> str:
+    ctes = [
+        r"""toks AS (
+  SELECT list_filter(
+           string_split_regex(lower(regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), '\s+'),
+           x -> length(x) >= 3) AS t
+  FROM documents WHERE doc_id < 300)""",
+        """rawp AS (
+  SELECT t[i] AS src, t[i + 1] AS dst
+  FROM toks, generate_series(1, 100000) g(i)
+  WHERE i <= len(t) - 1)""",
+        """edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM rawp WHERE src <> dst
+    UNION ALL SELECT dst, src FROM rawp WHERE src <> dst))""",
+        """nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        """h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i + 1} AS (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN
+       (SELECT e.dst AS node, sum(h.hub) AS v
+        FROM h{i} h JOIN edges e ON e.src = h.node GROUP BY e.dst) s
+       USING (node))""")
+        ctes.append(f"""h{i + 1} AS (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN
+       (SELECT e.src AS node, sum(a.auth) AS v
+        FROM a{i + 1} a JOIN edges e ON e.dst = a.node GROUP BY e.src) s
+       USING (node))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT node AS word, auth, rank FROM (
+  SELECT node, auth, row_number() OVER (ORDER BY auth DESC, node) AS rank
+  FROM a{iters})
+WHERE rank <= {k}"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # PSI distribution drift
 # ---------------------------------------------------------------------------
 
@@ -784,4 +979,7 @@ EXT4_QUERIES = {
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "hits_scores": (q_hits_scores, _sql_hits()),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "textrank_keywords": (q_textrank_keywords, _sql_textrank()),
+    "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
 }

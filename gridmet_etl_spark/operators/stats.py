@@ -16,7 +16,9 @@ cross-engine-safe; display values round at the edge.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .scale import global_rank
@@ -169,3 +171,41 @@ def auc_score(
         F.col("_rp") - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
     ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
     return agg.select("n_pos", "n_neg", F.round(auc, round_digits).alias("auc"))
+
+
+def weighted_median(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose running
+    weight reaches half the group total (lower weighted median —
+    deterministic, no interpolation). One group-keyed shuffle shared by
+    the cumulative window and the total; the crossing row is picked with
+    a row_number over the same partitioning, so no second exchange.
+    ``tie_cols`` pin the scan order among equal values for cross-engine
+    determinism."""
+    keys = list(keys)
+    order = [F.col(value_col), *[F.col(c) for c in tie_cols]]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    flagged = df.select(*keys, value_col, weight_col, *tie_cols).withColumn(
+        "_cw", F.sum(weight_col).over(w_cum)
+    ).withColumn("_tw", F.sum(weight_col).over(w_tot))
+    crossing = flagged.where(F.col("_cw") * 2 >= F.col("_tw"))
+    w_pick = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        crossing.withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col(value_col).alias("w_median"),
+            F.col("_tw").alias("total_weight"),
+        )
+    )
