@@ -112,6 +112,27 @@ c{it + 1} AS (
     return "WITH " + ",".join(parts)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (the production vector-store shape): coarse
+    cluster + PQ codes built in one write-time pass, queries probe
+    clusters then ADC-score survivors. Probing ALL 8 clusters makes the
+    result EXACTLY pq_adc_topk over the whole corpus — so the oracle is
+    the same LUT/code-join SQL, and the recall/pruning behavior at
+    n_probe < n_clusters is pinned in pytest."""
+    from .operators.pq import ivfpq_topk, pq_index
+    from .operators.similarity import ivf_centroids
+
+    emb, books = _pq_books(spark, sf_dir)
+    cents = ivf_centroids(emb, n_centroids=8)
+    index = pq_index(emb, books, cents)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        index, queries, books, cents, k=10, n_probe=8, rank_round=R
+    )
+
+
 def _sql_pq_codes(m: int = _PQ_M) -> str:
     cols = ",\n       ".join(
         f"CAST(max(CASE WHEN s = {s} THEN code END) AS INTEGER) AS code_{s}"
@@ -982,4 +1003,5 @@ EXT4_QUERIES = {
     "textrank_keywords": (q_textrank_keywords, _sql_textrank()),
     "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "ivfpq_topk": (q_ivfpq_topk, _sql_pq_topk()),  # exhaustive probe == pq_adc
 }

@@ -186,6 +186,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Codes table (vec_id, code_0..code_{m-1}): one Arrow ``mapInPandas``
     pass, zero shuffle — at 100 TB this is the only pass over the raw
@@ -198,8 +199,12 @@ def pq_encode(
 
     m = len(codebooks)
     books = [[list(map(float, c)) for c in cb] for cb in codebooks]
-    id_type = dict(corpus.dtypes)[id_col]
-    schema = f"{id_col} {id_type}, " + ", ".join(f"code_{s} int" for s in range(m))
+    dtypes = dict(corpus.dtypes)
+    schema = ", ".join(
+        [f"{id_col} {dtypes[id_col]}"]
+        + [f"{c} {dtypes[c]}" for c in keep_cols]
+        + [f"code_{s} int" for s in range(m)]
+    )
 
     def _encode(batches):
         import numpy as np
@@ -210,11 +215,13 @@ def pq_encode(
             X = np.array(list(pdf[vec_col]), dtype=np.float64)
             codes = _codes_matrix(X, books)
             out = pd.DataFrame({id_col: pdf[id_col]})
+            for c in keep_cols:
+                out[c] = pdf[c]
             for s in range(m):
                 out[f"code_{s}"] = codes[:, s]
             yield out
 
-    return corpus.select(id_col, vec_col).mapInPandas(_encode, schema)
+    return corpus.select(id_col, vec_col, *keep_cols).mapInPandas(_encode, schema)
 
 
 def pq_adc_topk(
@@ -268,6 +275,112 @@ def pq_adc_topk(
         adc = term if adc is None else adc + term
     scored = (
         codes.crossJoin(F.broadcast(lut))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(adc, rank_round if rank_round is not None else 9).alias("adc_dist"),
+        )
+    )
+    w_local = Window.partitionBy(query_id_col, "_pid").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def pq_index(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ index build (the Jegou et al. composition deployed by every
+    production vector store): ONE write-time pass emits (id, cluster,
+    code_0..code_{m-1}) — the coarse IVF cluster prunes WHICH rows a query
+    scans (at 100 TB: the codes table is partitioned/bucketed by
+    ``cluster``), the PQ codes shrink WHAT each scan reads. Cluster
+    assignment is the expression-only ivf_assign; codes ride through the
+    same Arrow kernel."""
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
+    return pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, keep_cols=("cluster",)
+    )
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rank_round: int | None = 6,
+) -> DataFrame:
+    """IVF-pruned ADC search over a ``pq_index`` table: each query probes
+    its ``n_probe`` nearest coarse clusters (expression-only ranking over
+    the centroid literals), the broadcast (query, cluster) probe relation
+    equi-joins the index — with cluster-partitioned storage that join IS
+    partition pruning — and survivors are scored by m LUT lookups, then
+    the two-stage top-k. With ``n_probe == len(centroids)`` every cluster
+    is probed and the result is EXACTLY ``pq_adc_topk`` over the whole
+    corpus (the property the contract oracle checks)."""
+    from .similarity import _centroid_sims
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.slice(
+                F.transform(
+                    _centroid_sims(F.col(vec_col), centroids), lambda s: s["cid"]
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("cluster"),
+    )
+    lut = probes.select(
+        query_id_col,
+        "cluster",
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _l2sq(_sub_slice("_qv", s, dsub), codebooks[s][c]), 9
+                    )
+                    for c in range(ksub)
+                ]
+            ).alias(f"_lut{s}")
+            for s in range(m)
+        ],
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col(f"_lut{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        index.join(F.broadcast(lut), "cluster")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,

@@ -182,3 +182,43 @@ def test_hll_rollup_shuffle_is_output_sized(spark):
     assert plan.count("Exchange") == 1
     before_exchange = plan.split("Exchange")[1]
     assert "HashAggregate" in before_exchange
+
+
+def test_ivfpq_probe_all_equals_pq_adc(spark, emb, books):
+    from gridmet_etl_spark.operators.pq import ivfpq_topk, pq_adc_topk, pq_encode, pq_index
+    from gridmet_etl_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(emb, n_centroids=4)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = sorted(
+        tuple(r)
+        for r in pq_adc_topk(pq_encode(emb, books), queries, books, k=10).collect()
+    )
+    via_ivf = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            pq_index(emb, books, cents), queries, books, cents, k=10, n_probe=4
+        ).collect()
+    )
+    assert via_ivf == full  # exhaustive probe reproduces the exact ADC result
+
+
+def test_ivfpq_pruned_probe_subset_and_recall(spark, emb, books):
+    from gridmet_etl_spark.operators.pq import ivfpq_topk, pq_index
+    from gridmet_etl_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(emb, n_centroids=4)
+    index = pq_index(emb, books, cents)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = ivfpq_topk(index, queries, books, cents, k=10, n_probe=4).collect()
+    pruned = ivfpq_topk(index, queries, books, cents, k=10, n_probe=2).collect()
+    full_ids = {(r.query_id, r.neighbor_id) for r in full}
+    pruned_ids = {(r.query_id, r.neighbor_id) for r in pruned}
+    # pruned probing returns k results per query from a candidate SUBSET
+    assert len(pruned) == len(full) == 30
+    recall = len(full_ids & pruned_ids) / len(full_ids)
+    assert 0.2 <= recall <= 1.0
