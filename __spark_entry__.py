@@ -23,8 +23,16 @@ from gridmet_etl_spark.contract_ext import EXT_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext2 import EXT2_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext3 import EXT3_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext4 import EXT4_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext5 import EXT5_QUERIES  # noqa: E402
 
-_MERGED = {**DOMAIN_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES, **EXT4_QUERIES}
+_MERGED = {
+    **DOMAIN_QUERIES,
+    **EXT_QUERIES,
+    **EXT2_QUERIES,
+    **EXT3_QUERIES,
+    **EXT4_QUERIES,
+    **EXT5_QUERIES,
+}
 
 # The driver caps its per-round oracle comparison at the first 50 queries
 # in registration order, so ORDER decides coverage. Round-3 window: (0)
@@ -57,7 +65,12 @@ _CHECK_FIRST = [
     # (1) implementation/oracle touched this round
     "ivf_topk",
     # ---- driver cap (50) reached ----
-    # session-C additions past the cap — first in line for the r4 window;
+    # round-3 TPC-H completion (contract_ext5) — first in line for the r4
+    # window; all 11 verified green by tools/check_oracle.py at sf0.01
+    "tpch_q2ish", "tpch_q3ish", "tpch_q4ish", "tpch_q6ish", "tpch_q8ish",
+    "tpch_q9ish", "tpch_q10ish", "tpch_q11ish", "tpch_q12ish",
+    "tpch_q14ish", "tpch_q20ish",
+    # session-C additions past the cap — next in line for the r4 window;
     # both verified green by tools/check_oracle.py at sf0.01
     "lm_scores", "containment_dups", "quota_filter", "minhash_estimate",
     "corpus_pipeline_v2", "lsh_recall", "hard_negatives", "bpe_compression",
