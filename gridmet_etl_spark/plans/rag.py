@@ -44,11 +44,23 @@ def rag_retrieve(
         [(i, t) for i, t in enumerate(query_texts)], "query_id int, text string"
     )
     qemb = hash_embed(qdf, ["query_id"], text_col="text", dims=dims)
-    hits = cosine_retrieve(index, qemb, ["doc_id", "chunk_id"], k=k, dims=dims)
-    # hits is k×|queries| rows by construction — broadcast it so the text
-    # re-attach is a map-side hash join against the chunk scan (without the
-    # hint Catalyst sees two unknown-size relations and sort-merges, which
-    # shuffles AND re-sorts every chunk of the corpus)
+    # hits is k×|queries| rows by construction. Materialize it ONCE
+    # (localCheckpoint on a driver-bounded relation) so the expensive
+    # chunk→embed→score subtree is not re-evaluated by the two consumers
+    # below — and so the text re-attach can prune its corpus re-chunk to
+    # only the hit documents instead of re-chunking everything (the
+    # pre-round-3 plan chunked the full corpus twice: once to embed, once
+    # to re-attach text).
+    hits = cosine_retrieve(index, qemb, ["doc_id", "chunk_id"], k=k, dims=dims).localCheckpoint()
+    hit_docs = hits.select("doc_id").distinct()
+    hit_chunks = chunk_windows(
+        docs.join(F.broadcast(hit_docs), "doc_id", "left_semi"),
+        window=RAG_WINDOW,
+        stride=RAG_STRIDE,
+    )
+    # broadcast hits so the re-attach is a map-side hash join against the
+    # pruned chunk scan (without the hint Catalyst sees two unknown-size
+    # relations and sort-merges)
     return F.broadcast(hits).join(
-        chunks.select("doc_id", "chunk_id", "chunk_text"), ["doc_id", "chunk_id"]
+        hit_chunks.select("doc_id", "chunk_id", "chunk_text"), ["doc_id", "chunk_id"]
     ).select("query_id", "rank", "doc_id", "chunk_id", "score", "chunk_text")
