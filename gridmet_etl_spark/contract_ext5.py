@@ -596,6 +596,132 @@ ORDER BY s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# max_dup_spans: suffix-array-style maximal duplicated substrings
+# ---------------------------------------------------------------------------
+
+_DUP_K = 8
+
+
+def q_max_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-granularity dedup (Lee et al.): maximal duplicated token
+    ranges at ANY offset, vs span_dedup's fixed-aligned chunks. See
+    operators/dedup.py:max_dup_spans for the narrow-shuffle scale shape."""
+    from .operators.dedup import max_dup_spans
+
+    docs = _pq(spark, _t(sf_dir, "documents"))
+    return max_dup_spans(docs, min_tokens=_DUP_K)
+
+
+SQL_MAX_DUP_SPANS = f"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS a FROM norm),
+grams AS (
+  SELECT doc_id, g.pos,
+         md5(array_to_string(a[g.pos + 1 : g.pos + {_DUP_K}], ' ')) AS h
+  FROM toks, unnest(generate_series(0, len(a) - {_DUP_K})) AS g(pos)),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+marked AS (SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM dup)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w > {_DUP_K} THEN 1 ELSE 0 END AS b
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_DUP_K} - 1 AS BIGINT) AS span_end,
+       CAST(max(pos) + {_DUP_K} - min(pos) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
+# calibration_eval: reliability bins + Brier for a probabilistic classifier
+# ---------------------------------------------------------------------------
+
+
+def q_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a deterministic pseudo-probability
+    (logistic in n_chars) against the binary is-English label: per-bin
+    observed-vs-predicted gap + bin-local Brier. One corpus scan, one
+    |bins|-row exchange."""
+    from .operators.scoring import calibration_bins
+
+    docs = _pq(spark, _t(sf_dir, "documents"))
+    prob = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("n_chars").cast("double") - 300.0) / 100.0)), 6
+    )
+    scored = docs.select(
+        prob.alias("score"), (F.col("lang") == "en").cast("int").alias("label")
+    )
+    return calibration_bins(scored, "score", "label", n_bins=10)
+
+
+SQL_CALIBRATION_EVAL = """
+WITH scored AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 300.0) / 100.0)), 6) AS s,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)
+SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(s), 6) AS mean_score,
+       ROUND(avg(y), 6) AS frac_pos,
+       ROUND(abs(avg(s) - avg(y)), 6) AS abs_gap,
+       ROUND(avg((s - y) * (s - y)), 6) AS brier
+FROM scored
+GROUP BY least(floor(s * 10), 9)
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental_refresh: algebraic-state merge vs full recompute
+# ---------------------------------------------------------------------------
+
+_INC_CUT = "1999-01-01"
+
+
+def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh without re-scanning history: per-customer
+    (count, sum, min, max) state over pre-cutoff orders merged with the
+    post-cutoff delta's state. The oracle is the FULL recompute over all
+    orders — green means the algebraic merge is exact, so a daily refresh
+    at 100 TB touches only the delta plus the state table."""
+    from .operators.incremental import refresh, with_read_time_cols
+
+    orders = _pq(spark, _t(sf_dir, "orders"))
+    hist = orders.where(F.col("o_orderdate") < F.lit(_INC_CUT))
+    delta = orders.where(F.col("o_orderdate") >= F.lit(_INC_CUT))
+    merged = refresh(hist, delta, ["o_custkey"], "o_totalprice")
+    # compare the EXACT algebraic state; the derived quotient vavg =
+    # total/cnt lands on round-half boundaries (e.g. sum/6 = x.425) where
+    # Spark's HALF_UP and DuckDB's binary-value rounding legitimately
+    # disagree — the classifier_score lesson: hash numerators, not
+    # quotients. with_read_time_cols stays the read-time API.
+    return merged.select(
+        "o_custkey",
+        "cnt",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 2).alias("vmin"),
+        F.round("vmax", 2).alias("vmax"),
+    )
+
+
+SQL_INCREMENTAL_REFRESH = """
+SELECT o_custkey,
+       CAST(count(o_totalprice) AS BIGINT) AS cnt,
+       ROUND(sum(o_totalprice), 2) AS total,
+       ROUND(min(o_totalprice), 2) AS vmin,
+       ROUND(max(o_totalprice), 2) AS vmax
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 EXT5_QUERIES = {
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
@@ -608,4 +734,7 @@ EXT5_QUERIES = {
     "tpch_q12ish": (q_tpch_q12ish, SQL_TPCH_Q12ISH),
     "tpch_q14ish": (q_tpch_q14ish, SQL_TPCH_Q14ISH),
     "tpch_q20ish": (q_tpch_q20ish, SQL_TPCH_Q20ISH),
+    "max_dup_spans": (q_max_dup_spans, SQL_MAX_DUP_SPANS),
+    "calibration_eval": (q_calibration_eval, SQL_CALIBRATION_EVAL),
+    "incremental_refresh": (q_incremental_refresh, SQL_INCREMENTAL_REFRESH),
 }

@@ -425,6 +425,82 @@ def span_dedup(
     )
 
 
+def max_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Maximal duplicated-substring spans — the suffix-array-style
+    ExactSubstr granularity (Lee et al.): every token position opens a
+    ``min_tokens``-gram; grams occurring ≥2 times corpus-wide (including
+    within one document) mark their positions, and overlapping/adjacent
+    marked windows merge into MAXIMAL per-document intervals. Unlike
+    ``span_dedup``'s fixed-aligned chunks, this catches duplicated text at
+    ANY offset and reports its full extent.
+
+    Output: (doc_id, span_start, span_end, span_len) in token positions,
+    one row per maximal duplicated span.
+
+    Scale shape: the gram relation is (digest, doc_id, pos) — token-count-
+    sized but NARROW (text never shuffles; the gram digest is md5'd
+    row-locally inside codegen, the span_dedup lesson). Three exchanges:
+    the dup-key aggregate (partial-agg'd, digest-keyed), the semi join
+    back (digest-keyed), and the per-doc island window (doc-keyed). A
+    duplicated span of length L marks L - min_tokens + 1 positions — the
+    island merge reduces them to ONE output row, so the result is
+    span-count-sized.
+    """
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    base = docs.select(F.col(id_col), normalized.alias("_t"))
+    toks = F.split(F.col("_t"), " ")
+    n = F.size(toks)
+    # sequence() never errors on a negative stop (it emits a descending
+    # ramp), but only the guarded empty branch is ever selected for short
+    # docs — positions 0 .. n - min_tokens
+    starts = F.when(
+        n >= min_tokens, F.sequence(F.lit(0), n - F.lit(min_tokens))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.explode(starts).alias("pos"),
+        F.col("_t"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.split(F.col("_t"), " "), F.col("pos") + 1, min_tokens),
+            )
+        ).alias("h"),
+    )
+    dup_keys = (
+        grams.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") >= 2).select("h")
+    )
+    marked = grams.join(dup_keys, "h", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = (
+        marked.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > min_tokens, 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(cum))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + min_tokens - 1).cast("long").alias("span_end"),
+        )
+    )
+    return spans.select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -125,3 +125,41 @@ def bigram_lm_scores(
         F.sum("m").cast("long").alias("n_bigrams"),
         (F.sum("lp") / F.sum("m")).alias("avg_logp"),
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: bucket the
+    predicted probability into ``n_bins`` equal-width bins and compare the
+    bin's mean prediction against its observed positive rate (the gap per
+    bin is what ECE weights; the per-row squared error aggregates to the
+    Brier score). Output per non-empty bin: (bin, n, mean_score, frac_pos,
+    abs_gap, brier) — ``brier`` is the bin-local mean squared error, so
+    Σ n·brier / Σ n is the global Brier score.
+
+    One scan, one |bins|-row exchange (map-side partial aggregation does
+    the work): the canonical shape for evaluating a quality classifier
+    over a full corpus."""
+    s = F.col(score_col)
+    y = F.col(label_col).cast("double")
+    binned = scored.select(
+        F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("long").alias("bin"),
+        s.alias("_s"),
+        y.alias("_y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_s"), 6).alias("mean_score"),
+            F.round(F.avg("_y"), 6).alias("frac_pos"),
+            F.round(F.abs(F.avg("_s") - F.avg("_y")), 6).alias("abs_gap"),
+            F.round(F.avg((F.col("_s") - F.col("_y")) * (F.col("_s") - F.col("_y"))), 6).alias(
+                "brier"
+            ),
+        )
+    )
