@@ -33,7 +33,7 @@ FIXDIR = os.path.join(REPO, "fixtures")
 
 FX = {
     name: os.path.join(FIXDIR, f"{name}.parquet")
-    for name in ["grid", "grid_ens", "weights", "weights_ens", "features", "catalog", "elevation", "media"]
+    for name in ["grid", "grid_ens", "weights", "weights_ens", "features", "catalog", "elevation", "media", "polygons"]
 }
 
 R = 6  # rounding digits for float aggregates (see module docstring)

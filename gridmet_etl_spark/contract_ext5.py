@@ -722,6 +722,105 @@ GROUP BY o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Spark-native weight generation: point-in-polygon coverage → zonal mean
+# ---------------------------------------------------------------------------
+
+from .contract import FX  # noqa: E402  (fixture paths for oracle SQL)
+
+_PIP_S = 3  # 3×3 supersample lattice per cell
+_PIP_RES = 0.04167  # fixtures.RES — cell size of the grid fixture
+
+
+def _pip_offsets() -> list[float]:
+    return [((k + 0.5) / _PIP_S - 0.5) * _PIP_RES for k in range(_PIP_S)]
+
+
+def q_polygon_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine areal-weight generation (the step the reference outsources
+    to gdptools — its weights CSV is loaded ready-made at etl.py:600-605):
+    3×3-supersampled ray-cast coverage of each grid cell against each
+    polygon ring, normalized per feature to the reference's (feature_id,
+    i, j, wght) schema. Pure Column HOFs — no UDF; polygons broadcast."""
+    from .operators.spatial_weights import cell_coverage_weights
+
+    polys = _pq(spark, FX["polygons"])
+    cells = (
+        _pq(spark, FX["grid"])
+        .where(F.col("var") == "tmmx")
+        .select("i", "j", "lon", "lat")
+        .distinct()
+    )
+    w = cell_coverage_weights(cells, polys, cell_size=_PIP_RES, supersample=_PIP_S)
+    return w.select("feature_id", "i", "j", F.round("wght", R).alias("wght"))
+
+
+def _sql_polygon_subpoints() -> str:
+    """Shared oracle CTEs: cells → s×s subpoints → ray-cast hits →
+    per-(feature, cell) coverage. Offsets are injected via repr() so the
+    SQL doubles are bit-identical to the Spark literals (DuckDB decimal
+    literals would otherwise divide as DECIMAL, not DOUBLE)."""
+    offs = ", ".join(f"CAST({o!r} AS DOUBLE)" for o in _pip_offsets())
+    return f"""
+cells AS (
+  SELECT DISTINCT i, j, lon, lat FROM '{FX["grid"]}' WHERE var = 'tmmx'),
+pts AS (
+  SELECT i, j, lon + dx.o AS sx, lat + dy.o AS sy
+  FROM cells, unnest([{offs}]) AS dx(o), unnest([{offs}]) AS dy(o)),
+hits AS (
+  SELECT p.feature_id, t.i, t.j
+  FROM pts t, '{FX["polygons"]}' p
+  WHERE list_sum(list_transform(generate_series(1, len(p.xs)), k ->
+          CASE WHEN (p.ys[k] > t.sy) <> (p.ys[(k % len(p.ys)) + 1] > t.sy)
+               THEN CASE WHEN t.sx < (p.xs[(k % len(p.xs)) + 1] - p.xs[k])
+                                     * (t.sy - p.ys[k])
+                                     / (p.ys[(k % len(p.ys)) + 1] - p.ys[k])
+                                     + p.xs[k]
+                         THEN 1 ELSE 0 END
+               ELSE 0 END)) % 2 = 1),
+cov AS (
+  SELECT feature_id, i, j, count(*) / CAST(9.0 AS DOUBLE) AS coverage
+  FROM hits GROUP BY feature_id, i, j),
+wt AS (
+  SELECT feature_id, i, j,
+         coverage / sum(coverage) OVER (PARTITION BY feature_id) AS wght
+  FROM cov)"""
+
+
+SQL_POLYGON_WEIGHTS = f"""
+WITH {_sql_polygon_subpoints()}
+SELECT feature_id, i, j, ROUND(wght, {R}) AS wght FROM wt
+"""
+
+
+def q_polygon_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: generate the weights in-engine (q_polygon_weights'
+    coverage pass, UNROUNDED) and feed them straight into the core
+    weighted-mean aggregate — the full gdptools+gridmet-etl workflow as
+    ONE Spark DAG (weight generation fuses with the aggregation; the grid
+    fact still only shuffles at output size)."""
+    from .operators.spatial_weights import cell_coverage_weights
+    from .operators.weighted_agg import weighted_mean
+
+    polys = _pq(spark, FX["polygons"])
+    grid = _pq(spark, FX["grid"]).where(F.col("var") == "tmmx")
+    cells = grid.select("i", "j", "lon", "lat").distinct()
+    w = cell_coverage_weights(cells, polys, cell_size=_PIP_RES, supersample=_PIP_S)
+    out = weighted_mean(grid, w, value_col="value")
+    return out.select("feature_id", "time", F.round("value", R).alias("value"))
+
+
+SQL_POLYGON_ZONAL_MEAN = f"""
+WITH {_sql_polygon_subpoints()}
+SELECT w.feature_id, g.time,
+       ROUND(CASE WHEN count(CASE WHEN g.value IS NULL THEN 1 END) > 0 THEN NULL
+             ELSE sum(w.wght * g.value) / sum(w.wght) END, {R}) AS value
+FROM '{FX["grid"]}' g JOIN wt w ON g.i = w.i AND g.j = w.j
+WHERE g.var = 'tmmx'
+GROUP BY w.feature_id, g.time
+"""
+
+
 EXT5_QUERIES = {
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
@@ -737,4 +836,6 @@ EXT5_QUERIES = {
     "max_dup_spans": (q_max_dup_spans, SQL_MAX_DUP_SPANS),
     "calibration_eval": (q_calibration_eval, SQL_CALIBRATION_EVAL),
     "incremental_refresh": (q_incremental_refresh, SQL_INCREMENTAL_REFRESH),
+    "polygon_weights": (q_polygon_weights, SQL_POLYGON_WEIGHTS),
+    "polygon_zonal_mean": (q_polygon_zonal_mean, SQL_POLYGON_ZONAL_MEAN),
 }

@@ -149,6 +149,33 @@ def make_features() -> pd.DataFrame:
     )
 
 
+def make_polygons() -> pd.DataFrame:
+    """Star-convex polygon ring per feature (seed-42 deterministic): k∈[5,9]
+    vertices at evenly spaced angles with per-vertex radii 0.05–0.28°,
+    centered on the make_features() points. Vertex coordinates are
+    irrational-ish (uniform draws), so no grid cell center or 3×3
+    subsample point lands exactly on an edge — the ray-cast
+    inside/outside test is boundary-unambiguous across engines. Ring is
+    implicitly closed (last vertex → first). Columns: (feature_id,
+    xs: list<double> lon, ys: list<double> lat)."""
+    rng = np.random.default_rng(SEED + 9)
+    feats = make_features()
+    rows = []
+    for fid, flat, flon in feats[["feature_id", "lat", "lon"]].itertuples(index=False):
+        k = int(rng.integers(5, 10))
+        rot = rng.uniform(0, 2 * np.pi)
+        ang = rot + np.linspace(0, 2 * np.pi, k, endpoint=False)
+        rad = rng.uniform(0.05, 0.28, k)
+        rows.append(
+            (
+                np.int64(fid),
+                list(np.asarray(flon + rad * np.cos(ang), dtype=np.float64)),
+                list(np.asarray(flat + rad * np.sin(ang), dtype=np.float64)),
+            )
+        )
+    return pd.DataFrame(rows, columns=["feature_id", "xs", "ys"])
+
+
 def make_catalog(fixdir: str) -> pd.DataFrame:
     """Consumed catalog subset + decoy rows so first-match semantics (P1,
     etl.py:659-662) are observable."""
@@ -346,6 +373,7 @@ def generate(outdir: str) -> None:
         "weights": make_weights(GRID_N),
         "weights_ens": make_weights(ENS_GRID_N, "weights_ens"),
         "features": make_features(),
+        "polygons": make_polygons(),
         "catalog": make_catalog(outdir),
         "elevation": elev,
     }

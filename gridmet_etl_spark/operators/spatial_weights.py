@@ -1,0 +1,137 @@
+"""Spark-native areal-weight GENERATION: the one step of the reference's
+workflow it outsources (gdptools precomputes the weights CSV the reference
+loads at gridmet_etl/etl.py:600-605). Given polygon features and the grid's
+cell geometry, derive the cell→feature weights inside the engine:
+
+- ``point_in_polygon``: even-odd ray casting of each cell center against
+  each polygon ring, written entirely in Column HOFs (``aggregate`` over
+  the vertex index sequence) — JVM codegen, no UDF, and the identical
+  arithmetic is expressible in DuckDB list lambdas for the oracle.
+- ``cell_coverage_weights``: supersampled fractional coverage — each cell
+  tests an s×s lattice of interior subpoints and the weight is the inside
+  fraction, normalized per feature (→ the area-weight approximation; s=1
+  degenerates to the binary-mask weighting).
+
+Scale shape: polygons are a feature-sized dimension → broadcast; the cell
+relation scans once with a bbox range prefilter (BroadcastNestedLoopJoin,
+output bounded by Σ cells-in-bbox). The ray cast is O(vertices) per
+surviving pair inside whole-stage codegen. The per-feature normalization
+is a |features|-keyed output-sized shuffle. Nothing corpus-sized moves: at
+a 585×1386 national grid × 10⁵ basins this is the same plan, just more
+tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ray_cast_inside(px: Column, py: Column, xs: Column, ys: Column) -> Column:
+    """Even-odd crossing count of the horizontal ray from (px, py): odd →
+    inside. The XOR straddle test guards the edge-slope division (lazy
+    CASE branches in both engines; Spark emits NULL on 0/0 under non-ANSI
+    and never evaluates the untaken branch under ANSI codegen)."""
+    n = F.size(xs)
+
+    def crossing(i: Column) -> Column:
+        j = (i % n) + 1
+        xi, yi = F.element_at(xs, i), F.element_at(ys, i)
+        xj, yj = F.element_at(xs, j), F.element_at(ys, j)
+        straddles = (yi > py) != (yj > py)
+        x_at_y = (xj - xi) * (py - yi) / (yj - yi) + xi
+        # the division stays strictly inside the straddle branch: straddling
+        # implies yj != yi, and CASE branches evaluate lazily in both
+        # engines — a horizontal edge can never divide by zero even under
+        # Spark 4 ANSI mode
+        return F.when(straddles, F.when(px < x_at_y, 1).otherwise(0)).otherwise(0)
+
+    crossings = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0), lambda acc, i: acc + crossing(i)
+    )
+    return crossings % 2 == 1
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Pairs (point ⨯ polygon) where the point lies inside the ring.
+
+    ``points``: any relation with (x_col, y_col); ``polygons``:
+    (feature_id, xs, ys) with xs/ys the ring vertex arrays (closed
+    implicitly). The polygon side is broadcast with precomputed bboxes so
+    the join condition prunes pairs before the O(vertices) ray cast runs.
+    """
+    px, py = F.col(x_col), F.col(y_col)
+    polys = F.broadcast(
+        polygons.select(
+            "feature_id",
+            "xs",
+            "ys",
+            F.array_min("xs").alias("_bxmin"),
+            F.array_max("xs").alias("_bxmax"),
+            F.array_min("ys").alias("_bymin"),
+            F.array_max("ys").alias("_bymax"),
+        )
+    )
+    paired = points.join(
+        polys,
+        (px >= F.col("_bxmin"))
+        & (px <= F.col("_bxmax"))
+        & (py >= F.col("_bymin"))
+        & (py <= F.col("_bymax")),
+    )
+    return paired.where(_ray_cast_inside(px, py, F.col("xs"), F.col("ys"))).drop(
+        "_bxmin", "_bxmax", "_bymin", "_bymax"
+    )
+
+
+def cell_coverage_weights(
+    cells: DataFrame,
+    polygons: DataFrame,
+    cell_size: float,
+    supersample: int = 3,
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Per-(feature, cell) normalized areal weights by supersampling: an
+    s×s lattice of interior subpoints per cell (offsets (k+0.5)/s - 0.5 of
+    the cell size, so s=1 is the center), coverage = inside-fraction,
+    weight = coverage / Σ_feature coverage. Output: (feature_id, i, j,
+    wght) — the reference's weights-CSV schema, generated in-engine.
+
+    The subpoint fan-out is row-local (posexplode of a size-s² sequence
+    BEFORE the broadcast join); the only shuffle is the per-feature
+    normalization, |feature×cell|-sized."""
+    s = int(supersample)
+    offs = [((k + 0.5) / s - 0.5) * cell_size for k in range(s)]
+    sub = F.array(
+        *[
+            F.struct(
+                (F.col(x_col) + F.lit(dx)).alias("sx"),
+                (F.col(y_col) + F.lit(dy)).alias("sy"),
+            )
+            for dx in offs
+            for dy in offs
+        ]
+    )
+    pts = cells.select("i", "j", x_col, y_col, F.explode(sub).alias("_p")).select(
+        "i", "j", F.col("_p.sx").alias("sx"), F.col("_p.sy").alias("sy")
+    )
+    hits = point_in_polygon(pts, polygons, x_col="sx", y_col="sy")
+    cov = hits.groupBy("feature_id", "i", "j").agg(
+        (F.count("*") / F.lit(float(s * s))).alias("coverage")
+    )
+    tot = cov.groupBy("feature_id").agg(F.sum("coverage").alias("_tot"))
+    return (
+        cov.join(F.broadcast(tot), "feature_id")
+        .select(
+            "feature_id",
+            "i",
+            "j",
+            (F.col("coverage") / F.col("_tot")).alias("wght"),
+        )
+    )
