@@ -71,7 +71,7 @@ _CHECK_FIRST = [
     "tpch_q9ish", "tpch_q10ish", "tpch_q11ish", "tpch_q12ish",
     "tpch_q14ish", "tpch_q20ish",
     "max_dup_spans", "calibration_eval", "incremental_refresh",
-    "polygon_weights", "polygon_zonal_mean",
+    "polygon_weights", "polygon_zonal_mean", "hex_density",
     # session-C additions past the cap — next in line for the r4 window;
     # both verified green by tools/check_oracle.py at sf0.01
     "lm_scores", "containment_dups", "quota_filter", "minhash_estimate",

@@ -48,7 +48,6 @@ BENCH_QUERIES = [
     "bm25_topk",
     "inverted_index",
     "upsert_orders",
-    "rag_pipeline",
     "char_entropy",
     "event_transitions",
     "triangle_count",
@@ -444,7 +443,65 @@ def _covariance_200k_vecs(spark):
 # driver-looped operators: the iterative work executes during the build
 # call (per-round collect / eager localCheckpoint), so wall-time must wrap
 # the WHOLE call — the noop-write protocol would time only the final stage.
+def _rag_pipeline_sf(spark):
+    """Round 3 moved rag_retrieve's k-bounded hits behind an EAGER
+    localCheckpoint (one corpus embed, pruned text re-attach) — the
+    retrieval now executes during the build call, so the entry is
+    CALL_TIMED; each call re-builds and re-materializes its own
+    checkpoint."""
+    from gridmet_etl_spark.contract_ext import q_rag_pipeline
+
+    return q_rag_pipeline(spark, SF_DIR)
+
+
+def _max_dup_spans_20k(spark):
+    """ExactSubstr-style maximal duplicated spans over the corpus
+    replicated 4× with per-replica unique prefixes (20k docs, every
+    original 8-gram now duplicated ≥4×) — stresses the dup-key aggregate
+    and the island merge at high mark density."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.dedup import max_dup_spans
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    big = (
+        docs.crossJoin(spark.range(4).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * 4 + F.col("rep")).alias("doc_id"),
+            F.concat(F.lit("uniq"), (F.col("doc_id") * 4 + F.col("rep")).cast("string"),
+                     F.lit(" "), F.col("text")).alias("text"),
+        )
+        # the sf0.1 corpus is ONE parquet split and the replicate-join
+        # inherits it — without this the row-local gram stage runs in a
+        # single task (measured 4.9 s of the old 14.4 s total). A real
+        # corpus arrives in many splits; spread the synthetic one the
+        # same way.
+        .repartition(32)
+    )
+    return max_dup_spans(big)
+
+
+def _tpch_q9ish_sf(spark):
+    """Widest fact pass of the TPC-H sweep (4-way dimension join, profit
+    expression, |nations×years| rollup) — the lineitem side never
+    shuffles; every dimension broadcasts."""
+    from gridmet_etl_spark.contract_ext5 import q_tpch_q9ish
+
+    return q_tpch_q9ish(spark, SF_DIR)
+
+
+def _polygon_zonal_full(spark):
+    """Weight generation fused with the weighted mean: 1600 cells × 9
+    subpoints ray-cast against 50 polygon rings, normalized, then the
+    7-day tmmx zonal mean — the full gdptools+gridmet-etl workflow as one
+    DAG."""
+    from gridmet_etl_spark.contract_ext5 import q_polygon_zonal_mean
+
+    return q_polygon_zonal_mean(spark, SF_DIR)
+
+
 CALL_TIMED = {
+    "rag_pipeline": _rag_pipeline_sf,
     "bpe_train_6merges": _bpe_train_sf,
     "entity_resolution_part": _entity_resolution_sf,
     "bpe_train_100k_docs": _bpe_train_100k_docs,
@@ -468,6 +525,9 @@ EXTRA_BENCH = {
     "covariance_200k_vecs": _covariance_200k_vecs,
     "hll_rollup_24M_events": _hll_rollup_24m,
     "session_windows_12M": _session_windows_12m,
+    "max_dup_spans_20k_docs": _max_dup_spans_20k,
+    "polygon_zonal_mean": _polygon_zonal_full,
+    "tpch_q9ish": _tpch_q9ish_sf,
 }
 
 

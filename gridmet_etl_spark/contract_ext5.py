@@ -821,6 +821,56 @@ GROUP BY w.feature_id, g.time
 """
 
 
+# ---------------------------------------------------------------------------
+# hex_density: axial hexagonal binning rollup (H3-style planar core)
+# ---------------------------------------------------------------------------
+
+_HEX_SIZE = 0.08
+_TWO_THIRDS = 2.0 / 3.0  # Python double, injected verbatim into the oracle
+
+
+def q_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal density map of the tmmx grid field: cube-rounded axial
+    hex ids (operators/bbox.py:hex_bin — row-local codegen arithmetic)
+    → per-hex cell count and mean value. The one shuffle is |hexes|-sized."""
+    from .operators.bbox import hex_bin
+
+    g = _pq(spark, FX["grid"]).where(F.col("var") == "tmmx")
+    b = hex_bin(g, size=_HEX_SIZE)
+    return b.groupBy("hq", "hr").agg(
+        F.count("*").alias("n_cells"),
+        F.count("value").alias("n_obs"),
+        F.round(F.avg("value"), R).alias("mean_val"),
+    )
+
+
+SQL_HEX_DENSITY = f"""
+WITH h AS (
+  SELECT value,
+         (sqrt(CAST(3.0 AS DOUBLE)) / CAST(3.0 AS DOUBLE) * lon - lat / CAST(3.0 AS DOUBLE))
+           / CAST({_HEX_SIZE!r} AS DOUBLE) AS qf,
+         (CAST({_TWO_THIRDS!r} AS DOUBLE) * lat) / CAST({_HEX_SIZE!r} AS DOUBLE) AS rf
+  FROM '{FX["grid"]}' WHERE var = 'tmmx'),
+r AS (
+  SELECT value, qf, rf, -qf - rf AS sf,
+         round(qf) AS rq, round(rf) AS rr, round(-qf - rf) AS rs
+  FROM h),
+fixed AS (
+  SELECT value,
+         CASE WHEN abs(rq - qf) > abs(rr - rf) AND abs(rq - qf) > abs(rs - sf)
+              THEN -rr - rs ELSE rq END AS hq,
+         CASE WHEN NOT (abs(rq - qf) > abs(rr - rf) AND abs(rq - qf) > abs(rs - sf))
+                   AND abs(rr - rf) > abs(rs - sf)
+              THEN -rq - rs ELSE rr END AS hr
+  FROM r)
+SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(count(value) AS BIGINT) AS n_obs,
+       ROUND(avg(value), {R}) AS mean_val
+FROM fixed GROUP BY hq, hr
+"""
+
+
 EXT5_QUERIES = {
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
@@ -838,4 +888,5 @@ EXT5_QUERIES = {
     "incremental_refresh": (q_incremental_refresh, SQL_INCREMENTAL_REFRESH),
     "polygon_weights": (q_polygon_weights, SQL_POLYGON_WEIGHTS),
     "polygon_zonal_mean": (q_polygon_zonal_mean, SQL_POLYGON_ZONAL_MEAN),
+    "hex_density": (q_hex_density, SQL_HEX_DENSITY),
 }

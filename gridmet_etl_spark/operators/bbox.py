@@ -303,3 +303,34 @@ def field_gradient(
             (F.round(F.atan2(dy, dx), 6) + F.lit(0.0)).alias("aspect"),
         )
     )
+
+
+def hex_bin(
+    df: DataFrame,
+    size: float,
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Axial hexagonal bin ids (pointy-top, circumradius ``size``) for each
+    row — the standard equal-area-ish spatial rollup key (H3-style
+    indexing reduced to its planar core). Appends (hq, hr) axial integer
+    coordinates via cube rounding; group by them for hex density maps.
+
+    Pure Column arithmetic inside codegen (fractional axial transform +
+    cube round with the max-deviation fixup), row-local — a scan-speed
+    key derivation at any corpus size, and the identical expression tree
+    runs in DuckDB for oracle parity (round-half boundaries have measure
+    zero for continuous coordinates)."""
+    x, y = F.col(x_col), F.col(y_col)
+    # sqrt (IEEE correctly-rounded) — NOT pow(x, 0.5), which is only
+    # 1-ulp-accurate and could diverge from the oracle's sqrt
+    qf = (F.sqrt(F.lit(3.0)) / 3.0 * x - y / 3.0) / F.lit(size)
+    rf = (2.0 / 3.0 * y) / F.lit(size)
+    sf = -qf - rf
+    rq, rr, rs = F.round(qf, 0), F.round(rf, 0), F.round(sf, 0)
+    dq, dr, ds = F.abs(rq - qf), F.abs(rr - rf), F.abs(rs - sf)
+    # cube-round fixup: recompute the axis with the largest rounding error
+    # from the other two so q + r + s = 0 stays exact
+    hq = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    hr = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs).otherwise(rr)
+    return df.withColumn("hq", hq.cast("long")).withColumn("hr", hr.cast("long"))
