@@ -103,12 +103,32 @@ def read_manifest(path: str) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def committed_files(path: str) -> list[str]:
-    return [
-        os.path.join(path, f["file"])
-        for e in read_manifest(path)
-        for f in e["files"]
-    ]
+def committed_files(path: str, version: int | None = None) -> list[str]:
+    """Data files of the dataset — optionally AS OF ``version`` (the first
+    ``version`` manifest entries). The append-only manifest makes every
+    historical snapshot addressable as a prefix: time travel is a list
+    slice, no file copies, no tombstones (the Iceberg/Delta snapshot idea
+    reduced to its commit-log core)."""
+    entries = read_manifest(path)
+    if version is not None:
+        entries = entries[:version]
+    return [os.path.join(path, f["file"]) for e in entries for f in e["files"]]
+
+
+def read_snapshot(spark, path: str, version: int | None = None, schema=None):
+    """DataFrame over the committed data as of ``version`` (None = latest).
+    An empty snapshot needs ``schema`` (there are no files to infer from).
+    Readers never glob the directory — staged/aborted strays are
+    invisible by construction."""
+    files = committed_files(path, version)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if not files:
+        if schema is None:
+            raise ValueError("empty snapshot requires an explicit schema")
+        return reader.json(spark.sparkContext.emptyRDD())
+    return reader.json(files)
 
 
 class _BatchWriter(DataSourceWriter):

@@ -98,3 +98,34 @@ def test_stream_epochs_are_idempotent(registered, tmp_path):
     w.commit([_Staged(file="ghost.jsonl", rows=1, bytes=20)], batch_ids[0])
     assert len(read_manifest(out)) == n_before  # no new entry
     assert not os.path.exists(ghost)  # replayed stage cleaned up
+
+
+def test_time_travel_snapshots(registered, tmp_path):
+    from gridmet_etl_spark.sources.manifest_sink import read_snapshot
+
+    out = str(tmp_path / "tt")
+    for lo in (0, 100, 200):
+        registered.range(lo, lo + 100, 1, 2).write.format("manifest_jsonl").mode(
+            "append"
+        ).option("path", out).save()
+    assert len(read_manifest(out)) == 3
+    # latest sees all three commits; version=N sees exactly the first N
+    assert read_snapshot(registered, out).count() == 300
+    assert read_snapshot(registered, out, version=1).count() == 100
+    v2 = read_snapshot(registered, out, version=2)
+    assert v2.count() == 200
+    assert v2.agg(F.max("id")).first()[0] == 199
+    # version beyond history behaves like latest; version=0 is empty
+    assert read_snapshot(registered, out, version=99).count() == 300
+    empty = read_snapshot(registered, out, version=0, schema="id long")
+    assert empty.count() == 0
+
+
+def test_empty_snapshot_requires_schema(registered, tmp_path):
+    from gridmet_etl_spark.sources.manifest_sink import read_snapshot
+
+    out = str(tmp_path / "never_committed")
+    os.makedirs(out, exist_ok=True)
+    with pytest.raises(ValueError):
+        read_snapshot(registered, out)
+    assert read_snapshot(registered, out, schema="id long").count() == 0

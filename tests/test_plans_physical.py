@@ -166,3 +166,38 @@ def test_vocab_topk_uses_take_ordered(spark):
     )
     plan = _plan(vocab_topk(docs, 10))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime filter evidence: when the dim side carries a selective
+    non-join-key predicate and broadcast is off (the 100 TB shuffle-join
+    regime), Catalyst injects a bloom_filter_agg on the dim join keys and
+    a might_contain probe on the FACT side — rows that cannot join are
+    dropped at scan time, before the shuffle. The thresholds below are
+    the knobs a production deployment sets; defaults only differ in
+    sizing."""
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = fact.join(dim, fact["l_orderkey"] == dim["o_orderkey"])
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan, plan
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
