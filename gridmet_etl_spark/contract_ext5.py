@@ -871,6 +871,47 @@ FROM fixed GROUP BY hq, hr
 """
 
 
+# ---------------------------------------------------------------------------
+# quantile_normalize: cross-source distribution alignment
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize doc length across sources: every source's
+    n_chars distribution is mapped onto the GLOBAL one (lower-quantile,
+    floor-indexed — no round-half boundary). The global ordering runs
+    through scale.global_rank (range-partition two-level prefix sums), so
+    there is no single-partition sort at any corpus size."""
+    from .operators.mlprep import quantile_normalize
+
+    docs = _pq(spark, _t(sf_dir, "documents")).select("doc_id", "source", "n_chars")
+    return quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+pos AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pos,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM base),
+keyed AS (
+  SELECT doc_id, source, n_chars,
+         1 + CAST(floor(
+               (CASE WHEN n > 1
+                     THEN CAST(pos - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                     ELSE 0.5 END)
+               * CAST((SELECT count(*) - 1 FROM base) AS DOUBLE)
+             ) AS BIGINT) AS idx
+  FROM pos),
+ref AS (
+  SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS idx, n_chars AS qnorm
+  FROM base)
+SELECT k.doc_id, k.source, k.n_chars, r.qnorm
+FROM keyed k JOIN ref r USING (idx)
+"""
+
+
 EXT5_QUERIES = {
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
@@ -889,4 +930,5 @@ EXT5_QUERIES = {
     "polygon_weights": (q_polygon_weights, SQL_POLYGON_WEIGHTS),
     "polygon_zonal_mean": (q_polygon_zonal_mean, SQL_POLYGON_ZONAL_MEAN),
     "hex_density": (q_hex_density, SQL_HEX_DENSITY),
+    "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
 }

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -276,3 +276,53 @@ def trailing_window_features(
         df.withColumn("n_prior", F.coalesce(F.count(value_col).over(w), F.lit(0)))
         .withColumn("sum_prior", F.sum(value_col).over(w))
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization: map each row's value to the
+    GLOBAL distribution's value at the same within-group percentile — so
+    every group ends up with an identical (global) value distribution.
+    The genomics/array-normalization classic, here for aligning per-source
+    feature distributions before mixing corpora.
+
+    Lower-quantile semantics, fully deterministic: within-group position
+    by row_number ordered (value, id); percentile pr = (pos-1)/(n-1)
+    (single-row groups pin pr = 0.5); target = the global value at row
+    1 + floor(pr·(N-1)) — floor, not round, so no round-half boundary can
+    diverge across engines.
+
+    Scale shape: the within-group window is a group-keyed shuffle; the
+    global ordering uses scale.global_rank (range-partition + two-level
+    prefix sums — NO single-partition sort); the final lookup joins on the
+    rank key over the narrow (rank, value) relation. Three value-sized
+    narrow exchanges total; payloads never move.
+
+    Output: (id_col, group_col, value_col, qnorm).
+    """
+    from .scale import global_rank
+
+    n_tot = df.count()
+    w_g = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    pos = df.select(
+        id_col,
+        group_col,
+        value_col,
+        F.row_number().over(w_g).alias("_pos"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    pr = F.when(F.col("_n") > 1, (F.col("_pos") - 1) / (F.col("_n") - 1)).otherwise(
+        F.lit(0.5)
+    )
+    idx = (F.lit(1) + F.floor(pr * F.lit(float(n_tot - 1)))).cast("long")
+    keyed = pos.select(id_col, group_col, value_col, idx.alias("_idx"))
+    ref = global_rank(
+        df.select(F.col(value_col).alias("_rv"), F.col(id_col).alias("_rid")),
+        "_rv",
+        tie_cols=("_rid",),
+    ).select(F.col("rn").alias("_idx"), F.col("_rv").alias("qnorm"))
+    return keyed.join(ref, "_idx").drop("_idx")

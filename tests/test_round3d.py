@@ -206,3 +206,45 @@ def test_hex_bin_partitions_plane(spark):
     assert b.count() == n_cells
     n_hex = b.select("hq", "hr").distinct().count()
     assert 10 < n_hex < n_cells / 3
+
+
+# ---------------------------------------------------------------------------
+# quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    """Two groups with shifted distributions: after normalization each
+    group's value multiset equals the same global-quantile sample, and
+    within-group order is preserved."""
+    from gridmet_etl_spark.operators.mlprep import quantile_normalize
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [
+        (100 + i, "b", 1000.0 + 2 * i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = quantile_normalize(df, "g", "v", "id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["v"], r["qnorm"]))
+    # same-size groups -> identical qnorm multisets
+    qa = sorted(q for _, q in by_g["a"])
+    qb = sorted(q for _, q in by_g["b"])
+    assert qa == qb
+    # monotone within group
+    for g in ("a", "b"):
+        s = sorted(by_g[g])
+        assert [q for _, q in s] == sorted(q for _, q in s)
+    # extremes map to global extremes
+    assert min(qa) == 0.0 and max(qa) == 1018.0
+
+
+def test_quantile_normalize_single_row_group(spark):
+    from gridmet_etl_spark.operators.mlprep import quantile_normalize
+
+    rows = [(1, "solo", 5.0)] + [(10 + i, "big", float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r["id"]: r["qnorm"] for r in quantile_normalize(df, "g", "v", "id").collect()}
+    # solo group pins pr=0.5 -> global median-ish element (idx = 1 + floor(0.5*9) = 5)
+    ordered = sorted([5.0] + [float(i) for i in range(9)])
+    assert out[1] == ordered[4]
