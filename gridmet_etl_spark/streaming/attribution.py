@@ -61,6 +61,40 @@ def attribution_join(
     )
 
 
+def attribution_join_outer(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    within_minutes: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """LEFT OUTER batch twin: every left event appears; unconverted ones
+    carry NULL right_id/lag_seconds — the 'which views never got a click'
+    question the inner join cannot answer. Same join shape, outer type."""
+    l = events.filter(F.col("event_type") == left_type).select(
+        F.col(user_col), F.col("event_id").alias("left_id"), F.col(ts_col).alias("l_ts")
+    )
+    r = events.filter(F.col("event_type") == right_type).select(
+        F.col(user_col).alias("_ru"), F.col("event_id").alias("right_id"), F.col(ts_col).alias("r_ts")
+    )
+    return (
+        l.join(
+            r,
+            (F.col(user_col) == F.col("_ru"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+            "left_outer",
+        )
+        .select(
+            user_col,
+            "left_id",
+            "right_id",
+            _lag_seconds("l_ts", "r_ts").alias("lag_seconds"),
+        )
+    )
+
+
 def streaming_attribution(
     events_stream: DataFrame,
     left_type: str = "view",
@@ -69,11 +103,20 @@ def streaming_attribution(
     watermark: str = "30 minutes",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream join twin of ``attribution_join``. Both
     sides carry a watermark and the join condition bounds right-side time
     relative to left-side time, so Spark can evict buffered rows once the
-    watermark passes their horizon — bounded state by construction."""
+    watermark passes their horizon — bounded state by construction.
+
+    ``how="left_outer"`` is the other supported streaming join mode: a
+    left row with no match is emitted WITH NULLs only once the watermark
+    has passed its join horizon (Spark must prove no future right row can
+    match before releasing it) — the streaming twin of
+    ``attribution_join_outer``. The time-range bound is what makes the
+    outer mode legal: without it unmatched rows could never be released.
+    """
     l = (
         events_stream.filter(F.col("event_type") == left_type)
         .select(F.col(user_col), F.col("event_id").alias("left_id"), F.col(ts_col).alias("l_ts"))
@@ -94,6 +137,7 @@ def streaming_attribution(
             (F.col(user_col) == F.col("_ru"))
             & (F.col("r_ts") >= F.col("l_ts"))
             & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+            how,
         )
         .select(
             user_col,

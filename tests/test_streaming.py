@@ -501,3 +501,82 @@ def test_streaming_quota_state_across_batches(spark, tmp_path):
     }
     assert got == batch
     assert got[6][1] is False and got[5][1] is True  # boundary in wave 2
+
+
+def test_stream_stream_left_outer_attribution(spark, tmp_path):
+    """Left-outer watermarked stream-stream join: matched pairs equal the
+    inner join's; unmatched views are RELEASED WITH NULLs once the
+    watermark clears their horizon (here: a final far-future event pushes
+    the watermark past everything)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from gridmet_etl_spark.streaming.attribution import (
+        attribution_join_outer,
+        streaming_attribution,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (0, base, 0, "view", 1.0),                              # converted
+        (1, base + timedelta(minutes=5), 0, "click", 1.0),
+        (2, base + timedelta(minutes=20), 1, "view", 1.0),      # never converts
+        (3, base + timedelta(minutes=40), 2, "click", 1.0),     # clickonly
+    ]
+    # watermark pushers, delivered as LATER micro-batches: a NULL for an
+    # expired left row is emitted in the batch AFTER the one that advanced
+    # the watermark past its horizon, so each checkpoint-resumed drain
+    # below feeds one pusher to trigger the next state flush
+    # each pusher advances BOTH event-time columns: the global watermark is
+    # the MIN across the two withWatermark branches, so a far-future view
+    # alone leaves the click-side watermark (and thus state eviction) stuck
+    pushers = [
+        [(4, base + timedelta(hours=6), 3, "view", 1.0),
+         (5, base + timedelta(hours=6), 3, "click", 1.0)],
+        [(6, base + timedelta(hours=12), 3, "view", 1.0),
+         (7, base + timedelta(hours=12), 3, "click", 1.0)],
+    ]
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    batch_df = spark.createDataFrame(rows, schema)
+    landing = str(tmp_path / "landing")
+    batch_df.write.parquet(landing)
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    def drain():
+        q = (
+            streaming_attribution(stream, how="left_outer")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    for extra in pushers:
+        spark.createDataFrame(extra, schema).write.mode("append").parquet(landing)
+        drain()
+    got = {(r.user_id, r.left_id, r.right_id) for r in spark.read.parquet(out_dir).collect()}
+    # converted view pairs with its click; the never-converted view 2 must
+    # appear with a NULL right side (released by the watermark)
+    assert (0, 0, 1) in got
+    assert (1, 2, None) in got
+    # batch twin agrees on the full multiset
+    all_rows = rows + [r for p in pushers for r in p]
+    expected = {
+        (r.user_id, r.left_id, r.right_id)
+        for r in attribution_join_outer(spark.createDataFrame(all_rows, schema)).collect()
+    }
+    # the final pusher's own rows may still be buffered (their horizon
+    # has not expired) — compare on everything the stream has released
+    assert got <= expected
+    assert {(u, l, r) for (u, l, r) in expected if l not in (6,)} <= got
