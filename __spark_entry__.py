@@ -72,7 +72,7 @@ _CHECK_FIRST = [
     "tpch_q14ish", "tpch_q20ish",
     "max_dup_spans", "calibration_eval", "incremental_refresh",
     "polygon_weights", "polygon_zonal_mean", "hex_density",
-    "quantile_normalize",
+    "quantile_normalize", "cusum_changepoints",
     # session-C additions past the cap — next in line for the r4 window;
     # both verified green by tools/check_oracle.py at sf0.01
     "lm_scores", "containment_dups", "quota_filter", "minhash_estimate",

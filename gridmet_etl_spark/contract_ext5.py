@@ -912,6 +912,61 @@ FROM keyed k JOIN ref r USING (idx)
 """
 
 
+# ---------------------------------------------------------------------------
+# cusum_changepoints: regime-shift detection on daily event series
+# ---------------------------------------------------------------------------
+
+_CUSUM_H = 1.8  # fixture series are stationary noise; 1.8sigma surfaces their excursions
+_CUSUM_K = 0.5
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change points on each event type's daily-count series. The
+    max(0,·) recursion is rewritten as cumsum-minus-running-min (exact
+    reflection identity), so the operator is two stacked window passes
+    per side — no recursion, no UDF (operators/timeseries.py)."""
+    from .operators.timeseries import cusum_changepoints
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    return cusum_changepoints(
+        daily, ["event_type"], "day", "n",
+        threshold_sigmas=_CUSUM_H, drift_sigmas=_CUSUM_K,
+    )
+
+
+SQL_CUSUM_CHANGEPOINTS = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+  FROM daily GROUP BY event_type),
+z AS (
+  SELECT d.event_type, d.day, d.n, (d.n - s.mu) / s.sd AS z
+  FROM daily d JOIN stats s USING (event_type) WHERE s.sd > 0),
+c AS (
+  SELECT event_type, day, n, z,
+         sum(z - {_CUSUM_K}) OVER w AS uc,
+         sum(z + {_CUSUM_K}) OVER w AS lc
+  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT event_type, day, n, z,
+         uc - min(least(uc, 0.0)) OVER w AS cusum_pos,
+         lc - max(greatest(lc, 0.0)) OVER w AS cusum_neg
+  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, day, n, ROUND(z, 6) AS z,
+       ROUND(cusum_pos, 6) AS cusum_pos, ROUND(cusum_neg, 6) AS cusum_neg,
+       CASE WHEN cusum_pos > {_CUSUM_H} THEN 'up' ELSE 'down' END AS direction
+FROM s WHERE cusum_pos > {_CUSUM_H} OR cusum_neg < -{_CUSUM_H}
+"""
+
+
 EXT5_QUERIES = {
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
@@ -931,4 +986,5 @@ EXT5_QUERIES = {
     "polygon_zonal_mean": (q_polygon_zonal_mean, SQL_POLYGON_ZONAL_MEAN),
     "hex_density": (q_hex_density, SQL_HEX_DENSITY),
     "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
+    "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
 }

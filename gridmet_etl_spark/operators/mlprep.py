@@ -324,5 +324,6 @@ def quantile_normalize(
         df.select(F.col(value_col).alias("_rv"), F.col(id_col).alias("_rid")),
         "_rv",
         tie_cols=("_rid",),
+        with_rank=False,
     ).select(F.col("rn").alias("_idx"), F.col("_rv").alias("qnorm"))
     return keyed.join(ref, "_idx").drop("_idx")

@@ -153,6 +153,7 @@ def global_rank(
     order_col: str,
     tie_cols: Sequence[str] = (),
     n_parts: int | None = None,
+    with_rank: bool = True,
 ) -> DataFrame:
     """Distributed GLOBAL ranking — the scale-correct replacement for the
     `Window.orderBy(...)` single-partition global sort.
@@ -169,7 +170,9 @@ def global_rank(
 
     - ``rn``:   global row number under (order_col, tie_cols) order
     - ``rank``: average rank over ties on order_col alone (the form rank
-                tests need: Mann-Whitney, AUC, KS)
+      tests need: Mann-Whitney, AUC, KS). Skipped entirely when
+      ``with_rank=False`` — rn-only consumers (quantile_normalize) avoid
+      the tie groupBy + join pair.
 
     The tie join is value-keyed; Catalyst broadcasts it while the distinct
     relation is small and falls back to a shuffle join at cardinality —
@@ -199,6 +202,8 @@ def global_rank(
         .withColumn("rn", F.col("_mid") - F.col("_m0") + 1 + F.col("_off"))
         .drop("_pid", "_mid", "_m0", "_off")
     )
+    if not with_rank:
+        return ranked
     # ties on order_col occupy consecutive global row numbers, so the
     # average rank of a run is min + (len-1)/2 — no second ranking pass
     avg_r = ranked.groupBy(order_col).agg(

@@ -607,3 +607,69 @@ def time_weighted_avg(
         ).alias("twap"),
         F.count("*").alias("n_obs"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    threshold_sigmas: float = 4.0,
+    drift_sigmas: float = 0.5,
+) -> DataFrame:
+    """Tabular CUSUM change-point detection per series: one-sided upper/
+    lower cumulative sums of standardized deviations with drift k,
+    flagging points where either statistic exceeds h·σ (in standardized
+    units). The monitoring primitive for regime shifts in daily metric
+    series (a level change keeps feeding the cusum faster than the drift
+    bleeds it).
+
+    s⁺_t = max(0, s⁺_{t-1} + z_t − k),  s⁻_t = min(0, s⁻_{t-1} + z_t + k)
+
+    The running max(0, ·) recursion is not a plain window sum, but it has
+    the classic prefix-form: s⁺_t = c_t − min_{τ ≤ t}(c_τ) capped at the
+    last reset, where c_t = Σ(z−k) — equivalently a cumulative sum minus
+    its running minimum (running max for the lower side). That makes the
+    whole operator TWO stacked window passes per side over the series
+    partitioning — no recursion, no UDF, same plan shape both engines.
+
+    Per-series mean/std come from a broadcast pre-aggregate (two-pass
+    standardization — deterministic, unlike a streaming estimate). Output:
+    one row per flagged point (group, order, value, z, cusum_pos,
+    cusum_neg, direction).
+    """
+    g = list(group_cols)
+    stats = df.groupBy(*g).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"),
+    )
+    z = (F.col(value_col) - F.col("_mu")) / F.col("_sd")
+    base = (
+        df.join(F.broadcast(stats), g)
+        .where(F.col("_sd") > 0)
+        .withColumn("_z", z)
+    )
+    w = Window.partitionBy(*g).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = F.lit(float(drift_sigmas))
+    up_c = F.sum(F.col("_z") - k).over(w)
+    lo_c = F.sum(F.col("_z") + k).over(w)
+    stepped = base.withColumn("_uc", up_c).withColumn("_lc", lo_c)
+    run_min = F.min(F.least(F.col("_uc"), F.lit(0.0))).over(w)
+    run_max = F.max(F.greatest(F.col("_lc"), F.lit(0.0))).over(w)
+    h = float(threshold_sigmas)
+    out = (
+        stepped.withColumn("cusum_pos", F.col("_uc") - run_min)
+        .withColumn("cusum_neg", F.col("_lc") - run_max)
+        .where((F.col("cusum_pos") > h) | (F.col("cusum_neg") < -h))
+    )
+    return out.select(
+        *g,
+        order_col,
+        value_col,
+        F.round("_z", 6).alias("z"),
+        F.round("cusum_pos", 6).alias("cusum_pos"),
+        F.round("cusum_neg", 6).alias("cusum_neg"),
+        F.when(F.col("cusum_pos") > h, F.lit("up")).otherwise(F.lit("down")).alias("direction"),
+    )

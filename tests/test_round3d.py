@@ -248,3 +248,46 @@ def test_quantile_normalize_single_row_group(spark):
     # solo group pins pr=0.5 -> global median-ish element (idx = 1 + floor(0.5*9) = 5)
     ordered = sorted([5.0] + [float(i) for i in range(9)])
     assert out[1] == ordered[4]
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change points
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """The windowed reflection form (cumsum − running min) must equal the
+    textbook max(0, s+z−k) recursion computed sequentially, including the
+    detection of a deliberate level shift."""
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.gauss(0, 1) for _ in range(40)] + [rng.gauss(4, 1) for _ in range(15)]
+    rows = [("s", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+
+    from gridmet_etl_spark.operators.timeseries import cusum_changepoints
+
+    h, k = 4.0, 0.5
+    out = {r["t"]: r for r in cusum_changepoints(df, ["g"], "t", "v", h, k).collect()}
+
+    # sequential reference
+    n = len(vals)
+    mu = sum(vals) / n
+    sd = (sum((x - mu) ** 2 for x in vals) / n) ** 0.5
+    sp, sn, flagged = 0.0, 0.0, {}
+    for i, x in enumerate(vals):
+        z = (x - mu) / sd
+        sp = max(0.0, sp + z - k)
+        sn = min(0.0, sn + z + k)
+        if sp > h or sn < -h:
+            flagged[i] = (sp, sn)
+    assert set(out) == set(flagged)
+    assert len(flagged) > 0  # the level shift IS detected
+    for t, (sp, sn) in flagged.items():
+        assert abs(out[t]["cusum_pos"] - sp) < 1e-6
+        assert abs(out[t]["cusum_neg"] - sn) < 1e-6
+    # two-pass standardization centers on the BLENDED mean, so the low
+    # pre-shift regime flags 'down' and the post-shift regime flags 'up' —
+    # both excursions are real; assert the upward shift is detected
+    assert any(t >= 40 and out[t]["direction"] == "up" for t in flagged)
