@@ -35,14 +35,25 @@ _MERGED = {
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
-# in registration order, so ORDER decides coverage. Round-3 window: (0)
-# every query with NO driver row in either prior round — the round-3
-# additions plus the r1/r2 rotation leftovers — then (1) queries whose
-# implementation changed this round, then (2) the r1-green queries whose
-# last driver check is oldest. The tail is the round-2-green set (all 49
-# checked rows in CORRECTNESS_r02.json were green).
+# in registration order, so ORDER decides coverage. Round-3 window:
+# (0) this round's new operators (contract_ext5 — TPC-H completion,
+# ExactSubstr spans, in-engine weight generation, hex/calibration/
+# incremental/quantile-normalize/CUSUM), all pre-verified green by
+# tools/check_oracle.py at sf0.01; then (1) the never-driver-checked
+# r2 additions, oldest-waiting first. Displaced never-checked queries
+# lead the r4 window.
 _CHECK_FIRST = [
-    # (0a) new this round (14)
+    # (0) new this round (21): contract_ext5
+    "tpch_q2ish", "tpch_q3ish", "tpch_q4ish", "tpch_q6ish", "tpch_q8ish",
+    "tpch_q9ish", "tpch_q10ish", "tpch_q11ish", "tpch_q12ish",
+    "tpch_q14ish", "tpch_q20ish",
+    "max_dup_spans", "calibration_eval", "incremental_refresh",
+    "polygon_weights", "polygon_zonal_mean", "hex_density",
+    "quantile_normalize", "cusum_changepoints",
+    # (0') implementation touched this round (rag re-attach prune; PQ
+    # WindowGroupLimit rewrite)
+    "rag_pipeline", "pq_topk",
+    # (1) never driver-checked r2 additions — oldest first
     "funnel_steps", "retention_cohorts", "event_transitions",
     "triangle_count", "jaccard_join", "fuzzy_join", "mad_outliers",
     "ntile_bins", "percentile_cut", "char_entropy", "snapshot_diff",
@@ -50,31 +61,19 @@ _CHECK_FIRST = [
     "focal_mean", "topk_per_source", "trend_slope", "cross_correlation",
     "token_drift", "readability", "bilinear_interp", "degree_days",
     "climate_pipeline", "skew_join", "set_ops", "grouping_sets",
-    "range_frame_sum", "weighted_median", "conversion_lag",
+    "range_frame_sum", "weighted_median",
+    # ---- driver cap (50) reached ----
+    # displaced never-checked r2 additions — first in line for the r4
+    # window (all verified green by tools/check_oracle.py at sf0.01)
+    "conversion_lag",
     "cumulative_users", "rebased_series", "theilsen_trend", "props_map",
     "calendar_gaps", "ab_test", "skyline_parts", "dow_anomaly",
     "rolling_actives", "benford_check", "embedding_stats",
     "impute_median", "cooccurrence_topk",
-    # (0b) never driver-checked before this round (6)
     "vocab_topk", "pii_flags", "cosine_topk_lsh",
     "kmeans_assign",
-    # (0c) new session-C capabilities: BPE trainer, embedding covariance,
-    # entity-resolution flagship (displace cosine_topk / attribution_join /
-    # simhash, all with prior green evidence in r1)
     "bpe_merges", "embed_covariance", "entity_resolution",
-    # (1) implementation/oracle touched this round
     "ivf_topk",
-    # ---- driver cap (50) reached ----
-    # round-3 TPC-H completion (contract_ext5) — first in line for the r4
-    # window; all 11 verified green by tools/check_oracle.py at sf0.01
-    "tpch_q2ish", "tpch_q3ish", "tpch_q4ish", "tpch_q6ish", "tpch_q8ish",
-    "tpch_q9ish", "tpch_q10ish", "tpch_q11ish", "tpch_q12ish",
-    "tpch_q14ish", "tpch_q20ish",
-    "max_dup_spans", "calibration_eval", "incremental_refresh",
-    "polygon_weights", "polygon_zonal_mean", "hex_density",
-    "quantile_normalize", "cusum_changepoints",
-    # session-C additions past the cap — next in line for the r4 window;
-    # both verified green by tools/check_oracle.py at sf0.01
     "lm_scores", "containment_dups", "quota_filter", "minhash_estimate",
     "corpus_pipeline_v2", "lsh_recall", "hard_negatives", "bpe_compression",
     "cosine_topk", "attribution_join", "simhash",
