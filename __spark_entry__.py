@@ -63,8 +63,10 @@ _CHECK_FIRST = [
     "climate_pipeline", "skew_join", "set_ops", "grouping_sets",
     "range_frame_sum", "weighted_median",
     # ---- driver cap (50) reached ----
-    # displaced never-checked r2 additions — first in line for the r4
-    # window (all verified green by tools/check_oracle.py at sf0.01)
+    # late round-3 addition (verified green) — first in line for r4
+    "rolling_median",
+    # displaced never-checked r2 additions — next for the r4 window
+    # (all verified green by tools/check_oracle.py at sf0.01)
     "conversion_lag",
     "cumulative_users", "rebased_series", "theilsen_trend", "props_map",
     "calendar_gaps", "ab_test", "skyline_parts", "dow_anomaly",

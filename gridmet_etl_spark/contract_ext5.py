@@ -967,6 +967,37 @@ FROM s WHERE cusum_pos > {_CUSUM_H} OR cusum_neg < -{_CUSUM_H}
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling_median: exact 7-point rolling quantile per daily series
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling median of each event type's daily counts
+    (operators/timeseries.py:rolling_quantile — one window pass, exact
+    percentile over the bounded frame)."""
+    from .operators.timeseries import rolling_quantile
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    out = rolling_quantile(daily, ["event_type"], "day", "n", q=0.5, frame_rows=7)
+    return out.select("event_type", "day", "n", F.round("roll_q", R).alias("roll_med"))
+
+
+SQL_ROLLING_MEDIAN = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT event_type, day, n,
+       ROUND(quantile_cont(n, 0.5) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), {R}) AS roll_med
+FROM daily
+"""
+
+
 EXT5_QUERIES = {
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
@@ -987,4 +1018,5 @@ EXT5_QUERIES = {
     "hex_density": (q_hex_density, SQL_HEX_DENSITY),
     "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
+    "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
 }

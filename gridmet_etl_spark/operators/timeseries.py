@@ -673,3 +673,31 @@ def cusum_changepoints(
         F.round("cusum_neg", 6).alias("cusum_neg"),
         F.when(F.col("cusum_pos") > h, F.lit("up")).otherwise(F.lit("down")).alias("direction"),
     )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    q: float = 0.5,
+    frame_rows: int = 7,
+) -> DataFrame:
+    """Exact rolling quantile (default: 7-point median) per series — the
+    robust alternative to a rolling mean for spiky metrics. Uses the
+    EXACT ``percentile`` aggregate over a bounded row frame: the frame is
+    ``frame_rows`` values, so per-row cost is O(frame log frame) and the
+    plan is one series-keyed window pass (no UDF; DuckDB's
+    ``quantile_cont`` over the same frame is the bit-identical twin —
+    both engines linearly interpolate at rank q·(n−1)).
+
+    Output: input columns + ``roll_q``.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(frame_rows - 1), Window.currentRow)
+    )
+    return df.withColumn(
+        "roll_q", F.expr(f"percentile({value_col}, {q!r})").over(w)
+    )
