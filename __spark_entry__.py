@@ -63,8 +63,8 @@ _CHECK_FIRST = [
     "climate_pipeline", "skew_join", "set_ops", "grouping_sets",
     "range_frame_sum", "weighted_median",
     # ---- driver cap (50) reached ----
-    # late round-3 addition (verified green) — first in line for r4
-    "rolling_median",
+    # late round-3 additions (verified green) — first in line for r4
+    "rolling_median", "kcore_nodes",
     # displaced never-checked r2 additions — next for the r4 window
     # (all verified green by tools/check_oracle.py at sf0.01)
     "conversion_lag",

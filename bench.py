@@ -481,6 +481,28 @@ def _max_dup_spans_20k(spark):
     return max_dup_spans(big)
 
 
+def _polygon_weights_national(spark):
+    """Weight generation at the reference's REAL national grid size:
+    585x1386 cells (811k) x 3x3 subpoints ray-cast against the 50 fixture
+    polygon rings — the SCALE.md claim (bbox-pruned broadcast join, one
+    coverage shuffle) exercised at production cell count."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.spatial_weights import cell_coverage_weights
+
+    REPO = os.path.dirname(os.path.abspath(__file__))
+    polys = spark.read.parquet(os.path.join(REPO, "fixtures", "polygons.parquet"))
+    ny, nx = 585, 1386
+    res = 0.04167 / 2.0  # finer cells so the fixture polygons span many
+    cells = spark.range(0, ny * nx, 1, 32).select(
+        (F.col("id") % ny).cast("int").alias("i"),
+        (F.col("id") / ny).cast("int").alias("j"),
+        (F.lit(-124.76667) + (F.col("id") / ny).cast("int") * res).alias("lon"),
+        (F.lit(49.4) - (F.col("id") % ny).cast("int") * res).alias("lat"),
+    )
+    return cell_coverage_weights(cells, polys, cell_size=res, supersample=3)
+
+
 def _tpch_q9ish_sf(spark):
     """Widest fact pass of the TPC-H sweep (4-way dimension join, profit
     expression, |nations×years| rollup) — the lineitem side never
@@ -528,6 +550,7 @@ EXTRA_BENCH = {
     "max_dup_spans_20k_docs": _max_dup_spans_20k,
     "polygon_zonal_mean": _polygon_zonal_full,
     "tpch_q9ish": _tpch_q9ish_sf,
+    "polygon_weights_811k_cells": _polygon_weights_national,
 }
 
 

@@ -750,6 +750,12 @@ def q_polygon_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("var") == "tmmx")
         .select("i", "j", "lon", "lat")
         .distinct()
+        # AQE coalesces the tiny distinct output to ONE partition, but the
+        # downstream fan-out is x(s^2 * |polygons in bbox|) ray casts —
+        # byte-based coalescing cannot see it. Spread BEFORE the blow-up
+        # (measured 2.3 s -> 0.4 s; same fan-out-aware rule as the
+        # max_dup_spans bench input).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     w = cell_coverage_weights(cells, polys, cell_size=_PIP_RES, supersample=_PIP_S)
     return w.select("feature_id", "i", "j", F.round("wght", R).alias("wght"))
@@ -779,11 +785,12 @@ hits AS (
                          THEN 1 ELSE 0 END
                ELSE 0 END)) % 2 = 1),
 cov AS (
-  SELECT feature_id, i, j, count(*) / CAST(9.0 AS DOUBLE) AS coverage
+  SELECT feature_id, i, j, count(*) AS cnt
   FROM hits GROUP BY feature_id, i, j),
 wt AS (
   SELECT feature_id, i, j,
-         coverage / sum(coverage) OVER (PARTITION BY feature_id) AS wght
+         CAST(cnt AS DOUBLE)
+           / CAST(sum(cnt) OVER (PARTITION BY feature_id) AS DOUBLE) AS wght
   FROM cov)"""
 
 
@@ -804,7 +811,11 @@ def q_polygon_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     polys = _pq(spark, FX["polygons"])
     grid = _pq(spark, FX["grid"]).where(F.col("var") == "tmmx")
-    cells = grid.select("i", "j", "lon", "lat").distinct()
+    cells = (
+        grid.select("i", "j", "lon", "lat")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)  # see q_polygon_weights
+    )
     w = cell_coverage_weights(cells, polys, cell_size=_PIP_RES, supersample=_PIP_S)
     out = weighted_mean(grid, w, value_col="value")
     return out.select("feature_id", "time", F.round("value", R).alias("value"))
@@ -998,6 +1009,69 @@ FROM daily
 """
 
 
+# ---------------------------------------------------------------------------
+# kcore_nodes: k-core of the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph (parts sharing an order are
+    adjacent): synchronous peel, fixed rounds (operators/graph.py:kcore;
+    convergence at this depth is pytest-pinned). The co-occurrence self
+    join is order-keyed; every peel round is one edge-keyed aggregate +
+    two semi joins over a monotonically shrinking edge list."""
+    from .operators.graph import kcore
+
+    li = _pq(spark, _t(sf_dir, "lineitem")).select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _sql_kcore() -> str:
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    # MATERIALIZED: each round references its predecessor multiple times;
+    # inlined CTEs would expand the chain exponentially (observed as a
+    # too-many-open-files blowup on the 8-round unroll)
+    ctes = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}) GROUP BY node),
+alive{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  WHERE e.a IN (SELECT node FROM alive{r})
+    AND e.b IN (SELECT node FROM alive{r}))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY node
+"""
+    )
+
+
+SQL_KCORE_NODES = _sql_kcore()
+
+
 EXT5_QUERIES = {
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
@@ -1019,4 +1093,5 @@ EXT5_QUERIES = {
     "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
+    "kcore_nodes": (q_kcore_nodes, SQL_KCORE_NODES),
 }

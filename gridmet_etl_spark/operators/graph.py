@@ -287,3 +287,46 @@ def hits(
             .localCheckpoint()
         )
     return auth.join(hub, "node")
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """k-core decomposition by synchronous peeling: each round drops every
+    node whose CURRENT degree is below k (and the edges touching it);
+    after convergence the surviving subgraph is exactly the k-core.
+    ``rounds`` is fixed for cross-engine determinism (peeling is
+    idempotent once converged — the fixture's fixed point is pytest-
+    pinned), mirroring the unrolled-round oracle strategy of LPA/HITS.
+
+    Scale shape: each round is one degree aggregate (edge-keyed,
+    partial-agg'd) plus two semi joins restricting the edge list; edges
+    shrink monotonically. Lineage is cut with ``localCheckpoint`` every
+    other round (the iterative-plan rule from pagerank). Output:
+    (node, degree) over the k-core subgraph.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur = und
+    for r in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .union(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        if (r + 1) % 2 == 0 and r + 1 < rounds:
+            cur = cur.localCheckpoint()
+    return (
+        cur.select(F.col("a").alias("node"))
+        .union(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )

@@ -64,6 +64,12 @@ def point_in_polygon(
     (feature_id, xs, ys) with xs/ys the ring vertex arrays (closed
     implicitly). The polygon side is broadcast with precomputed bboxes so
     the join condition prunes pairs before the O(vertices) ray cast runs.
+
+    NOTE: the bbox range join is a BroadcastNestedLoopJoin — every
+    (point, polygon) pair evaluates the predicate. Right for dim-sized
+    point sets; for corpus-sized point streams use the tile-bucketed
+    equi-join inside ``cell_coverage_weights`` (measured 25× at 811k
+    cells × 50 rings).
     """
     px, py = F.col(x_col), F.col(y_col)
     polys = F.broadcast(
@@ -96,6 +102,7 @@ def cell_coverage_weights(
     supersample: int = 3,
     x_col: str = "lon",
     y_col: str = "lat",
+    tile_size: float | None = None,
 ) -> DataFrame:
     """Per-(feature, cell) normalized areal weights by supersampling: an
     s×s lattice of interior subpoints per cell (offsets (k+0.5)/s - 0.5 of
@@ -103,9 +110,17 @@ def cell_coverage_weights(
     weight = coverage / Σ_feature coverage. Output: (feature_id, i, j,
     wght) — the reference's weights-CSV schema, generated in-engine.
 
-    The subpoint fan-out is row-local (posexplode of a size-s² sequence
-    BEFORE the broadcast join); the only shuffle is the per-feature
-    normalization, |feature×cell|-sized."""
+    Cell↔polygon pairing is TILE-BUCKETED: polygons replicate onto every
+    coarse tile their bbox overlaps (≤4 with the default tile ≥ bbox
+    diameter); each subpoint computes its single tile id and EQUI-joins —
+    a codegen BroadcastHashJoin whose pair stream is Σ polygons-per-tile,
+    NOT |subpoints|×|polygons|. (The naive all-pairs bbox form plans a
+    BroadcastNestedLoopJoin that evaluates every pair: 365M interpreted
+    predicate evaluations ≈ 38 s at the 585×1386 national grid vs ~2 s
+    bucketed — the LSH lesson applied to geometry.) The per-pair bbox
+    check stays as the exact pre-filter before the ray cast; the only
+    shuffles are the coverage rollup and per-feature normalization.
+    """
     s = int(supersample)
     offs = [((k + 0.5) / s - 0.5) * cell_size for k in range(s)]
     sub = F.array(
@@ -121,17 +136,67 @@ def cell_coverage_weights(
     pts = cells.select("i", "j", x_col, y_col, F.explode(sub).alias("_p")).select(
         "i", "j", F.col("_p.sx").alias("sx"), F.col("_p.sy").alias("sy")
     )
-    hits = point_in_polygon(pts, polygons, x_col="sx", y_col="sy")
-    cov = hits.groupBy("feature_id", "i", "j").agg(
-        (F.count("*") / F.lit(float(s * s))).alias("coverage")
+    if tile_size is None:
+        # tile ≥ the largest bbox extent → a polygon overlaps ≤ 2 tiles
+        # per axis; derived once from the polygon relation (dim-sized agg)
+        ext = polygons.select(
+            F.greatest(
+                F.max(F.array_max("xs") - F.array_min("xs")),
+                F.max(F.array_max("ys") - F.array_min("ys")),
+            ).alias("e")
+        ).first()["e"]
+        tile_size = float(ext) * 1.001
+    t = float(tile_size)
+    tiled_polys = polygons.select(
+        "feature_id",
+        "xs",
+        "ys",
+        F.array_min("xs").alias("_bxmin"),
+        F.array_max("xs").alias("_bxmax"),
+        F.array_min("ys").alias("_bymin"),
+        F.array_max("ys").alias("_bymax"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_bxmin") / t).cast("long"),
+                F.floor(F.col("_bxmax") / t).cast("long"),
+            )
+        ).alias("_tx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_bymin") / t).cast("long"),
+                F.floor(F.col("_bymax") / t).cast("long"),
+            )
+        ).alias("_ty"),
     )
-    tot = cov.groupBy("feature_id").agg(F.sum("coverage").alias("_tot"))
+    keyed_pts = pts.withColumn("_tx", F.floor(F.col("sx") / t).cast("long")).withColumn(
+        "_ty", F.floor(F.col("sy") / t).cast("long")
+    )
+    px, py = F.col("sx"), F.col("sy")
+    paired = keyed_pts.join(F.broadcast(tiled_polys), ["_tx", "_ty"]).where(
+        (px >= F.col("_bxmin"))
+        & (px <= F.col("_bxmax"))
+        & (py >= F.col("_bymin"))
+        & (py <= F.col("_bymax"))
+    )
+    hits = paired.where(_ray_cast_inside(px, py, F.col("xs"), F.col("ys")))
+    # normalization stays in EXACT integers until one final division:
+    # wght = hits_in_cell / hits_in_feature. Summing the k/s² doubles
+    # instead would make the total order-dependent, and these weights are
+    # exact rationals that LAND on round-half boundaries (3/128 =
+    # 0.0234375) — an lsb of float-sum reordering flips the rounding
+    # (observed vs the oracle). Same discipline as classifier_score.
+    cov = hits.groupBy("feature_id", "i", "j").agg(F.count("*").alias("_cnt"))
+    tot = cov.groupBy("feature_id").agg(F.sum("_cnt").alias("_tot"))
     return (
         cov.join(F.broadcast(tot), "feature_id")
         .select(
             "feature_id",
             "i",
             "j",
-            (F.col("coverage") / F.col("_tot")).alias("wght"),
+            (F.col("_cnt") / F.col("_tot")).alias("wght"),
         )
     )

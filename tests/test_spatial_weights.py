@@ -109,6 +109,9 @@ def test_plan_broadcasts_polygons(spark, fixdir):
     df = cell_coverage_weights(cells, polys, cell_size=0.04167, supersample=3)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
-    assert "BroadcastNestedLoopJoin" in plan  # bbox range join, dim broadcast
+    # tile-bucketed pairing: an EQUI broadcast hash join on the tile id —
+    # NOT a nested-loop over all (subpoint, polygon) pairs
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "PythonEval" not in plan  # pure Column HOFs, no UDF
