@@ -291,3 +291,43 @@ def test_cusum_matches_sequential_recursion(spark):
     # pre-shift regime flags 'down' and the post-shift regime flags 'up' —
     # both excursions are real; assert the upward shift is detected
     assert any(t >= 40 and out[t]["direction"] == "up" for t in flagged)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    from gridmet_etl_spark.operators.graph import kcore
+
+    # 4-clique (every degree 3) + a pendant chain hanging off node 0:
+    # the chain peels away round by round; the clique IS the 3-core
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(0, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    out = {r["node"]: r["deg"] for r in kcore(edges, k=3, rounds=6).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(d == 3 for d in out.values())
+
+
+def test_kcore_fixed_point_at_contract_depth(spark):
+    """The contract query unrolls 8 rounds — assert the sf0.001 co-purchase
+    graph has converged by then (round 8 == round 10)."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.graph import kcore
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    )
+    r8 = {(r["node"], r["deg"]) for r in kcore(edges, k=3, rounds=8).collect()}
+    r10 = {(r["node"], r["deg"]) for r in kcore(edges, k=3, rounds=10).collect()}
+    assert r8 == r10 and len(r8) > 0
