@@ -481,6 +481,25 @@ def _max_dup_spans_20k(spark):
     return max_dup_spans(big)
 
 
+def _kcore_1m_edges(spark):
+    """3-core peel over the same synthetic ~1M-edge / 100k-node graph as
+    the pagerank entry: 6 peel rounds of degree-agg + two semi joins over
+    a shrinking edge list (completes the graph stress trio with pagerank
+    and triangle counting)."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.graph import kcore
+
+    edges = (
+        spark.range(0, 1_000_000, 1, 32)
+        .select(
+            (F.col("id") % 100_000).alias("src"),
+            ((F.col("id") * 2654435761) % 100_000).alias("dst"),
+        )
+    )
+    return kcore(edges, k=3, rounds=6)
+
+
 def _polygon_weights_national(spark):
     """Weight generation at the reference's REAL national grid size:
     585x1386 cells (811k) x 3x3 subpoints ray-cast against the 50 fixture
@@ -551,6 +570,7 @@ EXTRA_BENCH = {
     "polygon_zonal_mean": _polygon_zonal_full,
     "tpch_q9ish": _tpch_q9ish_sf,
     "polygon_weights_811k_cells": _polygon_weights_national,
+    "kcore_1M_edges": _kcore_1m_edges,
 }
 
 
