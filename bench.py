@@ -443,6 +443,28 @@ def _covariance_200k_vecs(spark):
 # driver-looped operators: the iterative work executes during the build
 # call (per-round collect / eager localCheckpoint), so wall-time must wrap
 # the WHOLE call — the noop-write protocol would time only the final stage.
+TPCH_SUITE = [
+    "tpch_q1", "tpch_q2ish", "tpch_q3ish", "tpch_q4ish", "tpch_q5ish",
+    "tpch_q6ish", "tpch_q7ish", "tpch_q8ish", "tpch_q9ish", "tpch_q10ish",
+    "tpch_q11ish", "tpch_q12ish", "tpch_q13ish", "tpch_q14ish",
+    "tpch_q15ish", "tpch_q16ish", "tpch_q17ish", "tpch_q18ish",
+    "tpch_q19ish", "tpch_q20ish", "tpch_q21ish", "tpch_q22ish",
+]
+
+
+def _tpch_suite_22(spark):
+    """ALL 22 TPC-H query shapes end to end at sf scale — the classic
+    whole-suite number. Executes q1..q21 inside the build (noop-forced)
+    and returns q22 for the protocol's final write; CALL_TIMED wraps the
+    whole pass."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in TPCH_SUITE[:-1]:
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return qs[TPCH_SUITE[-1]](spark, SF_DIR)
+
+
 def _rag_pipeline_sf(spark):
     """Round 3 moved rag_retrieve's k-bounded hits behind an EAGER
     localCheckpoint (one corpus embed, pruned text re-attach) — the
@@ -542,6 +564,7 @@ def _polygon_zonal_full(spark):
 
 
 CALL_TIMED = {
+    "tpch_suite_22": _tpch_suite_22,
     "rag_pipeline": _rag_pipeline_sf,
     "bpe_train_6merges": _bpe_train_sf,
     "entity_resolution_part": _entity_resolution_sf,

@@ -1072,6 +1072,41 @@ GROUP BY node
 SQL_KCORE_NODES = _sql_kcore()
 
 
+# ---------------------------------------------------------------------------
+# dedup_report: per-source duplication observability
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup observability: doc counts, exact-content uniques
+    (md5 of normalized text), and the duplication rate — the rollup every
+    corpus-curation run reports before/after dedup. One scan; the shuffle
+    carries (source, digest) rows."""
+    docs = _pq(spark, _t(sf_dir, "documents"))
+    norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    return (
+        docs.select("source", norm.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            F.round(1.0 - F.countDistinct("h") / F.count("*"), R).alias("dup_rate"),
+        )
+    )
+
+
+SQL_DEDUP_REPORT = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+       ROUND(1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), {R}) AS dup_rate
+FROM (SELECT source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+      FROM documents)
+GROUP BY source
+"""
+
+
 EXT5_QUERIES = {
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
@@ -1094,4 +1129,5 @@ EXT5_QUERIES = {
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "kcore_nodes": (q_kcore_nodes, SQL_KCORE_NODES),
+    "dedup_report": (q_dedup_report, SQL_DEDUP_REPORT),
 }
