@@ -102,28 +102,42 @@ def fuzzy_join(
     id_col: str,
 ) -> DataFrame:
     """Blocked edit-distance join: candidate pairs share ``block_col``
-    (equi-join — the shuffle key), matches have levenshtein ≤ max_dist
-    (threshold form codegen-early-exits on distant strings). Self-join
-    safe: pairs are emitted once with a_id < b_id.
+    AND a length bucket (both equi-join keys — the shuffle key), matches
+    have levenshtein ≤ max_dist (threshold form codegen-early-exits on
+    distant strings). Self-join safe: pairs are emitted once with
+    a_id < b_id.
+
+    Length-bucket blocking (round 3): levenshtein ≥ |len(a) − len(b)|, so
+    a true pair's ``floor(len / (max_dist+1))`` buckets differ by ≤ 1.
+    The LEFT side replicates each row to its bucket ± 1 (3 rows), the
+    right stays single-bucket — every qualifying pair meets on EXACTLY
+    one key, no dedup needed, and the within-(block, bucket) candidate
+    set shrinks by ~the number of occupied buckets. On the short-name
+    part fixture (~3 occupied buckets, threshold-DP already early-exits)
+    wall-clock is unchanged; the win grows with name length and block
+    size, where pairs vanish BEFORE the join output instead of after.
 
     Output: (block, a_id, b_id, a_name, b_name, dist).
     """
+    bw = max_dist + 1
+    lb = F.floor(F.length(F.col(name_col)) / bw).cast("int")
     l = left.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("a_id"),
         F.col(name_col).alias("a_name"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("_lb"),
     )
     r = right.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("b_id"),
         F.col(name_col).alias("b_name"),
+        F.floor(F.length(F.col(name_col)) / bw).cast("int").alias("_lb"),
     )
     dist = F.levenshtein("a_name", "b_name")
     return (
-        l.join(r, "block")
+        l.join(r, ["block", "_lb"])
         .where(F.col("a_id") < F.col("b_id"))
-        # sound O(1) pre-filter: levenshtein ≥ |len(a) − len(b)|, so pairs
-        # further apart in length than the threshold never reach the DP
+        # exact O(1) pre-filter within the bucket pairing
         .where(
             F.abs(F.length("a_name") - F.length("b_name")) <= max_dist
         )
