@@ -64,7 +64,7 @@ _CHECK_FIRST = [
     "range_frame_sum", "weighted_median",
     # ---- driver cap (50) reached ----
     # late round-3 additions (verified green) — first in line for r4
-    "rolling_median", "kcore_nodes", "dedup_report",
+    "rolling_median", "kcore_nodes", "dedup_report", "rfm_segments", "basket_lift",
     # displaced never-checked r2 additions — next for the r4 window
     # (all verified green by tools/check_oracle.py at sf0.01)
     "conversion_lag",

@@ -25,7 +25,7 @@ money argmax equality) in BOTH engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .contract import R, _pq, _t
@@ -1107,6 +1107,124 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# rfm_segments: recency / frequency / monetary quintile scoring
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, days since last order
+    (vs the dataset's max date), order count, and total spend — each
+    scored into quintiles (ntile over the |customers|-sized rollup; the
+    global sort the ntile needs runs on the BOUNDED per-customer
+    relation, never the fact table). Output: one row per customer with
+    the three scores and the combined segment code."""
+    orders = _pq(spark, _t(sf_dir, "orders"))
+    mx = orders.agg(F.max("o_orderdate").alias("_mx"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("_mx"), F.col("o_orderdate"))).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+    scored = per_cust.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        r.alias("r_score"), f.alias("f_score"), m.alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(F.col("r_score"), F.col("f_score"), F.col("m_score")).cast("string"),
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+                            (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)))
+              AS INTEGER) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         ROUND(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS INTEGER) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_score,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR) AS segment
+FROM per_cust
+"""
+
+
+# ---------------------------------------------------------------------------
+# basket_lift: market-basket association (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_LIFT_MIN_SUPPORT = 3
+_LIFT_TOPK = 20
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over order baskets: for part pairs
+    co-purchased in ≥ min_support orders, lift = N·n_ab/(n_a·n_b). The
+    pair generation is the order-keyed self join (the kcore edge
+    relation); singles broadcast into the pair rollup; top-k by lift is
+    TakeOrderedAndProject."""
+    li = _pq(spark, _t(sf_dir, "lineitem")).select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    singles = li.groupBy("l_partkey").agg(F.count("*").alias("n_single"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= _LIFT_MIN_SUPPORT)
+    )
+    sa = singles.select(F.col("l_partkey").alias("pa"), F.col("n_single").alias("n_a"))
+    sb = singles.select(F.col("l_partkey").alias("pb"), F.col("n_single").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_pair",
+            F.round(
+                F.lit(float(n_orders)) * F.col("n_pair") / (F.col("n_a") * F.col("n_b")), R
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(_LIFT_TOPK)
+    )
+
+
+SQL_BASKET_LIFT = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+singles AS (SELECT l_partkey, count(*) AS n_single FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_pair
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {_LIFT_MIN_SUPPORT})
+SELECT pa, pb, CAST(n_pair AS BIGINT) AS n_pair,
+       ROUND(CAST((SELECT count(DISTINCT l_orderkey) FROM li) AS DOUBLE)
+             * n_pair / (sa.n_single * sb.n_single), {R}) AS lift
+FROM pairs
+JOIN singles sa ON sa.l_partkey = pa
+JOIN singles sb ON sb.l_partkey = pb
+ORDER BY lift DESC, pa, pb LIMIT {_LIFT_TOPK}
+"""
+
+
 EXT5_QUERIES = {
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
@@ -1130,4 +1248,6 @@ EXT5_QUERIES = {
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "kcore_nodes": (q_kcore_nodes, SQL_KCORE_NODES),
     "dedup_report": (q_dedup_report, SQL_DEDUP_REPORT),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
 }
