@@ -84,6 +84,10 @@ EXPECTED_SINGLE = {
     # quantile_normalize: global_rank's |partitions|-row offset cumsum is
     # the one single-partition window (same shape as mann_whitney etc.)
     "quantile_normalize",
+    # rfm quintiles: the ntile global sort runs over the BOUNDED
+    # per-customer rollup (documented bounded-relation sort, ntile_bins
+    # twin); basket_lift / dedup_report end in 1-row scalar broadcasts
+    "rfm_segments", "basket_lift", "dedup_report",
 }
 
 
