@@ -24,6 +24,7 @@ from gridmet_etl_spark.contract_ext2 import EXT2_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext3 import EXT3_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext4 import EXT4_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext5 import EXT5_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext6 import EXT6_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -32,6 +33,7 @@ _MERGED = {
     **EXT3_QUERIES,
     **EXT4_QUERIES,
     **EXT5_QUERIES,
+    **EXT6_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -64,6 +66,7 @@ _CHECK_FIRST = [
     "range_frame_sum", "weighted_median",
     # ---- driver cap (50) reached ----
     # late round-3 additions (verified green) — first in line for r4
+    "pca_power", "geo_knn", "sssp_hops", "weighted_median_pooled",
     "rolling_median", "kcore_nodes", "dedup_report", "rfm_segments", "basket_lift",
     # displaced never-checked r2 additions — next for the r4 window
     # (all verified green by tools/check_oracle.py at sf0.01)

@@ -3184,7 +3184,10 @@ EXT_QUERIES = {
     "props_map": (q_props_map, SQL_PROPS_MAP),
     "calendar_gaps": (q_calendar_gaps, SQL_CALENDAR_GAPS),
     "theilsen_trend": (q_theilsen_trend, _sql_theilsen_trend()),
-    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    # pooled-ties (RANGE frame) variant; the tie-pinned lower-median twin
+    # registers as "weighted_median" in contract_ext4 — distinct semantics,
+    # distinct names, so neither shadows the other in the merged registry.
+    "weighted_median_pooled": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
     "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
     "rebased_series": (q_rebased_series, SQL_REBASED_SERIES),

@@ -330,3 +330,46 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single-source(-set) shortest paths, Bellman-Ford style: ``rounds``
+    synchronous relaxation rounds over a weighted directed edge list
+    (src, dst, w). After round r every node reachable within r hops
+    carries its exact ≤-r-hop shortest distance — with integer weights the
+    arithmetic is exact, so a fixed round count is cross-engine-
+    deterministic and SQL-unrollable (the oracle mirrors each round as a
+    min-join CTE).
+
+    Scale shape per round: dist ⋈ edges on src (edge-keyed shuffle) →
+    partial-agg min by dst → union with the carried distances → min by
+    node. Nothing bigger than the frontier×out-degree relation ever
+    shuffles, and the dist relation is |nodes|-bounded. Lineage cut with
+    ``localCheckpoint`` every other round (the iterative-plan rule from
+    pagerank).
+
+    ``seeds``: one column ``node``; distance 0. Output: (node, dist) for
+    every node reached within ``rounds`` hops.
+    """
+    dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).distinct()
+    for r in range(rounds):
+        relaxed = (
+            dist.join(edges.withColumnRenamed("src", "node"), "node")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col(weight_col)).cast("long").alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (r + 1) % 2 == 0 and r + 1 < rounds:
+            dist = dist.localCheckpoint()
+    return dist

@@ -30,10 +30,10 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["embed_covariance", "pca_components", "pca_project"]
+__all__ = ["embed_covariance", "pca_components", "pca_project", "power_iteration"]
 
 _PARTIAL_SCHEMA = "i int, j int, v double"
 
@@ -178,3 +178,87 @@ def pca_project(
         )
         out = out.withColumn(f"{prefix}{ci + 1}", dot)
     return out
+
+
+def power_iteration(
+    cov: DataFrame, dim: int = 64, rounds: int = 3, ndigits: int = 6
+) -> DataFrame:
+    """Top principal component by fixed-round power iteration over a
+    covariance relation (i, j, cov) with i <= j (the `embed_covariance`
+    output — its values are already rounded, which PINS the iteration's
+    inputs so the unrolled SQL oracle sees bit-identical starting data).
+
+    v₀ = 1⃗; each round is v ← C·v expressed relationally: mirror the
+    upper triangle to the full matrix, join on j, partial-agg sum by i.
+    Every relation in the loop is d²-bounded — after the one data-sized
+    covariance pass (upstream), the iteration costs O(d²) per round
+    regardless of N, the same boundedness argument as k-means centroids.
+    Unlike `pca_components` (driver-side eigh, not SQL-expressible), every
+    step here is relational algebra, so a DuckDB oracle can replay it
+    round for round.
+
+    Output: one row per dimension (i, loading, eig) — loading is the
+    L2-normalized component with the sign fixed so the largest-|loading|
+    coordinate (lowest i on ties) is positive; eig is the Rayleigh
+    quotient (vᵣ₋₁·vᵣ)/(vᵣ₋₁·vᵣ₋₁) from the final round. Floats round at
+    ``ndigits`` (−0.0 normalized) for cross-engine canonical equality.
+    """
+    full = cov.unionByName(
+        cov.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
+        )
+    )
+    spark = cov.sparkSession
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("j"), F.lit(1.0).alias("x")
+    )
+    # the iterative-plan rule (see graph.pagerank): cut lineage every few
+    # rounds or Catalyst analysis time grows multiplicatively; pin the
+    # (tiny, d²-bounded) covariance once so each round reuses it
+    if rounds > 4:
+        full = full.localCheckpoint()
+    prev = v
+    for r in range(rounds):
+        prev = v
+        v = (
+            full.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("x")).alias("x"))
+            .select(F.col("i").alias("j"), "x")
+        )
+        if (r + 1) % 4 == 0 and r + 1 < rounds:
+            prev = prev.localCheckpoint()
+            v = v.localCheckpoint()
+    # Rayleigh quotient from the final (prev, v) pair — both d-row relations
+    dots = (
+        prev.select(F.col("j"), F.col("x").alias("xp"))
+        .join(v, "j")
+        .agg(
+            F.sum(F.col("xp") * F.col("x")).alias("num"),
+            F.sum(F.col("xp") * F.col("xp")).alias("den"),
+        )
+    )
+    nrm = v.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    # sign pin: coordinate with max |x| (lowest j on ties) must be positive
+    sgn = (
+        v.select(
+            "x",
+            F.row_number()
+            .over(Window.orderBy(F.abs(F.col("x")).desc(), F.col("j")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.when(F.col("x") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("s"))
+    )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(dots))
+        .select(
+            F.col("j").alias("i"),
+            (F.round(F.col("s") * F.col("x") / F.col("nrm"), ndigits) + F.lit(0.0)).alias(
+                "loading"
+            ),
+            (F.round(F.col("num") / F.col("den"), ndigits) + F.lit(0.0)).alias("eig"),
+        )
+    )
