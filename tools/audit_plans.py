@@ -26,8 +26,9 @@ SF_DIR = "/root/testdata/sf0.01"
 # queries where Python appears BY DESIGN (Arrow-vectorized numpy kernels)
 EXPECTED_PYTHON = {
     "cosine_topk_np", "kmeans_assign", "repetition_stats", "theilsen_trend",
-    # one-pass numpy Gram partials (Arrow mapInPandas by design)
-    "embed_covariance",
+    # one-pass numpy Gram partials (Arrow mapInPandas by design);
+    # pca_power iterates on top of the same covariance kernel
+    "embed_covariance", "pca_power",
     # PQ codebook train/encode: Arrow numpy argmin kernels by design (the
     # literal-expression form exceeds codegen limits — see operators/pq.py)
     "pq_codes", "pq_topk",
@@ -88,6 +89,12 @@ EXPECTED_SINGLE = {
     # per-customer rollup (documented bounded-relation sort, ntile_bins
     # twin); basket_lift / dedup_report end in 1-row scalar broadcasts
     "rfm_segments", "basket_lift", "dedup_report",
+    # pca_power's iteration relations are d-row / d²-row bounded by
+    # construction (norm/sign/Rayleigh are 1-row scalar broadcasts, the
+    # sign-pin window sorts the d-row loading vector); sssp_hops broadcasts
+    # a 1-row max-key scalar into the edge generator and starts from a
+    # 1-row seed relation
+    "pca_power", "sssp_hops",
 }
 
 
