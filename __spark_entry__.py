@@ -25,6 +25,7 @@ from gridmet_etl_spark.contract_ext3 import EXT3_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext4 import EXT4_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext5 import EXT5_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext6 import EXT6_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext7 import EXT7_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -34,6 +35,7 @@ _MERGED = {
     **EXT4_QUERIES,
     **EXT5_QUERIES,
     **EXT6_QUERIES,
+    **EXT7_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -66,6 +68,8 @@ _CHECK_FIRST = [
     "range_frame_sum", "weighted_median",
     # ---- driver cap (50) reached ----
     # late round-3 additions (verified green) — first in line for r4
+    "idw_interp", "dbscan_clusters", "item_similarity", "cdc_apply",
+    "hist_quantiles", "bootstrap_ci",
     "pca_power", "geo_knn", "sssp_hops", "weighted_median_pooled",
     "rolling_median", "kcore_nodes", "dedup_report", "rfm_segments", "basket_lift",
     # displaced never-checked r2 additions — next for the r4 window

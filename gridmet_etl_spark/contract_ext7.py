@@ -1,0 +1,496 @@
+"""Round-3 contract entries, session C: spatial interpolation, density
+clustering, collaborative filtering, CDC materialization, mergeable
+quantile rollups, and deterministic bootstrap inference —
+
+- ``idw_interp``: inverse-distance-weighted station→target interpolation
+  (geo.idw_interpolate) — the scattered-station twin of the reference's
+  areal weighted mean. Spark runs the 3×3 cell-blocked join; the oracle
+  referees with the brute-force cross join.
+- ``dbscan_clusters``: exact DBSCAN (cluster.dbscan_geo) — ε-graph from
+  the blocked radius join, cores by degree, components by min-label
+  fixpoint (oracle: recursive CTE), borders to their nearest core.
+- ``item_similarity``: item-item co-purchase cosine over lineitem baskets
+  (recommend.item_cosine_topk) — pairs generated within orders only, so
+  fan-out is bounded by basket size, never catalog².
+- ``cdc_apply``: ordered change-log materialization onto the orders
+  snapshot (scd.cdc_apply) — last-writer-wins via ONE max_by partial-agg
+  (no log-wide window sort), deletes drop keys, inserts add them.
+- ``hist_quantiles``: mergeable fixed-bin histogram rollup → interpolated
+  quantiles (sketch.hist_rollup/hist_merge_quantiles) — the quantile twin
+  of hll_rollup, except the estimator is plain arithmetic so the oracle
+  hash-checks the ESTIMATE itself, not just a tolerance bit.
+- ``bootstrap_ci``: percentile bootstrap CI for group means via the
+  deterministic Poisson bootstrap (stats.bootstrap_ci) — md5-seeded
+  Poisson(1) row weights, so a SQL engine replays every draw.
+
+Float discipline: IDW weights come from the ROUNDED distance with a 10 m
+zero-snap (1/d² on ulp-level distances would amplify reorder noise past
+R=6); bootstrap replicate means round at R before the order statistics;
+histogram interpolation is integer counts + one multiply/divide on
+identical operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .contract import R, _t
+from .contract_ext6 import _geo_points
+
+_IDW_RADIUS = 50.0
+_IDW_EPS = 0.01  # km; stations closer than 10 m snap to the target
+
+_DBSCAN_EPS = 50.0
+_DBSCAN_MINPTS = 3
+
+_HIST_LO = 900.0
+_HIST_HI = 105000.0
+_HIST_BINS = 64
+_HIST_QS = (0.25, 0.5, 0.75, 0.95)
+
+_BOOT_B = 64
+_BOOT_ALPHA = 0.05
+
+# ---------------------------------------------------------------------------
+# idw_interp: inverse-distance-weighted interpolation, blocked vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _idw_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-keyed synthetic stations: geo_knn's modular coordinates
+    plus a deterministic integer-derived observation value."""
+    return _geo_points(spark, sf_dir).select(
+        F.col("point_id").alias("station_id"),
+        "lat",
+        "lon",
+        ((F.col("point_id") * 7919) % 1000 / F.lit(10.0)).alias("value"),
+    )
+
+
+def _idw_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-keyed target points on the same extent (offset multipliers
+    so targets do not coincide with stations except by arithmetic luck —
+    which the d=0 snap handles identically in both engines)."""
+    return spark.read.parquet(_t(sf_dir, "supplier")).select(
+        F.col("s_suppkey").alias("target_id"),
+        (
+            F.lit(30.0)
+            + ((F.col("s_suppkey") * 50993) % 100000) / F.lit(100000.0) * 15.0
+        ).alias("lat"),
+        (
+            F.lit(-120.0)
+            + ((F.col("s_suppkey") * 73471) % 100000) / F.lit(100000.0) * 20.0
+        ).alias("lon"),
+    )
+
+
+def q_idw_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW estimate at every supplier target from customer stations within
+    50 km. One cell-blocked equi join + one |targets|-keyed partial-agg
+    shuffle — station count never enters the shuffle volume."""
+    from .operators.geo import idw_interpolate
+
+    return idw_interpolate(
+        _idw_stations(spark, sf_dir),
+        _idw_targets(spark, sf_dir),
+        power=2,
+        radius_km=_IDW_RADIUS,
+        cell_deg=1.0,
+        max_abs_lat=55.0,
+        rank_round=R,
+        out_round=R,
+        zero_eps=_IDW_EPS,
+    )
+
+
+SQL_IDW_INTERP = f"""
+WITH st AS (
+  SELECT c_custkey AS station_id,
+         30.0 + ((c_custkey * 48271) % 100000) / 100000.0 * 15.0 AS lat,
+         -120.0 + ((c_custkey * 69621) % 100000) / 100000.0 * 20.0 AS lon,
+         ((c_custkey * 7919) % 1000) / 10.0 AS v
+  FROM customer),
+tg AS (
+  SELECT s_suppkey AS target_id,
+         30.0 + ((s_suppkey * 50993) % 100000) / 100000.0 * 15.0 AS lat,
+         -120.0 + ((s_suppkey * 73471) % 100000) / 100000.0 * 20.0 AS lon
+  FROM supplier),
+d AS (
+  SELECT t.target_id, s.v,
+         ROUND(2.0 * 6371.0 * asin(sqrt(
+             sin(radians(s.lat - t.lat) / 2) * sin(radians(s.lat - t.lat) / 2)
+             + cos(radians(t.lat)) * cos(radians(s.lat))
+               * sin(radians(s.lon - t.lon) / 2) * sin(radians(s.lon - t.lon) / 2)
+         )), {R}) + 0 AS d
+  FROM tg t JOIN st s ON TRUE),
+r AS (SELECT * FROM d WHERE d <= {_IDW_RADIUS}),
+agg AS (
+  SELECT target_id,
+         count(*) AS n_stations,
+         min(d) AS dmin,
+         avg(CASE WHEN d < {_IDW_EPS} THEN v END) AS v0,
+         sum(CASE WHEN d >= {_IDW_EPS} THEN v / (d * d) END) AS num,
+         sum(CASE WHEN d >= {_IDW_EPS} THEN 1.0 / (d * d) END) AS den
+  FROM r GROUP BY target_id)
+SELECT target_id, CAST(n_stations AS BIGINT) AS n_stations,
+       ROUND(CASE WHEN dmin < {_IDW_EPS} THEN v0 ELSE num / den END, {R}) + 0
+         AS idw_value
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# dbscan_clusters: exact DBSCAN, blocked ε-graph vs recursive-CTE fixpoint
+# ---------------------------------------------------------------------------
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the synthetic customer points: ε=50 km, min_pts=3.
+    Core detection and border assignment are single partial-agg passes
+    over the blocked pair relation; components iterate label-propagation
+    rounds with checkpoint-pinned labels."""
+    from .operators.cluster import dbscan_geo
+
+    return dbscan_geo(
+        _geo_points(spark, sf_dir),
+        eps_km=_DBSCAN_EPS,
+        min_pts=_DBSCAN_MINPTS,
+        cell_deg=1.0,
+        max_abs_lat=55.0,
+    )
+
+
+SQL_DBSCAN_CLUSTERS = f"""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS point_id,
+         30.0 + ((c_custkey * 48271) % 100000) / 100000.0 * 15.0 AS lat,
+         -120.0 + ((c_custkey * 69621) % 100000) / 100000.0 * 20.0 AS lon
+  FROM customer),
+d AS (
+  SELECT a.point_id AS pa, b.point_id AS pb,
+         ROUND(2.0 * 6371.0 * asin(sqrt(
+             sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+         )), {R}) + 0 AS dist
+  FROM p a JOIN p b ON a.point_id <> b.point_id),
+nb AS (SELECT * FROM d WHERE dist <= {_DBSCAN_EPS}),
+deg AS (SELECT pa AS point_id, count(*) AS nbrs FROM nb GROUP BY pa),
+core AS (SELECT point_id FROM deg WHERE nbrs + 1 >= {_DBSCAN_MINPTS}),
+ce AS (
+  SELECT nb.pa AS src, nb.pb AS dst FROM nb
+  JOIN core ca ON nb.pa = ca.point_id
+  JOIN core cb ON nb.pb = cb.point_id),
+reach AS (
+  SELECT point_id AS node, point_id AS lbl FROM core
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN ce e ON e.src = r.node),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+core_lab AS (
+  SELECT c.point_id, coalesce(k.cluster_id, c.point_id) AS cluster_id
+  FROM core c LEFT JOIN comp k ON k.node = c.point_id),
+border_cand AS (
+  SELECT nb.pa AS point_id, cl.cluster_id,
+         row_number() OVER (PARTITION BY nb.pa
+                            ORDER BY nb.dist, nb.pb) AS rn
+  FROM nb
+  JOIN core_lab cl ON nb.pb = cl.point_id
+  WHERE nb.pa NOT IN (SELECT point_id FROM core)),
+border AS (SELECT point_id, cluster_id FROM border_cand WHERE rn = 1),
+lab AS (
+  SELECT point_id, cluster_id, 'core' AS role FROM core_lab
+  UNION ALL
+  SELECT point_id, cluster_id, 'border' FROM border)
+SELECT p.point_id, l.cluster_id, coalesce(l.role, 'noise') AS role
+FROM p LEFT JOIN lab l ON p.point_id = l.point_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# item_similarity: co-purchase cosine top-k
+# ---------------------------------------------------------------------------
+
+_SIM_K = 5
+_SIM_MINCOOC = 2
+_SIM_MAXBASKET = 100
+
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 co-purchase neighbors per part by basket cosine. Pairs only
+    within orders (≤7 lines each), support-pruned at cooc ≥ 2 before the
+    per-item window."""
+    from .operators.recommend import item_cosine_topk
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return item_cosine_topk(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        k=_SIM_K,
+        min_cooc=_SIM_MINCOOC,
+        max_basket=_SIM_MAXBASKET,
+        ndigits=R,
+    )
+
+
+SQL_ITEM_SIMILARITY = f"""
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+szok AS (
+  SELECT b FROM inc GROUP BY b HAVING count(*) <= {_SIM_MAXBASKET}),
+kept AS (SELECT inc.* FROM inc JOIN szok USING (b)),
+marg AS (SELECT i, count(*) AS n FROM kept GROUP BY i),
+cooc AS (
+  SELECT a.i AS ia, b.i AS ib, count(*) AS cooc
+  FROM kept a JOIN kept b ON a.b = b.b AND a.i < b.i
+  GROUP BY a.i, b.i HAVING count(*) >= {_SIM_MINCOOC}),
+sym AS (
+  SELECT ia, ib, cooc FROM cooc
+  UNION ALL SELECT ib, ia, cooc FROM cooc),
+scored AS (
+  SELECT s.ia, s.ib, s.cooc,
+         ROUND(s.cooc / sqrt(CAST(ma.n AS DOUBLE) * mb.n), {R}) + 0 AS cosine
+  FROM sym s JOIN marg ma ON s.ia = ma.i JOIN marg mb ON s.ib = mb.i),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY ia
+                               ORDER BY cosine DESC, ib) AS rnk
+  FROM scored)
+SELECT ia AS item_id, ib AS other_id, cooc, cosine, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {_SIM_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply: ordered change-log materialization onto the orders snapshot
+# ---------------------------------------------------------------------------
+
+
+def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic change log on the orders keys: every key
+    ≡0 (mod 3) gets an update at seq 1 (+10%); every key ≡0 (mod 6) a
+    second change at seq 2 — a delete when ≡0 (mod 12), else +20%; and
+    keys ≡1 (mod 1000) insert a NEW key (base+10⁹) at seq 1. Prices stay
+    UNROUNDED doubles: one IEEE multiply on identical operands is
+    bit-equal across engines, while ROUND(x, 2) half-cases are not."""
+    o = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("p")
+    )
+    u1 = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("p") * 1.1).alias("o_totalprice"),
+    )
+    u2 = o.where(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("seq"),
+        F.when(F.col("o_orderkey") % 12 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        (F.col("p") * 1.2).alias("o_totalprice"),
+    )
+    ins = o.where(F.col("o_orderkey") % 1000 == 1).select(
+        (F.col("o_orderkey") + 1000000000).alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        (F.col("p") * 0.5).alias("o_totalprice"),
+    )
+    return u1.unionByName(u2).unionByName(ins)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized orders state after the change log: one max_by
+    partial-agg collapses the log to winners, one key join applies them;
+    the snapshot side never shuffles when the delta broadcasts."""
+    from .operators.scd import cdc_apply
+
+    snap = spark.read.parquet(_t(sf_dir, "orders")).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    return cdc_apply(
+        snap,
+        _cdc_changelog(spark, sf_dir),
+        key_cols=["key"],
+        val_cols=["o_totalprice"],
+        seq_col="seq",
+        op_col="op",
+    )
+
+
+SQL_CDC_APPLY = """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p FROM orders),
+log AS (
+  SELECT o_orderkey AS key, 1 AS seq, 'U' AS op, p * 1.1 AS price
+  FROM o WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 2,
+         CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END,
+         p * 1.2
+  FROM o WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 1, 'I', p * 0.5
+  FROM o WHERE o_orderkey % 1000 = 1),
+winner AS (
+  SELECT key, op, price FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM log) w
+  WHERE rn = 1),
+merged AS (
+  SELECT coalesce(w.key, o.o_orderkey) AS key,
+         w.op,
+         CASE WHEN w.key IS NOT NULL THEN w.price ELSE o.p END AS o_totalprice
+  FROM o FULL OUTER JOIN winner w ON o.o_orderkey = w.key)
+SELECT key, o_totalprice FROM merged WHERE op IS NULL OR op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# hist_quantiles: mergeable histogram rollup → interpolated quantiles
+# ---------------------------------------------------------------------------
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag,linestatus) histograms of l_extendedprice merged up
+    to returnflag, then 4 interpolated quantiles per flag. After the one
+    data-sized rollup pass everything operates on ≤ |keys|×64 count
+    rows."""
+    from .operators.sketch import hist_merge_quantiles, hist_rollup
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    roll = hist_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "price",
+        lo=_HIST_LO,
+        hi=_HIST_HI,
+        bins=_HIST_BINS,
+    )
+    return hist_merge_quantiles(
+        roll,
+        ["l_returnflag"],
+        qs=list(_HIST_QS),
+        lo=_HIST_LO,
+        hi=_HIST_HI,
+        bins=_HIST_BINS,
+        ndigits=R,
+    )
+
+
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_BINS
+
+SQL_HIST_QUANTILES = f"""
+WITH src AS (
+  SELECT l_returnflag AS rf,
+         CAST(l_extendedprice AS DOUBLE) AS price
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+binned AS (
+  SELECT rf,
+         least({_HIST_BINS - 1},
+               greatest(0, CAST(floor((price - {_HIST_LO}) / {_HIST_W!r}) AS INT)))
+           AS bin,
+         count(*) AS cnt
+  FROM src GROUP BY rf, 2),
+cum AS (
+  SELECT rf, bin, cnt,
+         sum(cnt) OVER (PARTITION BY rf ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY rf) AS n
+  FROM binned),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _HIST_QS)}]::DOUBLE[]) AS q),
+exp AS (
+  SELECT c.*, qs.q, qs.q * c.n AS r FROM cum c CROSS JOIN qs),
+hit AS (
+  SELECT rf, q, bin, cnt, cum, n, r,
+         row_number() OVER (PARTITION BY rf, q ORDER BY bin) AS rn
+  FROM exp WHERE cum >= r)
+SELECT rf AS l_returnflag, q,
+       ROUND({_HIST_LO} + (bin + greatest(0.0, (cnt + r - cum) / cnt))
+             * {_HIST_W!r}, {R}) + 0 AS est
+FROM hit WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci: deterministic Poisson-bootstrap mean CI
+# ---------------------------------------------------------------------------
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap CI for mean l_quantity per returnflag,
+    B=64 md5-seeded Poisson replicates. The B-way explode never shuffles;
+    the only exchanges carry |groups|×B partial sums."""
+    from .operators.stats import bootstrap_ci
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    return bootstrap_ci(
+        li,
+        ["l_returnflag"],
+        val_col="qty",
+        id_col="rid",
+        n_boot=_BOOT_B,
+        alpha=_BOOT_ALPHA,
+        ndigits=R,
+    )
+
+
+def _sql_bootstrap() -> str:
+    import math as _m
+
+    from .operators.stats import POISSON1_CDF
+
+    t = POISSON1_CDF
+    lo_rank = max(1, _m.ceil(_BOOT_ALPHA / 2 * _BOOT_B))
+    hi_rank = _m.ceil((1 - _BOOT_ALPHA / 2) * _BOOT_B)
+    return f"""
+WITH src AS (
+  SELECT l_returnflag AS rf, l_orderkey * 8 + l_linenumber AS rid,
+         CAST(l_quantity AS DOUBLE) AS x
+  FROM lineitem),
+b AS (SELECT unnest(range({_BOOT_B})) AS b),
+drawn AS (
+  SELECT rf, x, b.b,
+         CAST(CAST('0x' || substr(md5(CAST(rid AS VARCHAR) || ':' ||
+              CAST(b.b AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+           / 4294967296.0 AS u
+  FROM src CROSS JOIN b),
+wtd AS (
+  SELECT rf, b, x,
+         CASE WHEN u < {t[0]} THEN 0 WHEN u < {t[1]} THEN 1
+              WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3
+              WHEN u < {t[4]} THEN 4 ELSE 5 END AS w
+  FROM drawn),
+rep AS (
+  SELECT rf, b, ROUND(sum(w * x) / sum(w), {R}) AS m
+  FROM wtd GROUP BY rf, b HAVING sum(w) > 0),
+ci AS (
+  SELECT rf, list_sort(list(m)) AS ms FROM rep GROUP BY rf),
+base AS (
+  SELECT rf, ROUND(avg(x), {R}) + 0 AS mean_est FROM src GROUP BY rf)
+SELECT base.rf AS l_returnflag, base.mean_est,
+       ms[{lo_rank}] + 0 AS ci_lo, ms[{hi_rank}] + 0 AS ci_hi,
+       {_BOOT_B} AS n_boot
+FROM base JOIN ci ON base.rf = ci.rf
+"""
+
+
+SQL_BOOTSTRAP_CI = _sql_bootstrap()
+
+
+EXT7_QUERIES: dict[str, tuple] = {
+    "idw_interp": (q_idw_interp, SQL_IDW_INTERP),
+    "dbscan_clusters": (q_dbscan_clusters, SQL_DBSCAN_CLUSTERS),
+    "item_similarity": (q_item_similarity, SQL_ITEM_SIMILARITY),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
+    "bootstrap_ci": (q_bootstrap_ci, SQL_BOOTSTRAP_CI),
+}

@@ -268,3 +268,100 @@ def connected_components_star(
             "cluster_id"
         ),
     )
+
+
+def dbscan_geo(
+    points: DataFrame,
+    eps_km: float = 25.0,
+    min_pts: int = 4,
+    cell_deg: float = 0.5,
+    max_abs_lat: float = 60.0,
+    id_col: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Exact DBSCAN over lat/lon points, fully distributed:
+
+    1. ε-neighborhood pairs via the cell-blocked radius join
+       (geo.geo_radius_pairs) — the only data-sized stage, bounded by
+       local density, never all-pairs.
+    2. CORE points: |N_ε(p)| ≥ min_pts counting p itself — one
+       point-keyed partial-agg over the pair relation.
+    3. Clusters: connected components over the core—core edges (the
+       density-reachability skeleton); labels are component-min core ids.
+       An isolated core (no core neighbor) is its own singleton cluster.
+       Geographic ε-graphs form LONG CHAINS (a river of points is one
+       component with diameter ≈ its length), so this routes through the
+       log-diameter large-star/small-star variant, not min-label
+       propagation — O(log n) rounds regardless of chain length.
+    4. BORDER points: non-core with ≥1 core neighbor join the cluster of
+       their NEAREST core neighbor (ties by lowest core id) — one min_by
+       partial-agg, deterministic where textbook DBSCAN is
+       visit-order-dependent.
+    5. Everything else is NOISE (cluster_id NULL).
+
+    Output: (point_id, cluster_id, role ∈ {core, border, noise}) for every
+    input point. The component iteration is round-bounded like
+    connected_components (localCheckpoint-pinned labels, cached edges);
+    geographic ε-graphs converge in a handful of rounds because cluster
+    diameter in CELLS is small even when clusters span many points.
+    """
+    from .geo import geo_radius_pairs
+
+    pairs = geo_radius_pairs(
+        points,
+        radius_km=eps_km,
+        cell_deg=cell_deg,
+        max_abs_lat=max_abs_lat,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+    )
+    # pin the pair relation: it feeds three consumers (degree count, core
+    # edge filter, border assignment) and recomputing the blocked join
+    # three times would triple the dominant cost
+    pairs = pairs.localCheckpoint()
+    deg = pairs.groupBy("point_id").agg(F.count(F.lit(1)).alias("_nbrs"))
+    core_ids = deg.where(F.col("_nbrs") + 1 >= min_pts).select("point_id")
+    core_edges = (
+        pairs.join(core_ids, "point_id", "left_semi")
+        .join(
+            core_ids.withColumnRenamed("point_id", "neighbor_id"),
+            "neighbor_id",
+            "left_semi",
+        )
+        .select("point_id", "neighbor_id")
+    )
+    comp = connected_components_star(
+        core_edges, "point_id", "neighbor_id", max_iter=max_iter
+    )
+    core_lab = core_ids.join(
+        comp.withColumnRenamed("node", "point_id"), "point_id", "left"
+    ).select(
+        "point_id",
+        F.coalesce(F.col("cluster_id"), F.col("point_id")).alias("cluster_id"),
+    )
+    # border: nearest core neighbor's cluster (round-stable: dist then id)
+    border = (
+        pairs.join(core_lab.withColumnRenamed("point_id", "neighbor_id"), "neighbor_id")
+        .join(core_lab.select("point_id"), "point_id", "left_anti")
+        .groupBy("point_id")
+        .agg(
+            F.min_by(
+                F.col("cluster_id"), F.struct("dist_km", "neighbor_id")
+            ).alias("cluster_id")
+        )
+    )
+    labeled = core_lab.select(
+        "point_id", "cluster_id", F.lit("core").alias("role")
+    ).unionByName(
+        border.select("point_id", "cluster_id", F.lit("border").alias("role"))
+    )
+    return points.select(F.col(id_col).alias("point_id")).join(
+        labeled, "point_id", "left"
+    ).select(
+        "point_id",
+        "cluster_id",
+        F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+    )

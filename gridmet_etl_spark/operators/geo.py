@@ -36,7 +36,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["haversine_km", "geo_knn"]
+__all__ = ["haversine_km", "geo_knn", "geo_radius_pairs", "idw_interpolate"]
 
 EARTH_RADIUS_KM = 6371.0
 KM_PER_DEG_LAT = 111.32
@@ -78,6 +78,38 @@ def geo_knn(
     partitions on the left id, so the sort is per-point candidate lists
     (density-bounded), never a global sort.
     """
+    cand = geo_radius_pairs(
+        points,
+        radius_km=radius_km,
+        cell_deg=cell_deg,
+        max_abs_lat=max_abs_lat,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        rank_round=rank_round,
+    )
+    w = Window.partitionBy("point_id").orderBy("dist_km", "neighbor_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def geo_radius_pairs(
+    points: DataFrame,
+    radius_km: float = 50.0,
+    cell_deg: float = 1.0,
+    max_abs_lat: float = 60.0,
+    id_col: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    rank_round: int = 6,
+) -> DataFrame:
+    """All (point, neighbor) pairs within ``radius_km``, self excluded —
+    the exact cell-blocked ε-neighborhood join that geo_knn and DBSCAN
+    both rank/aggregate over. Output: (point_id, neighbor_id, dist_km),
+    both directions present. Same exactness condition as geo_knn:
+    ``cell_deg`` must cover the radius along both axes."""
     if cell_deg * KM_PER_DEG_LAT < radius_km:
         raise ValueError("cell_deg too small for radius_km along latitude")
     if cell_deg * KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat)) < radius_km:
@@ -120,8 +152,111 @@ def geo_knn(
         )
         .where(F.col("dist_km") <= radius_km)
     )
-    w = Window.partitionBy("point_id").orderBy("dist_km", "neighbor_id")
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
+    return cand
+
+
+def idw_interpolate(
+    stations: DataFrame,
+    targets: DataFrame,
+    value_col: str = "value",
+    power: int = 2,
+    radius_km: float = 50.0,
+    cell_deg: float = 1.0,
+    max_abs_lat: float = 60.0,
+    station_id: str = "station_id",
+    target_id: str = "target_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    rank_round: int = 6,
+    out_round: int = 6,
+    zero_eps: float = 0.01,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation: every target point gets
+    ``sum(v / d^p) / sum(1 / d^p)`` over the stations within ``radius_km``
+    — the classic scattered-station → analysis-point estimator (the
+    station-data analogue of the reference's grid→polygon weighted mean,
+    etl.py:421-447, with 1/d^p in place of areal weights).
+
+    Scale shape: identical to ``geo_knn`` — targets explode into their 3×3
+    cell neighborhood (9× the TARGET relation, which is the small side),
+    stations keep their own cell, one equi join on the cell key, then ONE
+    target-keyed partial-agg shuffle whose volume is |targets|, independent
+    of station count or pair fan-out. No window, no global sort.
+
+    Convention at d≈0 (a station within ``zero_eps`` km of the target —
+    default 10 m): the IDW weight diverges and near-zero distances would
+    amplify float-sum reorder noise past the rounding guard, so such
+    targets take the AVERAGE of the snapped station values — the standard
+    guard, expressed as a conditional aggregate so the DuckDB oracle can
+    replay it verbatim.
+
+    Determinism: weights are computed from the ROUNDED distance (the same
+    discipline as geo_knn ranking — transcendental ulp drift across
+    engines), and the output value is rounded at ``out_round``.
+
+    Output: (target_id, n_stations, idw_value) for targets with ≥1
+    in-radius station.
+    """
+    if cell_deg * KM_PER_DEG_LAT < radius_km:
+        raise ValueError("cell_deg too small for radius_km along latitude")
+    if cell_deg * KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat)) < radius_km:
+        raise ValueError(
+            "cell_deg too small for radius_km along longitude at max_abs_lat"
+        )
+    tgt = targets.select(
+        F.col(target_id).alias("_tid"),
+        F.col(lat_col).cast("double").alias("tlat"),
+        F.col(lon_col).cast("double").alias("tlon"),
+        F.floor(F.col(lat_col) / cell_deg).alias("_cl"),
+        F.floor(F.col(lon_col) / cell_deg).alias("_cn"),
+    )
+    tgt9 = (
+        tgt.withColumn("_dl", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dn", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "_tid",
+            "tlat",
+            "tlon",
+            (F.col("_cl") + F.col("_dl")).alias("jcl"),
+            (F.col("_cn") + F.col("_dn")).alias("jcn"),
+        )
+    )
+    st = stations.select(
+        F.col(station_id).alias("_sid"),
+        F.col(lat_col).cast("double").alias("slat"),
+        F.col(lon_col).cast("double").alias("slon"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.floor(F.col(lat_col) / cell_deg).alias("jcl"),
+        F.floor(F.col(lon_col) / cell_deg).alias("jcn"),
+    )
+    dist = haversine_km(F.col("tlat"), F.col("tlon"), F.col("slat"), F.col("slon"))
+    cand = (
+        tgt9.join(st, ["jcl", "jcn"])
+        .select(
+            "_tid",
+            "_v",
+            (F.round(dist, rank_round) + F.lit(0.0)).alias("d"),
+        )
+        .where(F.col("d") <= radius_km)
+    )
+    wgt = F.lit(1.0) / F.pow(F.col("d"), power)
+    agg = cand.groupBy("_tid").agg(
+        F.count(F.lit(1)).alias("n_stations"),
+        F.min("d").alias("_dmin"),
+        F.avg(F.when(F.col("d") < zero_eps, F.col("_v"))).alias("_v0"),
+        F.sum(F.when(F.col("d") >= zero_eps, F.col("_v") * wgt)).alias("_num"),
+        F.sum(F.when(F.col("d") >= zero_eps, wgt)).alias("_den"),
+    )
+    return agg.select(
+        F.col("_tid").alias(target_id),
+        F.col("n_stations"),
+        (
+            F.round(
+                F.when(F.col("_dmin") < zero_eps, F.col("_v0")).otherwise(
+                    F.col("_num") / F.col("_den")
+                ),
+                out_round,
+            )
+            + F.lit(0.0)
+        ).alias("idw_value"),
     )

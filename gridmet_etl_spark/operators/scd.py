@@ -54,3 +54,45 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    val_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered change log to a snapshot — the materialize step of
+    every CDC/lakehouse ingest (Debezium → table): per key, the HIGHEST
+    ``seq_col`` change wins; op 'D' deletes the key, 'I'/'U' upsert the
+    payload; keys never touched by the log pass through unchanged.
+
+    Scale shape: the log first collapses to one winner row per key with
+    ``max_by`` — a single key-partial-agg shuffle carrying |changed keys|
+    rows (NOT a window sort over the full log). The snapshot then joins
+    that winner relation full-outer on the key; with a 100 TB snapshot and
+    a small daily delta the winner side broadcasts and the snapshot never
+    shuffles. Output column set = (*key_cols, *val_cols).
+    """
+    keys = list(key_cols)
+    vals = list(val_cols)
+    winner = changelog.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("_op"), *[F.col(v).alias(v) for v in vals]),
+            F.col(seq_col),
+        ).alias("_w")
+    )
+    snap = snapshot.select(*keys, *[F.col(v).alias(f"_s_{v}") for v in vals])
+    joined = snap.join(winner, keys, "full_outer")
+    alive = joined.where(
+        F.col("_w").isNull() | (F.col("_w._op") != F.lit("D"))
+    )
+    out_vals = [
+        F.when(F.col("_w").isNotNull(), F.col(f"_w.{v}"))
+        .otherwise(F.col(f"_s_{v}"))
+        .alias(v)
+        for v in vals
+    ]
+    return alive.select(*keys, *out_vals)

@@ -134,3 +134,101 @@ def hll_merge(rollup: DataFrame, keys: list[str]) -> DataFrame:
     return merged.withColumn(
         "approx_distinct", F.hll_sketch_estimate("hll").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram → quantile rollup tables
+# ---------------------------------------------------------------------------
+#
+# The quantile twin of hll_rollup: exact quantiles do not roll up (a
+# median of medians is not the median), but fixed-bin HISTOGRAMS do —
+# bin counts add. Build per-fine-key histograms once (one partial-agg
+# shuffle carrying ≤ |keys|×bins rows), persist them, then answer any
+# coarser quantile question by SUMMING BINS — no rescan, no re-shuffle of
+# the raw values. The estimate (linear interpolation inside the containing
+# bin) is plain deterministic arithmetic, so unlike the HLL estimate a SQL
+# oracle replays it bit-for-bit: contract queries hash the estimate itself.
+# Accuracy is bounded by bin width (pytest pins the error vs exact
+# percentile_cont); production picks bins to taste — counts are the only
+# state, so width is a read-time choice when lo/hi are data bounds.
+
+HIST_BINS = 64
+
+
+def hist_rollup(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-key fixed-bin histogram of ``col`` over [lo, hi): one (keys,
+    bin, cnt) row per non-empty cell. Values are clamped into the edge
+    bins (the standard open-tail convention). ONE shuffle, partial-agg
+    bounded at |keys|×bins rows per upstream partition."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width).cast("int")),
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*keys, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge_quantiles(
+    rollup: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Merge fine-key histogram rows up to coarser ``keys`` and estimate
+    the ``qs`` quantiles per coarse key by linear interpolation within the
+    containing bin (continuous rank r = q·N; the bin where the running
+    count first reaches r contributes its fraction of one bin width).
+
+    Input is the rollup table (kilobytes per key), never raw data: the
+    merge shuffle is |coarse keys|×bins rows and the quantile window sorts
+    ≤ ``bins`` rows per key. Output: (*keys, q, est)."""
+    width = (hi - lo) / bins
+    merged = rollup.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("bin")
+    cum = merged.select(
+        *keys,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(*keys)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    exp = cum.select(*keys, "bin", "cnt", "cum", "n", qcol).withColumn(
+        "r", F.col("q") * F.col("n")
+    )
+    # the containing bin: first bin whose running count reaches r (for
+    # q=0, r=0 falls in the first non-empty bin via the cum >= r test on
+    # cum ≥ cnt ≥ 1 > 0)
+    hit = exp.where(F.col("cum") >= F.col("r")).groupBy(*keys, "q").agg(
+        F.min_by(
+            F.struct("bin", "cnt", "cum"), F.col("bin")
+        ).alias("_s"),
+        F.first("n").alias("n"),
+    )
+    frac = (F.col("_s.cnt") + F.col("r") - F.col("_s.cum")) / F.col("_s.cnt")
+    est = F.lit(lo) + (F.col("_s.bin") + F.greatest(F.lit(0.0), frac)) * F.lit(width)
+    return hit.withColumn("r", F.col("q") * F.col("n")).select(
+        *keys,
+        "q",
+        (F.round(est, ndigits) + F.lit(0.0)).alias("est"),
+    )

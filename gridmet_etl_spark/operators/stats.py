@@ -16,6 +16,7 @@ cross-engine-safe; display values round at the edge.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -208,4 +209,92 @@ def weighted_median(
             F.col(value_col).alias("w_median"),
             F.col("_tw").alias("total_weight"),
         )
+    )
+
+
+# Poisson(1) inverse-CDF thresholds, fixed literals so Spark and the SQL
+# oracle evaluate the SAME constants (cumulative e^-1 · Σ 1/k!)
+POISSON1_CDF = (0.36787944, 0.73575888, 0.9196986, 0.98101184, 0.99634015)
+
+
+def bootstrap_weight(u: Column) -> Column:
+    """Deterministic Poisson(1) draw from a uniform u ∈ [0,1) by inverse
+    CDF (capped at 5 — P(>5) < 6e-4). The Poisson bootstrap replaces
+    sample-with-replacement (which needs a global index and coordinated
+    RNG) with an independent per-row weight, which is exactly what a
+    shared-nothing scan can do."""
+    t = POISSON1_CDF
+    return (
+        F.when(u < t[0], 0)
+        .when(u < t[1], 1)
+        .when(u < t[2], 2)
+        .when(u < t[3], 3)
+        .when(u < t[4], 4)
+        .otherwise(5)
+    )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    id_col: str,
+    n_boot: int = 64,
+    alpha: float = 0.05,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the per-group MEAN,
+    fully deterministic: replicate b draws row weights w = Poisson(1)
+    seeded by md5(id:b), the replicate statistic is the weighted mean, and
+    the CI takes the ceil(α/2·B)-th / ceil((1-α/2)·B)-th order statistics
+    of the B replicate means.
+
+    Scale shape: the B-way replication is a row-local explode (map-side,
+    never shuffled); ONE partial-agg shuffle keyed (group, b) carries
+    |groups|×B partial sums; the order-statistic step sorts B ≤ a few
+    hundred values per group inside an array — no window over data rows.
+    Determinism makes it oracle-replayable AND retry-safe on speculative
+    re-execution (a task rerun draws identical weights).
+
+    Output: (*group_cols, mean_est, ci_lo, ci_hi, n_boot).
+    """
+    groups = list(group_cols)
+    b = F.explode(F.array(*[F.lit(i) for i in range(n_boot)])).alias("_b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("_b").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    rep = (
+        df.select(*groups, F.col(id_col), F.col(val_col).cast("double").alias("_x"), b)
+        .withColumn("_w", bootstrap_weight(u))
+        .groupBy(*groups, "_b")
+        .agg(
+            (F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_m")
+        )
+        .where(F.col("_m").isNotNull())
+    )
+    lo_rank = max(1, math.ceil(alpha / 2 * n_boot))
+    hi_rank = math.ceil((1 - alpha / 2) * n_boot)
+    ci = rep.groupBy(*groups).agg(
+        F.array_sort(F.collect_list(F.round(F.col("_m"), ndigits))).alias("_ms")
+    )
+    base = df.groupBy(*groups).agg(
+        (F.round(F.avg(F.col(val_col).cast("double")), ndigits) + F.lit(0.0)).alias(
+            "mean_est"
+        )
+    )
+    return base.join(ci, groups).select(
+        *groups,
+        "mean_est",
+        (F.element_at("_ms", lo_rank) + F.lit(0.0)).alias("ci_lo"),
+        (F.element_at("_ms", hi_rank) + F.lit(0.0)).alias("ci_hi"),
+        F.lit(n_boot).alias("n_boot"),
     )
