@@ -563,6 +563,91 @@ def _polygon_zonal_full(spark):
     return q_polygon_zonal_mean(spark, SF_DIR)
 
 
+
+
+def _idw_1m_stations(spark):
+    """IDW interpolation: 1M synthetic stations → 25k targets, 10 km
+    radius, 0.25° cells (~45 candidate stations per target). The pair
+    relation stays cell-local (~50M candidate rows scanned, never
+    shuffled); the single exchange carries 25k aggregated targets."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.geo import idw_interpolate
+
+    st = spark.range(1, 1_000_001, 1, 32).select(
+        F.col("id").alias("station_id"),
+        (30.0 + (F.col("id") * 48271 % 1_000_000) / 1_000_000.0 * 15.0).alias("lat"),
+        (-120.0 + (F.col("id") * 69621 % 1_000_000) / 1_000_000.0 * 20.0).alias("lon"),
+        ((F.col("id") * 7919) % 1000 / 10.0).alias("value"),
+    )
+    tg = spark.range(1, 25_001, 1, 32).select(
+        F.col("id").alias("target_id"),
+        (30.0 + (F.col("id") * 50993 % 1_000_000) / 1_000_000.0 * 15.0).alias("lat"),
+        (-120.0 + (F.col("id") * 73471 % 1_000_000) / 1_000_000.0 * 20.0).alias("lon"),
+    )
+    return idw_interpolate(
+        st, tg, radius_km=10.0, cell_deg=0.25, max_abs_lat=55.0
+    )
+
+
+def _item_similarity_sf(spark):
+    """Item-item co-purchase cosine over the full sf lineitem (orders ≤7
+    lines → pair fan-out bounded at 21× orders); support prune then
+    per-item top-k. The single-file fixture is spread first — a real
+    lakehouse table arrives in many splits."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.recommend import item_cosine_topk
+
+    li = spark.read.parquet(
+        os.path.join(SF_DIR, "lineitem.parquet")
+    ).repartition(32)
+    return item_cosine_topk(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        k=5, min_cooc=2, max_basket=100,
+    )
+
+
+def _bootstrap_38m_draws(spark):
+    """Poisson-bootstrap CI over the full sf lineitem × 64 replicates
+    (~38M weighted draws at sf0.1). The explode is map-side only (spread
+    across 32 splits first — the 64× row multiplication inherits input
+    partitioning); the one exchange carries |groups|×64 partial sums."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.stats import bootstrap_ci
+
+    li = (
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .repartition(32)
+        .select(
+            "l_returnflag",
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+    )
+    return bootstrap_ci(li, ["l_returnflag"], "qty", "rid", n_boot=64)
+
+
+def _cdc_10m_snapshot(spark):
+    """CDC materialization: 1M-change log collapsed to winners (one
+    partial-agg) and applied to a 10M-key snapshot via key join."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.scd import cdc_apply
+
+    snap = spark.range(0, 10_000_000, 1, 32).select(
+        F.col("id").alias("key"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    log = spark.range(0, 1_000_000, 1, 32).select(
+        ((F.col("id") * 2654435761) % 10_000_000).alias("key"),
+        (F.col("id") % 5).alias("seq"),
+        F.when(F.col("id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (F.col("id") % 1013).cast("double").alias("v"),
+    )
+    return cdc_apply(snap, log, ["key"], ["v"])
+
+
 CALL_TIMED = {
     "tpch_suite_22": _tpch_suite_22,
     "rag_pipeline": _rag_pipeline_sf,
@@ -594,6 +679,10 @@ EXTRA_BENCH = {
     "tpch_q9ish": _tpch_q9ish_sf,
     "polygon_weights_811k_cells": _polygon_weights_national,
     "kcore_1M_edges": _kcore_1m_edges,
+    "idw_1M_stations": _idw_1m_stations,
+    "item_similarity_sf": _item_similarity_sf,
+    "bootstrap_38M_draws": _bootstrap_38m_draws,
+    "cdc_10M_snapshot": _cdc_10m_snapshot,
 }
 
 
