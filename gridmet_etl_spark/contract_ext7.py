@@ -494,3 +494,131 @@ EXT7_QUERIES: dict[str, tuple] = {
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "bootstrap_ci": (q_bootstrap_ci, SQL_BOOTSTRAP_CI),
 }
+
+
+# ---------------------------------------------------------------------------
+# logit_gd: relational logistic regression (unrolled full-batch GD)
+# ---------------------------------------------------------------------------
+
+_GD_LR = 1.0
+_GD_ROUNDS = 3
+
+
+def q_logit_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of 'was returned' on (quantity, discount) over
+    lineitem — 3 unrolled GD rounds, weights re-rounded at R each round so
+    the oracle replays training bit-for-bit. Per round: one scan, one
+    (k+2)-value scalar aggregate, zero driver collects."""
+    from .operators.mlprep import logistic_gd
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        (F.col("l_quantity").cast("double") / 50.0).alias("x1"),
+        (F.col("l_discount").cast("double") * 10.0).alias("x2"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return logistic_gd(
+        li, ["x1", "x2"], "y", lr=_GD_LR, rounds=_GD_ROUNDS, ndigits=R
+    )
+
+
+def _sql_logit_gd() -> str:
+    rounds = []
+    for r in range(_GD_ROUNDS):
+        prev = f"w{r}"
+        rounds.append(
+            f"""g{r + 1} AS (
+  SELECT avg(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))) - y) AS g0,
+         avg((1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))) - y) * x1) AS g1,
+         avg((1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))) - y) * x2) AS g2,
+         first(w0) AS pw0, first(w1) AS pw1, first(w2) AS pw2
+  FROM d, {prev}),
+w{r + 1} AS (
+  SELECT ROUND(pw0 - {_GD_LR} * g0, {R}) AS w0,
+         ROUND(pw1 - {_GD_LR} * g1, {R}) AS w1,
+         ROUND(pw2 - {_GD_LR} * g2, {R}) AS w2
+  FROM g{r + 1})"""
+        )
+    last = f"w{_GD_ROUNDS}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH d AS (
+  SELECT CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+         CAST(l_discount AS DOUBLE) * 10.0 AS x2,
+         CAST(l_returnflag = 'R' AS INT) AS y
+  FROM lineitem),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+{body}
+SELECT w0 + 0 AS w0, w1 + 0 AS w1, w2 + 0 AS w2,
+       ROUND(-avg(y * ln(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))) + 1e-12)
+                  + (1.0 - y) * ln(1.0 - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))) + 1e-12)),
+             {R}) + 0 AS log_loss,
+       count(*) AS n
+FROM d, {last}
+GROUP BY w0, w1, w2
+"""
+
+
+SQL_LOGIT_GD = _sql_logit_gd()
+
+
+# ---------------------------------------------------------------------------
+# forecast_eval: naive / seasonal-naive backtest with sMAPE
+# ---------------------------------------------------------------------------
+
+_FC_SEASON = 7
+_FC_TEST_DAYS = 28
+
+
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest the two baseline forecasters on daily event counts per
+    event_type: forecasts fetched by (series, day−offset) equi self-joins,
+    scored with sMAPE over the trailing 28-day holdout."""
+    from .operators.timeseries import forecast_backtest
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    return forecast_backtest(
+        daily,
+        ["event_type"],
+        "day",
+        "cnt",
+        season=_FC_SEASON,
+        test_days=_FC_TEST_DAYS,
+        ndigits=R,
+    )
+
+
+SQL_FORECAST_EVAL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS a
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+mx AS (SELECT max(day) AS mxd FROM daily),
+test AS (
+  SELECT d.* FROM daily d, mx WHERE d.day > mxd - INTERVAL {_FC_TEST_DAYS} DAY),
+scored AS (
+  SELECT t.event_type, 'naive' AS model, t.a, s.a AS f
+  FROM test t JOIN daily s
+    ON s.event_type = t.event_type AND s.day + INTERVAL 1 DAY = t.day
+  WHERE abs(s.a) + abs(t.a) > 0
+  UNION ALL
+  SELECT t.event_type, 'snaive', t.a, s.a
+  FROM test t JOIN daily s
+    ON s.event_type = t.event_type AND s.day + INTERVAL {_FC_SEASON} DAY = t.day
+  WHERE abs(s.a) + abs(t.a) > 0)
+SELECT event_type, model,
+       ROUND(avg(2.0 * abs(f - a) / (abs(f) + abs(a))), {R}) + 0 AS smape,
+       count(*) AS n_scored
+FROM scored GROUP BY event_type, model
+"""
+
+
+EXT7_QUERIES.update(
+    {
+        "logit_gd": (q_logit_gd, SQL_LOGIT_GD),
+        "forecast_eval": (q_forecast_eval, SQL_FORECAST_EVAL),
+    }
+)

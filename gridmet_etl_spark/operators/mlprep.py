@@ -327,3 +327,84 @@ def quantile_normalize(
         with_rank=False,
     ).select(F.col("rn").alias("_idx"), F.col("_rv").alias("qnorm"))
     return keyed.join(ref, "_idx").drop("_idx")
+
+
+def logistic_gd(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    lr: float = 1.0,
+    rounds: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent,
+    expressed as pure relational algebra — the lineage-friendly sibling of
+    a driver-side optimizer: every round is ONE scan + ONE scalar
+    aggregate, the weight state is a 1-row relation that broadcasts, and
+    nothing ever collects to the driver (the whole multi-round DAG stays
+    lazy, like pca_power's power iteration).
+
+    Round r: p = σ(w·x) with bias; g_j = avg((p − y)·x_j);
+    w_j ← ROUND(w_j − lr·g_j, ndigits). Rounding the weight state each
+    round pins it bit-identically across engines (σ uses libm exp, whose
+    last-ulp may differ; the per-round round() re-synchronizes before
+    drift can compound), which is what makes an unrolled SQL oracle able
+    to replay training exactly.
+
+    Scale shape: per round, the data relation is scanned once and folds
+    map-side into a (k+2)-value partial aggregate — shuffle volume is
+    (k+2)·partitions, independent of rows. The weight relation is 1 row ×
+    k+1 columns, broadcast into the scan. rounds is fixed (hyperparameter,
+    not convergence-tested) so the plan is statically bounded.
+
+    Output: one row — (w0..wk, log_loss, n) with w0 the bias and log_loss
+    the final-round training loss under the OUTPUT weights.
+    """
+    feats = list(feature_cols)
+    k = len(feats)
+    spark = df.sparkSession
+    data = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[F.col(c).cast("double").alias(f"_x{j}") for j, c in enumerate(feats)],
+    )
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(k + 1)]
+    )
+
+    def _z() -> F.Column:
+        z = F.col("w0")
+        for j in range(k):
+            z = z + F.col(f"w{j + 1}") * F.col(f"_x{j}")
+        return z
+
+    for _ in range(rounds):
+        joined = data.crossJoin(F.broadcast(w))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z()))
+        grads = joined.agg(
+            F.avg(p - F.col("_y")).alias("g0"),
+            *[
+                F.avg((p - F.col("_y")) * F.col(f"_x{j}")).alias(f"g{j + 1}")
+                for j in range(k)
+            ],
+            *[F.first(f"w{j}").alias(f"_pw{j}") for j in range(k + 1)],
+        )
+        w = grads.select(
+            *[
+                (
+                    F.round(F.col(f"_pw{j}") - F.lit(lr) * F.col(f"g{j}"), ndigits)
+                    + F.lit(0.0)
+                ).alias(f"w{j}")
+                for j in range(k + 1)
+            ]
+        )
+    final = data.crossJoin(F.broadcast(w))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z()))
+    eps = 1e-12
+    loss = -F.avg(
+        F.col("_y") * F.log(p + eps) + (F.lit(1.0) - F.col("_y")) * F.log(F.lit(1.0) - p + eps)
+    )
+    return final.agg(
+        *[F.first(f"w{j}").alias(f"w{j}") for j in range(k + 1)],
+        (F.round(loss, ndigits) + F.lit(0.0)).alias("log_loss"),
+        F.count(F.lit(1)).alias("n"),
+    )

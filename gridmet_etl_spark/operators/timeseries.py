@@ -701,3 +701,69 @@ def rolling_quantile(
     return df.withColumn(
         "roll_q", F.expr(f"percentile({value_col}, {q!r})").over(w)
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    value_col: str,
+    season: int = 7,
+    test_days: int = 28,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Rolling-origin backtest of the two standard baseline forecasters —
+    naive (yesterday's actual) and seasonal-naive (the actual one season
+    back) — scored with sMAPE over the trailing ``test_days`` holdout.
+    The pipeline gate every learned forecaster must beat.
+
+    Mechanics: the holdout is the last ``test_days`` days of the GLOBAL
+    calendar (one broadcast max-day aggregate — a shared split keeps the
+    eval window aligned across series). Each model's forecast for day d
+    is the ACTUAL at d−offset, fetched by an equi self-join on
+    (keys, day−offset) — a 2× replicated join of the (series, day)
+    relation, never a window sort. sMAPE = avg over scored days of
+    2·|f−a| / (|f|+|a|), skipping days where both are 0 (the 0/0 case)
+    or where the lagged actual does not exist.
+
+    Scale shape: the self-joins are keyed on (series, day) — co-located
+    with the input partitioning; the only new exchange is the final
+    (series, model)-keyed partial agg, output-sized. Output:
+    (*keys, model ∈ {naive, snaive}, smape, n_scored).
+    """
+    keys = list(keys)
+    base = df.select(
+        *keys, F.col(day_col).alias("day"), F.col(value_col).cast("double").alias("a")
+    )
+    mx = base.agg(F.max("day").alias("_mx"))
+    test = base.crossJoin(F.broadcast(mx)).where(
+        F.col("day") > F.date_sub(F.col("_mx"), test_days)
+    ).select(*keys, "day", "a")
+    scored = None
+    for model, offset in (("naive", 1), ("snaive", season)):
+        src = base.select(
+            *keys, F.date_add(F.col("day"), offset).alias("day"), F.col("a").alias("f")
+        )
+        part = (
+            test.join(src, [*keys, "day"])
+            .where((F.abs("f") + F.abs("a")) > 0)
+            .select(*keys, F.lit(model).alias("model"), "a", "f")
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    return (
+        scored.groupBy(*keys, "model")
+        .agg(
+            (
+                F.round(
+                    F.avg(
+                        F.lit(2.0)
+                        * F.abs(F.col("f") - F.col("a"))
+                        / (F.abs("f") + F.abs("a"))
+                    ),
+                    ndigits,
+                )
+                + F.lit(0.0)
+            ).alias("smape"),
+            F.count(F.lit(1)).alias("n_scored"),
+        )
+    )

@@ -323,3 +323,73 @@ def test_bootstrap_weight_distribution(spark):
     assert m == pytest.approx(1.0, abs=0.05)
     m2 = df.select(F.avg(bootstrap_weight(F.col("u"))).alias("m")).collect()[0].m
     assert m == m2
+
+
+# ---------------------------------------------------------------------------
+# logistic_gd
+# ---------------------------------------------------------------------------
+
+
+def test_logistic_gd_learns_separable(spark):
+    from gridmet_etl_spark.operators.mlprep import logistic_gd
+
+    # y = 1 iff x > 0.5, perfectly separable on one feature
+    df = spark.range(0, 2000).select(
+        ((F.col("id") % 100) / 100.0).alias("x"),
+        ((F.col("id") % 100) >= 50).cast("int").alias("y"),
+    )
+    row = logistic_gd(df, ["x"], "y", lr=2.0, rounds=5).collect()[0]
+    # positive slope, loss below the w=0 baseline ln(2)=0.693
+    assert row.w1 > 0
+    assert row.log_loss < 0.693
+    assert row.n == 2000
+
+
+def test_logistic_gd_matches_numpy(spark):
+    import numpy as np
+
+    from gridmet_etl_spark.operators.mlprep import logistic_gd
+
+    n = 500
+    ids = np.arange(1, n + 1)
+    x1 = (ids * 48271 % 1000) / 1000.0
+    x2 = (ids * 69621 % 1000) / 1000.0
+    y = ((x1 + 0.5 * x2) > 0.8).astype(float)
+    rows = [Row(x1=float(a), x2=float(b), y=float(c)) for a, b, c in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows)
+    out = logistic_gd(df, ["x1", "x2"], "y", lr=1.0, rounds=3).collect()[0]
+    # replicate with the same per-round rounding
+    w = np.zeros(3)
+    X = np.column_stack([np.ones(n), x1, x2])
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        g = (p - y) @ X / n
+        w = np.round(w - 1.0 * g, 6)
+    assert out.w0 == pytest.approx(w[0], abs=2e-6)
+    assert out.w1 == pytest.approx(w[1], abs=2e-6)
+    assert out.w2 == pytest.approx(w[2], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# forecast_backtest
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_backtest_semantics(spark):
+    from gridmet_etl_spark.operators.timeseries import forecast_backtest
+
+    # 1 series, 21 days: weekly pattern value = day-of-week, so snaive is
+    # PERFECT (smape 0) in the holdout while naive is not
+    rows = [
+        Row(s="a", day=f"2024-01-{d:02d}", v=float((d % 7) + 1)) for d in range(1, 22)
+    ]
+    df = spark.createDataFrame(rows).select(
+        "s", F.to_date("day").alias("day"), F.col("v")
+    )
+    out = {
+        r.model: r
+        for r in forecast_backtest(df, ["s"], "day", "v", season=7, test_days=7).collect()
+    }
+    assert out["snaive"].smape == pytest.approx(0.0)
+    assert out["snaive"].n_scored == 7
+    assert out["naive"].smape > 0
