@@ -622,3 +622,70 @@ EXT7_QUERIES.update(
         "forecast_eval": (q_forecast_eval, SQL_FORECAST_EVAL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# nb_language_id: multinomial Naive Bayes language identification
+# ---------------------------------------------------------------------------
+
+
+def q_nb_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train multinomial NB (add-one smoothing) on the 80% of documents
+    with doc_id %% 5 != 0, predict ``lang`` for the held-out 20%. Train is
+    two output-sized partial-agg shuffles; classify is one broadcast model
+    join + per-doc argmax over |classes| rows."""
+    from .operators.nbayes import nb_classify, nb_train
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    model, priors = nb_train(train, "lang")
+    return nb_classify(test, model, priors, ndigits=R)
+
+
+SQL_NB_LANGUAGE_ID = f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+tok AS (
+  SELECT lang AS label, unnest(string_split(text, ' ')) AS token FROM train),
+tokf AS (SELECT * FROM tok WHERE token <> ''),
+vocab AS (SELECT DISTINCT token FROM tokf),
+vs AS (SELECT count(*) AS v FROM vocab),
+counts AS (
+  SELECT label, token, count(*) AS ntc FROM tokf GROUP BY label, token),
+ctot AS (SELECT label, sum(ntc) AS nc FROM counts GROUP BY label),
+model AS (
+  SELECT vocab.token, ctot.label,
+         ln((coalesce(c.ntc, 0) + 1) / CAST(ctot.nc + vs.v AS DOUBLE)) AS logp
+  FROM vocab CROSS JOIN ctot CROSS JOIN vs
+  LEFT JOIN counts c ON c.token = vocab.token AND c.label = ctot.label),
+pri AS (SELECT lang AS label, count(*) AS dc FROM train GROUP BY lang),
+dt AS (SELECT sum(dc) AS dt FROM pri),
+priors AS (SELECT label, ln(dc / CAST(dt AS DOUBLE)) AS logprior
+           FROM pri CROSS JOIN dt),
+ttok AS (
+  SELECT doc_id, token, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test)
+  WHERE token <> '' GROUP BY doc_id, token),
+contrib AS (
+  SELECT t.doc_id, m.label, sum(t.cnt * m.logp) AS s
+  FROM ttok t JOIN model m ON t.token = m.token
+  GROUP BY t.doc_id, m.label),
+scored AS (
+  SELECT d.doc_id, p.label,
+         ROUND(p.logprior + coalesce(c.s, 0.0), {R}) + 0 AS score
+  FROM test d CROSS JOIN priors p
+  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.label = p.label),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, label) AS rn
+  FROM scored)
+SELECT doc_id, label AS pred_label, score FROM rk WHERE rn = 1
+"""
+
+
+EXT7_QUERIES.update(
+    {
+        "nb_language_id": (q_nb_language_id, SQL_NB_LANGUAGE_ID),
+    }
+)

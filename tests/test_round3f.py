@@ -393,3 +393,61 @@ def test_forecast_backtest_semantics(spark):
     assert out["snaive"].smape == pytest.approx(0.0)
     assert out["snaive"].n_scored == 7
     assert out["naive"].smape > 0
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes
+# ---------------------------------------------------------------------------
+
+
+def test_nb_classify_separable(spark):
+    from gridmet_etl_spark.operators.nbayes import nb_classify, nb_train
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="the cat sat on the mat"),
+            Row(doc_id=2, lang="en", text="the dog ran in the park"),
+            Row(doc_id=3, lang="fr", text="le chat dort sur le tapis"),
+            Row(doc_id=4, lang="fr", text="le chien court dans le parc"),
+        ]
+    )
+    test = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the cat ran"),
+            Row(doc_id=11, text="le chat court"),
+        ]
+    )
+    model, priors = nb_train(train, "lang")
+    out = {r.doc_id: r.pred_label for r in nb_classify(test, model, priors).collect()}
+    assert out == {10: "en", 11: "fr"}
+
+
+def test_nb_smoothing_math(spark):
+    import math as m
+
+    from gridmet_etl_spark.operators.nbayes import nb_classify, nb_train
+
+    train = spark.createDataFrame(
+        [Row(doc_id=1, y="a", text="x x y"), Row(doc_id=2, y="b", text="z")]
+    )
+    model, priors = nb_train(train, "y")
+    cells = {(r.token, r.label): r.logp for r in model.collect()}
+    # vocab = {x, y, z}, V=3; class a: n_c=3 -> P(x|a)=(2+1)/(3+3)
+    assert cells[("x", "a")] == pytest.approx(m.log(3 / 6))
+    assert cells[("z", "a")] == pytest.approx(m.log(1 / 6))
+    assert cells[("z", "b")] == pytest.approx(m.log(2 / 4))
+    # a doc with only OOV tokens falls back to priors (tie -> 'a' by name)
+    test = spark.createDataFrame([Row(doc_id=9, text="unseen words only")])
+    out = nb_classify(test, model, priors).collect()[0]
+    assert out.pred_label == "a"
+
+
+def test_nb_vocab_cap(spark):
+    from gridmet_etl_spark.operators.nbayes import nb_train
+
+    train = spark.createDataFrame(
+        [Row(doc_id=1, y="a", text="common common common rare")]
+    )
+    model, _ = nb_train(train, "y", max_vocab=1)
+    toks = {r.token for r in model.collect()}
+    assert toks == {"common"}
