@@ -689,3 +689,56 @@ EXT7_QUERIES.update(
         "nb_language_id": (q_nb_language_id, SQL_NB_LANGUAGE_ID),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier: right-censored survival curves
+# ---------------------------------------------------------------------------
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM retention curves per order priority over a synthetic cohort:
+    duration = o_orderkey-derived integer days, ~25% right-censored. One
+    per-time partial agg + a |times|-sized window per group — subject rows
+    never globally sort."""
+    from .operators.stats import kaplan_meier
+
+    o = spark.read.parquet(_t(sf_dir, "orders")).select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_orderkey") % 60 + 1).alias("dur"),
+        (F.col("o_orderkey") % 4 != 0).cast("int").alias("ev"),
+    )
+    return kaplan_meier(o, ["grp"], "dur", "ev", ndigits=R)
+
+
+SQL_KAPLAN_MEIER = f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(o_orderkey % 60 + 1 AS BIGINT) AS t,
+         CAST(o_orderkey % 4 <> 0 AS INT) AS e
+  FROM orders),
+per_t AS (
+  SELECT grp, t, sum(e) AS d, count(*) AS lv
+  FROM base GROUP BY grp, t),
+cum AS (
+  SELECT grp, t, d,
+         sum(lv) OVER (PARTITION BY grp)
+           - coalesce(sum(lv) OVER (PARTITION BY grp ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n
+  FROM per_t),
+surv AS (
+  SELECT grp, t, d, n,
+         exp(sum(ln(greatest(1.0 - d / CAST(n AS DOUBLE), 1e-300)))
+             OVER (PARTITION BY grp ORDER BY t)) AS s
+  FROM cum)
+SELECT grp, t, n AS n_risk, d, ROUND(s, {R}) + 0 AS surv
+FROM surv WHERE d > 0
+"""
+
+
+EXT7_QUERIES.update(
+    {
+        "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
+    }
+)

@@ -298,3 +298,74 @@ def bootstrap_ci(
         (F.element_at("_ms", hi_rank) + F.lit(0.0)).alias("ci_hi"),
         F.lit(n_boot).alias("n_boot"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival curve per group — the right-censoring-aware
+    retention/churn estimator (a plain "fraction still alive at t" is
+    biased the moment observation windows differ).
+
+    S(t) = Π_{u ≤ t, u event time} (1 − d_u / n_u) with d_u = events at u
+    and n_u = subjects still at risk (duration ≥ u, censored or not).
+
+    Relational form: one (group, time)-keyed partial agg collapses
+    subjects to per-time (events, total leaving) counts; the at-risk count
+    is the group total minus a running sum over the time-ordered count
+    relation (a window over |distinct durations| rows per group, NOT over
+    subjects); the running product is exp(Σ ln(1−d/n)) — written with the
+    identical expression in the SQL oracle so both engines evaluate the
+    same float steps, then rounded. Shuffles: the per-time partial agg +
+    one |times|-sized window — subject rows never sort globally.
+
+    Output: (*group_cols, t, n_risk, d, surv) for EVENT times only,
+    ordered semantics (surv non-increasing within a group).
+    """
+    groups = list(group_cols)
+    base = df.select(
+        *groups,
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+    )
+    per_t = base.groupBy(*groups, "_t").agg(
+        F.sum("_e").alias("_d"),
+        F.count(F.lit(1)).alias("_leave"),
+    )
+    w_ord = Window.partitionBy(*groups).orderBy("_t")
+    w_all = Window.partitionBy(*groups)
+    cum = per_t.select(
+        *groups,
+        "_t",
+        "_d",
+        (
+            F.sum("_leave").over(w_all)
+            - F.coalesce(
+                F.sum("_leave").over(
+                    Window.partitionBy(*groups)
+                    .orderBy("_t")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("_n"),
+    )
+    # d == n (everyone at risk dies) sends the factor to 0; ln(0) is an
+    # engine-divergent edge (Spark NULL, DuckDB -inf), so clamp at 1e-300:
+    # exp of any sum containing ln(1e-300) underflows to exactly 0.0 in
+    # both engines — the correct S(t) after rounding
+    surv = cum.withColumn(
+        "_ln",
+        F.log(F.greatest(F.lit(1.0) - F.col("_d") / F.col("_n"), F.lit(1e-300))),
+    ).withColumn("_s", F.exp(F.sum("_ln").over(w_ord)))
+    return surv.where(F.col("_d") > 0).select(
+        *groups,
+        F.col("_t").alias("t"),
+        F.col("_n").alias("n_risk"),
+        F.col("_d").alias("d"),
+        (F.round(F.col("_s"), ndigits) + F.lit(0.0)).alias("surv"),
+    )

@@ -451,3 +451,41 @@ def test_nb_vocab_cap(spark):
     model, _ = nb_train(train, "y", max_vocab=1)
     toks = {r.token for r in model.collect()}
     assert toks == {"common"}
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_textbook(spark):
+    from gridmet_etl_spark.operators.stats import kaplan_meier
+
+    # classic toy: durations 1,2e 2c 3e 4c (e=event, c=censored)
+    rows = [
+        Row(g="x", dur=1, ev=1),
+        Row(g="x", dur=2, ev=1),
+        Row(g="x", dur=2, ev=0),
+        Row(g="x", dur=3, ev=1),
+        Row(g="x", dur=4, ev=0),
+    ]
+    out = {r.t: r for r in kaplan_meier(
+        spark.createDataFrame(rows), ["g"], "dur", "ev"
+    ).collect()}
+    # t=1: n=5, d=1 -> S=4/5; t=2: n=4, d=1 -> S=4/5*3/4=3/5;
+    # t=3: n=2, d=1 -> S=3/5*1/2=3/10; censored times emit no row
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_risk == 5 and out[1].surv == pytest.approx(0.8)
+    assert out[2].n_risk == 4 and out[2].surv == pytest.approx(0.6)
+    assert out[3].n_risk == 2 and out[3].surv == pytest.approx(0.3)
+
+
+def test_kaplan_meier_all_die_reaches_zero(spark):
+    from gridmet_etl_spark.operators.stats import kaplan_meier
+
+    rows = [Row(g="x", dur=d, ev=1) for d in (1, 2, 3)]
+    out = {r.t: r.surv for r in kaplan_meier(
+        spark.createDataFrame(rows), ["g"], "dur", "ev"
+    ).collect()}
+    assert out[3] == pytest.approx(0.0)
+    assert out[2] == pytest.approx(1 / 3)
