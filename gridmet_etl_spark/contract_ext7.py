@@ -742,3 +742,77 @@ EXT7_QUERIES.update(
         "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# dsir_select: importance-resampling data selection (target-LM log-ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_K = 50
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most src0-like documents by DSIR importance weight:
+    unigram target/raw LM log-ratio with add-one smoothing over the shared
+    vocab, length-normalized, ranked on the rounded score. The scoring
+    model is one broadcastable (token, Δlogp) relation; the corpus scans
+    once."""
+    from .operators.select import dsir_select
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    target = docs.where(F.col("source") == "src0")
+    return dsir_select(docs, target, k=_DSIR_K, ndigits=R)
+
+
+SQL_DSIR_SELECT = f"""
+WITH ctok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+ctokf AS (SELECT * FROM ctok WHERE token <> ''),
+ttokf AS (
+  SELECT t.token FROM (
+    SELECT unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE source = 'src0') t
+  WHERE t.token <> ''),
+rc AS (SELECT token, count(*) AS nr FROM ctokf GROUP BY token),
+tc AS (SELECT token, count(*) AS nt FROM ttokf GROUP BY token),
+vocab AS (SELECT token FROM rc UNION SELECT token FROM tc),
+sz AS (
+  SELECT (SELECT count(*) FROM vocab) AS v,
+         (SELECT sum(nr) FROM rc) AS sr,
+         (SELECT sum(nt) FROM tc) AS st),
+model AS (
+  SELECT vocab.token,
+         ln((coalesce(tc.nt, 0) + 1) / CAST(sz.st + sz.v AS DOUBLE))
+           - ln((coalesce(rc.nr, 0) + 1) / CAST(sz.sr + sz.v AS DOUBLE)) AS dlp
+  FROM vocab CROSS JOIN sz
+  LEFT JOIN rc ON rc.token = vocab.token
+  LEFT JOIN tc ON tc.token = vocab.token),
+per_doc AS (
+  SELECT c._id AS doc_id, sum(c.cnt) AS n_tokens,
+         ROUND(sum(c.cnt * m.dlp), {R}) + 0 AS weight
+  FROM (SELECT doc_id AS _id, token, count(*) AS cnt
+        FROM ctokf GROUP BY doc_id, token) c
+  JOIN model m ON m.token = c.token
+  GROUP BY c._id),
+full_corpus AS (
+  SELECT d.doc_id,
+         coalesce(p.n_tokens, 0) AS n_tokens,
+         coalesce(p.weight, 0.0) AS weight
+  FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id),
+scored AS (
+  SELECT doc_id, n_tokens, weight,
+         ROUND(weight / greatest(n_tokens, 1), {R}) + 0 AS sel_score
+  FROM full_corpus),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY sel_score DESC, doc_id) AS rnk
+  FROM scored)
+SELECT doc_id, n_tokens, weight, sel_score, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {_DSIR_K}
+"""
+
+
+EXT7_QUERIES.update(
+    {
+        "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    }
+)

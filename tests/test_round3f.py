@@ -489,3 +489,39 @@ def test_kaplan_meier_all_die_reaches_zero(spark):
     ).collect()}
     assert out[3] == pytest.approx(0.0)
     assert out[2] == pytest.approx(1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# DSIR selection
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from gridmet_etl_spark.operators.select import dsir_select, dsir_weights
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta alpha beta"),
+            Row(doc_id=2, text="gamma delta gamma delta"),
+            Row(doc_id=3, text="alpha beta gamma delta"),
+        ]
+    )
+    target = spark.createDataFrame(
+        [Row(doc_id=99, text="alpha beta alpha alpha beta")]
+    )
+    w = {r.doc_id: r.weight for r in dsir_weights(corpus, target).collect()}
+    # doc 1 is pure target vocabulary, doc 2 pure off-target
+    assert w[1] > w[3] > w[2]
+    sel = dsir_select(corpus, target, k=1).collect()
+    assert sel[0].doc_id == 1 and sel[0].rnk == 1
+
+
+def test_dsir_tokenless_doc_zero_weight(spark):
+    from gridmet_etl_spark.operators.select import dsir_weights
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="alpha")]
+    )
+    target = spark.createDataFrame([Row(doc_id=9, text="alpha")])
+    w = {r.doc_id: (r.n_tokens, r.weight) for r in dsir_weights(corpus, target).collect()}
+    assert w[1] == (0, 0.0)
