@@ -70,7 +70,7 @@ _CHECK_FIRST = [
     # late round-3 additions (verified green) — first in line for r4
     "idw_interp", "dbscan_clusters", "item_similarity", "cdc_apply",
     "hist_quantiles", "bootstrap_ci", "logit_gd", "forecast_eval",
-    "nb_language_id", "kaplan_meier", "dsir_select",
+    "nb_language_id", "kaplan_meier", "dsir_select", "lift_eval",
     "pca_power", "geo_knn", "sssp_hops", "weighted_median_pooled",
     "rolling_median", "kcore_nodes", "dedup_report", "rfm_segments", "basket_lift",
     # displaced never-checked r2 additions — next for the r4 window

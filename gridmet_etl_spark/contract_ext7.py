@@ -816,3 +816,68 @@ EXT7_QUERIES.update(
         "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# lift_eval: cumulative gains / lift deciles of the hashed classifier
+# ---------------------------------------------------------------------------
+
+_LIFT_BINS = 10
+
+
+def q_lift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table of the hashed-BoW classifier logit against the
+    English label: global_rank (no single-partition data window) → integer
+    bin cut → n_bins-row cumulative window."""
+    from .operators.scoring import classifier_scores, lift_curve
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    scored = classifier_scores(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")), "doc_id"
+    )
+    return lift_curve(
+        scored, "is_en", "logit", "doc_id", n_bins=_LIFT_BINS, ndigits=R
+    )
+
+
+SQL_LIFT_EVAL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+w AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('w:' || CAST(
+           CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 1024
+         AS VARCHAR)), 1, 6) AS BIGINT) % 2001 - 1000 AS wi
+  FROM toks WHERE tok <> ''),
+agg AS (
+  SELECT doc_id, CAST(sum(wi) AS BIGINT) AS swi, count(*) AS n
+  FROM w GROUP BY doc_id),
+s AS (
+  SELECT a.doc_id, swi / (1000.0 * n) AS score,
+         CAST(d.lang = 'en' AS INT) AS y
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id),
+r AS (
+  SELECT y, row_number() OVER (ORDER BY -score, doc_id) AS rn FROM s),
+tot AS (SELECT count(*) AS n, sum(y) AS npos FROM s),
+binned AS (
+  SELECT ((rn - 1) * {_LIFT_BINS}) // n AS bin, count(*) AS cnt,
+         sum(y) AS n_pos, first(n) AS n, first(npos) AS npos
+  FROM r CROSS JOIN tot GROUP BY 1),
+cum AS (
+  SELECT bin, cnt, n_pos, n, npos,
+         sum(cnt) OVER (ORDER BY bin) AS cn,
+         sum(n_pos) OVER (ORDER BY bin) AS cp
+  FROM binned)
+SELECT CAST(bin AS INT) AS bin, cnt AS n, n_pos,
+       ROUND(cp / CAST(npos AS DOUBLE), {R}) + 0 AS cum_capture,
+       ROUND((cp / CAST(cn AS DOUBLE)) / (npos / CAST(n AS DOUBLE)), {R}) + 0
+         AS cum_lift
+FROM cum
+"""
+
+
+EXT7_QUERIES.update(
+    {
+        "lift_eval": (q_lift_eval, SQL_LIFT_EVAL),
+    }
+)

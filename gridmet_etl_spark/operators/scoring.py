@@ -163,3 +163,82 @@ def calibration_bins(
             ),
         )
     )
+
+
+def lift_curve(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    id_col: str,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank the population by classifier
+    score (best first), cut into ``n_bins`` equal-count bins, and report
+    per bin the cumulative capture rate (share of all positives found so
+    far) and lift over the base rate — the campaign-targeting /
+    quality-gate view that AUC alone hides.
+
+    Scale shape: ranking routes through ``scale.global_rank`` (range
+    partition + partition-offset arithmetic — no single-partition global
+    window over data rows); bin assignment is integer arithmetic on the
+    rank; the per-bin aggregate is n_bins rows and the cumulative window
+    runs over those n_bins rows only. Ties rank deterministically by
+    (score, id).
+
+    Output: (bin, n, n_pos, cum_capture, cum_lift), bin 0 = best-scored.
+    """
+    from .scale import global_rank
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(score_col).cast("double").alias("_s"),
+    ).withColumn("_negs", -F.col("_s"))
+    ranked = global_rank(base, "_negs", tie_cols=["_id"], with_rank=False)
+    tot = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_npos")
+    )
+    binned = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"((rn - 1) * {n_bins}) div _n").alias("bin"),
+            "_y",
+            "_n",
+            "_npos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.first("_n").alias("_n"),
+            F.first("_npos").alias("_npos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin")  # n_bins rows — bounded by construction
+    return binned.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("_cn"),
+        F.sum("n_pos").over(w).alias("_cp"),
+        "_n",
+        "_npos",
+    ).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "n_pos",
+        (
+            F.round(F.col("_cp") / F.col("_npos"), ndigits) + F.lit(0.0)
+        ).alias("cum_capture"),
+        (
+            F.round(
+                (F.col("_cp") / F.col("_cn"))
+                / (F.col("_npos") / F.col("_n")),
+                ndigits,
+            )
+            + F.lit(0.0)
+        ).alias("cum_lift"),
+    )

@@ -525,3 +525,40 @@ def test_dsir_tokenless_doc_zero_weight(spark):
     target = spark.createDataFrame([Row(doc_id=9, text="alpha")])
     w = {r.doc_id: (r.n_tokens, r.weight) for r in dsir_weights(corpus, target).collect()}
     assert w[1] == (0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# lift curve
+# ---------------------------------------------------------------------------
+
+
+def test_lift_curve_perfect_classifier(spark):
+    from gridmet_etl_spark.operators.scoring import lift_curve
+
+    # 100 rows, 20 positives, score == label: top-2 deciles capture all
+    df = spark.range(0, 100).select(
+        F.col("id").alias("rid"),
+        (F.col("id") < 20).cast("int").alias("y"),
+        (F.col("id") < 20).cast("double").alias("s"),
+    )
+    out = {r.bin: r for r in lift_curve(df, "y", "s", "rid", n_bins=10).collect()}
+    assert len(out) == 10
+    assert out[0].cum_capture == pytest.approx(0.5)   # 10/20
+    assert out[1].cum_capture == pytest.approx(1.0)   # all positives found
+    assert out[0].cum_lift == pytest.approx(5.0)      # 100% hit rate vs 20% base
+    assert out[9].cum_lift == pytest.approx(1.0)      # full population
+    assert sum(r.n for r in out.values()) == 100
+
+
+def test_lift_curve_random_scores_lift_one(spark):
+    from gridmet_etl_spark.operators.scoring import lift_curve
+
+    # label independent of score -> every decile's lift ~ 1
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 2).cast("int").alias("y"),
+        ((F.col("id") * 2654435761 % 9973) / 9973.0).alias("s"),
+    )
+    out = lift_curve(df, "y", "s", "rid", n_bins=5).collect()
+    for r in out:
+        assert r.cum_lift == pytest.approx(1.0, abs=0.1)
