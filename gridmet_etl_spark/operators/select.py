@@ -121,8 +121,11 @@ def dsir_select(
         else F.col("weight")
     )
     scored = w.select(id_col, "n_tokens", "weight", score.alias("sel_score"))
+    # global selection as orderBy+limit → TakeOrderedAndProject: every
+    # partition keeps its local top-k, one task merges k×parts rows — the
+    # corpus-wide weight relation never sorts on a single partition (a
+    # row_number window here would). The rank window then runs over the
+    # k-row result only.
+    topk = scored.orderBy(F.col("sel_score").desc(), F.col(id_col)).limit(k)
     win = Window.orderBy(F.col("sel_score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(win))
-        .where(F.col("rnk") <= k)
-    )
+    return topk.withColumn("rnk", F.row_number().over(win))

@@ -95,6 +95,17 @@ EXPECTED_SINGLE = {
     # a 1-row max-key scalar into the edge generator and starts from a
     # 1-row seed relation
     "pca_power", "sssp_hops",
+    # logit_gd's weight state is ONE row per GD round (scalar gradient
+    # aggregates, same shape as pca_power's Rayleigh/norm rows)
+    "logit_gd",
+    # nb/dsir corpus statistics are 1-row scalars (vocab size, LM token
+    # totals) broadcast into the scoring join — bm25/tfidf shape
+    "nb_language_id", "dsir_select",
+    # forecast_eval broadcasts a 1-row global max-day split point
+    "forecast_eval",
+    # lift_eval: global_rank's |partitions|-row offset cumsum + the
+    # n_bins-row cumulative window + a 1-row totals scalar — all bounded
+    "lift_eval",
 }
 
 
