@@ -71,6 +71,7 @@ _CHECK_FIRST = [
     "idw_interp", "dbscan_clusters", "item_similarity", "cdc_apply",
     "hist_quantiles", "bootstrap_ci", "logit_gd", "forecast_eval",
     "nb_language_id", "kaplan_meier", "dsir_select", "lift_eval",
+    "mrr_eval", "ppr_scores",
     "pca_power", "geo_knn", "sssp_hops", "weighted_median_pooled",
     "rolling_median", "kcore_nodes", "dedup_report", "rfm_segments", "basket_lift",
     # displaced never-checked r2 additions — next for the r4 window

@@ -881,3 +881,153 @@ EXT7_QUERIES.update(
         "lift_eval": (q_lift_eval, SQL_LIFT_EVAL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# mrr_eval: mean-reciprocal-rank of the exact cosine retriever
+# ---------------------------------------------------------------------------
+
+
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first same-label neighbor in each query's
+    cosine top-10 (the companion to ndcg_eval: NDCG grades the whole
+    ranking, RR the time-to-first-hit). Eval = one broadcast label join +
+    one query-keyed aggregate over the k-bounded hits."""
+    from .operators.retrieval import mrr
+    from .operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = cosine_topk(emb, queries, k=10, rank_round=R)
+    labels = emb.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    rel = (
+        hits.join(F.broadcast(qlab), "query_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .withColumn("rel", (F.col("label") == F.col("qlabel")).cast("int"))
+    )
+    return mrr(rel, ndigits=R)
+
+
+_MRR_EMB_DIM = 64
+
+SQL_MRR_EVAL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS qlabel
+           FROM embeddings WHERE vec_id < 20),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS n_e,
+         sqrt(sum(CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) AS n_q
+  FROM embeddings e, q, generate_series(1, {_MRR_EMB_DIM}) g(i)
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, e.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(dot / (n_e * n_q), {R}) DESC,
+                                     neighbor_id) AS rank
+  FROM pairs),
+hits AS (SELECT * FROM ranked WHERE rank <= 10),
+rel AS (
+  SELECT h.query_id, h.rank,
+         CAST(e.label = q.qlabel AS INT) AS rel
+  FROM hits h
+  JOIN embeddings e ON e.vec_id = h.neighbor_id
+  JOIN q ON q.query_id = h.query_id),
+agg AS (
+  SELECT query_id,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank
+  FROM rel GROUP BY query_id)
+SELECT query_id, CAST(first_rel_rank AS INT) AS first_rel_rank,
+       ROUND(coalesce(1.0 / first_rel_rank, 0.0), {R}) + 0 AS rr
+FROM agg
+"""
+
+
+EXT7_QUERIES.update(
+    {
+        "mrr_eval": (q_mrr_eval, SQL_MRR_EVAL),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# ppr_scores: personalized PageRank from a seed set (unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_PPR_ROUNDS = 3
+_PPR_DAMPING = 0.85
+_PPR_SEEDS = (1, 2, 3)
+
+
+def q_ppr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPR over the deterministic 2-out-regular customer digraph, teleport
+    set {1,2,3}, 3 rounds. The rank relation stays frontier-sized (only
+    nodes within 3 hops of a seed); per-round ranks round at R so the
+    unrolled oracle replays the iteration exactly."""
+    from .contract_ext6 import _sssp_edges
+    from .operators.graph import personalized_pagerank
+
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS], "node long")
+    return personalized_pagerank(
+        _sssp_edges(spark, sf_dir),
+        seeds,
+        damping=_PPR_DAMPING,
+        iters=_PPR_ROUNDS,
+        ndigits=R,
+    )
+
+
+def _sql_ppr() -> str:
+    seeds = ", ".join(f"({s})" for s in _PPR_SEEDS)
+    rounds = []
+    for r in range(_PPR_ROUNDS):
+        prev = f"r{r}"
+        rounds.append(
+            f"""c{r + 1} AS (
+  SELECT e.dst AS node, sum({_PPR_DAMPING} * {prev}.ppr / e.outdeg) AS s
+  FROM {prev} JOIN ew e ON e.src = {prev}.node
+  GROUP BY e.dst),
+r{r + 1} AS (
+  SELECT coalesce(t.node, c.node) AS node,
+         ROUND(coalesce(t.t, 0.0) + coalesce(c.s, 0.0), {R}) AS ppr
+  FROM tele t FULL OUTER JOIN c{r + 1} c ON t.node = c.node)"""
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH n AS (SELECT max(c_custkey) AS mx FROM customer),
+edges AS (
+  SELECT c_custkey AS src, (c_custkey * 3 + 7) % mx + 1 AS dst
+  FROM customer, n
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 5 + 11) % mx + 1
+  FROM customer, n),
+od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, od.outdeg FROM edges e JOIN od ON od.src = e.src),
+seeds(node) AS (VALUES {seeds}),
+tele AS (
+  SELECT CAST(node AS BIGINT) AS node,
+         (1.0 - {_PPR_DAMPING}) / (SELECT count(*) FROM seeds) AS t
+  FROM seeds),
+r0 AS (SELECT node, ROUND(t, {R}) AS ppr FROM tele),
+{body}
+SELECT node, ppr + 0 AS ppr FROM r{_PPR_ROUNDS} WHERE ppr > 0
+"""
+
+
+SQL_PPR_SCORES = _sql_ppr()
+
+
+EXT7_QUERIES.update(
+    {
+        "ppr_scores": (q_ppr_scores, SQL_PPR_SCORES),
+    }
+)

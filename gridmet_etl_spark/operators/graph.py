@@ -373,3 +373,58 @@ def sssp(
         if (r + 1) % 2 == 0 and r + 1 < rounds:
             dist = dist.localCheckpoint()
     return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the SEED set instead
+    of the uniform vector — the "importance relative to these nodes" ranker
+    behind related-item discovery and seed-expansion labeling.
+
+    ``r_{t+1}(v) = (1-d)·1[v∈S]/|S| + d·Σ_{(u,v)∈E} r_t(u)/outdeg(u)``,
+    starting from the teleport vector. The rank relation stays SPARSE —
+    only nodes reached within t hops of a seed carry a row, so per-round
+    state is frontier-sized, not graph-sized (the property that makes PPR
+    tractable where global PageRank isn't worth materializing). Each round
+    is one (edge ⋈ rank) join + one dst-keyed partial agg; ranks round at
+    ``ndigits`` per round so an unrolled SQL oracle replays the iteration
+    bit-for-bit (the logit_gd/pca_power discipline).
+
+    Output: (node, ppr) for reached nodes after ``iters`` rounds.
+    """
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ew = edges.join(outdeg, "src")
+    scount = seeds.agg(F.count(F.lit(1)).alias("_ns"))
+    tele = seeds.crossJoin(F.broadcast(scount)).select(
+        "node", (F.lit(1.0 - damping) / F.col("_ns")).alias("_t")
+    )
+    ranks = tele.select("node", F.round(F.col("_t"), ndigits).alias("ppr"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(ew, ranks["node"] == ew["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(damping) * F.col("ppr") / F.col("outdeg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            tele.join(contrib, "node", "full_outer")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_t"), F.lit(0.0))
+                    + F.coalesce(F.col("_s"), F.lit(0.0)),
+                    ndigits,
+                ).alias("ppr"),
+            )
+        )
+    return ranks.where(F.col("ppr") > 0).select(
+        "node", (F.col("ppr") + F.lit(0.0)).alias("ppr")
+    )

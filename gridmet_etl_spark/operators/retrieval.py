@@ -181,3 +181,33 @@ def pmi_bigrams(
         F.round(F.log(p_xy / (p_x * p_y)), round_digits).alias("pmi"),
     )
     return out.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(k)
+
+
+def mrr(
+    hits: DataFrame,
+    rel_col: str = "rel",
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mean-reciprocal-rank inputs: per query, the rank of the FIRST
+    relevant hit and its reciprocal (0.0 when nothing relevant ranked).
+    One query-keyed partial agg over the (already k-bounded) hit relation
+    — the eval never touches the corpus. Emit per-query rows; the scalar
+    MRR is their average (callers aggregate when they want one number,
+    keeping this relation hash-checkable row-by-row).
+
+    Output: (query_id, first_rel_rank nullable, rr)."""
+    agg = hits.groupBy(query_col).agg(
+        F.min(F.when(F.col(rel_col) == 1, F.col(rank_col))).alias("first_rel_rank")
+    )
+    return agg.select(
+        query_col,
+        "first_rel_rank",
+        (
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)), ndigits
+            )
+            + F.lit(0.0)
+        ).alias("rr"),
+    )

@@ -562,3 +562,44 @@ def test_lift_curve_random_scores_lift_one(spark):
     out = lift_curve(df, "y", "s", "rid", n_bins=5).collect()
     for r in out:
         assert r.cum_lift == pytest.approx(1.0, abs=0.1)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank / MRR
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    from gridmet_etl_spark.operators.graph import personalized_pagerank
+
+    # chain 1->2->3->4->5 plus an unreachable island 10->11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.ppr for r in personalized_pagerank(
+        edges, seeds, iters=3
+    ).collect()}
+    # teleport mass only at the seed; downstream decays by 0.85 per hop
+    assert out[1] == pytest.approx(0.15, abs=1e-6)
+    assert out[2] == pytest.approx(0.15 * 0.85, abs=1e-5)
+    assert out[3] == pytest.approx(0.15 * 0.85**2, abs=1e-5)
+    assert 10 not in out and 11 not in out  # unreachable island has no rows
+    assert out[1] > out[2] > out[3]
+
+
+def test_mrr_semantics(spark):
+    from gridmet_etl_spark.operators.retrieval import mrr
+
+    hits = spark.createDataFrame(
+        [
+            Row(query_id=1, rank=1, rel=0),
+            Row(query_id=1, rank=2, rel=1),
+            Row(query_id=1, rank=3, rel=1),
+            Row(query_id=2, rank=1, rel=0),
+            Row(query_id=2, rank=2, rel=0),
+        ]
+    )
+    out = {r.query_id: r for r in mrr(hits).collect()}
+    assert out[1].first_rel_rank == 2 and out[1].rr == pytest.approx(0.5)
+    assert out[2].first_rel_rank is None and out[2].rr == 0.0
