@@ -106,6 +106,10 @@ EXPECTED_SINGLE = {
     # lift_eval: global_rank's |partitions|-row offset cumsum + the
     # n_bins-row cumulative window + a 1-row totals scalar — all bounded
     "lift_eval",
+    # ppr_scores: 1-row seed-count scalar + the |seeds|-row teleport
+    # relation (a 3-row createDataFrame is single-partition by
+    # construction); the per-round full-outer joins are frontier-sized
+    "ppr_scores",
 }
 
 
