@@ -39,57 +39,42 @@ _MERGED = {
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
-# in registration order, so ORDER decides coverage. Round-3 window:
-# (0) this round's new operators (contract_ext5 — TPC-H completion,
-# ExactSubstr spans, in-engine weight generation, hex/calibration/
-# incremental/quantile-normalize/CUSUM), all pre-verified green by
-# tools/check_oracle.py at sf0.01; then (1) the never-driver-checked
-# r2 additions, oldest-waiting first. Displaced never-checked queries
-# lead the r4 window.
+# in registration order, so ORDER decides coverage. Round-4 window: the
+# 98 registered queries that no driver CORRECTNESS file (r1–r3) has ever
+# checked, oldest-waiting first — all were green in the round-3 judge's
+# full 242/242 tools/check_oracle.py sweep at sf0.01; this window converts
+# judge-verified into driver-verified coverage (VERDICT r3 item 1). New
+# round-4 queries are inserted at the head as they land. Names 51+ queue
+# for the r5 window. Audit trail: r1 checked the first 44 registry names,
+# r2 the 50-name window recorded in CORRECTNESS_r02.json, r3 the 50 in
+# CORRECTNESS_r03.json.
 _CHECK_FIRST = [
-    # (0) new this round (21): contract_ext5
-    "tpch_q2ish", "tpch_q3ish", "tpch_q4ish", "tpch_q6ish", "tpch_q8ish",
-    "tpch_q9ish", "tpch_q10ish", "tpch_q11ish", "tpch_q12ish",
-    "tpch_q14ish", "tpch_q20ish",
-    "max_dup_spans", "calibration_eval", "incremental_refresh",
-    "polygon_weights", "polygon_zonal_mean", "hex_density",
-    "quantile_normalize", "cusum_changepoints",
-    # (0') implementation touched this round (rag re-attach prune; PQ
-    # WindowGroupLimit rewrite)
-    "rag_pipeline", "pq_topk",
-    # (1) never driver-checked r2 additions — oldest first
-    "funnel_steps", "retention_cohorts", "event_transitions",
-    "triangle_count", "jaccard_join", "fuzzy_join", "mad_outliers",
-    "ntile_bins", "percentile_cut", "char_entropy", "snapshot_diff",
-    "coarsen_grid", "zorder_layout", "media_dedup", "trending_topk",
-    "focal_mean", "topk_per_source", "trend_slope", "cross_correlation",
-    "token_drift", "readability", "bilinear_interp", "degree_days",
-    "climate_pipeline", "skew_join", "set_ops", "grouping_sets",
-    "range_frame_sum", "weighted_median",
-    # ---- driver cap (50) reached ----
-    # late round-3 additions (verified green) — first in line for r4
+    # (0) never driver-checked backlog — r3 session-A/C/D additions first
     "idw_interp", "dbscan_clusters", "item_similarity", "cdc_apply",
     "hist_quantiles", "bootstrap_ci", "logit_gd", "forecast_eval",
     "nb_language_id", "kaplan_meier", "dsir_select", "lift_eval",
     "mrr_eval", "ppr_scores",
     "pca_power", "geo_knn", "sssp_hops", "weighted_median_pooled",
-    "rolling_median", "kcore_nodes", "dedup_report", "rfm_segments", "basket_lift",
-    # displaced never-checked r2 additions — next for the r4 window
-    # (all verified green by tools/check_oracle.py at sf0.01)
+    "rolling_median", "kcore_nodes", "dedup_report", "rfm_segments",
+    "basket_lift",
+    "pq_codes", "hll_rollup", "scd2_pit_enrich", "twap_daily",
+    "coreset_assign", "ndcg_eval", "multitouch_credit", "lpa_communities",
+    "session_windows", "hits_scores", "psi_drift", "textrank_keywords",
+    "cohort_ltv", "ivfpq_topk",
+    # (1) never-checked r2 additions — oldest-waiting
     "conversion_lag",
     "cumulative_users", "rebased_series", "theilsen_trend", "props_map",
     "calendar_gaps", "ab_test", "skyline_parts", "dow_anomaly",
     "rolling_actives", "benford_check", "embedding_stats",
+    # ---- driver cap (50) reached ----
     "impute_median", "cooccurrence_topk",
     "vocab_topk", "pii_flags", "cosine_topk_lsh",
     "kmeans_assign",
     "bpe_merges", "embed_covariance", "entity_resolution",
-    "ivf_topk",
     "lm_scores", "containment_dups", "quota_filter", "minhash_estimate",
     "corpus_pipeline_v2", "lsh_recall", "hard_negatives", "bpe_compression",
-    "cosine_topk", "attribution_join", "simhash",
-    # (2) session-B round-3 additions — next in line for the r4 window;
-    # all 12 verified green by tools/check_oracle.py at sf0.01
+    "cosine_topk", "simhash",
+    # (2) never-checked session-B round-3 additions
     "tpch_q15ish", "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
     "autocorr_daily", "ewma_daily", "scd2_users", "corr_matrix",
     "target_encode", "ref_integrity", "skew_profile", "khop_reach",
@@ -98,7 +83,23 @@ _CHECK_FIRST = [
     "terrain_gradient", "seasonal_decomp", "temporal_split",
     "chi_square", "mann_whitney", "ks_test", "auc_eval",
     "trailing_features", "daily_ohlc", "survivorship",
-    # ---- tail below was green in r1 or r2 ----
+    # ---- tail below has a green driver CORRECTNESS recording (r1–r3) ----
+    "tpch_q2ish", "tpch_q3ish", "tpch_q4ish", "tpch_q6ish", "tpch_q8ish",
+    "tpch_q9ish", "tpch_q10ish", "tpch_q11ish", "tpch_q12ish",
+    "tpch_q14ish", "tpch_q20ish",
+    "max_dup_spans", "calibration_eval", "incremental_refresh",
+    "polygon_weights", "polygon_zonal_mean", "hex_density",
+    "quantile_normalize", "cusum_changepoints",
+    "rag_pipeline", "pq_topk",
+    "funnel_steps", "retention_cohorts", "event_transitions",
+    "triangle_count", "jaccard_join", "fuzzy_join", "mad_outliers",
+    "ntile_bins", "percentile_cut", "char_entropy", "snapshot_diff",
+    "coarsen_grid", "zorder_layout", "media_dedup", "trending_topk",
+    "focal_mean", "topk_per_source", "trend_slope", "cross_correlation",
+    "token_drift", "readability", "bilinear_interp", "degree_days",
+    "climate_pipeline", "skew_join", "set_ops", "grouping_sets",
+    "range_frame_sum", "weighted_median",
+    "ivf_topk", "attribution_join",
     "weighted_mean", "gridmet_pipeline", "cfsv2_median_pipeline",
     "cfsv2_ensemble_pipeline", "tpch_weighted_mean", "tpch_q1",
     "tpch_join3", "tpch_window_topk", "tpch_topn", "tpch_semi_anti",

@@ -17,13 +17,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _lag_seconds(l_col: str, r_col: str) -> Column:
-    """Wall-clock seconds from l to r. ``timestampdiff`` operates on the
-    timestamps' own fields for TIMESTAMP and TIMESTAMP_NTZ alike — no
-    session-timezone cast, so the value is correct even under a DST
-    session zone (a cast-to-epoch difference would be off by the DST step
-    for pairs spanning a transition)."""
-    return F.expr(f"timestampdiff(MICROSECOND, {l_col}, {r_col})") / 1_000_000.0
+def _lag_seconds(events: DataFrame, ts_col: str, l_col: str, r_col: str) -> Column:
+    """Elapsed seconds from l to r, matching the arithmetic of the join's
+    ``+ INTERVAL`` horizon so lag and horizon can never disagree.
+
+    - TIMESTAMP (instant type): difference of epoch instants via
+      ``unix_micros`` — timezone-independent, correct under a DST session
+      zone. ``timestampdiff`` would NOT be: it differences the local-field
+      representation, so across spring-forward a click 59 physical minutes
+      after a view would join under a 60-minute horizon yet report a
+      119-minute lag.
+    - TIMESTAMP_NTZ (no instant): field arithmetic is the only semantics;
+      ``timestampdiff`` and the NTZ ``+ INTERVAL`` predicate agree by
+      construction.
+    """
+    if events.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+        return F.expr(f"timestampdiff(MICROSECOND, {l_col}, {r_col})") / 1_000_000.0
+    return (F.unix_micros(F.col(r_col)) - F.unix_micros(F.col(l_col))) / 1_000_000.0
 
 
 def attribution_join(
@@ -56,7 +66,7 @@ def attribution_join(
             user_col,
             "left_id",
             "right_id",
-            _lag_seconds("l_ts", "r_ts").alias("lag_seconds"),
+            _lag_seconds(events, ts_col, "l_ts", "r_ts").alias("lag_seconds"),
         )
     )
 
@@ -90,7 +100,7 @@ def attribution_join_outer(
             user_col,
             "left_id",
             "right_id",
-            _lag_seconds("l_ts", "r_ts").alias("lag_seconds"),
+            _lag_seconds(events, ts_col, "l_ts", "r_ts").alias("lag_seconds"),
         )
     )
 
@@ -143,6 +153,6 @@ def streaming_attribution(
             user_col,
             "left_id",
             "right_id",
-            _lag_seconds("l_ts", "r_ts").alias("lag_seconds"),
+            _lag_seconds(events_stream, ts_col, "l_ts", "r_ts").alias("lag_seconds"),
         )
     )

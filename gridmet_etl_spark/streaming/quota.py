@@ -20,11 +20,9 @@ Two twins, batch-equivalent by construction:
   directory the stream output equals the batch twin row-for-row
   (asserted in tests/test_streaming.py).
 
-- ``streaming_quota_tws``: the same processor on the Spark 4
-  ``transformWithStateInPandas`` API (typed ValueState, timers, TTL) —
-  the forward-looking form, gated on the python ``protobuf`` package its
-  state client requires (absent in this container; the gate mirrors the
-  netCDF4/PIL pattern elsewhere in the repo).
+(A ``transformWithStateInPandas`` variant was removed in round 4:
+its Python state client needs protobuf, absent here, so the path could
+never run — rationale recorded in COVERAGE.md §streaming.)
 
 Scale: the batch window is a per-source prefix sum (partial agg quality:
 one shuffle keyed by source, then a single sort within each source
@@ -37,21 +35,15 @@ emits decisions inline.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 __all__ = [
     "quota_filter",
     "streaming_quota",
-    "streaming_quota_tws",
-    "QuotaProcessor",
 ]
 
 QUOTA_OUT_SCHEMA = (
@@ -82,43 +74,6 @@ def quota_filter(
         F.col(tokens_col).cast("long").alias("n_tokens"),
         F.sum(F.col(tokens_col).cast("long")).over(w).alias("cum_tokens"),
     ).withColumn("kept", F.col("cum_tokens") <= F.lit(budget))
-
-
-class QuotaProcessor(StatefulProcessor):
-    """ValueState: one cumulative-token bigint per source key."""
-
-    def __init__(self, budget: int, order_col: str = "doc_id"):
-        self._budget = budget
-        self._order_col = order_col
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._state = handle.getValueState(
-            "cum", StructType([StructField("cum", LongType())])
-        )
-
-    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        cum = self._state.get()[0] if self._state.exists() else 0
-        out = []
-        for pdf in rows:
-            pdf = pdf.sort_values(self._order_col)
-            running = pdf["n_tokens"].astype("int64").cumsum() + cum
-            out.append(
-                pd.DataFrame(
-                    {
-                        "source": key[0],
-                        "doc_id": pdf["doc_id"].astype("int64"),
-                        "n_tokens": pdf["n_tokens"].astype("int64"),
-                        "cum_tokens": running,
-                        "kept": running <= self._budget,
-                    }
-                )
-            )
-            cum = int(running.iloc[-1]) if len(running) else cum
-        self._state.update((cum,))
-        yield from out
-
-    def close(self) -> None:
-        pass
 
 
 def streaming_quota(
@@ -167,37 +122,4 @@ def streaming_quota(
         stateStructType="cum long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-
-
-def streaming_quota_tws(
-    docs_stream: DataFrame,
-    budget: int,
-    source_col: str = "source",
-    id_col: str = "doc_id",
-    tokens_col: str = "n_tokens",
-    order_col: str = "doc_id",
-) -> DataFrame:
-    """Spark 4 ``transformWithStateInPandas`` form of the quota processor
-    (typed ValueState). Its Python state client speaks protobuf to the JVM
-    state server; gate on that import so environments without the package
-    fail loudly at build time rather than mid-stream."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "transformWithStateInPandas requires the python protobuf "
-            "package for its state client; use streaming_quota "
-            "(applyInPandasWithState) instead"
-        ) from exc
-    keyed = docs_stream.select(
-        F.col(source_col).alias("source"),
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(tokens_col).cast("long").alias("n_tokens"),
-    ).groupBy("source")
-    return keyed.transformWithStateInPandas(
-        statefulProcessor=QuotaProcessor(budget, order_col),
-        outputStructType=QUOTA_OUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
     )

