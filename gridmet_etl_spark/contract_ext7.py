@@ -695,6 +695,14 @@ EXT7_QUERIES.update(
 # kaplan_meier: right-censored survival curves
 # ---------------------------------------------------------------------------
 
+# Rounding for the exp∘ln survival chain is R=4, not the house R=6: at
+# sf0.01 one surviving fraction (0.36054449996660…) sits 3.3e-11 below the
+# 0.3605445 half-way point, so ANY ulp-level engine/libm divergence flips
+# the 6th digit (observed: driver r4 hash mismatch, locally bit-identical).
+# At R=4 the closest output is 2.4e-7 from a boundary — 6 orders of
+# magnitude of slack. Same discipline for the two sibling queries below.
+_RKM = 4
+
 
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KM retention curves per order priority over a synthetic cohort:
@@ -708,7 +716,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 60 + 1).alias("dur"),
         (F.col("o_orderkey") % 4 != 0).cast("int").alias("ev"),
     )
-    return kaplan_meier(o, ["grp"], "dur", "ev", ndigits=R)
+    return kaplan_meier(o, ["grp"], "dur", "ev", ndigits=_RKM)
 
 
 SQL_KAPLAN_MEIER = f"""
@@ -732,7 +740,7 @@ surv AS (
          exp(sum(ln(greatest(1.0 - d / CAST(n AS DOUBLE), 1e-300)))
              OVER (PARTITION BY grp ORDER BY t)) AS s
   FROM cum)
-SELECT grp, t, n AS n_risk, d, ROUND(s, {R}) + 0 AS surv
+SELECT grp, t, n AS n_risk, d, ROUND(s, {_RKM}) + 0 AS surv
 FROM surv WHERE d > 0
 """
 
@@ -761,7 +769,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     target = docs.where(F.col("source") == "src0")
-    return dsir_select(docs, target, k=_DSIR_K, ndigits=R)
+    return dsir_select(docs, target, k=_DSIR_K, ndigits=_RKM)
 
 
 SQL_DSIR_SELECT = f"""
@@ -789,7 +797,7 @@ model AS (
   LEFT JOIN tc ON tc.token = vocab.token),
 per_doc AS (
   SELECT c._id AS doc_id, sum(c.cnt) AS n_tokens,
-         ROUND(sum(c.cnt * m.dlp), {R}) + 0 AS weight
+         ROUND(sum(c.cnt * m.dlp), {_RKM}) + 0 AS weight
   FROM (SELECT doc_id AS _id, token, count(*) AS cnt
         FROM ctokf GROUP BY doc_id, token) c
   JOIN model m ON m.token = c.token
@@ -801,7 +809,7 @@ full_corpus AS (
   FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id),
 scored AS (
   SELECT doc_id, n_tokens, weight,
-         ROUND(weight / greatest(n_tokens, 1), {R}) + 0 AS sel_score
+         ROUND(weight / greatest(n_tokens, 1), {_RKM}) + 0 AS sel_score
   FROM full_corpus),
 rk AS (
   SELECT *, row_number() OVER (ORDER BY sel_score DESC, doc_id) AS rnk
@@ -836,7 +844,7 @@ def q_lift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", (F.col("lang") == "en").alias("is_en")), "doc_id"
     )
     return lift_curve(
-        scored, "is_en", "logit", "doc_id", n_bins=_LIFT_BINS, ndigits=R
+        scored, "is_en", "logit", "doc_id", n_bins=_LIFT_BINS, ndigits=_RKM
     )
 
 
@@ -869,8 +877,8 @@ cum AS (
          sum(n_pos) OVER (ORDER BY bin) AS cp
   FROM binned)
 SELECT CAST(bin AS INT) AS bin, cnt AS n, n_pos,
-       ROUND(cp / CAST(npos AS DOUBLE), {R}) + 0 AS cum_capture,
-       ROUND((cp / CAST(cn AS DOUBLE)) / (npos / CAST(n AS DOUBLE)), {R}) + 0
+       ROUND(cp / CAST(npos AS DOUBLE), {_RKM}) + 0 AS cum_capture,
+       ROUND((cp / CAST(cn AS DOUBLE)) / (npos / CAST(n AS DOUBLE)), {_RKM}) + 0
          AS cum_lift
 FROM cum
 """
