@@ -99,6 +99,21 @@ def project_bounds(bounds: dict[str, float], crs: str | None) -> dict[str, float
     return {"minx": min(xs), "maxx": max(xs), "miny": min(ys), "maxy": max(ys)}
 
 
+def crs_is_geographic(crs: str | None) -> bool:
+    """True when the catalog CRS is geographic (degrees) — pyproj's
+    ``CRS.is_geographic`` when importable, else the string heuristic
+    ``_crs_is_lonlat`` (the only form ``project_bounds`` accepts without
+    pyproj anyway)."""
+    if crs is None or str(crs).strip() == "":
+        return True
+    try:
+        import pyproj  # noqa: PLC0415 — optional, gated like geopandas
+
+        return bool(pyproj.CRS(crs).is_geographic)
+    except ImportError:
+        return _crs_is_lonlat(str(crs))
+
+
 def bounds_to_cells(
     catalog_rec: dict, bounds: dict[str, float], buffer_deg: float = CELL_BUFFER_DEG
 ) -> tuple[int, int, int, int]:
@@ -113,7 +128,8 @@ def bounds_to_cells(
     etl.py:322 to_crs step) so a projected-CRS catalog record prunes
     correctly instead of silently slicing degree values against meters.
     """
-    bounds = project_bounds(bounds, catalog_rec.get("crs"))
+    crs = catalog_rec.get("crs")
+    bounds = project_bounds(bounds, crs)
     res_x = float(catalog_rec["resX"])
     res_y = float(catalog_rec["resY"])
     x1 = float(catalog_rec["X1"])
@@ -122,10 +138,17 @@ def bounds_to_cells(
     nrows = int(catalog_rec["nrows"])
     top_to_bottom = bool(catalog_rec.get("toptobottom", False))
 
-    minx = bounds["minx"] - buffer_deg
-    maxx = bounds["maxx"] + buffer_deg
-    miny = bounds["miny"] - buffer_deg
-    maxy = bounds["maxy"] + buffer_deg
+    if crs_is_geographic(crs):
+        buf_x = buf_y = buffer_deg
+    else:
+        # bounds are now in the catalog's PROJECTED units (meters): a
+        # degree-valued buffer would degenerate to ~4 cm, so realize the
+        # reference's one-cell edge buffer in catalog units instead
+        buf_x, buf_y = abs(res_x), abs(res_y)
+    minx = bounds["minx"] - buf_x
+    maxx = bounds["maxx"] + buf_x
+    miny = bounds["miny"] - buf_y
+    maxy = bounds["maxy"] + buf_y
 
     j0 = max(int((minx - x1) / res_x), 0)
     j1 = min(int((maxx - x1) / res_x + 1), ncols - 1)

@@ -72,8 +72,11 @@ def convert_features(path: str, out_path: str | None = None, fid_col: str = "fea
     the parquet it emits is what the distributed engine scans.
 
     Returns the parquet path. ``.parquet`` inputs pass through untouched.
-    GIS formats need geopandas (absent in this container) — gated like
-    ``export_netcdf``: real when importable, NotImplementedError otherwise.
+    ``.shp`` works without geopandas via the vendored pure-python
+    micro-reader (shp_micro.py — geographic-CRS Point/PolyLine/Polygon,
+    the shapes the ETL's feature tables use); geopandas, when importable,
+    is preferred (full driver coverage + reprojection). ``.gpkg``/
+    ``.geojson`` require geopandas — gated like ``export_netcdf``.
     Output columns: feature_id (from ``fid_col``, else the row index), lat/
     lon (geometry centroid — the only geometry the engine consumes,
     helper.py:58,69), geometry (WKB)."""
@@ -85,8 +88,24 @@ def convert_features(path: str, out_path: str | None = None, fid_col: str = "fea
     try:
         import geopandas as gpd
     except ImportError as exc:
+        if suffix == "shp":
+            from .shp_micro import read_shapefile
+
+            attrs = read_shapefile(path)
+            out = attrs.rename(columns={c: c.lower() for c in attrs.columns})
+            fid_l = fid_col.lower()
+            out["feature_id"] = (
+                out[fid_l].astype("int64")
+                if fid_l in out.columns
+                else range(len(out))
+            )
+            out = out[["feature_id", "lat", "lon", "geometry"]]
+            if out_path is None:
+                out_path = path.rsplit(".", 1)[0] + ".parquet"
+            out.to_parquet(out_path, index=False)
+            return out_path
         raise NotImplementedError(
-            "shapefile/GIS ingest requires geopandas (pyogrio/fiona); "
+            "gpkg/geojson ingest requires geopandas (pyogrio/fiona); "
             "convert to (Geo)Parquet offline or install geopandas"
         ) from exc
     gdf = gpd.read_file(path)

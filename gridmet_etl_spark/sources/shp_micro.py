@@ -8,9 +8,10 @@ PolyLine=3, Polygon=5), .dbf attribute columns, optional .prj sanity check
 gate as operators/bbox.py::project_bounds).
 
 This is NOT a GIS library: it exists so `convert_features` (readers.py,
-reference etl.py:549-568 suffix dispatch) has a real, injectable-free code
-path in minimal containers, exercised end-to-end by
-tests/test_sources.py. Output matches the geopandas path's contract:
+reference etl.py:549-568 suffix dispatch) has a real, injectable-free
+``.shp`` code path in minimal containers — convert_features falls back to
+``read_shapefile`` when geopandas is absent; exercised end-to-end by
+tests/test_shp_micro.py. Output matches the geopandas path's contract:
 feature_id, lat/lon (true area centroid for polygons — shoelace formula,
 the same value gdf.geometry.centroid yields), geometry as WKB.
 
@@ -162,8 +163,11 @@ def _read_dbf(path: Path) -> pd.DataFrame:
 def _check_prj(path: Path) -> None:
     prj = path.with_suffix(".prj")
     if prj.exists():
-        wkt = prj.read_text()
-        if "PROJCS" in wkt.upper():
+        wkt = prj.read_text().upper()
+        # WKT1 spells a projected CRS "PROJCS[", WKT2 "PROJCRS[" — match
+        # both, else a projected shapefile silently ingests meters as
+        # degrees (the exact failure bbox.py::project_bounds guards).
+        if "PROJCS" in wkt or "PROJCRS" in wkt:
             raise NotImplementedError(
                 "projected-CRS shapefile: the micro-reader cannot reproject; "
                 "install geopandas/pyproj (engine convention is lon/lat)"

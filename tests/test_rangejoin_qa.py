@@ -117,6 +117,29 @@ def test_projected_crs_without_pyproj_raises():
     assert pb["minx"] <= pb["maxx"] and pb["miny"] <= pb["maxy"]
 
 
+def test_projected_crs_buffer_is_cell_sized(monkeypatch):
+    """ADVICE r4: with a projected (meters) catalog, the one-cell edge
+    buffer must be realized in catalog units (resX/resY), not 0.04167
+    'degrees' (~4 cm of easting). Simulate the pyproj reprojection so the
+    branch runs in this container."""
+    import gridmet_etl_spark.operators.bbox as bbox
+
+    rec = {
+        "resX": 1000.0, "resY": 1000.0, "X1": 0.0, "Y1": 40000.0,
+        "ncols": 40, "nrows": 40, "toptobottom": False, "crs": "EPSG:5070",
+    }
+    meters = {"minx": 10500.0, "maxx": 12500.0, "miny": 20500.0, "maxy": 22500.0}
+    monkeypatch.setattr(bbox, "project_bounds", lambda b, crs: dict(meters))
+    assert not bbox.crs_is_geographic("EPSG:5070")
+    i0, i1, j0, j1 = bbox.bounds_to_cells(rec, {"minx": 0, "maxx": 0, "miny": 0, "maxy": 0})
+    # unbuffered columns would be 10..13; the 1000 m (=resX) buffer widens
+    # one full cell each side, not the 0.04167-degree no-op
+    assert (j0, j1) == (9, 14)
+    # rows count down from the 40 km north edge: unbuffered 17..20, the
+    # resY buffer widens one full row each side
+    assert (i0, i1) == (16, 21)
+
+
 def test_qa_report(spark, grid, weights):
     rep = {r.check: (r.value, r.ok) for r in qa_report(grid=grid, weights=weights).collect()}
     assert rep["grid_duplicates"] == (0.0, True)

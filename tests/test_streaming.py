@@ -419,9 +419,9 @@ def test_streaming_threshold_alerts_match_batch(spark, events_dir, tmp_path):
 
 
 def test_streaming_quota_matches_batch(spark, tmp_path):
-    """transformWithStateInPandas quota: per-source cumulative token state;
-    AvailableNow drain over a static directory must equal the batch
-    window-prefix-sum twin row-for-row."""
+    """applyInPandasWithState quota (streaming_quota): per-source cumulative
+    token state; AvailableNow drain over a static directory must equal the
+    batch window-prefix-sum twin row-for-row."""
     from gridmet_etl_spark.streaming.quota import quota_filter, streaming_quota
 
     docs = (
