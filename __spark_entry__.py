@@ -26,6 +26,7 @@ from gridmet_etl_spark.contract_ext4 import EXT4_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext5 import EXT5_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext6 import EXT6_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext7 import EXT7_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext8 import EXT8_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -36,6 +37,7 @@ _MERGED = {
     **EXT5_QUERIES,
     **EXT6_QUERIES,
     **EXT7_QUERIES,
+    **EXT8_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -51,6 +53,7 @@ _CHECK_FIRST = [
     # (0) r4 mismatches, re-verified post-hardening
     "kaplan_meier", "dsir_select", "lift_eval",
     # (1) new round-5 queries land here as they are added
+    "minhash_lsh_star", "line_dedup", "mixture_weights",
     # (2) never driver-checked backlog, oldest-waiting first
     "cooccurrence_topk",
     "vocab_topk", "pii_flags", "cosine_topk_lsh",

@@ -106,6 +106,30 @@ def _minhash_fast(spark):
     return minhash_lsh_candidates(docs, hash_fn="xxhash64")
 
 
+def _minhash_lsh_100k(spark):
+    """Corpus-scale MinHash-LSH (VERDICT r3 item 7): the sf documents
+    replicated ×20 with remapped ids (~100k docs at sf0.1, every replica a
+    true near-dup of its original — the duplication-heavy corpus LSH
+    exists for). Uses the STAR candidate form: the corpus has hub buckets
+    (1673 docs share one band key at sf0.1 → 33k after replication), so
+    the all-pairs bucket join is ~10⁹ pre-distinct rows (~10 min local);
+    star edges are bucket-LINEAR with identical dedup components
+    (tests/test_round5.py). Pins the output-sized signature shuffle +
+    bucket-join cost against measurement."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.dedup import minhash_lsh_star
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    big = (
+        spark.range(0, 20, 1, 20)
+        .withColumnRenamed("id", "rep")
+        .crossJoin(F.broadcast(docs))
+        .select((F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text")
+    )
+    return minhash_lsh_star(big, hash_fn="xxhash64")
+
+
 def _cosine_topk_np_400k(spark):
     """Arrow-vectorized brute-force ANN over a 400k-vector corpus (sf0.1
     embeddings replicated ×200, ids remapped): one numpy matmul per Arrow
@@ -669,6 +693,7 @@ EXTRA_BENCH = {
     "cfsv2_scale_stress_8.6M": _cfsv2_scale_stress,
     "pagerank_1M_edges": _pagerank_1m_edges,
     "minhash_lsh_fast": _minhash_fast,
+    "minhash_lsh_100k_docs": _minhash_lsh_100k,
     "cosine_topk_np_400k": _cosine_topk_np_400k,
     "span_dedup_100k_docs": _span_dedup_stress,
     "covariance_200k_vecs": _covariance_200k_vecs,
@@ -737,6 +762,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 3)
+    # provenance: 1-min load average at end of run — a loaded driver box
+    # inflates timings 1.5-2x (VERDICT r3 re-timed unchanged code faster
+    # in isolation); readers should discount entries recorded hot
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     print(
         json.dumps(
             {
@@ -745,6 +777,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg1": load1,
             }
         )
     )

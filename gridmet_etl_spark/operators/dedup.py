@@ -203,6 +203,114 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_star(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_seeds: int = N_MINHASH_SEEDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Star-expanded LSH candidates: each document pairs ONLY with its
+    bucket's min-id representative — (doc_a=bucket_min, doc_b=member).
+
+    This is the corpus-scale form of ``minhash_lsh_candidates``: the
+    all-pairs bucket join is QUADRATIC in bucket size, and real corpora
+    have hub buckets (boilerplate/templates — the sf0.1 synthetic corpus
+    itself has a 1673-doc bucket, which at a ×20 replication already means
+    ~10⁹ pre-distinct pairs and a ~10-minute local run). The star edges
+    are LINEAR in bucket size and span the same connected components
+    (every bucket is a clique in the candidate graph; a star is a spanning
+    tree of a clique), so dedup clustering over them yields identical
+    components — verify-then-cluster pipelines score member↔representative
+    instead of all pairs, the standard large-corpus discipline.
+
+    Shuffles: the band groupBy (band-key-sized) + one broadcast-friendly
+    join of the |buckets|-sized rep relation back onto the band rows.
+    Output: (doc_a, doc_b), doc_a < doc_b, distinct."""
+    bands = minhash_bands(docs, text_col, id_col, k, n_seeds, rows_per_band, hash_fn)
+    reps = (
+        bands.groupBy("band", "band_key")
+        .agg(F.min(id_col).alias("doc_a"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
+    return (
+        bands.join(reps, ["band", "band_key"])
+        .filter(F.col(id_col) != F.col("doc_a"))
+        .select("doc_a", F.col(id_col).alias("doc_b"))
+        .distinct()
+    )
+
+
+def split_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """(id, line_no, line) from delimiter-split text — row-local posexplode,
+    no shuffle. The line relation both ``line_dedup`` and line-frequency
+    boilerplate analysis consume."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+    )
+
+
+def line_dedup(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    join_delim: str = "\n",
+) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal, C4/RefinedWeb-style: any line
+    whose exact text occurs elsewhere in the corpus survives only at its
+    FIRST occurrence (ordered by (id, line_no)); every document is then
+    reassembled from its surviving lines. The classic boilerplate killer —
+    nav bars, cookie banners, and license headers repeat corpus-wide and
+    per-document dedup never sees them.
+
+    Input: (id, line_no, line) — from ``split_lines`` or any segmenter.
+    Output: (id, n_lines, n_kept, text) with text = surviving lines joined
+    by ``join_delim`` in original order ('' when nothing survives).
+
+    Scale shape: the keep/drop decision shuffles ONLY (digest, id,
+    line_no) — 32-byte digests, never line bodies; the verdict joins back
+    to the line relation on (id, line_no); reassembly is one id-keyed
+    partial agg over surviving lines (output-sized — the corpus's total
+    surviving text, which is the result itself). No global sort: the
+    first-occurrence rule is a per-digest window over duplicate runs only.
+    """
+    keyed = lines.select(
+        F.col(id_col), "line_no", F.md5(F.col("line")).alias("_d")
+    )
+    w = Window.partitionBy("_d").orderBy(F.col(id_col), F.col("line_no"))
+    verdicts = keyed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    kept = lines.join(verdicts.select(id_col, "line_no"), [id_col, "line_no"])
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("line_no"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            join_delim,
+        ).alias("text"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

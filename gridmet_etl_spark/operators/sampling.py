@@ -136,6 +136,59 @@ def mixture_sample(
     )
 
 
+def mixture_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    size_col: str | None = None,
+    alpha: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Temperature-smoothed source mixture shares — the step that DECIDES
+    the per-source quotas ``mixture_sample`` consumes. Raw share p_i =
+    n_i/Σn over-trains the biggest crawl; the temperature-α mixture
+    q_i ∝ n_i^α (α<1 upweights small high-quality sources — multilingual
+    and data-mixture practice) flattens it.
+
+    ``size_col=None`` sizes sources by document count, else by Σ size_col
+    (token-weighted). α=0.5 (the default) is computed via sqrt, which IEEE
+    correctly rounds — bit-identical across engines, so the contract query
+    hash-checks exactly; other α use pow (libm, last-ulp engine variance).
+
+    Scale shape: ONE |sources|-row partial agg; the normalization terms
+    are a broadcast 1-row scalar. Output: (source, n_docs, size,
+    share_raw, share_temp), shares rounded at ``ndigits``.
+    """
+    size_expr = (
+        F.count(F.lit(1)).cast("double")
+        if size_col is None
+        else F.sum(size_col).cast("double")
+    )
+    per = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), size_expr.alias("_sz")
+    )
+    temp = (
+        F.sqrt(F.col("_sz")) if alpha == 0.5 else F.pow(F.col("_sz"), F.lit(alpha))
+    )
+    sized = per.withColumn("_t", temp)
+    tot = sized.agg(
+        F.sum("_sz").alias("_tot_sz"), F.sum("_t").alias("_tot_t")
+    )
+    return (
+        sized.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            F.col("_sz").cast("long").alias("size"),
+            (F.round(F.col("_sz") / F.col("_tot_sz"), ndigits) + F.lit(0.0)).alias(
+                "share_raw"
+            ),
+            (F.round(F.col("_t") / F.col("_tot_t"), ndigits) + F.lit(0.0)).alias(
+                "share_temp"
+            ),
+        )
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget: int,

@@ -110,6 +110,10 @@ EXPECTED_SINGLE = {
     # relation (a 3-row createDataFrame is single-partition by
     # construction); the per-round full-outer joins are frontier-sized
     "ppr_scores",
+    # mixture_weights: the normalization terms are a 1-row global scalar
+    # (Σ size, Σ size^α over the |sources|-row aggregate) broadcast back —
+    # the single-partition stage merges |sources| partial rows into 1
+    "mixture_weights",
 }
 
 
