@@ -682,6 +682,47 @@ CALL_TIMED = {
 }
 
 
+
+def _corpus_v3_sf(spark):
+    """Round-5 curation flagship at sf scale: line dedup -> boilerplate
+    gate -> exact dedup -> star-LSH components -> canonical manifest with
+    mixture shares (contract_ext8.q_corpus_pipeline_v3)."""
+    from gridmet_etl_spark.contract_ext8 import q_corpus_pipeline_v3
+
+    return q_corpus_pipeline_v3(spark, SF_DIR)
+
+
+
+def _line_dedup_100k(spark):
+    """Corpus-wide line dedup at ~100k docs (sf docs x20, remapped ids;
+    every replica's lines are corpus-wide dups of the original's): pins
+    the digest-only decision shuffle + output-sized reassembly agg. The
+    8-token line derivation matches the contract query."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    big = (
+        spark.range(0, 20, 1, 20)
+        .withColumnRenamed("id", "rep")
+        .crossJoin(F.broadcast(docs))
+        .select((F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text")
+    )
+    lines = big.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_a")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(_a), 8),"
+                " st -> array_join(slice(_a, st, 8), ' '))"
+            )
+        ).alias("line_no", "line"),
+    )
+    return line_dedup(lines)
+
+
 EXTRA_BENCH = {
     "scd2_1M_changes": _scd2_1m_changes,
     "overlap_200k_spans": _overlap_200k_spans,
@@ -694,6 +735,8 @@ EXTRA_BENCH = {
     "pagerank_1M_edges": _pagerank_1m_edges,
     "minhash_lsh_fast": _minhash_fast,
     "minhash_lsh_100k_docs": _minhash_lsh_100k,
+    "corpus_pipeline_v3": _corpus_v3_sf,
+    "line_dedup_100k_docs": _line_dedup_100k,
     "cosine_topk_np_400k": _cosine_topk_np_400k,
     "span_dedup_100k_docs": _span_dedup_stress,
     "covariance_200k_vecs": _covariance_200k_vecs,

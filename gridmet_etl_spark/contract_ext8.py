@@ -158,3 +158,210 @@ FROM per CROSS JOIN tot
 
 
 EXT8_QUERIES["mixture_weights"] = (q_mixture_weights, SQL_MIXTURE_WEIGHTS)
+
+
+# ---------------------------------------------------------------------------
+# corpus_pipeline_v3: line dedup → gate → exact dedup → star-LSH components →
+# canonical keep → split + mixture shares (one lazy DAG, full oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 curation flagship over documents rebuilt as 8-token lines
+    (so the single-line synthetic corpus exercises the line stage):
+    plans.corpus.corpus_pipeline_v3 end-to-end."""
+    from .plans.corpus import corpus_pipeline_v3
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    rebuilt = docs.select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')), {_LINE_W}),"
+                f" st -> array_join(slice(split(text, ' '), st, {_LINE_W}), ' '))"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return corpus_pipeline_v3(rebuilt)
+
+
+def _sql_corpus_v3() -> str:
+    from .contract_ext import NORM
+    from .operators.sampling import HASH_BUCKETS, sql_hash_bucket
+
+    bucket = sql_hash_bucket("c.doc_id", "split")
+    t_train = int(0.9 * HASH_BUCKETS)
+    t_val = int(0.95 * HASH_BUCKETS)
+    norm3 = NORM.format(c="text")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+lines AS (
+  SELECT doc_id, CAST((s.st - 1) / {_LINE_W} AS INT) AS line_no,
+         array_to_string(a[s.st : s.st + {_LINE_W - 1}], ' ') AS line
+  FROM base, generate_series(1, 4000, {_LINE_W}) s(st)
+  WHERE s.st <= len(a)),
+keyed AS (SELECT doc_id, line_no, md5(line) AS d FROM lines),
+firsts AS (
+  SELECT doc_id, line_no,
+         row_number() OVER (PARTITION BY d ORDER BY doc_id, line_no) AS rn
+  FROM keyed),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM lines l JOIN firsts f
+    ON f.doc_id = l.doc_id AND f.line_no = l.line_no AND f.rn = 1),
+ld AS (
+  SELECT t.doc_id, t.n_lines, coalesce(a.n_kept, 0) AS n_kept,
+         coalesce(a.text, '') AS text
+  FROM (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id) t
+  LEFT JOIN (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY line_no) AS text
+    FROM kept GROUP BY doc_id) a ON a.doc_id = t.doc_id),
+gated AS (
+  SELECT * FROM ld WHERE n_kept > 0 AND n_kept * 4 >= n_lines * 1),
+uniq AS (
+  SELECT doc_id, n_lines, n_kept, text FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+    FROM gated)
+  WHERE rn = 1),
+sh3 AS (
+  SELECT DISTINCT doc_id, substr(t, i, 3) AS sh
+  FROM (SELECT doc_id, {norm3} AS t FROM uniq),
+       generate_series(1, 2000) g(i)
+  WHERE i <= greatest(length(t) - 2, 1)),
+sigs AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+  FROM sh3, generate_series(0, {N_MINHASH_SEEDS - 1}) s(seed)
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / {ROWS_PER_BAND}) AS INT) AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(floor(seed / {ROWS_PER_BAND}) AS INT)),
+reps AS (
+  SELECT band, band_key, min(doc_id) AS doc_a, count(*) AS n
+  FROM bands GROUP BY band, band_key),
+star AS (
+  SELECT DISTINCT r.doc_a, b.doc_id AS doc_b
+  FROM bands b
+  JOIN reps r ON r.band = b.band AND r.band_key = b.band_key
+  WHERE r.n > 1 AND b.doc_id <> r.doc_a),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM star
+  UNION SELECT doc_b, doc_a FROM star),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT u.doc_id, u.n_lines, u.n_kept, u.text,
+         coalesce(c.cluster_id, u.doc_id) AS cluster_id
+  FROM uniq u LEFT JOIN comp c ON c.node = u.doc_id),
+sizes AS (
+  SELECT cluster_id, count(*) AS n_members FROM labeled GROUP BY cluster_id),
+canon AS (
+  SELECT l.doc_id, l.n_lines, l.n_kept, s.n_members,
+         CAST(len(string_split(replace(l.text, chr(10), ' '), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM labeled l JOIN sizes s ON s.cluster_id = l.cluster_id
+  WHERE l.cluster_id = l.doc_id),
+manifest AS (
+  SELECT c.*, d.source,
+         CASE WHEN {bucket} < {t_train} THEN 'train'
+              WHEN {bucket} < {t_val} THEN 'val'
+              ELSE 'test' END AS split
+  FROM canon c JOIN documents d ON d.doc_id = c.doc_id),
+per AS (
+  SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS sz
+  FROM manifest GROUP BY source),
+tot AS (SELECT sum(sqrt(sz)) AS tt FROM per),
+mix AS (
+  SELECT source, ROUND(sqrt(sz) / tt, {R}) + 0 AS share_temp
+  FROM per CROSS JOIN tot)
+SELECT m.doc_id, m.source, m.n_lines, m.n_kept, m.n_tokens, m.n_members,
+       m.split, x.share_temp
+FROM manifest m JOIN mix x ON x.source = m.source
+"""
+
+
+EXT8_QUERIES["corpus_pipeline_v3"] = (q_corpus_pipeline_v3, _sql_corpus_v3())
+
+
+# ---------------------------------------------------------------------------
+# jl_project: deterministic Johnson–Lindenstrauss projection (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_JL_M = 8
+_JL_D = 64
+
+
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→8-dim ±1/√m sign projection of every embedding — the row-local
+    dimensionality-reduction front end for ANN/clustering; the md5-parity
+    sign matrix lets the oracle replay the exact projection."""
+    from .operators.linalg import jl_project
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return jl_project(emb, out_dim=_JL_M, in_dim=_JL_D)
+
+
+SQL_JL_PROJECT = f"""
+WITH idx AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+  FROM embeddings),
+proj AS (
+  SELECT vec_id, j,
+         ROUND(sum(x * CASE WHEN substr(md5('jl:' || (i - 1) || ':' || j), 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END) / sqrt({_JL_M}.0), 4) + 0
+           AS value
+  FROM idx, generate_series(0, {_JL_M - 1}) s(j)
+  GROUP BY vec_id, j)
+SELECT vec_id, CAST(j AS INT) AS j, value FROM proj
+"""
+
+
+EXT8_QUERIES["jl_project"] = (q_jl_project, SQL_JL_PROJECT)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_terms: per-document top-k characteristic terms
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF·IDF terms per document (rounded-score ranking, token
+    tie-break) — the keyword-fingerprint twin of bm25_topk."""
+    from .operators.retrieval import tfidf_topk_terms
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return tfidf_topk_terms(docs, k=_TFIDF_K, ndigits=R)
+
+
+SQL_TFIDF_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * ln(n.n / CAST(dfr.df AS DOUBLE)), {R}) + 0 AS score
+  FROM tf JOIN dfr ON dfr.token = tf.token CROSS JOIN n),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+  FROM scored)
+SELECT doc_id, token, tf, score, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {_TFIDF_K}
+"""
+
+
+EXT8_QUERIES["tfidf_terms"] = (q_tfidf_terms, SQL_TFIDF_TERMS)

@@ -262,3 +262,68 @@ def power_iteration(
             (F.round(F.col("num") / F.col("den"), ndigits) + F.lit(0.0)).alias("eig"),
         )
     )
+
+
+def jl_project(
+    emb: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "jl",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims with a
+    DETERMINISTIC ±1/√m sign matrix (sign(i,j) from an md5 parity bit, the
+    simhash trick) — pairwise distances preserved within (1±ε) whp, and a
+    SQL engine can replay the exact matrix, so the projection itself is
+    oracle-checkable (random-matrix implementations never are).
+
+    The cheap dimensionality-reduction front end for ANN/clustering: at
+    100 TB the projection is ROW-LOCAL codegen'd arithmetic (m×d
+    multiply-adds per row, no shuffle, no model state); downstream LSH/IVF
+    then operates on m-dim vectors.
+
+    Output long form: (id, j, value) with j in [0, out_dim) and values
+    rounded at ``ndigits`` (the d-term dot products are float-sum-order
+    sensitive; 4 digits gives ~5 orders of slack over reorder jitter).
+    """
+    sqrt_m = float(out_dim) ** 0.5
+
+    def _component(j: int):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(in_dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(F.col(vec_col), i + 1)
+            * F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:"),
+                            i.cast("string"),
+                            F.lit(f":{j}"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                >= "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (F.round(_component(j) / F.lit(sqrt_m), ndigits) + F.lit(0.0)).alias(
+                    "value"
+                ),
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return emb.select(F.col(id_col), F.explode(comps).alias("_c")).select(
+        id_col, F.col("_c.j").alias("j"), F.col("_c.value").alias("value")
+    )

@@ -22,7 +22,7 @@ on the rounded score with the natural key as tie-break.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import tokens, word_ngrams
@@ -210,4 +210,56 @@ def mrr(
             )
             + F.lit(0.0)
         ).alias("rr"),
+    )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top-k most characteristic terms per document by TF·IDF
+    (idf = ln(N/df), unsmoothed — every df ≥ 1 by construction): the
+    keyword/topic-fingerprint view of a corpus (bm25_topk ranks DOCS for a
+    query; this ranks TERMS for a doc).
+
+    Scale shape: tf is one (doc, token)-keyed partial agg over the token
+    stream; df is one token-keyed agg (vocab-sized) broadcast back; N is a
+    1-row scalar. The per-doc top-k window runs over each doc's distinct
+    terms only. Ranking is on the ROUNDED score with the token as
+    tie-break (the house oracle-parity discipline).
+
+    Output: (id, token, tf, score, rnk), rnk 1..k best-first."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    scored = (
+        tf.join(df_rel, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            (
+                F.round(
+                    F.col("tf") * F.log(F.col("_n") / F.col("_df")), ndigits
+                )
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "score", "rnk")
     )

@@ -180,3 +180,90 @@ def corpus_pipeline_v2(
     return split_df.join(shards, id_col, "left").select(
         F.col(id_col), "source", "split", "n_tokens", "nll", "shard"
     )
+
+
+def corpus_pipeline_v3(
+    docs: DataFrame,
+    lines: DataFrame | None = None,
+    delim: str = "\n",
+    keep_num: int = 1,
+    keep_den: int = 4,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    hash_fn: str = "md5",
+    ndigits: int = 6,
+) -> DataFrame:
+    """The round-5 curation recipe, one lazy DAG:
+
+        corpus-wide LINE dedup (C4/RefinedWeb boilerplate removal)
+          → boilerplate gate (survivor-line ratio ≥ keep_num/keep_den,
+            integer-exact comparison)
+          → exact dedup of the REASSEMBLED text (digest shuffle)
+          → star-LSH near-dup components → canonical doc per cluster
+          → leakage-safe split + temperature-α mixture shares
+
+    Output manifest: (doc_id, source, n_lines, n_kept, n_tokens,
+    n_members, split, share_temp) — canonical survivors only; n_members =
+    near-dup cluster size (observability: how much each kept doc stands
+    in for). The per-source quota DRAW stays a separate step
+    (mixture_weights → collect the |sources|-row relation → mixture_sample
+    dict), the documented driver-side boundary for dimension-sized plans.
+
+    Scale composition: the line decision shuffles digests; exact dedup
+    shuffles digests; LSH shuffles band keys (star join — bucket-LINEAR,
+    hub-bucket-proof); components iterate on candidate-edge frontiers;
+    split is a row-local hash; mixture is a |sources|-row aggregate.
+    Document text is read once (line split), reassembled output-sized,
+    and never joins anything bigger than its own id."""
+    from ..operators.cluster import connected_components
+    from ..operators.dedup import line_dedup, minhash_lsh_star, split_lines
+    from ..operators.sampling import mixture_weights
+
+    if lines is None:
+        lines = split_lines(docs, text_col, id_col, delim)
+    ld = line_dedup(lines, id_col, join_delim=delim)
+    gated = ld.filter(
+        (F.col("n_kept") > 0)
+        & (F.col("n_kept") * keep_den >= F.col("n_lines") * keep_num)
+    )
+    fp = gated.withColumn("_fp", F.md5(F.lower(F.col("text"))))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    uniq = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
+    star = minhash_lsh_star(uniq, text_col="text", id_col=id_col, hash_fn=hash_fn)
+    comp = connected_components(star).withColumnRenamed("node", id_col)
+    labeled = uniq.join(comp, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    canon = labeled.filter(F.col("cluster_id") == F.col(id_col)).join(
+        sizes, "cluster_id"
+    )
+    toks = canon.withColumn(
+        "n_tokens",
+        F.size(F.split(F.translate(F.col("text"), delim, " "), " ")).cast("long"),
+    )
+    src = docs.select(F.col(id_col), F.col(source_col).alias("source"))
+    manifest = deterministic_split(
+        toks.join(src, id_col), weights, id_col=id_col
+    )
+    mix = mixture_weights(
+        manifest, source_col="source", size_col="n_tokens", ndigits=ndigits
+    ).select("source", "share_temp")
+    return manifest.join(F.broadcast(mix), "source").select(
+        id_col,
+        "source",
+        "n_lines",
+        "n_kept",
+        "n_tokens",
+        "n_members",
+        "split",
+        "share_temp",
+    )

@@ -222,3 +222,114 @@ def test_streaming_line_dedup_matches_batch(spark, tmp_path):
         r.doc_id: (r.n_lines, r.n_kept, r.text)
         for r in spark.read.parquet(out).collect()
     } == want
+
+
+# ---------------------------------------------------------------------------
+# corpus_pipeline_v3
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_v3_invariants(spark):
+    """Canonical-only manifest, per-source share_temp constant and summing
+    to 1, n_members ≥ 1, token counts consistent with kept lines."""
+    from gridmet_etl_spark.contract_ext8 import q_corpus_pipeline_v3
+
+    out = q_corpus_pipeline_v3(spark, SF_DIR).collect()
+    assert len(out) > 0
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))
+    shares = {}
+    for r in out:
+        assert r.n_members >= 1
+        assert 0 < r.n_kept <= r.n_lines
+        assert r.split in ("train", "val", "test")
+        shares[r.source] = r.share_temp
+    assert abs(sum(shares.values()) - 1.0) < 1e-4
+
+
+def test_corpus_v3_drops_boilerplate_and_clones(spark):
+    """Hand corpus: doc 2 is a clone of doc 1 (exact dedup), doc 3 is all
+    boilerplate (gate), doc 4 is a near-dup of doc 1 (LSH cluster), doc 5
+    is independent — manifest keeps 1 (n_members 2) and 5."""
+    from gridmet_etl_spark.plans.corpus import corpus_pipeline_v3
+
+    b = "common header line"
+    d1 = f"{b}\nthe quick brown fox jumps over the lazy dog\nunique tail one"
+    # d4 shares NO exact line with d1 (line dedup runs first!) but is
+    # shingle-near-identical post-dedup → LSH folds it into d1's cluster
+    d4 = f"{b} z\nthe quick brown fox jumps over the lazy dogz\nunique tail onez"
+    d5 = f"{b}\ncompletely different content about shuffle exchanges here"
+    rows = [(1, "a", d1), (2, "a", d1), (3, "b", b), (4, "a", d4), (5, "b", d5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.doc_id: r for r in corpus_pipeline_v3(docs, keep_num=1, keep_den=4).collect()}
+    assert set(out) == {1, 5}
+    assert out[1].n_members == 2  # doc 4 folded in as a near-dup
+    assert out[1].n_lines == 3 and out[1].n_kept == 3
+    # doc 5 lost its boilerplate header line (dup of doc 1's) but survived
+    assert out[5].n_kept == 1 and out[5].n_lines == 2
+
+
+# ---------------------------------------------------------------------------
+# jl_project / tfidf_topk_terms
+# ---------------------------------------------------------------------------
+
+
+def test_jl_project_shape_and_determinism(spark):
+    from gridmet_etl_spark.operators.linalg import jl_project
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).limit(50)
+    a = sorted((r.vec_id, r.j, r.value) for r in jl_project(emb).collect())
+    b = sorted((r.vec_id, r.j, r.value) for r in jl_project(emb).collect())
+    assert a == b
+    ids = {x[0] for x in a}
+    assert all(sum(1 for x in a if x[0] == i) == 8 for i in ids)
+
+
+def test_jl_project_preserves_distances_roughly(spark):
+    """JL guarantee is probabilistic; with m=16 on unit-ish 64-dim vectors
+    check the pairwise-distance ratio stays within a loose (0.3, 3)
+    envelope for a sample — catches sign-matrix bugs (a constant or
+    degenerate matrix collapses distances entirely)."""
+    import math
+
+    from gridmet_etl_spark.operators.linalg import jl_project
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).filter(
+        F.col("vec_id") < 12
+    )
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    proj = {}
+    for r in jl_project(emb, out_dim=16, ndigits=6).collect():
+        proj.setdefault(r.vec_id, [0.0] * 16)[r.j] = r.value
+    ids = sorted(orig)
+    ratios = []
+    for a in ids:
+        for b in ids:
+            if a < b:
+                d0 = math.dist(orig[a], orig[b])
+                d1 = math.dist(proj[a], proj[b])
+                if d0 > 1e-9:
+                    ratios.append(d1 / d0)
+    assert ratios and all(0.3 < r < 3.0 for r in ratios)
+
+
+def test_tfidf_topk_terms_golden(spark):
+    from gridmet_etl_spark.operators.retrieval import tfidf_topk_terms
+
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "common cherry cherry durian"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_topk_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rnk, r.token, r.tf, r.score))
+    # 'common' (df=3) has idf=ln(1)=0 → never a top term over real signals
+    assert by_doc[1][0][1] == "apple" and by_doc[1][0][2] == 2
+    assert all(t != "common" or s == 0.0 for d in by_doc.values() for _, t, _, s in d)
+    # doc 3: cherry (tf=2, df=2) beats durian (tf=1, df=1)?
+    # scores: cherry 2*ln(1.5)=0.811, durian 1*ln(3)=1.099 → durian first
+    assert by_doc[3][0][1] == "durian"
+    assert [r for r, *_ in by_doc[3]] == [1, 2]

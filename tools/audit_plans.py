@@ -114,6 +114,13 @@ EXPECTED_SINGLE = {
     # (Σ size, Σ size^α over the |sources|-row aggregate) broadcast back —
     # the single-partition stage merges |sources| partial rows into 1
     "mixture_weights",
+    # corpus_pipeline_v3 inherits mixture_weights' 1-row normalization
+    # scalar (its only single-partition stage; the components loop is
+    # frontier-sized, dedup/LSH stages digest/band-keyed)
+    "corpus_pipeline_v3",
+    # tfidf_terms: the 1-row corpus-size scalar N broadcast into the
+    # scoring join (bm25/nb shape)
+    "tfidf_terms",
 }
 
 
