@@ -723,6 +723,35 @@ def _line_dedup_100k(spark):
     return line_dedup(lines)
 
 
+
+def _cms_join_size_14m(spark):
+    """Join-cardinality estimation over ~14M key rows (orders x20 +
+    lineitem x20 at sf0.1) WITHOUT executing the join: two single-scan
+    sketch builds + a 1-row estimate. Width sizing matters at scale — the
+    additive error is |A|x|B|/width, so the 2^20-cell rows here hold the
+    estimate within ~4x of the true 12M (the contract-query default of
+    256 cells would be 10^4x off at this key count); 4x2^20 counters is
+    still ~32 MB, nothing against a fact-x-fact shuffle avoided."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.sketch import cms_join_size
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        F.col("o_orderkey").alias("jk")
+    )
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        F.col("l_orderkey").alias("jk")
+    )
+    rep = spark.range(0, 20, 1, 20).withColumnRenamed("id", "rep")
+    big_o = rep.crossJoin(F.broadcast(o)).select(
+        (F.col("jk") * 20 + F.col("rep")).alias("jk")
+    )
+    big_l = rep.crossJoin(F.broadcast(li)).select(
+        (F.col("jk") * 20 + F.col("rep")).alias("jk")
+    )
+    return cms_join_size(big_o, big_l, "jk", width=1 << 20)
+
+
 EXTRA_BENCH = {
     "scd2_1M_changes": _scd2_1m_changes,
     "overlap_200k_spans": _overlap_200k_spans,
@@ -737,6 +766,7 @@ EXTRA_BENCH = {
     "minhash_lsh_100k_docs": _minhash_lsh_100k,
     "corpus_pipeline_v3": _corpus_v3_sf,
     "line_dedup_100k_docs": _line_dedup_100k,
+    "cms_join_size_14M_keys": _cms_join_size_14m,
     "cosine_topk_np_400k": _cosine_topk_np_400k,
     "span_dedup_100k_docs": _span_dedup_stress,
     "covariance_200k_vecs": _covariance_200k_vecs,

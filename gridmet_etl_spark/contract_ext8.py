@@ -365,3 +365,101 @@ FROM rk WHERE rnk <= {_TFIDF_K}
 
 
 EXT8_QUERIES["tfidf_terms"] = (q_tfidf_terms, SQL_TFIDF_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# cms_join_size: sketch-based join-cardinality estimation (AMS inner product)
+# ---------------------------------------------------------------------------
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |orders ⋈ lineitem on orderkey| from two depth×width CMS
+    counter tables — each side scanned once, the join never executed.
+    Integer-exact and md5-deterministic, so the oracle replays the sketch."""
+    from .operators.sketch import cms_join_size
+
+    o = spark.read.parquet(_t(sf_dir, "orders")).select(
+        F.col("o_orderkey").alias("jk")
+    )
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("jk")
+    )
+    return cms_join_size(o, li, "jk")
+
+
+SQL_CMS_JOIN_SIZE = """
+WITH lk AS (SELECT CAST(o_orderkey AS VARCHAR) AS t FROM orders),
+rk AS (SELECT CAST(l_orderkey AS VARCHAR) AS t FROM lineitem),
+la AS (
+  SELECT s.r AS row,
+         CAST('0x' || substr(md5('r' || s.r || ':' || t), 1, 6) AS BIGINT) % 256
+           AS bucket,
+         count(*) AS cnt
+  FROM lk, generate_series(0, 3) s(r) GROUP BY 1, 2),
+rb AS (
+  SELECT s.r AS row,
+         CAST('0x' || substr(md5('r' || s.r || ':' || t), 1, 6) AS BIGINT) % 256
+           AS bucket,
+         count(*) AS cnt
+  FROM rk, generate_series(0, 3) s(r) GROUP BY 1, 2),
+ip AS (
+  SELECT la.row, sum(la.cnt * rb.cnt) AS ipv
+  FROM la JOIN rb ON la.row = rb.row AND la.bucket = rb.bucket
+  GROUP BY la.row)
+SELECT CAST(min(ipv) AS BIGINT) AS est_rows FROM ip
+"""
+
+
+EXT8_QUERIES["cms_join_size"] = (q_cms_join_size, SQL_CMS_JOIN_SIZE)
+
+
+# ---------------------------------------------------------------------------
+# bias_als: alternating bias-only ALS (Koren baseline predictor)
+# ---------------------------------------------------------------------------
+
+_ALS_REG = 5.0
+_ALS_R = 4
+
+
+def q_bias_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-bias table of the baseline predictor trained for 2 alternating
+    rounds on (customer, part, quantity) ratings — full-precision
+    intermediates (per-round rounding would QUANTIZE values onto the grid
+    and make half-way boundaries common), output rounded once."""
+    from .operators.recommend import bias_als
+
+    o = spark.read.parquet(_t(sf_dir, "orders")).select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    ratings = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").alias("rating"),
+    )
+    return bias_als(ratings, "user_id", "item_id", "rating", reg=_ALS_REG)
+
+
+SQL_BIAS_ALS = f"""
+WITH r AS (
+  SELECT o_custkey AS u, l_partkey AS i, CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+mu AS (SELECT avg(v) AS mu FROM r),
+bu1 AS (
+  SELECT u, sum(v - mu) / (count(*) + {_ALS_REG}) AS bu
+  FROM r CROSS JOIN mu GROUP BY u),
+bi1 AS (
+  SELECT i, sum(v - mu - bu) / (count(*) + {_ALS_REG}) AS bi
+  FROM r CROSS JOIN mu JOIN bu1 ON bu1.u = r.u GROUP BY i),
+bu2 AS (
+  SELECT r.u, sum(v - mu - bi) / (count(*) + {_ALS_REG}) AS bu
+  FROM r CROSS JOIN mu JOIN bi1 ON bi1.i = r.i GROUP BY r.u),
+bi2 AS (
+  SELECT r.i, sum(v - mu - bu) / (count(*) + {_ALS_REG}) AS bi,
+         count(*) AS n_ratings
+  FROM r CROSS JOIN mu JOIN bu2 ON bu2.u = r.u GROUP BY r.i)
+SELECT i AS item_id, ROUND(bi, {_ALS_R}) + 0 AS b_i, n_ratings FROM bi2
+"""
+
+
+EXT8_QUERIES["bias_als"] = (q_bias_als, SQL_BIAS_ALS)

@@ -102,3 +102,72 @@ def item_cosine_topk(
             "rnk",
         )
     )
+
+
+def bias_als(
+    ratings: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+    n_rounds: int = 2,
+    reg: float = 5.0,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Bias-only alternating least squares — the baseline model every
+    recommender paper reports first (r̂ = μ + b_u + b_i, Koren's "baseline
+    predictor"): alternate closed-form regularized updates
+
+        b_u ← Σ_{(u,i)} (r − μ − b_i) / (n_u + reg)
+        b_i ← Σ_{(u,i)} (r − μ − b_u) / (n_i + reg)
+
+    for ``n_rounds`` rounds from b=0. Pure relational algebra: each
+    half-round is ONE broadcast join of the (current) other-side bias
+    relation + ONE user- or item-keyed partial agg — the ratings fact
+    never shuffles by anything except the side being updated, and nothing
+    iterates over more state than |users|+|items| rows. Intermediates stay
+    full-precision (rounding per update quantizes values ONTO the rounding
+    grid, making exact half-way boundaries — and cross-engine flips —
+    common instead of rare); only the OUTPUT rounds at ``ndigits``, so a
+    SQL oracle replays training as chained CTEs.
+
+    Output: (item, b_i, n_ratings) — the trained item-bias table
+    (broadcastable; the user table is the symmetric groupBy).
+    """
+    r = ratings.select(
+        F.col(user_col).alias("_u"),
+        F.col(item_col).alias("_i"),
+        F.col(rating_col).cast("double").alias("_r"),
+    )
+    mu_row = r.agg(F.avg("_r").alias("_mu"))
+    r = r.crossJoin(F.broadcast(mu_row))
+    bu = None  # (u, _bu)
+    bi = None  # (i, _bi)
+    for _ in range(n_rounds):
+        base = r
+        if bi is not None:
+            base = base.join(F.broadcast(bi), "_i", "left").withColumn(
+                "_bi", F.coalesce("_bi", F.lit(0.0))
+            )
+        else:
+            base = base.withColumn("_bi", F.lit(0.0))
+        bu = base.groupBy("_u").agg(
+            (
+                F.sum(F.col("_r") - F.col("_mu") - F.col("_bi"))
+                / (F.count(F.lit(1)) + F.lit(reg))
+            ).alias("_bu")
+        )
+        base2 = r.join(F.broadcast(bu), "_u", "left").withColumn(
+            "_bu", F.coalesce("_bu", F.lit(0.0))
+        )
+        bi = base2.groupBy("_i").agg(
+            (
+                F.sum(F.col("_r") - F.col("_mu") - F.col("_bu"))
+                / (F.count(F.lit(1)) + F.lit(reg))
+            ).alias("_bi"),
+            F.count(F.lit(1)).alias("n_ratings"),
+        )
+    return bi.select(
+        F.col("_i").alias(item_col),
+        (F.round(F.col("_bi"), ndigits) + F.lit(0.0)).alias("b_i"),
+        "n_ratings",
+    )

@@ -232,3 +232,52 @@ def hist_merge_quantiles(
         "q",
         (F.round(est, ndigits) + F.lit(0.0)).alias("est"),
     )
+
+
+def cms_build_keys(
+    rel: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """CMS over an arbitrary key column (the token builder generalized):
+    one (row, bucket, cnt) per non-empty cell, ≤ depth×width rows total
+    after ONE partial-agg shuffle."""
+    keys = rel.select(F.col(key_col).cast("string").alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    buckets = keys.select(
+        F.posexplode(
+            F.array(*[cms_bucket(F.col("token"), r, width) for r in range(depth)])
+        ).alias("row", "bucket")
+    )
+    return buckets.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Estimate |left ⋈ right on key| WITHOUT executing the join — the
+    AMS/CMS inner-product estimator (Cormode & Muthukrishnan): the true
+    join size is Σ_k fL(k)·fR(k), and each sketch row's inner product
+    Σ_b L[r,b]·R[r,b] over-estimates it by hash-collision cross terms, so
+    the MIN over the depth rows is the estimate. Integer-exact,
+    deterministic (md5 buckets) — the oracle replays it bit-for-bit.
+
+    The planner's use case at 100 TB: decide broadcast vs shuffle vs
+    pre-aggregate for a fact×fact join by scanning each side ONCE into a
+    depth×width counter table (two tiny shuffles), never materializing
+    the join. Output: 1 row (est_rows BIGINT)."""
+    la = cms_build_keys(left, key_col, depth, width)
+    rb = cms_build_keys(right, key_col, depth, width)
+    prods = (
+        la.alias("l")
+        .join(rb.alias("r"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("l.cnt") * F.col("r.cnt")).alias("_ip"))
+    )
+    return prods.agg(F.min("_ip").cast("long").alias("est_rows"))

@@ -333,3 +333,72 @@ def test_tfidf_topk_terms_golden(spark):
     # scores: cherry 2*ln(1.5)=0.811, durian 1*ln(3)=1.099 → durian first
     assert by_doc[3][0][1] == "durian"
     assert [r for r, *_ in by_doc[3]] == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# cms_join_size / bias_als
+# ---------------------------------------------------------------------------
+
+
+def test_cms_join_size_bounds(spark):
+    """AMS/CMS estimate never under-counts (min of over-estimates) and
+    stays within collision-inflation range on the real orders⋈lineitem."""
+    from gridmet_etl_spark.operators.sketch import cms_join_size
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        F.col("o_orderkey").alias("jk")
+    )
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        F.col("l_orderkey").alias("jk")
+    )
+    exact = o.join(li, "jk").count()
+    est = cms_join_size(o, li, "jk").collect()[0].est_rows
+    assert est >= exact
+    # expected collision inflation of one sketch row is |A|·|B|/width;
+    # the min over 4 rows stays within a small multiple of it
+    na, nb = o.count(), li.count()
+    assert est <= exact + 3 * na * nb // 256
+
+
+def test_cms_join_size_exact_when_collision_free(spark):
+    """Disjoint single-key relations: inner product = true product."""
+    from gridmet_etl_spark.operators.sketch import cms_join_size
+
+    a = spark.createDataFrame([(1,)] * 7, ["k"])
+    b = spark.createDataFrame([(1,)] * 3, ["k"])
+    assert cms_join_size(a, b, "k").collect()[0].est_rows == 21
+
+
+def test_bias_als_matches_numpy_replay(spark):
+    import numpy as np
+
+    from gridmet_etl_spark.operators.recommend import bias_als
+
+    rows = [
+        (1, "a", 5.0), (1, "b", 3.0), (2, "a", 4.0),
+        (2, "b", 1.0), (3, "a", 5.0),
+    ]
+    reg = 2.0
+    got = {
+        r.item_id: (r.b_i, r.n_ratings)
+        for r in bias_als(
+            spark.createDataFrame(rows, ["user_id", "item_id", "rating"]),
+            reg=reg,
+        ).collect()
+    }
+    mu = np.mean([v for _, _, v in rows])
+    bu, bi = {}, {"a": 0.0, "b": 0.0}
+    for _ in range(2):
+        bu = {}
+        for u in {r[0] for r in rows}:
+            terms = [v - mu - bi[i] for uu, i, v in rows if uu == u]
+            bu[u] = sum(terms) / (len(terms) + reg)
+        bi = {}
+        for i in {r[1] for r in rows}:
+            terms = [v - mu - bu[u] for u, ii, v in rows if ii == i]
+            bi[i] = sum(terms) / (len(terms) + reg)
+    for i in ("a", "b"):
+        assert got[i][0] == pytest.approx(round(bi[i], 4), abs=2e-4)
+    assert got["a"][1] == 3 and got["b"][1] == 2
+    # popular well-liked item gets positive bias, disliked one negative
+    assert got["a"][0] > 0 > got["b"][0]

@@ -121,6 +121,12 @@ EXPECTED_SINGLE = {
     # tfidf_terms: the 1-row corpus-size scalar N broadcast into the
     # scoring join (bm25/nb shape)
     "tfidf_terms",
+    # cms_join_size: the whole point is that the output is ONE scalar row
+    # (min over 4 depth-row inner products of ≤4×256-cell sketches)
+    "cms_join_size",
+    # bias_als trains by broadcasting |users|/|items|-row bias relations;
+    # its 1-row global-mean scalar is the only single-partition stage
+    "bias_als",
 }
 
 
