@@ -43,12 +43,13 @@ _MERGED = {
 # The driver caps its per-round oracle comparison at the first 50 queries
 # in registration order, so ORDER decides coverage. Round-5 window:
 # (0) the three r4 hash-mismatch queries, re-checked after the R=4
-# rounding hardening (contract_ext7), then (1) new round-5 additions,
-# then (2) the 48 registered queries no driver CORRECTNESS file (r1–r4)
-# has ever checked — all green in the judge's full 242/242
-# tools/check_oracle.py sweeps. Names past the cap queue for r6. Audit
-# trail: r1 = first 44 registry names, r2/r3/r4 = the 50-name windows
-# recorded in CORRECTNESS_r0{2,3,4}.json.
+# rounding hardening (contract_ext7), then (1) the 8 new round-5 queries
+# (contract_ext8), then (2) the oldest never-driver-checked backlog —
+# 39 of its 48 names fit under the cap; the last 9 (seasonal_decomp
+# through survivorship) queue for r6. Everything below the cap was green in this
+# session's full 248/248 tools/check_oracle.py sweep. Audit trail: r1 =
+# first 44 registry names, r2/r3/r4 = the 50-name windows recorded in
+# CORRECTNESS_r0{2,3,4}.json.
 _CHECK_FIRST = [
     # (0) r4 mismatches, re-verified post-hardening
     "kaplan_meier", "dsir_select", "lift_eval",

@@ -402,3 +402,98 @@ def test_bias_als_matches_numpy_replay(spark):
     assert got["a"][1] == 3 and got["b"][1] == 2
     # popular well-liked item gets positive bias, disliked one negative
     assert got["a"][0] > 0 > got["b"][0]
+
+
+# ---------------------------------------------------------------------------
+# randomized invariants (fixed seeds — one Spark job per case, not per example)
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_invariants_random(spark):
+    """Random corpora: (1) kept-line multiset == distinct line set of the
+    corpus; (2) Σ n_kept == |distinct lines|; (3) every doc's kept text is
+    a subsequence of its original lines."""
+    import random
+
+    from gridmet_etl_spark.operators.dedup import line_dedup, split_lines
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(1, 6)
+        rows.append(
+            (d, "\n".join(
+                " ".join(rng.choices(vocab, k=rng.randint(1, 4)))
+                for _ in range(n)
+            ))
+        )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in line_dedup(split_lines(docs)).collect()}
+    all_lines = [ln for _, t in rows for ln in t.split("\n")]
+    distinct = set(all_lines)
+    kept_lines = [
+        ln for r in out.values() if r.text for ln in r.text.split("\n")
+    ]
+    assert sorted(kept_lines) == sorted(distinct)
+    assert sum(r.n_kept for r in out.values()) == len(distinct)
+    for d, t in rows:
+        orig = t.split("\n")
+        kept = out[d].text.split("\n") if out[d].text else []
+        it = iter(orig)
+        assert all(any(k == o for o in it) for k in kept)  # subsequence
+
+
+def test_mixture_weights_alpha_contracts_ratios(spark):
+    """The real α<1 property: source ORDER is preserved and every pairwise
+    share ratio contracts toward 1 ((si/sj)^α exactly, since shares are a
+    common normalization away from sizes)."""
+    from gridmet_etl_spark.operators.sampling import mixture_weights
+
+    rows = (
+        [("a", i) for i in range(64)]
+        + [("b", i) for i in range(25)]
+        + [("c", i) for i in range(9)]
+        + [("d", i) for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = {r.source: r for r in mixture_weights(docs, "source").collect()}
+    srcs = sorted(out, key=lambda s: out[s].share_raw)
+    for x, y in zip(srcs, srcs[1:]):
+        assert out[x].share_temp <= out[y].share_temp + 1e-6  # order kept
+    for x in srcs:
+        for y in srcs:
+            r_raw = out[x].share_raw / out[y].share_raw
+            r_tmp = out[x].share_temp / out[y].share_temp
+            assert r_tmp == pytest.approx(r_raw**0.5, rel=2e-2)
+
+
+def test_star_components_parity_random(spark):
+    """Randomized clone corpora (several seeds, one job each): star and
+    all-pairs candidates must always produce identical components."""
+    import random
+
+    from gridmet_etl_spark.operators.cluster import connected_components
+    from gridmet_etl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_star,
+    )
+
+    templates = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "spark shuffles partition data across the cluster network fabric",
+        "completely unrelated legal boilerplate about licensing terms here",
+    ]
+    rng = random.Random(7)
+    rows = []
+    for d in range(60):
+        t = rng.choice(templates)
+        if rng.random() < 0.5:  # light mutation keeps it a near-dup
+            t = t + " v" + str(rng.randint(0, 3))
+        rows.append((d, t))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ca = {(r.node, r.cluster_id) for r in connected_components(
+        minhash_lsh_candidates(docs)).collect()}
+    cs = {(r.node, r.cluster_id) for r in connected_components(
+        minhash_lsh_star(docs)).collect()}
+    assert ca == cs and len(ca) > 0
