@@ -8,9 +8,13 @@ Per micro-batch (foreachBatch):
   1. band keys for the batch docs (row-local signature minima — the same
      ``minhash_bands`` derivation as the batch operator, so a doc gets
      IDENTICAL keys whether it arrives in batch 0 or batch 40);
-  2. candidate pairs = batch×history band-key join PLUS batch×batch
-     self-join — a doc is flagged iff it shares ≥1 band with any earlier
-     admitted doc (earlier batch, or same batch with lower id);
+  2. flag decision = batch-side LEFT SEMI join against history band keys
+     PLUS a per-bucket min-id comparison within the batch — a doc is
+     flagged iff it shares ≥1 band with any earlier admitted doc (earlier
+     batch, or same batch with lower id). Both stages are bucket-LINEAR:
+     no pair relation is ever materialized, so hub band keys (the
+     quadratic blowup the batch ``minhash_lsh_star`` exists for) cost
+     one probe per batch band row;
   3. flagged/admitted decisions appended to ``flags_dir``; the batch's
      band keys appended to ``bands_dir`` (the state).
 
@@ -82,28 +86,34 @@ def incremental_neardup(
         ).select(F.col(id_col).alias("doc_id"), "band", "band_key")
         bands = bands.cache()
         history = _read_state(spark, bands_dir)
-        # vs earlier batches (exclude own partition for replay safety)
+        # vs earlier batches (exclude own partition for replay safety).
+        # LEFT SEMI, not inner: flagging needs EXISTS, and an inner join
+        # is quadratic in bucket size — a hub band key with 10⁶ history
+        # members would fan every batch hit out a million-fold before the
+        # distinct (the batch minhash_lsh_star lesson, streaming form)
         if history is not None:
             hist_hit = (
                 bands.join(
                     history.where(F.col("_batch_id") != batch_id)
                     .select("band", "band_key"),
                     ["band", "band_key"],
+                    "left_semi",
                 )
                 .select("doc_id")
                 .distinct()
             )
         else:
             hist_hit = spark.createDataFrame([], "doc_id long")
-        # within-batch: lower id wins, higher id is the near-dup
+        # within-batch: lower id wins, higher id is the near-dup — join
+        # the |buckets|-row per-bucket MIN relation instead of the
+        # quadratic self-join (doc is a dup iff its bucket's min id is
+        # lower; identical flags, bucket-LINEAR cost)
+        mins = bands.groupBy("band", "band_key").agg(
+            F.min("doc_id").alias("_m")
+        )
         self_hit = (
-            bands.join(
-                bands.select(
-                    F.col("doc_id").alias("other_id"), "band", "band_key"
-                ),
-                ["band", "band_key"],
-            )
-            .where(F.col("other_id") < F.col("doc_id"))
+            bands.join(mins, ["band", "band_key"])
+            .where(F.col("doc_id") > F.col("_m"))
             .select("doc_id")
             .distinct()
         )
