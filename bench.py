@@ -56,6 +56,15 @@ BENCH_QUERIES = [
     "lm_scores",
     "embed_covariance",
     "corpus_pipeline_v2",
+    # round-5 additions (ext8): star-LSH, line dedup, mixture, JL, TF-IDF,
+    # join-size sketch, bias-ALS — corpus_pipeline_v3 runs in EXTRA_BENCH
+    "minhash_lsh_star",
+    "line_dedup",
+    "mixture_weights",
+    "jl_project",
+    "tfidf_terms",
+    "cms_join_size",
+    "bias_als",
 ]
 
 
@@ -788,8 +797,9 @@ def main() -> None:
     from gridmet_etl_spark.contract import DOMAIN_QUERIES as _CORE
     from gridmet_etl_spark.contract_ext import EXT_QUERIES as _EXT
     from gridmet_etl_spark.contract_ext3 import EXT3_QUERIES as _EXT3
+    from gridmet_etl_spark.contract_ext8 import EXT8_QUERIES as _EXT8
 
-    DOMAIN_QUERIES = {**_CORE, **_EXT, **_EXT3}
+    DOMAIN_QUERIES = {**_CORE, **_EXT, **_EXT3, **_EXT8}
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")
     # warm-up: JVM + parquet footer caches

@@ -129,8 +129,14 @@ def test_convert_features_dispatch(tmp_path):
         has_gpd = False
 
     if not has_gpd:
-        with pytest.raises(NotImplementedError):
+        # .shp now falls back to the vendored micro-reader (round-5,
+        # tests/test_shp_micro.py covers it end-to-end) — a missing file
+        # surfaces as the reader's I/O error, not the geopandas gate
+        with pytest.raises(FileNotFoundError):
             convert_features("/x/features.shp")
+        # gpkg/geojson still require geopandas
+        with pytest.raises(NotImplementedError):
+            convert_features("/x/features.gpkg")
     else:  # pragma: no cover - geopandas not in this container
         import geopandas as gpd
         from shapely.geometry import Polygon

@@ -1,0 +1,109 @@
+"""Cross-config stability check: run contract queries under SEVERAL Spark
+session shapes (shuffle partitions / parallelism a driver might use) and
+compare each against its DuckDB oracle with the driver's canonicalization.
+
+Why this exists: driver hash mismatches that do NOT reproduce under the
+house session (round 4: kaplan_meier/dsir_select/lift_eval) come from
+environment-sensitive float paths — sum-order jitter meeting a rounding
+half-way boundary. This harness varies the things an environment can vary.
+The structural defenses are (1) coarser rounding for transcendental chains
+(contract_ext7._RKM) and (2) NEVER rounding intermediates that feed more
+arithmetic (bias_als: per-round rounding QUANTIZES values onto the rounding
+grid, making exact half-way boundaries common instead of measure-zero).
+
+Usage: python tools/stability_check.py [query ...]
+       (default: the float-sensitive watchlist below)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# queries whose outputs pass through transcendental / chained-float paths
+WATCHLIST = [
+    "kaplan_meier", "dsir_select", "lift_eval", "bias_als",
+    "mixture_weights", "jl_project", "corpus_pipeline_v3", "logit_gd",
+    "ppr_scores", "lm_scores", "tfidf_terms",
+]
+
+SESSIONS = [
+    {"master": "local[16]", "sp": "64"},
+    {"master": "local[16]", "sp": "11"},
+    {"master": "local[4]", "sp": "200"},
+]
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _ms(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def main(names):
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    targets = names or [n for n in WATCHLIST if n in oracles]
+
+    con = duckdb.connect()
+    con.execute("SET threads=16")
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    want = {}
+    for n in targets:
+        res = con.execute(oracles[n])
+        want[n] = _ms([d[0] for d in res.description], res.fetchall())
+
+    failures = []
+    for cfg in SESSIONS:
+        spark = (
+            SparkSession.builder.appName("stability_check")
+            .master(cfg["master"])
+            .config("spark.sql.shuffle.partitions", cfg["sp"])
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in targets:
+            sdf = queries[n](spark, SF_DIR)
+            ok = _ms(sdf.columns, sdf.collect()) == want[n]
+            print(f"{cfg['master']:>10s}/sp={cfg['sp']:<4s} {n:24s} "
+                  f"{'OK' if ok else 'MISMATCH'}")
+            if not ok:
+                failures.append((cfg, n))
+        spark.stop()
+    print(f"\n{'STABLE' if not failures else 'UNSTABLE'}: "
+          f"{len(targets)} queries x {len(SESSIONS)} sessions, "
+          f"{len(failures)} mismatches")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
