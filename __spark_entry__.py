@@ -54,7 +54,7 @@ _CHECK_FIRST = [
     # (0) r4 mismatches, re-verified post-hardening
     "kaplan_meier", "dsir_select", "lift_eval",
     # (1) new round-5 queries land here as they are added
-    "minhash_lsh_star", "line_dedup", "mixture_weights", "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size", "bias_als",
+    "minhash_lsh_star", "line_dedup", "mixture_weights", "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size", "bias_als", "boilerplate_report",
     # (2) never driver-checked backlog, oldest-waiting first
     "cooccurrence_topk",
     "vocab_topk", "pii_flags", "cosine_topk_lsh",

@@ -463,3 +463,69 @@ SELECT i AS item_id, ROUND(bi, {_ALS_R}) + 0 AS b_i, n_ratings FROM bi2
 
 
 EXT8_QUERIES["bias_als"] = (q_bias_als, SQL_BIAS_ALS)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_report: per-source line-duplication observability
+# ---------------------------------------------------------------------------
+
+
+def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source line-granularity curation report: total lines, lines
+    surviving corpus-wide line dedup, boilerplate rate (1 − kept/total,
+    rounded), docs fully wiped. The line twin of ``dedup_report`` — run
+    BEFORE committing to a line-dedup pass to see what it would remove."""
+    from .operators.dedup import line_dedup
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    lines = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("_a"),
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_a), {_LINE_W}),"
+                f" st -> array_join(slice(_a, st, {_LINE_W}), ' '))"
+            )
+        ).alias("line_no", "line"),
+    )
+    ld = line_dedup(lines)
+    per_doc = ld.join(docs.select("doc_id", "source"), "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_kept").alias("n_kept"),
+        (
+            F.round(
+                F.lit(1.0) - F.sum("n_kept") / F.sum("n_lines").cast("double"), R
+            )
+            + F.lit(0.0)
+        ).alias("boilerplate_rate"),
+        F.sum((F.col("n_kept") == 0).cast("int")).alias("n_wiped_docs"),
+    )
+
+
+def _sql_boilerplate_report() -> str:
+    # reuse the line-dedup chain, then aggregate per source
+    body = SQL_LINE_DEDUP.strip()
+    assert body.startswith("WITH ")
+    inner = body[len("WITH "):]
+    # the final SELECT of SQL_LINE_DEDUP becomes a CTE named ld
+    head, final = inner.rsplit("SELECT t.doc_id", 1)
+    return f"""
+WITH {head.rstrip().rstrip(',')},
+ld AS (
+SELECT t.doc_id{final}
+)
+SELECT d.source, count(*) AS n_docs,
+       sum(ld.n_lines) AS n_lines, sum(ld.n_kept) AS n_kept,
+       ROUND(1.0 - sum(ld.n_kept) / CAST(sum(ld.n_lines) AS DOUBLE), {R}) + 0
+         AS boilerplate_rate,
+       sum(CASE WHEN ld.n_kept = 0 THEN 1 ELSE 0 END) AS n_wiped_docs
+FROM ld JOIN documents d ON d.doc_id = ld.doc_id
+GROUP BY d.source
+"""
+
+
+EXT8_QUERIES["boilerplate_report"] = (q_boilerplate_report, _sql_boilerplate_report())
