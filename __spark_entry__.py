@@ -27,6 +27,7 @@ from gridmet_etl_spark.contract_ext5 import EXT5_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext6 import EXT6_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext7 import EXT7_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext8 import EXT8_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext9 import EXT9_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -38,23 +39,28 @@ _MERGED = {
     **EXT6_QUERIES,
     **EXT7_QUERIES,
     **EXT8_QUERIES,
+    **EXT9_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
 # in registration order, so ORDER decides coverage. Round-5 window:
 # (0) the three r4 hash-mismatch queries, re-checked after the R=4
-# rounding hardening (contract_ext7), then (1) the 8 new round-5 queries
-# (contract_ext8), then (2) the oldest never-driver-checked backlog —
-# 39 of its 48 names fit under the cap; the last 9 (seasonal_decomp
-# through survivorship) queue for r6. Everything below the cap was green in this
-# session's full 248/248 tools/check_oracle.py sweep. Audit trail: r1 =
-# first 44 registry names, r2/r3/r4 = the 50-name windows recorded in
+# rounding hardening (contract_ext7), then (1) the 15 new round-5 queries
+# (contract_ext8 session A, contract_ext9 session B — the riskiest names
+# go under the cap first), then (2) the oldest never-driver-checked
+# backlog — 32 of its 48 names fit under the cap; the rest (frost_dates
+# through survivorship) queue for r6. Everything below the cap was green
+# in a full tools/check_oracle.py sweep (251/251 session A, re-swept with
+# the ext9 additions in session B). Audit trail: r1 = first 44 registry
+# names, r2/r3/r4 = the 50-name windows recorded in
 # CORRECTNESS_r0{2,3,4}.json.
 _CHECK_FIRST = [
     # (0) r4 mismatches, re-verified post-hardening
     "kaplan_meier", "dsir_select", "lift_eval",
     # (1) new round-5 queries land here as they are added
     "minhash_lsh_star", "line_dedup", "mixture_weights", "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size", "bias_als", "boilerplate_report",
+    "mcv_stats", "equiheight_bins", "zone_map_prune", "join_order_advisor",
+    "source_overlap", "ridge_regression",
     # (2) never driver-checked backlog, oldest-waiting first
     "cooccurrence_topk",
     "vocab_topk", "pii_flags", "cosine_topk_lsh",
@@ -66,12 +72,13 @@ _CHECK_FIRST = [
     "tpch_q15ish", "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
     "autocorr_daily", "ewma_daily", "scd2_users", "corr_matrix",
     "target_encode", "ref_integrity", "skew_profile", "khop_reach",
-    "heatwave_runs", "spi_index", "frost_dates", "heat_index",
+    "heatwave_runs", "spi_index",
+    # ---- driver cap (50) reached (32 backlog names fit; the rest queue) ----
+    "frost_dates", "heat_index",
     "overlap_join", "threshold_alerts", "centroid_classify", "knn_eval",
     "terrain_gradient", "seasonal_decomp", "temporal_split",
     "chi_square", "mann_whitney", "ks_test", "auc_eval",
     "trailing_features", "daily_ohlc", "survivorship",
-    # ---- driver cap (50) reached (47 backlog names fit; the rest queue) ----
     # previously-checked r3/r4 batch (green in CORRECTNESS_r04.json)
     "impute_median",
     "idw_interp", "dbscan_clusters", "item_similarity", "cdc_apply",

@@ -1,0 +1,372 @@
+"""Round-5 session-B contract entries: the planner-statistics layer and
+its consumers — the ANALYZE-TABLE surface a 100 TB warehouse runs so
+query planning (join order, layout choice, selectivity) is driven by
+measured numbers, plus cross-source overlap observability and the
+closed-form standardized ridge fit.
+
+Reference parity note: the reference has no optimizer (SURVEY §4 — its
+plan is the Python call order), so these are engine-extension surface in
+the same sense as the training-data operators; oracles are the contract.
+
+- ``mcv_stats``: per-column most-common-value tables (pg_stats style).
+- ``equiheight_bins``: exact equi-height histogram bounds via the
+  distributed global rank (never a single-partition sort).
+- ``zone_map_prune``: zone-map (block-range) statistics under a
+  shipdate-clustered layout + the skip-rate report for three predicates —
+  the 'is this layout worth it for this workload' answer, computed from
+  statistics alone (the fact table is never rescanned).
+- ``join_order_advisor``: System-R uniform-NDV join-size estimates
+  ranking the left-deep orders of customer ⋈ orders ⋈ lineitem.
+- ``source_overlap``: cross-source shared-content matrix over dedup-line
+  digests (which sources share boilerplate / are re-crawls).
+- ``ridge_regression``: closed-form standardized ridge on the correlation
+  scale (single aggregation pass, Cramer solve as column expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .contract import R, _t
+
+EXT9_QUERIES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# mcv_stats: per-column most-common-value tables
+# ---------------------------------------------------------------------------
+
+_MCV_COLS = ["l_linestatus", "l_quantity", "l_returnflag", "l_suppkey"]
+_MCV_K = 5
+
+
+def q_mcv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 values per lineitem column with occurrence fractions — the
+    catalog MCV slot as a queryable relation. Values travel as strings so
+    one relation carries mixed-typed columns."""
+    from .operators.planner import mcv_stats
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return mcv_stats(li, _MCV_COLS, k=_MCV_K, ndigits=R)
+
+
+def _sql_mcv() -> str:
+    stacked = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS value FROM lineitem"
+        f" WHERE {c} IS NOT NULL"
+        for c in _MCV_COLS
+    )
+    return f"""
+WITH stacked AS ({stacked}),
+counts AS (
+  SELECT "column", value, count(*) AS n FROM stacked GROUP BY "column", value),
+nn AS (SELECT "column", count(*) AS n_nonnull FROM stacked GROUP BY "column"),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY "column" ORDER BY n DESC, value) AS rnk
+  FROM counts)
+SELECT rk."column", rk.value, rk.n,
+       ROUND(rk.n / CAST(nn.n_nonnull AS DOUBLE), {R}) + 0 AS frac,
+       CAST(rk.rnk AS INT) AS rnk
+FROM rk JOIN nn ON nn."column" = rk."column"
+WHERE rk.rnk <= {_MCV_K}
+"""
+
+
+EXT9_QUERIES["mcv_stats"] = (q_mcv_stats, _sql_mcv())
+
+
+# ---------------------------------------------------------------------------
+# equiheight_bins: exact equi-height histogram bounds
+# ---------------------------------------------------------------------------
+
+_EH_NB = 8
+
+
+def q_equiheight_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket exact equi-height histogram of l_extendedprice — the
+    optimizer's height-balanced histogram (range selectivity = covered
+    buckets / nb), ranked distributively."""
+    from .operators.planner import equiheight_bounds
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return equiheight_bounds(li, "l_extendedprice", nb=_EH_NB)
+
+
+SQL_EQUIHEIGHT = f"""
+WITH nonnull AS (
+  SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM nonnull),
+tot AS (SELECT count(*) AS n_total FROM nonnull)
+SELECT CAST(floor(((rn - 1) * {_EH_NB}) / n_total) AS INT) AS bucket,
+       min(v) AS lo, max(v) AS hi, count(*) AS n_rows
+FROM ranked CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+EXT9_QUERIES["equiheight_bins"] = (q_equiheight_bins, SQL_EQUIHEIGHT)
+
+
+# ---------------------------------------------------------------------------
+# zone_map_prune: zone-map stats + skip-rate report under a shipdate layout
+# ---------------------------------------------------------------------------
+
+_ZONE_ROWS = 4096
+_ZONE_PREDS = [
+    ("ship_h1_1996", "l_shipdate", "1996-01-01", "1996-06-30"),
+    ("orderkey_band", "l_orderkey", 1000, 2000),
+    ("partkey_band", "l_partkey", 0, 199),
+]
+
+
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skip report for a lineitem layout clustered on
+    (l_shipdate, l_orderkey, l_linenumber), 4096-row zones: the clustered
+    predicate prunes almost everything, the uncorrelated key bands prune
+    ~nothing — the measured argument for sort/Z-order layout choices."""
+    from .operators.planner import zone_map_stats, zone_prune_report
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    zones = zone_map_stats(
+        li,
+        "l_shipdate",
+        stat_cols=["l_shipdate", "l_orderkey", "l_partkey"],
+        zone_rows=_ZONE_ROWS,
+        tie_cols=["l_orderkey", "l_linenumber"],
+    )
+    return zone_prune_report(zones, _ZONE_PREDS, ndigits=R)
+
+
+SQL_ZONE_PRUNE = f"""
+WITH ranked AS (
+  SELECT l_shipdate, l_orderkey, l_partkey,
+         row_number() OVER (
+           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+  FROM lineitem),
+zones AS (
+  SELECT CAST(floor((rn - 1) / {_ZONE_ROWS}) AS INT) AS zone,
+         count(*) AS n_rows,
+         min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max,
+         min(l_orderkey) AS ok_min, max(l_orderkey) AS ok_max,
+         min(l_partkey) AS pk_min, max(l_partkey) AS pk_max
+  FROM ranked GROUP BY 1),
+hits AS (
+  SELECT 'ship_h1_1996' AS predicate, n_rows,
+         (ship_max >= TIMESTAMP '1996-01-01'
+          AND ship_min <= TIMESTAMP '1996-06-30') AS hit
+  FROM zones
+  UNION ALL
+  SELECT 'orderkey_band', n_rows, (ok_max >= 1000 AND ok_min <= 2000)
+  FROM zones
+  UNION ALL
+  SELECT 'partkey_band', n_rows, (pk_max >= 0 AND pk_min <= 199)
+  FROM zones)
+SELECT predicate,
+       count(*) AS n_zones,
+       sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_zones_scanned,
+       sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS n_rows_scanned,
+       ROUND(1.0 - sum(CASE WHEN hit THEN n_rows ELSE 0 END)
+                   / CAST(sum(n_rows) AS DOUBLE), {R}) + 0 AS prune_frac
+FROM hits GROUP BY predicate
+"""
+
+
+EXT9_QUERIES["zone_map_prune"] = (q_zone_map_prune, SQL_ZONE_PRUNE)
+
+
+# ---------------------------------------------------------------------------
+# join_order_advisor: stats-driven left-deep order choice
+# ---------------------------------------------------------------------------
+
+
+def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank the left-deep orders of customer ⋈ orders ⋈ lineitem from
+    one-row stats aggregates (count + exact join-key NDV) with the
+    System-R |R⋈S| = |R|·|S|/max(ndv) estimator — the join never runs."""
+    from .operators.planner import join_chain_advisor
+
+    cu = spark.read.parquet(_t(sf_dir, "customer"))
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return join_chain_advisor(
+        cu, "c_custkey", o, "o_custkey", "o_orderkey", li, "l_orderkey",
+        names=("customer", "orders", "lineitem"),
+    )
+
+
+SQL_JOIN_ADVISOR = """
+WITH sa AS (
+  SELECT count(*) AS n_a, count(DISTINCT c_custkey) AS ndv_a FROM customer),
+sb AS (
+  SELECT count(*) AS n_b, count(DISTINCT o_custkey) AS ndv_b_a,
+         count(DISTINCT o_orderkey) AS ndv_b_c
+  FROM orders),
+sc AS (
+  SELECT count(*) AS n_c, count(DISTINCT l_orderkey) AS ndv_c FROM lineitem),
+s AS (SELECT * FROM sa CROSS JOIN sb CROSS JOIN sc),
+ests AS (
+  SELECT CAST(floor(n_a * n_b / greatest(ndv_a, ndv_b_a)) AS BIGINT) AS est_ab,
+         CAST(floor(n_b * n_c / greatest(ndv_b_c, ndv_c)) AS BIGINT) AS est_bc,
+         CAST(n_a * n_c AS BIGINT) AS est_ac,
+         n_c, ndv_b_c, ndv_c
+  FROM s),
+fin AS (
+  SELECT *,
+         CAST(floor(est_ab * n_c / greatest(ndv_b_c, ndv_c)) AS BIGINT)
+           AS est_final,
+         least(est_ab, est_bc, est_ac) AS best
+  FROM ests),
+cands AS (
+  SELECT 'customer*orders first' AS join_order, est_ab AS est_intermediate,
+         est_final, best FROM fin
+  UNION ALL
+  SELECT 'orders*lineitem first', est_bc, est_final, best FROM fin
+  UNION ALL
+  SELECT 'customer*lineitem first (cross)', est_ac, est_final, best FROM fin)
+SELECT join_order, est_intermediate, est_final,
+       (est_intermediate = best) AS chosen
+FROM cands
+"""
+
+
+EXT9_QUERIES["join_order_advisor"] = (q_join_order_advisor, SQL_JOIN_ADVISOR)
+
+
+# ---------------------------------------------------------------------------
+# source_overlap: cross-source shared-content matrix over dedup-line digests
+# ---------------------------------------------------------------------------
+
+_LINE_W = 8  # same derived-line width as line_dedup (single-line synthetic docs)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources share content: distinct 8-token-line digests common to
+    each source pair, with per-source digest counts and Jaccard — the
+    re-crawl / shared-boilerplate detector (whole-doc fingerprints barely
+    collide across the synthetic sources; lines do, as in real crawls)."""
+    from .operators.dedup import source_overlap_from_digests
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    units = docs.select(
+        "source",
+        F.split(F.col("text"), " ").alias("_a"),
+    ).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_a), {_LINE_W}),"
+                f" st -> md5(array_join(slice(_a, st, {_LINE_W}), ' ')))"
+            )
+        ).alias("d"),
+    )
+    return source_overlap_from_digests(units, ndigits=R)
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH base AS (SELECT source, string_split(text, ' ') AS a FROM documents),
+units AS (
+  SELECT source, md5(array_to_string(a[s.st : s.st + {_LINE_W - 1}], ' ')) AS d
+  FROM base, generate_series(1, 4000, {_LINE_W}) s(st)
+  WHERE s.st <= len(a)),
+ds AS (SELECT DISTINCT source, d FROM units),
+per AS (SELECT source, count(*) AS n_digests FROM ds GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM ds a JOIN ds b ON a.d = b.d AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT s.source_a, s.source_b, s.n_shared,
+       pa.n_digests AS n_a, pb.n_digests AS n_b,
+       ROUND(s.n_shared
+             / CAST(pa.n_digests + pb.n_digests - s.n_shared AS DOUBLE),
+             {R}) + 0 AS jaccard
+FROM shared s
+JOIN per pa ON pa.source = s.source_a
+JOIN per pb ON pb.source = s.source_b
+"""
+
+
+EXT9_QUERIES["source_overlap"] = (q_source_overlap, SQL_SOURCE_OVERLAP)
+
+
+# ---------------------------------------------------------------------------
+# ridge_regression: closed-form standardized ridge (correlation scale)
+# ---------------------------------------------------------------------------
+
+_RIDGE_REG = 0.1
+
+
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized ridge of net revenue = extendedprice·(1−discount)·
+    (1+tax) on (quantity, discount, tax): one aggregation pass (six
+    rounded correlations), Cramer solve as column expressions — the
+    label is a row-local derivation both engines share, so the fit finds
+    the real discount/tax effects."""
+    from .operators.mlprep import ridge_closed_form
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    base = li.select(
+        "l_quantity",
+        "l_discount",
+        "l_tax",
+        (
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("rev"),
+    )
+    return ridge_closed_form(
+        base, ["l_quantity", "l_discount", "l_tax"], "rev", reg=_RIDGE_REG, ndigits=R
+    )
+
+
+def _sql_ridge() -> str:
+    lam = _RIDGE_REG
+    # mirror ridge_closed_form's expression tree exactly: rounded
+    # correlations in, pure deterministic double arithmetic through Cramer
+    return f"""
+WITH base AS (
+  SELECT l_quantity AS x1, l_discount AS x2, l_tax AS x3,
+         l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS y
+  FROM lineitem),
+g AS (
+  SELECT count(*) AS n,
+         ROUND(corr(x1, x2), {R}) + 0 AS r12,
+         ROUND(corr(x1, x3), {R}) + 0 AS r13,
+         ROUND(corr(x2, x3), {R}) + 0 AS r23,
+         ROUND(corr(x1, y), {R}) + 0 AS r1y,
+         ROUND(corr(x2, y), {R}) + 0 AS r2y,
+         ROUND(corr(x3, y), {R}) + 0 AS r3y
+  FROM base),
+solved AS (
+  -- CAST both addends to DOUBLE: a bare 0.1 literal is DECIMAL in DuckDB
+  -- and decimal-exact a*a would diverge from Spark's double 1.1² at 1e-16
+  SELECT n, r12, r13, r23, r1y, r2y, r3y,
+         (CAST(1.0 AS DOUBLE) + CAST({lam} AS DOUBLE)) AS a
+  FROM g),
+dets AS (
+  SELECT n,
+         (a * (a * a - r23 * r23)
+          - r12 * (r12 * a - r23 * r13)
+          + r13 * (r12 * r23 - a * r13)) AS det,
+         (r1y * (a * a - r23 * r23)
+          - r12 * (r2y * a - r23 * r3y)
+          + r13 * (r2y * r23 - a * r3y)) AS det1,
+         (a * (r2y * a - r23 * r3y)
+          - r1y * (r12 * a - r23 * r13)
+          + r13 * (r12 * r3y - r2y * r13)) AS det2,
+         (a * (a * r3y - r2y * r23)
+          - r12 * (r12 * r3y - r2y * r13)
+          + r1y * (r12 * r23 - a * r13)) AS det3
+  FROM solved)
+SELECT n,
+       ROUND(det1 / det, {R}) + 0 AS b1,
+       ROUND(det2 / det, {R}) + 0 AS b2,
+       ROUND(det3 / det, {R}) + 0 AS b3
+FROM dets
+"""
+
+
+EXT9_QUERIES["ridge_regression"] = (q_ridge_regression, _sql_ridge())

@@ -698,3 +698,77 @@ def minhash_jaccard_estimate(
             ).alias("est")
         )
     )
+
+
+def source_overlap_from_digests(
+    units: DataFrame,
+    source_col: str = "source",
+    digest_col: str = "d",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cross-source contamination matrix over an arbitrary content-unit
+    digest relation ``(source, digest)``: for every source pair (a < b),
+    how many distinct digests appear in BOTH — the 'is source B just a
+    re-crawl of source A' / 'which sources share boilerplate' check that
+    decides which corpus to drop, where ``dedup_report`` only says each
+    source has dups internally. The unit is the caller's choice: whole-doc
+    fingerprints (``source_overlap``), dedup lines, shingles, media
+    digests.
+
+    Shape: one (digest, source)-distinct pass, then a digest-keyed
+    self-join whose per-digest fan-out is bounded by |sources|² (sources
+    are a handful even at 100 TB; the digest relation, not the corpus, is
+    all that shuffles). Output: (source_a, source_b, n_shared, n_a, n_b,
+    jaccard) with Jaccard over the two distinct-digest sets; pairs with
+    zero shared digests are omitted (at many-source scale the matrix is
+    sparse by design)."""
+    ds = units.select(
+        F.col(source_col).alias("source"), F.col(digest_col).alias("d")
+    ).distinct()
+    per = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_digests"))
+    left = ds.select(F.col("source").alias("source_a"), "d")
+    right = ds.select(F.col("source").alias("source_b"), "d")
+    shared = (
+        left.join(right, "d")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n_digests").alias("n_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n_digests").alias("n_b"))
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.round(
+                    F.col("n_shared")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                    ndigits,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Whole-document flavor of ``source_overlap_from_digests``: units are
+    the exact-dedup content fingerprints (md5 of normalized text)."""
+    from .textops import fingerprint as _fp
+
+    units = docs.select(
+        F.col(source_col).alias("source"), _fp(F.col(text_col)).alias("d")
+    )
+    return source_overlap_from_digests(units, ndigits=ndigits)

@@ -408,3 +408,79 @@ def logistic_gd(
         (F.round(loss, ndigits) + F.lit(0.0)).alias("log_loss"),
         F.count(F.lit(1)).alias("n"),
     )
+
+def ridge_closed_form(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    reg: float = 0.1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Closed-form STANDARDIZED ridge regression for exactly 3 features:
+    solve (R + λI)β = r_y on the correlation scale — R the 3×3 feature
+    correlation matrix, r_y the feature–label correlations — via Cramer's
+    rule evaluated as column expressions. Output: ONE row
+    (n, b1, b2, b3) of standardized (beta-weight) coefficients.
+
+    Contrast with ``logistic_gd``: no iteration — a single aggregation
+    pass (count + 6 Pearson correlations), every exchange a 1-row
+    partial-agg tree. At 100 TB this is the cheapest possible supervised
+    fit: the data never shuffles.
+
+    Float discipline: the ONLY order-dependent quantities are the
+    correlation aggregates, rounded at ``ndigits``; correlations live in
+    [-1, 1], so the rounding quantum (1e-6) sits far above float-sum
+    reordering noise (~1e-13) yet far below the value scale — the
+    mixed-magnitude trap of covariance-scale moments (var(price) ~ 5e8
+    rounds unstably, var(discount) ~ 8e-4 rounds away) never arises. The
+    Cramer solve is then pure deterministic IEEE-double arithmetic on
+    identical inputs in any engine that mirrors the expression tree (the
+    oracle does). Standardization is also what makes ONE λ meaningful
+    across features of wildly different units."""
+    assert len(x_cols) == 3, "closed-form path is fixed at 3 features"
+
+    def r(c):
+        return F.round(c, ndigits) + F.lit(0.0)
+
+    x1, x2, x3 = (F.col(c) for c in x_cols)
+    yv = F.col(y_col)
+    g = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        r(F.corr(x1, x2)).alias("r12"),
+        r(F.corr(x1, x3)).alias("r13"),
+        r(F.corr(x2, x3)).alias("r23"),
+        r(F.corr(x1, yv)).alias("r1y"),
+        r(F.corr(x2, yv)).alias("r2y"),
+        r(F.corr(x3, yv)).alias("r3y"),
+    )
+    lam = F.lit(float(reg))
+    a11 = F.lit(1.0) + lam
+    a22, a33 = a11, a11
+    a12, a13, a23 = F.col("r12"), F.col("r13"), F.col("r23")
+    v1, v2, v3 = F.col("r1y"), F.col("r2y"), F.col("r3y")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    det1 = (
+        v1 * (a22 * a33 - a23 * a23)
+        - a12 * (v2 * a33 - a23 * v3)
+        + a13 * (v2 * a23 - a22 * v3)
+    )
+    det2 = (
+        a11 * (v2 * a33 - a23 * v3)
+        - v1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * v3 - v2 * a13)
+    )
+    det3 = (
+        a11 * (a22 * v3 - v2 * a23)
+        - a12 * (a12 * v3 - v2 * a13)
+        + v1 * (a12 * a23 - a22 * a13)
+    )
+    return g.select(
+        F.col("n"),
+        r(det1 / det).alias("b1"),
+        r(det2 / det).alias("b2"),
+        r(det3 / det).alias("b3"),
+    )

@@ -188,6 +188,17 @@ def global_rank(
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_mid", F.monotonically_increasing_id())
     )
+    # CORRECTNESS: pin ONE evaluation of the partitioned+sorted relation.
+    # The stats branch below and the probe side both consume rp; when
+    # column pruning makes their subplans differ (any payload column does
+    # it), Catalyst plans TWO range exchanges whose partition bounds are
+    # sampled independently (RangePartitioner seeds by rdd id) — then _m0/
+    # _c come from one partitioning and _mid from another, and rn silently
+    # gains gaps+duplicates. The lazy local checkpoint makes every branch
+    # read the same materialized partitions (and, as a bonus, runs the
+    # range sort ONCE instead of once per branch; the build side always
+    # completes before the probe stage, so materialization is race-free).
+    rp = rp.localCheckpoint(eager=False)
     stats = rp.groupBy("_pid").agg(
         F.count("*").alias("_c"), F.min("_mid").alias("_m0")
     )

@@ -127,6 +127,19 @@ EXPECTED_SINGLE = {
     # bias_als trains by broadcasting |users|/|items|-row bias relations;
     # its 1-row global-mean scalar is the only single-partition stage
     "bias_als",
+    # session-B planner stats: equiheight_bins broadcasts the 1-row total
+    # count into the bucket expression (global_rank's |partitions|-row
+    # offset cumsum is the other bounded stage, mann_whitney shape);
+    # zone_map_prune has only the global_rank offset stage (the report
+    # aggregates the |zones|-row stats relation); join_order_advisor is
+    # BUILT from three 1-row stats aggregates crossJoined broadcast — no
+    # data-bearing stage exists at all; ridge_regression reduces to one
+    # global agg row (means pass + moments pass), Cramer runs on that row
+    "equiheight_bins", "zone_map_prune", "join_order_advisor",
+    "ridge_regression",
+    # mcv_stats: per-column non-null totals are a |cols|-row aggregate
+    # broadcast into the frac projection (bm25 corpus-stats shape)
+    "mcv_stats",
 }
 
 
