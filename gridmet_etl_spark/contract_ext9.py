@@ -370,3 +370,251 @@ FROM dets
 
 
 EXT9_QUERIES["ridge_regression"] = (q_ridge_regression, _sql_ridge())
+
+
+# ---------------------------------------------------------------------------
+# selectivity_eval: histogram selectivity estimate vs measured, with q-error
+# ---------------------------------------------------------------------------
+
+_SEL_LO, _SEL_HI = 10_000.0, 30_000.0
+
+
+def q_selectivity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate the selectivity of l_extendedprice ∈ [10k, 30k] from the
+    8-bucket equi-height histogram (uniform-within-bucket), then measure
+    the true count and report the q-error — the cardinality-estimation
+    feedback loop a CBO needs to trust (or distrust) its own statistics."""
+    from .operators.planner import equiheight_bounds, qerror, selectivity_estimate
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    bounds = equiheight_bounds(li, "l_extendedprice", nb=_EH_NB)
+    est = selectivity_estimate(bounds, _SEL_LO, _SEL_HI, ndigits=R)
+    actual = li.agg(
+        F.sum(
+            F.col("l_extendedprice").between(_SEL_LO, _SEL_HI).cast("long")
+        ).alias("actual_rows"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return est.crossJoin(F.broadcast(actual)).select(
+        "est_rows",
+        "sel_est",
+        "actual_rows",
+        (F.round(F.col("actual_rows") / F.col("n_total").cast("double"), R) + F.lit(0.0)).alias(
+            "sel_actual"
+        ),
+        qerror(F.col("est_rows"), F.col("actual_rows"), ndigits=R).alias("qerr"),
+    )
+
+
+SQL_SELECTIVITY = f"""
+WITH nonnull AS (
+  SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM nonnull),
+tot AS (SELECT count(*) AS n_total FROM nonnull),
+bounds AS (
+  SELECT CAST(floor(((rn - 1) * {_EH_NB}) / n_total) AS INT) AS bucket,
+         min(v) AS lo, max(v) AS hi, count(*) AS n_rows
+  FROM ranked CROSS JOIN tot GROUP BY 1),
+fr AS (
+  SELECT n_rows,
+         CASE
+           WHEN hi <= {_SEL_HI} AND lo >= {_SEL_LO} THEN 1.0
+           WHEN hi = lo THEN
+             CASE WHEN lo >= {_SEL_LO} AND lo <= {_SEL_HI} THEN 1.0 ELSE 0.0 END
+           ELSE greatest(0.0, least(1.0,
+             (least({_SEL_HI}, hi) - greatest({_SEL_LO}, lo)) / (hi - lo)))
+         END AS frac
+  FROM bounds),
+est AS (
+  SELECT ROUND(sum(frac * n_rows), {R}) + 0 AS est_rows,
+         ROUND(sum(frac * n_rows) / sum(n_rows), {R}) + 0 AS sel_est
+  FROM fr),
+act AS (
+  SELECT sum(CASE WHEN l_extendedprice BETWEEN {_SEL_LO} AND {_SEL_HI}
+                  THEN 1 ELSE 0 END) AS actual_rows,
+         count(*) AS n_total
+  FROM lineitem)
+SELECT e.est_rows, e.sel_est, a.actual_rows,
+       ROUND(a.actual_rows / CAST(a.n_total AS DOUBLE), {R}) + 0 AS sel_actual,
+       ROUND(greatest(greatest(e.est_rows, 1.0) / greatest(a.actual_rows, 1.0),
+                      greatest(a.actual_rows, 1.0) / greatest(e.est_rows, 1.0)),
+             {R}) + 0 AS qerr
+FROM est e CROSS JOIN act a
+"""
+
+
+EXT9_QUERIES["selectivity_eval"] = (q_selectivity_eval, SQL_SELECTIVITY)
+
+
+# ---------------------------------------------------------------------------
+# join_qerror: advisor estimates validated against executed join counts
+# ---------------------------------------------------------------------------
+
+
+def q_join_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the advisor's loop: the uniform-NDV estimates for
+    customer⋈orders and orders⋈lineitem next to the EXECUTED join counts
+    and their q-errors. On clean FK data both q-errors should sit at 1.0 —
+    that is the point of recording them (drift means stale stats)."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    cu = spark.read.parquet(_t(sf_dir, "customer"))
+    from .operators.planner import qerror
+
+    sa = cu.agg(
+        F.count(F.lit(1)).alias("n_a"), F.countDistinct("c_custkey").alias("ndv_a")
+    )
+    sb = o.agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.countDistinct("o_custkey").alias("ndv_b_a"),
+        F.countDistinct("o_orderkey").alias("ndv_b_c"),
+    )
+    sc = li.agg(
+        F.count(F.lit(1)).alias("n_c"), F.countDistinct("l_orderkey").alias("ndv_c")
+    )
+    act_ab = cu.join(o, cu.c_custkey == o.o_custkey).agg(
+        F.count(F.lit(1)).alias("act_ab")
+    )
+    act_bc = o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).alias("act_bc")
+    )
+    stats = (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(act_ab))
+        .crossJoin(F.broadcast(act_bc))
+    )
+    est_ab = F.floor(F.col("n_a") * F.col("n_b") / F.greatest("ndv_a", "ndv_b_a"))
+    est_bc = F.floor(F.col("n_b") * F.col("n_c") / F.greatest("ndv_b_c", "ndv_c"))
+    rows = F.array(
+        F.struct(
+            F.lit("customer*orders").alias("join_step"),
+            est_ab.alias("est_rows"),
+            F.col("act_ab").alias("actual_rows"),
+        ),
+        F.struct(
+            F.lit("orders*lineitem").alias("join_step"),
+            est_bc.alias("est_rows"),
+            F.col("act_bc").alias("actual_rows"),
+        ),
+    )
+    return (
+        stats.select(F.explode(rows).alias("r"))
+        .select("r.join_step", "r.est_rows", "r.actual_rows")
+        .withColumn("qerr", qerror(F.col("est_rows"), F.col("actual_rows"), ndigits=R))
+    )
+
+
+SQL_JOIN_QERROR = f"""
+WITH sa AS (
+  SELECT count(*) AS n_a, count(DISTINCT c_custkey) AS ndv_a FROM customer),
+sb AS (
+  SELECT count(*) AS n_b, count(DISTINCT o_custkey) AS ndv_b_a,
+         count(DISTINCT o_orderkey) AS ndv_b_c FROM orders),
+sc AS (
+  SELECT count(*) AS n_c, count(DISTINCT l_orderkey) AS ndv_c FROM lineitem),
+aab AS (
+  SELECT count(*) AS act_ab FROM customer JOIN orders ON c_custkey = o_custkey),
+abc AS (
+  SELECT count(*) AS act_bc FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+s AS (SELECT * FROM sa, sb, sc, aab, abc),
+rows_ AS (
+  SELECT 'customer*orders' AS join_step,
+         CAST(floor(n_a * n_b / greatest(ndv_a, ndv_b_a)) AS BIGINT) AS est_rows,
+         act_ab AS actual_rows
+  FROM s
+  UNION ALL
+  SELECT 'orders*lineitem',
+         CAST(floor(n_b * n_c / greatest(ndv_b_c, ndv_c)) AS BIGINT),
+         act_bc
+  FROM s)
+SELECT join_step, est_rows, actual_rows,
+       ROUND(greatest(greatest(est_rows, 1.0) / greatest(actual_rows, 1.0),
+                      greatest(actual_rows, 1.0) / greatest(est_rows, 1.0)),
+             {R}) + 0 AS qerr
+FROM rows_
+"""
+
+
+EXT9_QUERIES["join_qerror"] = (q_join_qerror, SQL_JOIN_QERROR)
+
+
+# ---------------------------------------------------------------------------
+# layout_advisor: zone-map scores across candidate clustering keys
+# ---------------------------------------------------------------------------
+
+_LAYOUTS = ["l_orderkey", "l_partkey", "l_shipdate"]
+
+
+def q_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which clustering key should lineitem be written with, measured:
+    zone-map prune rates for the 3-predicate workload under each candidate
+    layout (one ranked pass per candidate), scored by mean prune rate —
+    the shipdate layout wins its own predicate, the key layouts win
+    theirs; the advisor quantifies the trade instead of guessing."""
+    from .operators.planner import layout_advisor
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return layout_advisor(
+        li,
+        _LAYOUTS,
+        _ZONE_PREDS,
+        zone_rows=_ZONE_ROWS,
+        tie_cols=["l_orderkey", "l_linenumber"],
+        ndigits=R,
+    )
+
+
+def _sql_layout_advisor() -> str:
+    chains = []
+    for lc in _LAYOUTS:
+        chains.append(f"""
+SELECT '{lc}' AS layout, predicate, prune_frac FROM (
+  WITH ranked AS (
+    SELECT l_shipdate, l_orderkey, l_partkey,
+           row_number() OVER (
+             ORDER BY {lc}, l_orderkey, l_linenumber) AS rn
+    FROM lineitem),
+  zones AS (
+    SELECT CAST(floor((rn - 1) / {_ZONE_ROWS}) AS INT) AS zone,
+           count(*) AS n_rows,
+           min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max,
+           min(l_orderkey) AS ok_min, max(l_orderkey) AS ok_max,
+           min(l_partkey) AS pk_min, max(l_partkey) AS pk_max
+    FROM ranked GROUP BY 1),
+  hits AS (
+    SELECT 'ship_h1_1996' AS predicate, n_rows,
+           (ship_max >= TIMESTAMP '1996-01-01'
+            AND ship_min <= TIMESTAMP '1996-06-30') AS hit
+    FROM zones
+    UNION ALL
+    SELECT 'orderkey_band', n_rows, (ok_max >= 1000 AND ok_min <= 2000)
+    FROM zones
+    UNION ALL
+    SELECT 'partkey_band', n_rows, (pk_max >= 0 AND pk_min <= 199)
+    FROM zones)
+  SELECT predicate,
+         ROUND(1.0 - sum(CASE WHEN hit THEN n_rows ELSE 0 END)
+                     / CAST(sum(n_rows) AS DOUBLE), {R}) + 0 AS prune_frac
+  FROM hits GROUP BY predicate)
+""")
+        # noqa: W291
+    union = "\nUNION ALL\n".join(chains)
+    return f"""
+WITH allrep AS ({union}),
+scored AS (
+  SELECT layout, predicate, prune_frac,
+         ROUND(avg(prune_frac) OVER (PARTITION BY layout), {R}) + 0
+           AS layout_score
+  FROM allrep),
+best AS (
+  SELECT layout_score AS bs, layout AS bl FROM scored
+  ORDER BY layout_score DESC, layout DESC LIMIT 1)
+SELECT s.layout, s.predicate, s.prune_frac, s.layout_score,
+       (s.layout_score = b.bs AND s.layout = b.bl) AS chosen
+FROM scored s CROSS JOIN best b
+"""
+
+
+EXT9_QUERIES["layout_advisor"] = (q_layout_advisor, _sql_layout_advisor())

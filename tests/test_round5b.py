@@ -238,3 +238,83 @@ def test_ridge_requires_three_features(spark):
     df = spark.range(5).select(F.col("id").cast("double").alias("x"))
     with pytest.raises(AssertionError):
         ridge_closed_form(df, ["x", "x"], "x")
+
+
+# ---------------------------------------------------------------------------
+# selectivity_estimate + qerror
+# ---------------------------------------------------------------------------
+
+
+def test_selectivity_uniform_exact(spark):
+    """On uniform integers the uniform-within-bucket assumption is exact
+    (up to boundary rows), so the estimate lands within one bucket width."""
+    from gridmet_etl_spark.operators.planner import (
+        equiheight_bounds,
+        selectivity_estimate,
+    )
+
+    df = spark.range(0, 10_000).select(F.col("id").cast("double").alias("x"))
+    bounds = equiheight_bounds(df, "x", nb=10)
+    est = selectivity_estimate(bounds, 2500.0, 4999.0).first()
+    assert abs(est.est_rows - 2500) < 10
+    assert abs(est.sel_est - 0.25) < 0.001
+
+
+def test_selectivity_full_and_empty_range(spark):
+    from gridmet_etl_spark.operators.planner import (
+        equiheight_bounds,
+        selectivity_estimate,
+    )
+
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("x"))
+    bounds = equiheight_bounds(df, "x", nb=4)
+    full = selectivity_estimate(bounds, -1e9, 1e9).first()
+    assert full.est_rows == 1000.0 and full.sel_est == 1.0
+    empty = selectivity_estimate(bounds, 5000.0, 6000.0).first()
+    assert empty.est_rows == 0.0
+
+
+def test_qerror_symmetry(spark):
+    from gridmet_etl_spark.operators.planner import qerror
+
+    df = spark.createDataFrame([Row(e=100.0, a=25.0), Row(e=25.0, a=100.0), Row(e=0.0, a=0.0)])
+    out = df.select(qerror(F.col("e"), F.col("a")).alias("q")).collect()
+    assert [r.q for r in out] == [4.0, 4.0, 1.0]  # symmetric; 0/0 clamps to 1
+
+
+# ---------------------------------------------------------------------------
+# layout_advisor
+# ---------------------------------------------------------------------------
+
+
+def test_layout_advisor_picks_workload_matching_key(spark):
+    """Workload of two predicates on column a, one on b → layout a must
+    score highest and be chosen."""
+    from gridmet_etl_spark.operators.planner import layout_advisor
+
+    n = 8000
+    df = spark.range(0, n).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 2654435761) % n).alias("b"),  # decorrelated permutation
+    )
+    out = layout_advisor(
+        df,
+        ["a", "b"],
+        [
+            ("a_band1", "a", 0, 499),
+            ("a_band2", "a", 4000, 4499),
+            ("b_band", "b", 0, 499),
+        ],
+        zone_rows=500,
+    )
+    rows = out.collect()
+    assert len(rows) == 6  # 2 layouts × 3 predicates
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, r.layout_score)
+        assert (r.layout_score == by_layout[r.layout])  # score constant per layout
+    assert by_layout["a"] > by_layout["b"]
+    assert all(r.chosen == (r.layout == "a") for r in rows)
+    # layout a prunes its own bands perfectly: 500 of 8000 rows scanned
+    a_rows = {r.predicate: r.prune_frac for r in rows if r.layout == "a"}
+    assert a_rows["a_band1"] == round(1 - 500 / n, 6)

@@ -140,6 +140,13 @@ EXPECTED_SINGLE = {
     # mcv_stats: per-column non-null totals are a |cols|-row aggregate
     # broadcast into the frac projection (bm25 corpus-stats shape)
     "mcv_stats",
+    # CBO-validation trio: selectivity_eval reduces the |buckets|-row
+    # histogram and the 1-row actual-count scalar; join_qerror is built
+    # entirely from 1-row stats/actual-count aggregates crossJoined
+    # broadcast; layout_advisor's windows (per-layout score avg, global
+    # best pick) run over the |layouts×predicates| report relation
+    # (9 rows) — all bounded by construction
+    "selectivity_eval", "join_qerror", "layout_advisor",
 }
 
 
