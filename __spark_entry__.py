@@ -45,10 +45,10 @@ _MERGED = {
 # The driver caps its per-round oracle comparison at the first 50 queries
 # in registration order, so ORDER decides coverage. Round-5 window:
 # (0) the three r4 hash-mismatch queries, re-checked after the R=4
-# rounding hardening (contract_ext7), then (1) the 18 new round-5 queries
+# rounding hardening (contract_ext7), then (1) the 19 new round-5 queries
 # (contract_ext8 session A, contract_ext9 session B — the riskiest names
 # go under the cap first), then (2) the oldest never-driver-checked
-# backlog — 29 of its 48 names fit under the cap; the rest (khop_reach
+# backlog — 28 of its 48 names fit under the cap; the rest (skew_profile
 # through survivorship) queue for r6. Everything below the cap was green
 # in a full tools/check_oracle.py sweep (251/251 session A, re-swept with
 # the ext9 additions in session B). Audit trail: r1 = first 44 registry
@@ -61,7 +61,7 @@ _CHECK_FIRST = [
     "minhash_lsh_star", "line_dedup", "mixture_weights", "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size", "bias_als", "boilerplate_report",
     "mcv_stats", "equiheight_bins", "zone_map_prune", "join_order_advisor",
     "source_overlap", "ridge_regression",
-    "selectivity_eval", "join_qerror", "layout_advisor",
+    "selectivity_eval", "join_qerror", "layout_advisor", "heavy_hitters_mg",
     # (2) never driver-checked backlog, oldest-waiting first
     "cooccurrence_topk",
     "vocab_topk", "pii_flags", "cosine_topk_lsh",
@@ -72,9 +72,9 @@ _CHECK_FIRST = [
     "cosine_topk", "simhash",
     "tpch_q15ish", "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
     "autocorr_daily", "ewma_daily", "scd2_users", "corr_matrix",
-    "target_encode", "ref_integrity", "skew_profile",
-    # ---- driver cap (50) reached (29 backlog names fit; the rest queue) ----
-    "khop_reach",
+    "target_encode", "ref_integrity",
+    # ---- driver cap (50) reached (28 backlog names fit; the rest queue) ----
+    "skew_profile", "khop_reach",
     "heatwave_runs", "spi_index",
     "frost_dates", "heat_index",
     "overlap_join", "threshold_alerts", "centroid_classify", "knn_eval",

@@ -761,6 +761,53 @@ def _cms_join_size_14m(spark):
     return cms_join_size(big_o, big_l, "jk", width=1 << 20)
 
 
+def _zone_maps_12m(spark):
+    """Zone-map statistics + prune report over a 12M-row relation with a
+    clustered key and two payload columns (65536-row zones → 184 zone
+    rows): measures the distributed global rank INCLUDING the lazy
+    localCheckpoint that pins one evaluation of the range sort (the
+    correctness fix), i.e. the real cost of building a block-range index
+    for a fact slice."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.planner import zone_map_stats, zone_prune_report
+
+    n = 12_000_000
+    df = spark.range(0, n, 1, 32).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % n).alias("scattered"),
+        (F.col("id") % 97).alias("mod97"),
+    )
+    zones = zone_map_stats(
+        df, "k", stat_cols=["k", "scattered", "mod97"], zone_rows=65536
+    )
+    return zone_prune_report(
+        zones,
+        [
+            ("clustered_band", "k", 1_000_000, 1_999_999),
+            ("scattered_band", "scattered", 0, 119_999),
+            ("mod_band", "mod97", 10, 19),
+        ],
+    )
+
+
+def _mcv_24m(spark):
+    """MCV tables over 24M rows with deliberately mixed cardinalities —
+    a 5-value enum, a 1M-key high-NDV column, and a 97-value mod — proving
+    the WindowGroupLimit rewrite keeps the high-NDV column's top-k from
+    funneling its million-value count relation through one task."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.planner import mcv_stats
+
+    ev = spark.range(0, 24_000_000, 1, 32).select(
+        (F.col("id") % 5).alias("etype"),
+        (F.col("id") % 1_000_000).alias("user_id"),
+        ((F.col("id") * 31) % 97).alias("mod97"),
+    )
+    return mcv_stats(ev, ["etype", "user_id", "mod97"], k=5)
+
+
 EXTRA_BENCH = {
     "scd2_1M_changes": _scd2_1m_changes,
     "overlap_200k_spans": _overlap_200k_spans,
@@ -790,6 +837,8 @@ EXTRA_BENCH = {
     "item_similarity_sf": _item_similarity_sf,
     "bootstrap_38M_draws": _bootstrap_38m_draws,
     "cdc_10M_snapshot": _cdc_10m_snapshot,
+    "zone_maps_12M_rows": _zone_maps_12m,
+    "mcv_24M_values": _mcv_24m,
 }
 
 

@@ -618,3 +618,65 @@ FROM scored s CROSS JOIN best b
 
 
 EXT9_QUERIES["layout_advisor"] = (q_layout_advisor, _sql_layout_advisor())
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_mg: mergeable Misra-Gries frequent-items fold
+# ---------------------------------------------------------------------------
+
+_MG_CAP = 12
+
+
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over event user_ids, folded through 3
+    deterministic slices (event_id mod 3) at capacity 12 — the O(capacity)
+    frequent-items summary with its error bound (est ≤ true ≤ est_hi),
+    exercising the same merge the streaming twin runs per micro-batch."""
+    from .operators.sketch import mg_fold
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    slices = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    return mg_fold(slices, "user_id", capacity=_MG_CAP)
+
+
+def _sql_mg() -> str:
+    cap1 = _MG_CAP + 1
+    rounds = []
+    prev = None
+    for i in range(3):
+        c = f"c{i}"
+        rounds.append(
+            f"{c} AS (SELECT user_id AS key, count(*) AS cnt FROM events"
+            f" WHERE event_id % 3 = {i} GROUP BY 1)"
+        )
+        merged = (
+            c
+            if prev is None
+            else f"(SELECT key, sum(cnt) AS cnt FROM"
+            f" (SELECT * FROM {prev} UNION ALL SELECT * FROM {c}) GROUP BY key)"
+        )
+        rounds.append(f"m{i} AS (SELECT * FROM {merged})")
+        rounds.append(
+            f"s{i} AS (SELECT coalesce((SELECT cnt FROM"
+            f" (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rn"
+            f" FROM m{i}) WHERE rn = {cap1}), 0) AS s)"
+        )
+        rounds.append(
+            f"sum{i} AS (SELECT key, cnt - s AS cnt FROM m{i} CROSS JOIN s{i}"
+            f" WHERE cnt > s)"
+        )
+        prev = f"sum{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH {body},
+ded AS (
+  SELECT CAST(s0.s + s1.s + s2.s AS BIGINT) AS deducted
+  FROM s0, s1, s2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events)
+SELECT key, cnt AS est, cnt + deducted AS est_hi, n_total, deducted
+FROM sum2 CROSS JOIN ded CROSS JOIN tot
+"""
+
+
+EXT9_QUERIES["heavy_hitters_mg"] = (q_heavy_hitters_mg, _sql_mg())

@@ -281,3 +281,100 @@ def cms_join_size(
         .agg(F.sum(F.col("l.cnt") * F.col("r.cnt")).alias("_ip"))
     )
     return prods.agg(F.min("_ip").cast("long").alias("est_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: a mergeable frequent-items summary
+# ---------------------------------------------------------------------------
+
+
+def mg_counts(df: DataFrame, key_col: str) -> DataFrame:
+    """Exact per-key counts of one slice — the map-side input to an MG
+    merge (a plain partial-aggregated groupBy). Output: (key, cnt)."""
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def mg_merge(
+    summary: DataFrame | None,
+    batch_counts: DataFrame,
+    capacity: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Merge a Misra-Gries summary (≤ ``capacity`` counters) with a new
+    slice's exact counts, using the mergeable-summaries rule (Agarwal et
+    al.): pointwise-sum the counters, find s = the (capacity+1)-th largest
+    merged count, subtract s from every counter and keep the strictly
+    positive ones — at most ``capacity`` survive, and every kept counter
+    underestimates its true count by at most the cumulative Σs, which is
+    ≤ n/(capacity+1) over any merge tree.
+
+    Scale shape: the pointwise sum is a key-partial-agg (batch-sized, never
+    history-sized); s comes from a TakeOrderedAndProject over capacity+1
+    rows — NO data-sized global sort (the orderBy feeds a limit, so Spark
+    plans per-partition top-(capacity+1) heaps + one bounded merge).
+
+    Returns (new_summary(key, cnt), deduction(s) as a 1-row relation) —
+    the caller accumulates Σs for the error bound."""
+    merged = (
+        summary.unionByName(batch_counts) if summary is not None else batch_counts
+    )
+    merged = merged.groupBy("key").agg(F.sum("cnt").alias("cnt"))
+    top = merged.orderBy(F.col("cnt").desc(), F.col("key")).limit(capacity + 1)
+    s_rel = top.agg(
+        F.when(F.count(F.lit(1)) == capacity + 1, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("s")
+    )
+    new_summary = (
+        merged.crossJoin(F.broadcast(s_rel))
+        .where(F.col("cnt") > F.col("s"))
+        .select("key", (F.col("cnt") - F.col("s")).alias("cnt"))
+    )
+    return new_summary, s_rel
+
+
+def mg_fold(
+    slices: list[DataFrame],
+    key_col: str,
+    capacity: int,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fold a deterministic sequence of slices through MG merges and
+    report the final summary with its error bound: (key, est, est_hi,
+    n_total, deducted) where est ≤ true_count ≤ est + deducted for every
+    key, and any key whose true count exceeds ``deducted`` is guaranteed
+    present (the frequent-items guarantee). ``est_hi = est + deducted``.
+
+    The fold is the BATCH twin of ``streaming.heavy_hitters``: identical
+    merges in slice order, so stream == batch when micro-batches match the
+    slices (pytest-pinned)."""
+    summary: DataFrame | None = None
+    deds = []
+    totals = []
+    for sl in slices:
+        counts = mg_counts(sl, key_col)
+        totals.append(sl.agg(F.count(F.lit(1)).alias("n")))
+        summary, s_rel = mg_merge(summary, counts, capacity)
+        deds.append(s_rel)
+    ded = deds[0]
+    for d in deds[1:]:
+        ded = ded.unionByName(d)
+    ded_tot = ded.agg(F.sum("s").cast("long").alias("deducted"))
+    n_rel = totals[0]
+    for t in totals[1:]:
+        n_rel = n_rel.unionByName(t)
+    n_tot = n_rel.agg(F.sum("n").cast("long").alias("n_total"))
+    assert summary is not None
+    return (
+        summary.crossJoin(F.broadcast(ded_tot))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "key",
+            F.col("cnt").alias("est"),
+            (F.col("cnt") + F.col("deducted")).alias("est_hi"),
+            "n_total",
+            "deducted",
+        )
+    )

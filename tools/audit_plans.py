@@ -147,6 +147,11 @@ EXPECTED_SINGLE = {
     # best pick) run over the |layouts×predicates| report relation
     # (9 rows) — all bounded by construction
     "selectivity_eval", "join_qerror", "layout_advisor",
+    # heavy_hitters_mg: each merge round's (capacity+1)-th-largest scalar is
+    # a 1-row aggregate over a TakeOrdered(capacity+1) relation, and the
+    # deduction/total accumulators are 1-row unions — all bounded by the
+    # capacity constant, never by data
+    "heavy_hitters_mg",
 }
 
 

@@ -37,6 +37,11 @@ WATCHLIST = [
     "kaplan_meier", "dsir_select", "lift_eval", "bias_als",
     "mixture_weights", "jl_project", "corpus_pipeline_v3", "logit_gd",
     "ppr_scores", "lm_scores", "tfidf_terms",
+    # session-B float paths: ridge solves Cramer on ROUNDED correlations
+    # (the rounded-input→deterministic-arithmetic design this verifies);
+    # selectivity_eval sums per-bucket frac·n doubles; layout_advisor
+    # averages rounded prune fractions; mcv_stats emits count/total fracs
+    "ridge_regression", "selectivity_eval", "layout_advisor", "mcv_stats",
 ]
 
 SESSIONS = [
