@@ -28,6 +28,7 @@ from gridmet_etl_spark.contract_ext6 import EXT6_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext7 import EXT7_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext8 import EXT8_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext9 import EXT9_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext10 import EXT10_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -40,6 +41,7 @@ _MERGED = {
     **EXT7_QUERIES,
     **EXT8_QUERIES,
     **EXT9_QUERIES,
+    **EXT10_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -58,6 +60,7 @@ _CHECK_FIRST = [
     # (0) r4 mismatches, re-verified post-hardening
     "kaplan_meier", "dsir_select", "lift_eval",
     # (1) new round-5 queries land here as they are added
+    "kmv_distinct", "kmv_set_ops", "rrf_fusion", "link_prediction",
     "minhash_lsh_star", "line_dedup", "mixture_weights", "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size", "bias_als", "boilerplate_report",
     "mcv_stats", "equiheight_bins", "zone_map_prune", "join_order_advisor",
     "source_overlap", "ridge_regression",

@@ -1,0 +1,401 @@
+"""Round-5 session-C contract entries: sketch SET ALGEBRA (KMV theta
+sketches — the union-AND-intersection answer HLL cannot give), hybrid
+retrieval fusion, graph link prediction, a causal-inference batch
+(CUPED / stratified IPW / diff-in-differences), session path analytics,
+and Hilbert-curve layout scoring extending the round-5B planner loop.
+
+Reference parity note: like the planner layer (contract_ext9) these are
+engine-extension surface — the reference is a fixed two-pipeline ETL
+(SURVEY §3) with none of this; oracles are the contract. Float discipline
+follows README: integer-exact wherever a scaled-integer form exists
+(RRF ranks, resource-allocation link scores), ROUND(x, R) + stability
+margin elsewhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .contract import R, _t
+
+EXT10_QUERIES: dict = {}
+
+# ---------------------------------------------------------------------------
+# KMV theta sketch: distinct estimates + set algebra, closed-loop vs truth
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_SPACE = 1 << 48
+# user-day activity key: ~1.6k distinct per event_type at sf0.01, ~35%
+# pairwise overlap — the estimator path (not the exact small-set path)
+_KMV_KEY_SPARK = None  # built in the query body
+_KMV_KEY_SQL = "CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS TIMESTAMP) AS DATE)"
+
+
+def _kmv_events_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return ev.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format(F.col("ts"), "yyyy-MM-dd"),
+        ).alias("k"),
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct user-days: KMV estimate next to measured
+    truth (the closed-loop convention of selectivity_eval/join_qerror) —
+    (event_type, n_kept, kth_hash, est_distinct, true_distinct, rel_err).
+
+    Scale: the sketch build is ONE (group, hash) distinct shuffle +
+    WindowGroupLimit bounded-k ranking; at 100 TB the truth column is the
+    thing you drop, and the sketch (≤ k rows/group) is what you keep and
+    merge across days/sources."""
+    from .operators.sketch import kmv_build, kmv_estimate
+
+    keyed = _kmv_events_keyed(spark, sf_dir)
+    sk = kmv_build(keyed, "k", ["event_type"], k=_KMV_K)
+    est = kmv_estimate(sk, ["event_type"], k=_KMV_K, ndigits=R)
+    truth = keyed.distinct().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_distinct")
+    )
+    return est.join(truth, "event_type").select(
+        "event_type",
+        "n_kept",
+        "kth_hash",
+        "est_distinct",
+        "true_distinct",
+        (
+            F.round(
+                (F.col("est_distinct") - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                R,
+            )
+            + F.lit(0.0)
+        ).alias("rel_err"),
+    )
+
+
+_SQL_KMV_SKETCH = f"""
+dist AS (
+  SELECT DISTINCT event_type AS g,
+         CAST('0x' || substr(md5('kmv:' || {_KMV_KEY_SQL}), 1, 12) AS BIGINT) AS h
+  FROM events),
+rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dist),
+sk AS (SELECT g, h, rn FROM rk WHERE rn <= {_KMV_K})
+"""
+
+
+def _sql_kmv_distinct() -> str:
+    return f"""
+WITH {_SQL_KMV_SKETCH},
+est AS (
+  SELECT g, count(*) AS n_kept, max(h) AS kth_hash,
+         ROUND(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+               ELSE CAST({(_KMV_K - 1) * _KMV_SPACE} AS DOUBLE) / max(h) END,
+               {R}) + 0 AS est_distinct
+  FROM sk GROUP BY g),
+truth AS (SELECT g, count(*) AS true_distinct FROM dist GROUP BY g)
+SELECT est.g AS event_type, est.n_kept, est.kth_hash, est.est_distinct,
+       truth.true_distinct,
+       ROUND((est.est_distinct - truth.true_distinct)
+             / CAST(truth.true_distinct AS DOUBLE), {R}) + 0 AS rel_err
+FROM est JOIN truth ON truth.g = est.g
+"""
+
+
+EXT10_QUERIES["kmv_distinct"] = (q_kmv_distinct, _sql_kmv_distinct())
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise |A ∪ B| / |A ∩ B| / Jaccard across event-type activity
+    sets, estimated from the k-row sketches alone (the corpus is never
+    rescanned, the join never executed) — next to executed truth. The
+    capability HLL rollups structurally lack: sketch INTERSECTION."""
+    from .operators.sketch import kmv_build, kmv_set_ops
+
+    keyed = _kmv_events_keyed(spark, sf_dir)
+    sk = kmv_build(keyed, "k", ["event_type"], k=_KMV_K)
+    est = kmv_set_ops(sk, "event_type", k=_KMV_K, ndigits=R)
+    dist = keyed.distinct()
+    a = dist.select(F.col("event_type").alias("ga"), "k")
+    b = dist.select(F.col("event_type").alias("gb"), "k")
+    inter = (
+        a.join(b, "k")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("true_inter"))
+    )
+    sizes = dist.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        est.join(inter, ["ga", "gb"])
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("ga"), F.col("n").alias("na"))),
+            "ga",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("gb"), F.col("n").alias("nb"))),
+            "gb",
+        )
+    )
+    return out.select(
+        "ga",
+        "gb",
+        "n_common",
+        "union_est",
+        "inter_est",
+        "jaccard_est",
+        (F.col("na") + F.col("nb") - F.col("true_inter")).alias("true_union"),
+        "true_inter",
+    )
+
+
+def _sql_kmv_set_ops() -> str:
+    return f"""
+WITH {_SQL_KMV_SKETCH},
+meta AS (
+  SELECT g, count(*) AS n_kept, max(h) AS kth,
+         CASE WHEN count(*) < {_KMV_K} THEN {_KMV_SPACE} ELSE max(h) END AS theta
+  FROM sk GROUP BY g),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM meta a, meta b WHERE a.g < b.g),
+u AS (
+  SELECT DISTINCT p.ga, p.gb, s.h
+  FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb),
+urk AS (
+  SELECT ga, gb, h,
+         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM u),
+uk AS (
+  SELECT ga, gb, count(*) AS u_kept, max(h) AS u_kth
+  FROM urk WHERE rn <= {_KMV_K} GROUP BY ga, gb),
+common AS (
+  SELECT p.ga, p.gb, count(*) AS n_common
+  FROM pairs p
+  JOIN sk a ON a.g = p.ga
+  JOIN sk b ON b.g = p.gb AND b.h = a.h
+  JOIN meta ma ON ma.g = p.ga
+  JOIN meta mb ON mb.g = p.gb
+  WHERE a.h < ma.theta AND a.h < mb.theta
+  GROUP BY p.ga, p.gb),
+rawdist AS (SELECT DISTINCT event_type AS g, {_KMV_KEY_SQL} AS k FROM events),
+truth AS (
+  SELECT a.g AS ga, b.g AS gb, count(*) AS true_inter
+  FROM rawdist a JOIN rawdist b ON b.k = a.k AND a.g < b.g
+  GROUP BY 1, 2),
+sizes AS (SELECT g, count(*) AS n FROM rawdist GROUP BY g)
+SELECT p.ga, p.gb,
+       COALESCE(c.n_common, 0) AS n_common,
+       ROUND(CASE WHEN uk.u_kept < {_KMV_K} THEN CAST(uk.u_kept AS DOUBLE)
+             ELSE CAST({(_KMV_K - 1) * _KMV_SPACE} AS DOUBLE) / uk.u_kth END,
+             {R}) + 0 AS union_est,
+       ROUND(CASE WHEN least(ma.theta, mb.theta) = {_KMV_SPACE}
+                  THEN CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             ELSE COALESCE(c.n_common, 0)
+                  * CAST({_KMV_SPACE} AS DOUBLE) / least(ma.theta, mb.theta) END,
+             {R}) + 0 AS inter_est,
+       ROUND(COALESCE(c.n_common, 0) / CAST(uk.u_kept AS DOUBLE), {R}) + 0
+         AS jaccard_est,
+       sa.n + sb.n - t.true_inter AS true_union,
+       t.true_inter
+FROM pairs p
+JOIN meta ma ON ma.g = p.ga
+JOIN meta mb ON mb.g = p.gb
+JOIN uk ON uk.ga = p.ga AND uk.gb = p.gb
+LEFT JOIN common c ON c.ga = p.ga AND c.gb = p.gb
+JOIN truth t ON t.ga = p.ga AND t.gb = p.gb
+JOIN sizes sa ON sa.g = p.ga
+JOIN sizes sb ON sb.g = p.gb
+"""
+
+
+EXT10_QUERIES["kmv_set_ops"] = (q_kmv_set_ops, _sql_kmv_set_ops())
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) + cosine (dense)
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60
+_RRF_SCALE = 1_000_000_000
+_RRF_DEPTH = 50  # per-system candidate depth
+_RRF_K = 20
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-50 (documents, the standing query-term set)
+    fused with exact-cosine top-50 (embeddings, query = vec 0; vec_id ≙
+    doc_id as in rag_pipeline) by reciprocal-rank fusion. Scores are
+    scaled-INTEGER reciprocals (scale DIV (c+rank)) so the fused ranking
+    is bit-exact in any engine. Fusion cost is bounded by the candidate
+    lists (≤ 100 rows) — the corpus is touched only by the two retrievers."""
+    from pyspark.sql.window import Window
+
+    from .contract_ext import BM25_QUERY_TERMS
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    lex = bm25_topk(docs, BM25_QUERY_TERMS, k=_RRF_DEPTH)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex_r = lex.select("doc_id", "score").withColumn(
+        "rank", F.row_number().over(wl)
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = cosine_topk(emb, q0, k=_RRF_DEPTH, rank_round=R).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        [("bm25", lex_r), ("dense", dense)],
+        id_col="doc_id",
+        k=_RRF_K,
+        c=_RRF_C,
+        scale=_RRF_SCALE,
+    )
+
+
+def _sql_rrf_fusion() -> str:
+    from .contract_ext import _EMB_DIM, BM25_QUERY_TERMS
+    from .operators.retrieval import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dls AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dls),
+tf AS (
+  SELECT b.doc_id, u.term, count(*) AS tf
+  FROM base b, unnest(b.toks) AS u(term)
+  WHERE u.term IN ({terms})
+  GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+           * CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0}
+           / (CAST(tf.tf AS DOUBLE)
+              + {BM25_K1} * (1.0 - {BM25_B}
+                 + {BM25_B} * dls.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))) AS s
+  FROM tf JOIN dfc USING (term) JOIN dls USING (doc_id) CROSS JOIN stats),
+bm_scored AS (
+  SELECT doc_id, ROUND(sum(s), {R}) AS score FROM bm GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT {_RRF_DEPTH}),
+bm_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm_scored),
+qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+cs AS (
+  SELECT e.vec_id AS doc_id,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q_vec[i] AS DOUBLE))
+           / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+              * sqrt(sum(CAST(qv.q_vec[i] AS DOUBLE) * CAST(qv.q_vec[i] AS DOUBLE)))) AS sim
+  FROM embeddings e, qv, generate_series(1, {_EMB_DIM}) g(i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id),
+cs_ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ROUND(sim, {R}) DESC, doc_id) AS rank
+  FROM cs QUALIFY rank <= {_RRF_DEPTH}),
+contribs AS (
+  SELECT doc_id, {_RRF_SCALE} // ({_RRF_C} + rank) AS contrib FROM bm_ranked
+  UNION ALL
+  SELECT doc_id, {_RRF_SCALE} // ({_RRF_C} + rank) AS contrib FROM cs_ranked),
+fused AS (
+  SELECT doc_id, count(*) AS n_systems, sum(contrib) AS rrf_score
+  FROM contribs GROUP BY doc_id)
+SELECT doc_id, CAST(n_systems AS BIGINT) AS n_systems,
+       CAST(rrf_score AS BIGINT) AS rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {_RRF_K}
+"""
+
+
+EXT10_QUERIES["rrf_fusion"] = (q_rrf_fusion, _sql_rrf_fusion())
+
+# ---------------------------------------------------------------------------
+# Graph link prediction: CN / resource-allocation / preferential attachment
+# ---------------------------------------------------------------------------
+
+_LP_K = 25
+_LP_RA_SCALE = 1_000_000_000_000
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 predicted links over the synthetic deterministic host graph
+    (the pagerank/triangle link layer), scored by resource allocation with
+    CN and preferential-attachment columns — all integer-exact (RA is the
+    scaled-integer DIV sum)."""
+    import os
+
+    from .contract import FIXDIR
+    from .operators.graph import link_graph, link_prediction
+
+    pages = spark.read.parquet(os.path.join(FIXDIR, "webpages.parquet"))
+    aug = pages.select(
+        "page_id",
+        "url",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://example"),
+            ((F.col("page_id") * 7 + 1) % 50).cast("string"),
+            F.lit(".test/a and https://example"),
+            ((F.col("page_id") * 13 + 2) % 50).cast("string"),
+            F.lit(".test/b"),
+        ).alias("text"),
+    )
+    return link_prediction(link_graph(aug), k=_LP_K, ra_scale=_LP_RA_SCALE)
+
+
+def _sql_link_prediction() -> str:
+    import os
+
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "webpages.parquet")
+    return rf"""
+WITH aug AS (
+  SELECT page_id,
+         lower(regexp_extract(url, 'https?://([^/\s:?#]+)', 1)) AS src,
+         text || ' see https://example' || CAST((page_id * 7 + 1) % 50 AS VARCHAR)
+              || '.test/a and https://example' || CAST((page_id * 13 + 2) % 50 AS VARCHAR)
+              || '.test/b' AS t
+  FROM read_parquet('{path}')),
+edges AS (
+  SELECT DISTINCT src, u.dst
+  FROM (SELECT src,
+               list_transform(regexp_extract_all(t, 'https?://([^/\s:?#]+)', 1),
+                              x -> lower(x)) AS dsts
+        FROM aug) a, unnest(list_distinct(a.dsts)) AS u(dst)
+  WHERE u.dst <> a.src AND a.src <> ''),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)
+  WHERE src <> dst),
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+wedges AS (
+  SELECT a1.dst AS x, a2.dst AS y, a1.src AS z
+  FROM und a1 JOIN und a2 ON a2.src = a1.src AND a1.dst < a2.dst),
+cand AS (
+  SELECT w.x, w.y, w.z FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = w.x AND e.dst = w.y)),
+scored AS (
+  SELECT c.x, c.y, count(*) AS common_neighbors,
+         sum({_LP_RA_SCALE} // dz.deg) AS ra_score_scaled
+  FROM cand c JOIN deg dz ON dz.src = c.z
+  GROUP BY c.x, c.y)
+SELECT s.x, s.y, s.common_neighbors,
+       CAST(s.ra_score_scaled AS BIGINT) AS ra_score_scaled,
+       CAST(dx.deg * dy.deg AS BIGINT) AS pref_attach,
+       CAST(row_number() OVER (ORDER BY s.ra_score_scaled DESC,
+            s.common_neighbors DESC, s.x, s.y) AS INT) AS rank
+FROM scored s JOIN deg dx ON dx.src = s.x JOIN deg dy ON dy.src = s.y
+QUALIFY rank <= {_LP_K}
+"""
+
+
+EXT10_QUERIES["link_prediction"] = (q_link_prediction, _sql_link_prediction())

@@ -263,3 +263,48 @@ def tfidf_topk_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "token", "tf", "score", "rnk")
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    k: int = 20,
+    c: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval systems (Cormack et al. 2009):
+    fused score = Σ_systems 1/(c + rank), the standard hybrid-search merge
+    of a lexical (BM25) and a dense (embedding) ranking.
+
+    Float discipline: the reciprocal is computed as the SCALED-INTEGER
+    ``scale DIV (c + rank)`` so the fused score is an exact BIGINT in any
+    engine — no summation-order or rounding hazard at the top-k boundary
+    (1/(c+r) sums at double precision can differ by an ulp across engines
+    and flip ties). Monotonicity in rank is preserved exactly for
+    c + rank ≤ √scale ≈ 31k, far beyond any practical candidate depth.
+
+    Inputs are (system_name, ranking) pairs where each ranking carries
+    (id_col, rank) — candidate lists, i.e. top-k relations, so this is
+    bounded k·N rows end-to-end regardless of corpus size; the fusion
+    never touches the corpus. Output: (id, n_systems, rrf_score BIGINT,
+    fused_rank), ties broken by id."""
+    from pyspark.sql.window import Window
+
+    contribs = None
+    for _name, r in rankings:
+        part = r.select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"{scale} DIV ({c} + rank)").cast("long").alias("_contrib"),
+        )
+        contribs = part if contribs is None else contribs.unionByName(part)
+    assert contribs is not None, "at least one ranking required"
+    fused = contribs.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_systems"),
+        F.sum("_contrib").cast("long").alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select(F.col("_id").alias(id_col), "n_systems", "rrf_score", "fused_rank")
+    )

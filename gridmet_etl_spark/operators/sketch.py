@@ -378,3 +378,154 @@ def mg_fold(
             "deducted",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketch: mergeable distinct counting WITH a
+# set algebra — union AND intersection estimates, which HLL cannot give
+# (HLL unions only; inclusion–exclusion on HLLs compounds error).
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+KMV_SPACE = 1 << 48  # hash domain: 12 md5 hex chars = 48 uniform bits
+
+
+def kmv_hash(key: Column) -> Column:
+    """Deterministic 48-bit uniform hash a DuckDB oracle replays
+    bit-for-bit (``CAST('0x'||substr(md5('kmv:'||key),1,12) AS BIGINT)``) —
+    the same md5-prefix parity trick as cms_bucket/minhash. 48 bits keeps
+    every value exactly representable as a double, so the single estimator
+    division is IEEE-identical across engines. Production swap: xxhash64."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), key.cast("string"))), 1, 12), 16, 10
+    ).cast("long")
+
+
+def kmv_build(
+    rel: DataFrame, key_col: str, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV sketch: the k SMALLEST distinct hash values of the
+    key. Output: (*group_cols, h, rn) with rn ∈ [1, k].
+
+    Scale shape: ONE distinct shuffle on (group, h) — the raw keys never
+    move twice and payloads never move at all — then the rank filter is
+    Spark's WindowGroupLimit rewrite: per-partition bounded-k heaps on the
+    map side, a k-row merge per group on the reduce side. State is ≤ k
+    rows per group forever, and two sketches merge by union + re-rank
+    (order-insensitive, replay-idempotent) — the property the streaming
+    twin (streaming/kmv_stream.py) leans on."""
+    from pyspark.sql.window import Window
+
+    dist = rel.select(
+        *group_cols, kmv_hash(F.col(key_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = KMV_K, ndigits: int = 6
+) -> DataFrame:
+    """Distinct-count estimate per group: EXACT when the group kept fewer
+    than k hashes (the sketch IS the distinct set), else the KMV estimator
+    (k-1) / U(k) with U(k) = kth_min / SPACE (Bar-Yossef et al. 2002;
+    unbiased, RSE ≈ 1/sqrt(k-2) ≈ 6.3% at k=256). Output:
+    (*group_cols, n_kept, kth_hash, est_distinct)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float((k - 1) * KMV_SPACE)) / F.col("kth_hash"))
+    return agg.select(
+        *group_cols,
+        "n_kept",
+        "kth_hash",
+        (F.round(est, ndigits) + F.lit(0.0)).alias("est_distinct"),
+    )
+
+
+def kmv_set_ops(
+    sketch: DataFrame, group_col: str, k: int = KMV_K, ndigits: int = 6
+) -> DataFrame:
+    """Pairwise set algebra over per-group sketches: for every group pair
+    a < b, estimate |A ∪ B|, |A ∩ B|, and Jaccard — computed from the
+    k-row sketches ALONE (the corpus is never rescanned, the join never
+    executed: the planner/observability use case at 100 TB).
+
+    Union: merge the two hash sets, re-rank, apply the KMV estimator on
+    the merged kth min. Intersection (theta-sketch rule): θ = min of the
+    two groups' kth-min thresholds (SPACE when a group is exact, i.e. kept
+    < k); count common hashes below θ; estimate = common · SPACE / θ —
+    exact integers everywhere except one final division. Jaccard uses the
+    standard KMV form: common-below-θ over the union's bounded sample.
+
+    Output: (ga, gb, n_common, union_est, inter_est, jaccard_est)."""
+    from pyspark.sql.window import Window
+
+    groups = sketch.select(F.col(group_col)).distinct()
+    meta = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")
+    )
+    theta_col = F.when(F.col("n_kept") < k, F.lit(KMV_SPACE)).otherwise(F.col("kth"))
+    meta = meta.select(group_col, theta_col.alias("theta"), "n_kept")
+    pairs = (
+        groups.select(F.col(group_col).alias("ga"))
+        .crossJoin(groups.select(F.col(group_col).alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    # union sketch per pair: tag each pair's member hashes, distinct, re-rank
+    a_side = sketch.select(F.col(group_col).alias("ga"), "h")
+    b_side = sketch.select(F.col(group_col).alias("gb"), "h")
+    u = (
+        pairs.join(a_side, "ga")
+        .select("ga", "gb", "h")
+        .unionByName(pairs.join(b_side, "gb").select("ga", "gb", "h"))
+        .distinct()
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    u_k = u.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= k)
+    u_est = u_k.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("u_kept"), F.max("h").alias("u_kth")
+    )
+    # intersection: common hashes below the pair's theta
+    ma = meta.select(
+        F.col(group_col).alias("ga"), F.col("theta").alias("theta_a")
+    )
+    mb = meta.select(
+        F.col(group_col).alias("gb"), F.col("theta").alias("theta_b")
+    )
+    common = (
+        a_side.join(b_side, "h")
+        .join(F.broadcast(ma), "ga")
+        .join(F.broadcast(mb), "gb")
+        .filter(
+            (F.col("h") < F.col("theta_a")) & (F.col("h") < F.col("theta_b"))
+        )
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        pairs.join(F.broadcast(ma), "ga")
+        .join(F.broadcast(mb), "gb")
+        .join(u_est, ["ga", "gb"], "left")
+        .join(common, ["ga", "gb"], "left")
+        .na.fill({"n_common": 0})
+    )
+    theta = F.least(F.col("theta_a"), F.col("theta_b"))
+    union_est = F.when(
+        F.col("u_kept") < k, F.col("u_kept").cast("double")
+    ).otherwise(F.lit(float((k - 1) * KMV_SPACE)) / F.col("u_kth"))
+    inter_est = F.when(
+        theta == KMV_SPACE, F.col("n_common").cast("double")
+    ).otherwise(F.col("n_common") * F.lit(float(KMV_SPACE)) / theta)
+    # KMV Jaccard: fraction of the union's bounded sample that is common
+    jac = F.col("n_common") / F.col("u_kept")
+    return out.select(
+        "ga",
+        "gb",
+        "n_common",
+        (F.round(union_est, ndigits) + F.lit(0.0)).alias("union_est"),
+        (F.round(inter_est, ndigits) + F.lit(0.0)).alias("inter_est"),
+        (F.round(jac, ndigits) + F.lit(0.0)).alias("jaccard_est"),
+    )

@@ -1,0 +1,227 @@
+"""Round-5 session-C operator tests: KMV theta sketches (exact-small-set
+path, estimator accuracy, merge invariance, set algebra, streaming twin),
+and the later session-C additions (RRF fusion, link prediction, causal
+batch, session paths, Hilbert layout) as they land."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# KMV theta sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    """A group with fewer than k distinct keys is counted EXACTLY (the
+    sketch is the whole distinct set)."""
+    from gridmet_etl_spark.operators.sketch import kmv_build, kmv_estimate
+
+    rows = [("a", i % 7) for i in range(100)] + [("b", i % 3) for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    sk = kmv_build(df, "k", ["g"], k=64)
+    est = {r.g: (r.n_kept, r.est_distinct) for r in kmv_estimate(sk, ["g"], k=64).collect()}
+    assert est["a"] == (7, 7.0)
+    assert est["b"] == (3, 3.0)
+
+
+def test_kmv_estimator_within_rse(spark):
+    """Above k the estimator lands within ~4 RSE of truth (RSE ≈
+    1/sqrt(k-2)); deterministic hashes make this a fixed assertion, not a
+    flaky statistical one."""
+    from gridmet_etl_spark.operators.sketch import kmv_build, kmv_estimate
+
+    n = 5000
+    df = spark.createDataFrame([("g", i) for i in range(n)], ["g", "k"])
+    sk = kmv_build(df, "k", ["g"], k=256)
+    est = kmv_estimate(sk, ["g"], k=256).first().est_distinct
+    rse = 1.0 / (254.0**0.5)
+    assert abs(est - n) / n < 4 * rse
+
+
+def test_kmv_merge_invariance(spark):
+    """union-then-sketch == sketch-then-merge (re-rank of unioned
+    sketches) — the mergeability the streaming twin relies on."""
+    from pyspark.sql.window import Window
+
+    from gridmet_etl_spark.operators.sketch import kmv_build
+
+    a = spark.createDataFrame([("g", i) for i in range(0, 900)], ["g", "k"])
+    b = spark.createDataFrame([("g", i) for i in range(600, 1500)], ["g", "k"])
+    direct = kmv_build(a.unionByName(b), "k", ["g"], k=64)
+    ska = kmv_build(a, "k", ["g"], k=64).select("g", "h")
+    skb = kmv_build(b, "k", ["g"], k=64).select("g", "h")
+    w = Window.partitionBy("g").orderBy("h")
+    merged = (
+        ska.unionByName(skb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_kmv_set_ops_exact_when_small(spark):
+    """Both groups under k → theta = SPACE and the set ops are EXACT:
+    inter_est == |A ∩ B|, union_est == |A ∪ B|, jaccard exact."""
+    from gridmet_etl_spark.operators.sketch import kmv_build, kmv_set_ops
+
+    a = [("a", i) for i in range(30)]  # A = 0..29
+    b = [("b", i) for i in range(20, 50)]  # B = 20..49, |A∩B|=10, |A∪B|=50
+    df = spark.createDataFrame(a + b, ["g", "k"])
+    sk = kmv_build(df, "k", ["g"], k=256)
+    r = kmv_set_ops(sk, "g", k=256).first()
+    assert (r.ga, r.gb) == ("a", "b")
+    assert r.n_common == 10
+    assert r.inter_est == 10.0
+    assert r.union_est == 50.0
+    assert r.jaccard_est == round(10 / 50, 6)
+
+
+def test_kmv_set_ops_estimator_reasonable(spark):
+    """Above k: estimates within 4 combined-RSE of truth on a planted
+    50%-overlap pair."""
+    from gridmet_etl_spark.operators.sketch import kmv_build, kmv_set_ops
+
+    a = [("a", i) for i in range(0, 4000)]
+    b = [("b", i) for i in range(2000, 6000)]  # inter 2000, union 6000
+    df = spark.createDataFrame(a + b, ["g", "k"])
+    sk = kmv_build(df, "k", ["g"], k=256)
+    r = kmv_set_ops(sk, "g", k=256).first()
+    tol = 4.0 / (254.0**0.5)
+    assert abs(r.union_est - 6000) / 6000 < tol
+    assert abs(r.inter_est - 2000) / 2000 < 2 * tol  # intersection: higher variance
+    assert abs(r.jaccard_est - 2000 / 6000) < 2 * tol
+
+
+def test_streaming_kmv_matches_batch_build(spark, tmp_path):
+    """Stream-drained sketch == batch kmv_build over the concatenated
+    batches (exact equality — KMV merge is order-insensitive), and a
+    re-drain with a fresh checkpoint is byte-idempotent."""
+    from pyspark.sql import types as T
+
+    from gridmet_etl_spark.operators.sketch import kmv_build
+    from gridmet_etl_spark.streaming.kmv_stream import (
+        read_kmv_sketch,
+        streaming_kmv,
+    )
+
+    batches = [
+        [("a", i) for i in range(0, 40)] + [("b", i) for i in range(0, 15)],
+        [("a", i) for i in range(30, 80)] + [("b", i) for i in range(10, 20)],
+        [("a", i) for i in range(75, 120)],
+    ]
+    landing = str(tmp_path / "landing")
+    for rows in batches:
+        spark.createDataFrame(rows, ["g", "k"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("k", T.LongType())]
+    )
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = streaming_kmv(stream, state, ck, "k", ["g"], k=32)
+    q.awaitTermination()
+
+    got = sorted(map(tuple, read_kmv_sketch(spark, state).collect()))
+    all_rows = [r for rows in batches for r in rows]
+    want = sorted(
+        map(tuple, kmv_build(spark.createDataFrame(all_rows, ["g", "k"]), "k", ["g"], k=32).collect())
+    )
+    assert got == want and len(got) > 0
+
+    q2 = streaming_kmv(
+        spark.readStream.schema(schema).parquet(landing),
+        state,
+        str(tmp_path / "ck2"),
+        "k",
+        ["g"],
+        k=32,
+    )
+    q2.awaitTermination()
+    got2 = sorted(map(tuple, read_kmv_sketch(spark, state).collect()))
+    assert got2 == want
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_scaled_integer_and_ordering(spark):
+    """Fused score equals the hand-computed scaled-integer sum; a doc
+    ranked top by both systems beats one ranked top by only one."""
+    from gridmet_etl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(1, 2), (3, 1), (4, 3)], ["doc_id", "rank"])
+    out = {r.doc_id: (r.n_systems, r.rrf_score, r.fused_rank)
+           for r in rrf_fuse([("a", a), ("b", b)], k=10).collect()}
+    s = 1_000_000_000
+    assert out[1] == (2, s // 61 + s // 62, 1)  # both systems, ranks 1+2
+    assert out[3] == (2, s // 63 + s // 61, 2)
+    assert out[2] == (1, s // 62, 3)
+    assert out[4] == (1, s // 63, 4)
+
+
+def test_rrf_single_system_preserves_order(spark):
+    from gridmet_etl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 8)], ["doc_id", "rank"])
+    got = [r.doc_id for r in rrf_fuse([("a", a)], k=5).orderBy("fused_rank").collect()]
+    assert got == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# Link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_matches_brute_force(spark):
+    """Wedge-join scores == brute-force python on a small random-ish
+    deterministic graph; candidates exclude existing edges."""
+    import itertools
+
+    from gridmet_etl_spark.operators.graph import link_prediction
+
+    edges = [(a, b) for a in range(12) for b in range(12)
+             if a < b and (a * 7 + b * 13) % 3 == 0]  # 22 edges, 12 open wedges
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.x, r.y): (r.common_neighbors, r.ra_score_scaled, r.pref_attach)
+           for r in link_prediction(df, k=1000).collect()}
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for x, y in itertools.combinations(sorted(adj), 2):
+        if y in adj[x]:
+            continue
+        cn = adj[x] & adj[y]
+        if not cn:
+            continue
+        want[(x, y)] = (
+            len(cn),
+            sum(10**12 // len(adj[z]) for z in cn),
+            len(adj[x]) * len(adj[y]),
+        )
+    assert got == want and len(want) > 5
+
+
+def test_link_prediction_center_cap_drops_hub_wedges(spark):
+    """With max_center_degree below the hub's degree, wedges through the
+    hub vanish (star graph → no candidates)."""
+    from gridmet_etl_spark.operators.graph import link_prediction
+
+    star = [(0, i) for i in range(1, 8)]
+    df = spark.createDataFrame(star, ["src", "dst"])
+    assert link_prediction(df, k=100).count() == 21  # C(7,2) via the hub
+    assert link_prediction(df, k=100, max_center_degree=5).count() == 0
