@@ -399,3 +399,183 @@ QUALIFY rank <= {_LP_K}
 
 
 EXT10_QUERIES["link_prediction"] = (q_link_prediction, _sql_link_prediction())
+
+# ---------------------------------------------------------------------------
+# Causal / experimentation batch: CUPED, stratified IPW, diff-in-differences
+# ---------------------------------------------------------------------------
+
+# Shared user-grain panel: pre/post metric split at the integer-µs midpoint
+# of the event time range (integer DIV — no float boundary), deterministic
+# md5 assignment. x = pre-period value sum, y = post-period value sum.
+_SQL_CAUSAL_UNITS = """
+ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+pu AS (
+  SELECT user_id,
+         sum(CASE WHEN us <= b.mid THEN value ELSE 0 END) AS x,
+         sum(CASE WHEN us >  b.mid THEN value ELSE 0 END) AS y
+  FROM ev, b GROUP BY user_id)
+"""
+
+
+def _causal_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast is the
+        # same naive-as-UTC epoch DuckDB's epoch_us computes
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "value"
+    )
+    bounds = ev.agg(
+        F.expr("(min(us) + max(us)) DIV 2").alias("mid")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") <= F.col("mid"), F.col("value")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(F.col("us") > F.col("mid"), F.col("value")).otherwise(0.0)).alias("y"),
+        )
+    )
+
+
+_SQL_ASSIGN_50 = (
+    "CASE WHEN CAST('0x' || substr(md5('assign:' || CAST(user_id AS VARCHAR)), 1, 6)"
+    " AS BIGINT) % 100 < 50 THEN 1 ELSE 0 END"
+)
+
+
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout on the user panel: pre-period value sum
+    as the covariate, post-period as the metric, 50/50 md5 assignment.
+    Under a null effect the naive and adjusted diffs agree in expectation
+    but the adjusted one has var_reduction≈corr² less variance — the
+    query returns both plus θ."""
+    from .operators.causal import cuped, hash_pct
+
+    units = _causal_units(spark, sf_dir).withColumn(
+        "t", (hash_pct(F.col("user_id"), "assign") < 50).cast("int")
+    )
+    return cuped(units, ndigits=R)
+
+
+def _sql_cuped() -> str:
+    return f"""
+WITH {_SQL_CAUSAL_UNITS},
+units AS (SELECT pu.*, {_SQL_ASSIGN_50} AS t FROM pu),
+g AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM units),
+gg AS (
+  SELECT n, sx / n AS xbar,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+         (syy - sy * sy / n) / n AS var_y,
+         sxy / n - sx * sy / (n * n) AS cov_xy,
+         (sxx - sx * sx / n) / n AS var_x
+  FROM g),
+arms AS (
+  SELECT t, count(*) AS n_arm, avg(y) AS mean_y,
+         avg(y - gg.theta * (x - gg.xbar)) AS mean_adj
+  FROM units, gg GROUP BY t)
+SELECT tt.n_arm AS n_t, cc.n_arm AS n_c,
+       ROUND(tt.mean_y - cc.mean_y, {R}) + 0 AS diff_naive,
+       ROUND(tt.mean_adj - cc.mean_adj, {R}) + 0 AS diff_cuped,
+       ROUND(gg.theta, {R}) + 0 AS theta,
+       ROUND(gg.cov_xy * gg.cov_xy / (gg.var_x * gg.var_y), {R}) + 0
+         AS var_reduction
+FROM (SELECT * FROM arms WHERE t = 1) tt,
+     (SELECT * FROM arms WHERE t = 0) cc, gg
+"""
+
+
+EXT10_QUERIES["cuped_adjust"] = (q_cuped_adjust, _sql_cuped())
+
+
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-confounding ATE: strata = user_id % 4, treatment
+    assigned with stratum-dependent propensity (20/40/60/80%), outcome =
+    post-period value. The naive diff is confounded; the IPW and
+    stratification forms de-bias it — and equal each other algebraically
+    (carried as a consistency pair)."""
+    from .operators.causal import hash_pct, ipw_ate
+
+    units = (
+        _causal_units(spark, sf_dir)
+        .withColumn("stratum", (F.col("user_id") % 4).cast("int"))
+        .withColumn(
+            "t",
+            (hash_pct(F.col("user_id"), "ipw") < 20 + 20 * F.col("stratum")).cast("int"),
+        )
+    )
+    return ipw_ate(units, y_col="y", t_col="t", stratum_col="stratum", ndigits=R)
+
+
+def _sql_ipw() -> str:
+    assign = (
+        "CASE WHEN CAST('0x' || substr(md5('ipw:' || CAST(user_id AS VARCHAR)), 1, 6)"
+        " AS BIGINT) % 100 < 20 + 20 * (user_id % 4) THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH {_SQL_CAUSAL_UNITS},
+units AS (
+  SELECT pu.*, CAST(user_id % 4 AS INT) AS stratum, {assign} AS t FROM pu),
+strata AS (
+  SELECT stratum, count(*) AS n_s, sum(t) AS n_t_s,
+         sum(CASE WHEN t = 1 THEN y END) AS sy_t,
+         sum(CASE WHEN t = 0 THEN y END) AS sy_c
+  FROM units GROUP BY stratum),
+tot AS (
+  SELECT count(*) AS n,
+         avg(CASE WHEN t = 1 THEN y END) AS mean_t,
+         avg(CASE WHEN t = 0 THEN y END) AS mean_c
+  FROM units),
+per AS (
+  SELECT n_s, sy_t * n_s / n_t_s AS ht_t,
+         sy_c * n_s / (n_s - n_t_s) AS ht_c,
+         n_s * (sy_t / n_t_s - sy_c / (n_s - n_t_s)) AS strat_term
+  FROM strata),
+acc AS (
+  SELECT sum(ht_t) AS sht_t, sum(ht_c) AS sht_c, sum(strat_term) AS s_strat
+  FROM per)
+SELECT CAST(tot.n AS BIGINT) AS n_units,
+       ROUND(tot.mean_t - tot.mean_c, {R}) + 0 AS diff_naive,
+       ROUND((acc.sht_t - acc.sht_c) / tot.n, {R}) + 0 AS ate_ipw,
+       ROUND(acc.s_strat / tot.n, {R}) + 0 AS ate_stratified
+FROM acc, tot
+"""
+
+
+EXT10_QUERIES["ipw_ate"] = (q_ipw_ate, _sql_ipw())
+
+
+def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the two-period user panel (pre = x,
+    post = y, 50/50 md5 assignment): the four cell means, both deltas
+    implicit, and the DiD estimate — removes any additive common trend
+    (here pre≠post traffic levels)."""
+    from .operators.causal import did, hash_pct
+
+    units = _causal_units(spark, sf_dir).withColumn(
+        "t", (hash_pct(F.col("user_id"), "assign") < 50).cast("int")
+    )
+    return did(units, y_pre_col="x", y_post_col="y", t_col="t", ndigits=R)
+
+
+def _sql_did() -> str:
+    return f"""
+WITH {_SQL_CAUSAL_UNITS},
+units AS (SELECT pu.*, {_SQL_ASSIGN_50} AS t FROM pu),
+cells AS (
+  SELECT t, count(*) AS n_arm, avg(x) AS m_pre, avg(y) AS m_post
+  FROM units GROUP BY t)
+SELECT tt.n_arm AS n_t, cc.n_arm AS n_c,
+       ROUND(tt.m_pre, {R}) + 0 AS pre_t,
+       ROUND(tt.m_post, {R}) + 0 AS post_t,
+       ROUND(cc.m_pre, {R}) + 0 AS pre_c,
+       ROUND(cc.m_post, {R}) + 0 AS post_c,
+       ROUND((tt.m_post - tt.m_pre) - (cc.m_post - cc.m_pre), {R}) + 0 AS did
+FROM (SELECT * FROM cells WHERE t = 1) tt,
+     (SELECT * FROM cells WHERE t = 0) cc
+"""
+
+
+EXT10_QUERIES["did_estimate"] = (q_did_estimate, _sql_did())

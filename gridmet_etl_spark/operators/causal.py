@@ -1,0 +1,199 @@
+"""Causal-inference / experimentation batch operators: CUPED variance
+reduction, stratified inverse-propensity weighting, and
+difference-in-differences — the A/B-analysis depth layer on top of the
+plain ``ab_test`` two-sample query.
+
+All three reduce to a constant number of aggregation passes over a
+user-grain metrics relation (shuffles are |users|-sized at most, outputs
+are 1-row scalars), so they run unchanged at 100 TB event scale: the
+events→user-metrics rollup is the only data-sized stage and is a single
+partial-agg groupBy.
+
+Float discipline: moment sums are double partial-aggregates (summation
+order varies by partitioning), so every released statistic is
+ROUND(x, ndigits) with the stability-watchlist harness
+(tools/stability_check.py) pinning cross-config agreement — the
+corr_matrix/ridge_regression convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_pct(key: Column, salt: str = "assign") -> Column:
+    """Deterministic 0-99 assignment bucket from md5 (DuckDB-replayable:
+    ``CAST('0x'||substr(md5('<salt>:'||key),1,6) AS BIGINT) % 100``) —
+    the engine's stand-in for an experiment-assignment service."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
+def cuped(
+    units: DataFrame,
+    y_col: str = "y",
+    x_col: str = "x",
+    t_col: str = "t",
+    ndigits: int = 6,
+) -> DataFrame:
+    """CUPED (Deng et al. 2013): reduce experiment-metric variance with a
+    pre-period covariate. θ = cov(x, y)/var(x) on the POOLED sample (the
+    standard choice — θ from pooled data keeps the adjusted estimator
+    unbiased under random assignment); adjusted metric
+    y' = y − θ·(x − x̄). Output (1 row): group means, the unadjusted and
+    adjusted treatment effects, the variance-reduction ratio
+    1 − var(y')/var(y) (≈ corr² when θ is in-sample optimal), and n's.
+
+    Two bounded aggregations: one global moment pass (n, Σx, Σy, Σxy,
+    Σx², Σy²) and one per-arm pass — never more than one |units|-sized
+    shuffle each."""
+    g = units.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("syy"),
+    ).select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+         / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))).alias("theta"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / F.col("n")).alias("var_y"),
+        (F.col("sxy") / F.col("n") - F.col("sx") * F.col("sy") / (F.col("n") * F.col("n"))).alias("cov_xy"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")).alias("var_x"),
+    )
+    per_arm = (
+        units.crossJoin(F.broadcast(g))
+        .withColumn(
+            "_adj", F.col(y_col) - F.col("theta") * (F.col(x_col) - F.col("xbar"))
+        )
+        .groupBy(t_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_arm"),
+            F.avg(y_col).alias("mean_y"),
+            F.avg("_adj").alias("mean_adj"),
+        )
+    )
+    t_row = per_arm.filter(F.col(t_col) == 1).select(
+        F.col("n_arm").alias("n_t"),
+        F.col("mean_y").alias("mean_y_t"),
+        F.col("mean_adj").alias("mean_adj_t"),
+    )
+    c_row = per_arm.filter(F.col(t_col) == 0).select(
+        F.col("n_arm").alias("n_c"),
+        F.col("mean_y").alias("mean_y_c"),
+        F.col("mean_adj").alias("mean_adj_c"),
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return (
+        t_row.crossJoin(c_row)
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n_t",
+            "n_c",
+            rnd(F.col("mean_y_t") - F.col("mean_y_c")).alias("diff_naive"),
+            rnd(F.col("mean_adj_t") - F.col("mean_adj_c")).alias("diff_cuped"),
+            rnd(F.col("theta")).alias("theta"),
+            rnd(
+                F.col("cov_xy") * F.col("cov_xy") / (F.col("var_x") * F.col("var_y"))
+            ).alias("var_reduction"),
+        )
+    )
+
+
+def ipw_ate(
+    units: DataFrame,
+    y_col: str = "y",
+    t_col: str = "t",
+    stratum_col: str = "stratum",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Average treatment effect under stratified confounding via inverse
+    propensity weighting: p̂(s) = treated share within stratum s (the
+    nonparametric propensity — exact rational n_t/n per stratum), then
+    ATE = (1/N)·Σ [ t·y/p̂(s) − (1−t)·y/(1−p̂(s)) ] (Horvitz-Thompson).
+    Output (1 row): naive difference-in-means (confounded), the IPW ATE,
+    and the stratification-theorem twin (Σ_s w_s·(ȳ_t(s) − ȳ_c(s)),
+    w_s = n_s/N) which equals the H-T form algebraically — carrying both
+    is a built-in consistency check. Two bounded aggregation passes."""
+    strata = units.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(F.col(t_col).cast("long")).alias("n_t_s"),
+        F.sum(F.when(F.col(t_col) == 1, F.col(y_col))).alias("sy_t"),
+        F.sum(F.when(F.col(t_col) == 0, F.col(y_col))).alias("sy_c"),
+    )
+    tot = units.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.when(F.col(t_col) == 1, F.col(y_col))).alias("mean_t"),
+        F.avg(F.when(F.col(t_col) == 0, F.col(y_col))).alias("mean_c"),
+    )
+    # per-stratum arm means and weights; H-T form: sy_t/p̂ = sy_t·n_s/n_t_s
+    per = strata.select(
+        "n_s",
+        (F.col("sy_t") * F.col("n_s") / F.col("n_t_s")).alias("ht_t"),
+        (F.col("sy_c") * F.col("n_s") / (F.col("n_s") - F.col("n_t_s"))).alias("ht_c"),
+        (
+            F.col("n_s")
+            * (F.col("sy_t") / F.col("n_t_s") - F.col("sy_c") / (F.col("n_s") - F.col("n_t_s")))
+        ).alias("strat_term"),
+    )
+    acc = per.agg(
+        F.sum("ht_t").alias("sht_t"),
+        F.sum("ht_c").alias("sht_c"),
+        F.sum("strat_term").alias("s_strat"),
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_units"),
+        rnd(F.col("mean_t") - F.col("mean_c")).alias("diff_naive"),
+        rnd((F.col("sht_t") - F.col("sht_c")) / F.col("n")).alias("ate_ipw"),
+        rnd(F.col("s_strat") / F.col("n")).alias("ate_stratified"),
+    )
+
+
+def did(
+    units: DataFrame,
+    y_pre_col: str = "y_pre",
+    y_post_col: str = "y_post",
+    t_col: str = "t",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Difference-in-differences over a two-period panel at unit grain:
+    DiD = (ȳ_post,t − ȳ_pre,t) − (ȳ_post,c − ȳ_pre,c) — removes any
+    additive unit-invariant time trend. Output (1 row): the four cell
+    means, both arms' deltas, and the DiD estimate. One bounded pass."""
+    cells = units.groupBy(t_col).agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.avg(y_pre_col).alias("m_pre"),
+        F.avg(y_post_col).alias("m_post"),
+    )
+    t_row = cells.filter(F.col(t_col) == 1).select(
+        F.col("n_arm").alias("n_t"),
+        F.col("m_pre").alias("pre_t"),
+        F.col("m_post").alias("post_t"),
+    )
+    c_row = cells.filter(F.col(t_col) == 0).select(
+        F.col("n_arm").alias("n_c"),
+        F.col("m_pre").alias("pre_c"),
+        F.col("m_post").alias("post_c"),
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return t_row.crossJoin(c_row).select(
+        "n_t",
+        "n_c",
+        rnd(F.col("pre_t")).alias("pre_t"),
+        rnd(F.col("post_t")).alias("post_t"),
+        rnd(F.col("pre_c")).alias("pre_c"),
+        rnd(F.col("post_c")).alias("post_c"),
+        rnd(
+            (F.col("post_t") - F.col("pre_t")) - (F.col("post_c") - F.col("pre_c"))
+        ).alias("did"),
+    )

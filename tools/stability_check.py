@@ -42,6 +42,11 @@ WATCHLIST = [
     # selectivity_eval sums per-bucket frac·n doubles; layout_advisor
     # averages rounded prune fractions; mcv_stats emits count/total fracs
     "ridge_regression", "selectivity_eval", "layout_advisor", "mcv_stats",
+    # session-C float paths: CUPED theta/variance moments, IPW
+    # Horvitz-Thompson sums, DiD cell means (double partial-agg order),
+    # and the KMV estimator divisions (single exact-operand divisions —
+    # expected rock-stable; listed to prove it)
+    "cuped_adjust", "ipw_ate", "did_estimate", "kmv_distinct", "kmv_set_ops",
 ]
 
 SESSIONS = [
