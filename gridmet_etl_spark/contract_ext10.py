@@ -579,3 +579,187 @@ FROM (SELECT * FROM cells WHERE t = 1) tt,
 
 
 EXT10_QUERIES["did_estimate"] = (q_did_estimate, _sql_did())
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout + Morton-vs-Hilbert prune bake-off
+# ---------------------------------------------------------------------------
+
+_HB_BITS = 6  # 2^6 = 64 covers the 40x40 fixture grid
+_CURVE_ZONE_ROWS = 64
+# seam-straddling boxes: quadrant-aligned boxes tie across curves (both
+# respect aligned splits); the Z-jump cost shows on boxes crossing the
+# half/quarter seams of the 40x40 fixture grid
+_CURVE_BOXES = [
+    ("mid", 12, 19, 12, 19),
+    ("off", 5, 14, 9, 18),
+    ("seam", 14, 17, 0, 39),
+    ("band", 10, 21, 24, 29),
+]
+
+
+def _sql_hilbert_rounds(src: str, bits: int = _HB_BITS) -> str:
+    """Chained per-bit CTEs replicating hilbert_key_stages: rotate/reflect
+    recurrence, one CTE per bit, xor() for the quadrant digit."""
+    ctes = [
+        f"h0 AS (SELECT i, j, CAST(i AS BIGINT) AS x, CAST(j AS BIGINT) AS y,"
+        f" CAST(0 AS BIGINT) AS d FROM {src})"
+    ]
+    step = 0
+    for b in reversed(range(bits)):
+        s = 1 << b
+        prev, step = f"h{step}", step + 1
+        ctes.append(f"""h{step} AS (
+  SELECT i, j,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END
+              ELSE x END AS x,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END
+              ELSE y END AS y,
+         d + {s * s} * xor(3 * rx, ry) AS d
+  FROM (SELECT *,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev}) _r{step})""")
+    return ",\n".join(ctes) + f",\nhfin AS (SELECT i, j, d AS hkey FROM h{step})"
+
+
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert write-layout keys for the distinct grid cells — the
+    no-Z-jumps sibling of zorder_layout (bijective on the 2^bits square;
+    bijectivity is pytest-pinned)."""
+    import os
+
+    from .contract import FIXDIR
+    from .operators.scale import hilbert_key_stages
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    return hilbert_key_stages(
+        grid.select("i", "j").distinct(), bits=_HB_BITS, out_col="hkey"
+    )
+
+
+def _sql_hilbert_layout() -> str:
+    import os
+
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid.parquet")
+    return f"""
+WITH cells AS (SELECT DISTINCT i, j FROM read_parquet('{path}')),
+{_sql_hilbert_rounds("cells")}
+SELECT i, j, hkey FROM hfin
+"""
+
+
+EXT10_QUERIES["hilbert_layout"] = (q_hilbert_layout, _sql_hilbert_layout())
+
+
+def q_curve_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton vs Hilbert zone-map prune rates for a 4-box bbox workload
+    over the fixture cells — the layout_advisor loop extended across
+    space-filling curves. Hilbert's prune_frac ≥ Morton's on the square
+    boxes (pytest-pinned)."""
+    import os
+
+    from .contract import FIXDIR
+    from .operators.planner import curve_layout_compare
+    from .sources.readers import read_grid
+
+    grid = read_grid(spark, os.path.join(FIXDIR, "grid.parquet"))
+    cells = grid.select("i", "j").distinct()
+    return curve_layout_compare(
+        cells, _CURVE_BOXES, bits=_HB_BITS, zone_rows=_CURVE_ZONE_ROWS, ndigits=R
+    )
+
+
+def _sql_curve_compare() -> str:
+    import os
+
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "grid.parquet")
+    zterms = " + ".join(
+        f"(((i >> {b}) & 1) << {2 * b}) + (((j >> {b}) & 1) << {2 * b + 1})"
+        for b in range(_HB_BITS)
+    )
+    branches = []
+    for curve, keysrc in (("zorder", "zkeyed"), ("hilbert", "hkeyed")):
+        branches.append(f"""
+SELECT '{curve}' AS curve, b.box, count(*) AS n_zones,
+       sum(CASE WHEN b.hit THEN 1 ELSE 0 END) AS n_zones_scanned,
+       sum(CASE WHEN b.hit THEN z.n_rows ELSE 0 END) AS n_rows_scanned,
+       ROUND(1.0 - sum(CASE WHEN b.hit THEN z.n_rows ELSE 0 END)
+                   / CAST(sum(z.n_rows) AS DOUBLE), {R}) + 0 AS prune_frac
+FROM (
+  SELECT CAST((rn - 1) // {_CURVE_ZONE_ROWS} AS INT) AS zone,
+         count(*) AS n_rows,
+         min(i) AS i_min, max(i) AS i_max, min(j) AS j_min, max(j) AS j_max
+  FROM (SELECT i, j, row_number() OVER (ORDER BY key) AS rn FROM {keysrc})
+  GROUP BY 1) z,
+LATERAL (VALUES {", ".join(f"('{name}', z.i_max >= {ilo} AND z.i_min <= {ihi} AND z.j_max >= {jlo} AND z.j_min <= {jhi})" for name, ilo, ihi, jlo, jhi in _CURVE_BOXES)}) b(box, hit)
+GROUP BY b.box""")
+    return f"""
+WITH cells AS (SELECT DISTINCT i, j FROM read_parquet('{path}')),
+{_sql_hilbert_rounds("cells")},
+zkeyed AS (SELECT i, j, CAST({zterms} AS BIGINT) AS key FROM cells),
+hkeyed AS (SELECT i, j, hkey AS key FROM hfin)
+{branches[0]}
+UNION ALL
+{branches[1]}
+"""
+
+
+EXT10_QUERIES["curve_compare"] = (q_curve_compare, _sql_curve_compare())
+
+# ---------------------------------------------------------------------------
+# Session path analytics: top navigation paths
+# ---------------------------------------------------------------------------
+
+_SP_K = 20
+_SP_MAX_EVENTS = 20
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session navigation paths over the events stream (30-min gap
+    sessions, paths capped at 20 events): the which-journeys-dominate /
+    which-convert product-analytics readout. User-partitioned windows
+    only; path rollup is output-sized."""
+    from .operators.funnel import session_paths
+    from .sources.readers import read_events
+
+    ev = read_events(spark, _t(sf_dir, "events"))
+    return session_paths(ev, gap_minutes=30, k=_SP_K, max_events=_SP_MAX_EVENTS)
+
+
+SQL_SESSION_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts, 1) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessioned AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_idx
+                               ORDER BY ts, event_id) AS ern
+  FROM sessioned QUALIFY ern <= {_SP_MAX_EVENTS}),
+per_sess AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM capped GROUP BY user_id, session_idx),
+agg AS (
+  SELECT path, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+  FROM per_sess GROUP BY path)
+SELECT path, n_sessions, n_users,
+       CAST(len(string_split(path, '>')) AS INT) AS n_events_path,
+       path LIKE '%purchase%' AS converted,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rank
+FROM agg
+QUALIFY rank <= {_SP_K}
+"""
+
+EXT10_QUERIES["session_paths"] = (q_session_paths, SQL_SESSION_PATHS)

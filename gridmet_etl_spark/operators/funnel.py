@@ -120,3 +120,68 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    k: int = 20,
+    max_events: int = 20,
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Top-k navigation paths: gap-sessionize (the sessionize_batch rule —
+    a gap must EXCEED ``gap_minutes`` to split), concatenate each
+    session's event types in (ts, event_id) order into a path string
+    (capped at ``max_events`` per session so path strings stay bounded at
+    crawl scale), and rank paths by session count.
+
+    Scale shape: both windows are user-partitioned (never global), the
+    path rollup is one output-sized shuffle (distinct paths ≪ sessions),
+    and the top-k is TakeOrderedAndProject + a k-row rank window.
+    Determinism: collect_list order is pinned by array_sort over
+    (ts, event_id, type) structs — no reliance on arrival order.
+
+    Output: (path, n_sessions, n_users, n_events_path, converted, rank).
+    """
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "new_s",
+        F.when(
+            (F.col("ts") - F.lag("ts", 1).over(wo))
+            > F.expr(f"INTERVAL {gap_minutes} MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    capped = sessioned.withColumn("ern", F.row_number().over(ws)).filter(
+        F.col("ern") <= max_events
+    )
+    per_sess = capped.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    agg = per_sess.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    order = [F.col("n_sessions").desc(), F.col("path")]
+    topk = agg.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.select(
+        "path",
+        "n_sessions",
+        "n_users",
+        F.size(F.split(F.col("path"), ">")).alias("n_events_path"),
+        F.col("path").contains(convert_type).alias("converted"),
+    ).withColumn("rank", F.row_number().over(w))

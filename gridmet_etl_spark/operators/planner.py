@@ -369,3 +369,75 @@ def layout_advisor(
             & (F.col("layout") == best["layout"])
         ).alias("chosen"),
     )
+
+
+def curve_layout_compare(
+    cells: DataFrame,
+    boxes: Sequence[tuple[str, int, int, int, int]],
+    bits: int = 6,
+    zone_rows: int = 64,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Space-filling-curve layout bake-off: build zone maps for the SAME
+    cell set clustered by Morton (zorder_key) and by Hilbert
+    (hilbert_key_stages), score every bbox predicate with the 2-D
+    block-skipping test (zone scanned iff BOTH its i-range and j-range
+    overlap the box), and report per (curve, box) prune rates — the
+    layout_advisor question answered across curves, from statistics
+    alone.
+
+    Hilbert wins on square-ish boxes because it has no Z-jumps: a box maps
+    to fewer, longer key runs, so fewer zones straddle it. boxes:
+    (name, ilo, ihi, jlo, jhi) plan-time literals. Costs two bounded
+    global ranks of the |cells| relation; no fact-table rescans."""
+    from .scale import hilbert_key_stages, zorder_key
+
+    base = cells.select("i", "j")
+    zk = base.select("i", "j", zorder_key("i", "j", bits=bits).alias("key"))
+    hk = hilbert_key_stages(base, bits=bits, out_col="key")
+    zones = zone_map_stats(zk, "key", ["i", "j"], zone_rows).withColumn(
+        "curve", F.lit("zorder")
+    ).unionByName(
+        zone_map_stats(hk, "key", ["i", "j"], zone_rows).withColumn(
+            "curve", F.lit("hilbert")
+        )
+    )
+    preds = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("box"),
+                (
+                    (F.col("i_max") >= F.lit(ilo))
+                    & (F.col("i_min") <= F.lit(ihi))
+                    & (F.col("j_max") >= F.lit(jlo))
+                    & (F.col("j_min") <= F.lit(jhi))
+                ).alias("hit"),
+            )
+            for name, ilo, ihi, jlo, jhi in boxes
+        ]
+    )
+    exploded = zones.select("curve", "n_rows", F.explode(preds).alias("p"))
+    hit = F.col("p.hit")
+    per = exploded.groupBy("curve", F.col("p.box").alias("box")).agg(
+        F.count(F.lit(1)).alias("n_zones"),
+        F.sum(hit.cast("long")).alias("n_zones_scanned"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0))).alias(
+            "n_rows_scanned"
+        ),
+        F.sum("n_rows").alias("n_rows_total"),
+    )
+    return per.select(
+        "curve",
+        "box",
+        "n_zones",
+        "n_zones_scanned",
+        "n_rows_scanned",
+        (
+            F.round(
+                F.lit(1.0)
+                - F.col("n_rows_scanned") / F.col("n_rows_total").cast("double"),
+                ndigits,
+            )
+            + F.lit(0.0)
+        ).alias("prune_frac"),
+    )

@@ -221,3 +221,73 @@ def global_rank(
         (F.min("rn") + (F.count("*") - 1) / 2.0).alias("rank")
     )
     return ranked.join(avg_r, order_col)
+
+
+def hilbert_key_stages(
+    df: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    bits: int = 6,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Hilbert-curve index d = xy2d(i, j) for 0 ≤ i,j < 2^bits — the
+    clustering key that strictly dominates Morton for range scans: the
+    Hilbert curve has no Z-shaped jumps, so a square bbox maps to fewer,
+    longer runs of the key (fewer row groups touched; see the
+    curve_layout_compare query for the measured prune-rate gap).
+
+    The classic per-bit rotate-and-reflect recurrence is SEQUENTIAL in the
+    bit index, so it is unrolled as ``bits`` chained projections — each
+    stage references the previous stage's columns BY NAME (no expression-
+    tree doubling), all codegen, no shuffle, O(bits) cost per row. The
+    same unroll maps 1:1 onto chained CTEs for the DuckDB oracle.
+
+    Returns df plus ``out_col`` (BIGINT); input columns pass through.
+    """
+    keep = [c for c in df.columns]
+    cur = df.select(
+        *keep,
+        F.col(i_col).cast("long").alias("_hx"),
+        F.col(j_col).cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for b in reversed(range(bits)):
+        s = 1 << b
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        cur = cur.select(
+            *keep,
+            "_hx",
+            "_hy",
+            "_hd",
+            rx.cast("long").alias("_rx"),
+            ry.cast("long").alias("_ry"),
+        )
+        x_new = (
+            F.when(
+                F.col("_ry") == 0,
+                F.when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+                    F.col("_hy")
+                ),
+            )
+            .otherwise(F.col("_hx"))
+        )
+        y_new = (
+            F.when(
+                F.col("_ry") == 0,
+                F.when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+                    F.col("_hx")
+                ),
+            )
+            .otherwise(F.col("_hy"))
+        )
+        d_new = F.col("_hd") + F.lit(s * s) * (
+            (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry"))
+        )
+        cur = cur.select(
+            *keep,
+            x_new.alias("_hx"),
+            y_new.alias("_hy"),
+            d_new.alias("_hd"),
+        )
+    return cur.select(*keep, F.col("_hd").alias(out_col))

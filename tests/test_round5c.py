@@ -309,3 +309,107 @@ def test_hash_pct_range_and_determinism(spark):
     a = [r.p for r in df.collect()]
     b = [r.p for r in df.collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Hilbert layout
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_matches_reference_and_bijective(spark):
+    """Staged unroll == the classic xy2d recurrence; bijective on the
+    2^bits square (a space-filling curve is a permutation)."""
+    from gridmet_etl_spark.operators.scale import hilbert_key_stages
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = [(i, j) for i in range(32) for j in range(32)]
+    df = spark.createDataFrame(rows, ["i", "j"])
+    got = {(r.i, r.j): r.hkey for r in hilbert_key_stages(df, bits=5).collect()}
+    assert got == {(i, j): xy2d(32, i, j) for i, j in rows}
+    assert len(set(got.values())) == 1024
+
+
+def test_hilbert_beats_zorder_on_square_boxes(spark):
+    """The bake-off's point: mean prune rate over square bbox predicates
+    is at least as good under Hilbert as under Morton (strictly better on
+    this workload)."""
+    from gridmet_etl_spark.operators.planner import curve_layout_compare
+
+    cells = spark.createDataFrame(
+        [(i, j) for i in range(32) for j in range(32)], ["i", "j"]
+    )
+    # quadrant-ALIGNED boxes tie (both curves respect aligned splits);
+    # boxes straddling the quadrant seams are where Z-jumps cost zones
+    boxes = [("mid", 12, 19, 12, 19), ("off", 5, 14, 9, 18),
+             ("seam", 14, 17, 0, 31), ("band", 10, 21, 24, 29)]
+    rep = curve_layout_compare(cells, boxes, bits=5, zone_rows=32).collect()
+    by = {(r.curve, r.box): r.prune_frac for r in rep}
+    mean_h = sum(by[("hilbert", b)] for b, *_ in boxes) / len(boxes)
+    mean_z = sum(by[("zorder", b)] for b, *_ in boxes) / len(boxes)
+    assert mean_h > mean_z
+    assert all(by[("hilbert", b)] >= by[("zorder", b)] for b, *_ in boxes)
+    # totals agree across curves: same cells, same zones
+    tot = {(r.curve, r.box): (r.n_zones, r.n_rows_scanned <= 1024) for r in rep}
+    assert all(v[0] == 32 and v[1] for v in tot.values())
+
+
+# ---------------------------------------------------------------------------
+# Session paths
+# ---------------------------------------------------------------------------
+
+
+def test_session_paths_hand_case_and_conservation(spark):
+    """Hand-checkable journeys: one user with two sessions split by a
+    >30-min gap, another repeating the first session's path; top-k counts
+    and conversion flags match, and Σ n_sessions over ALL paths equals the
+    session count."""
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.funnel import session_paths
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, session 1: view>click>purchase
+        (1, t0, 1, "view"), (1, t0 + m, 2, "click"), (1, t0 + 2 * m, 3, "purchase"),
+        # user 1, session 2 (gap 40 min): view>view
+        (1, t0 + 42 * m, 4, "view"), (1, t0 + 43 * m, 5, "view"),
+        # user 2: same path as user 1's session 1
+        (2, t0, 6, "view"), (2, t0 + m, 7, "click"), (2, t0 + 2 * m, 8, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {r.path: r for r in session_paths(ev, k=10).collect()}
+    assert out["view>click>purchase"].n_sessions == 2
+    assert out["view>click>purchase"].n_users == 2
+    assert out["view>click>purchase"].converted is True
+    assert out["view>click>purchase"].rank == 1
+    assert out["view>view"].n_sessions == 1 and out["view>view"].converted is False
+    assert sum(r.n_sessions for r in out.values()) == 3
+    assert out["view>click>purchase"].n_events_path == 3
+
+
+def test_session_paths_caps_runaway_sessions(spark):
+    """A 100-event single session truncates at max_events (bounded path
+    strings at crawl scale)."""
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.funnel import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=10)
+    rows = [(1, t0 + i * s, i, "view") for i in range(100)]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    r = session_paths(ev, k=5, max_events=20).first()
+    assert r.n_events_path == 20 and r.n_sessions == 1
