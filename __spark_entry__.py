@@ -62,7 +62,7 @@ _CHECK_FIRST = [
     # (1) new round-5 queries land here as they are added
     "kmv_distinct", "kmv_set_ops", "rrf_fusion", "link_prediction",
     "cuped_adjust", "ipw_ate", "did_estimate",
-    "hilbert_layout", "curve_compare", "session_paths",
+    "hilbert_layout", "curve_compare", "session_paths", "markov_attribution",
     "minhash_lsh_star", "line_dedup", "mixture_weights", "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size", "bias_als", "boilerplate_report",
     "mcv_stats", "equiheight_bins", "zone_map_prune", "join_order_advisor",
     "source_overlap", "ridge_regression",

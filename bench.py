@@ -65,6 +65,13 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "cms_join_size",
     "bias_als",
+    # round-5 session C (ext10): KMV sketch algebra, hybrid RRF, session
+    # paths, Markov attribution — the 24M/1M stress twins run in EXTRA_BENCH
+    "kmv_distinct",
+    "kmv_set_ops",
+    "rrf_fusion",
+    "session_paths",
+    "markov_attribution",
 ]
 
 
@@ -808,6 +815,74 @@ def _mcv_24m(spark):
     return mcv_stats(ev, ["etype", "user_id", "mod97"], k=5)
 
 
+def _kmv_24m(spark):
+    """KMV theta sketches over 24M rows / 5 groups sharing a 1.5M-key
+    space: the build is ONE (group, hash) distinct shuffle + bounded-k
+    WindowGroupLimit rank (≤ 256 rows per group survive), and the pairwise
+    union/intersection estimates then run on the 1,280-row sketch relation
+    alone — distinct-counting WITH set algebra at stream scale, no second
+    scan."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.sketch import kmv_build, kmv_set_ops
+
+    rows = spark.range(0, 24_000_000, 1, 32).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        ((F.col("id") * 2654435761) % 1_500_000).alias("k"),
+    )
+    sk = kmv_build(rows, "k", ["g"], k=256)
+    return kmv_set_ops(sk, "g", k=256)
+
+
+def _link_prediction_1m(spark):
+    """Resource-allocation link prediction over the pagerank-style ~1M-edge
+    / 100k-node graph (avg degree ~20): the wedge self-join is Σ deg(z)² ≈
+    40M candidate rows, hub centers capped at deg 64 (they contribute the
+    least RA mass), integer-exact scoring, TakeOrdered top-100."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.graph import link_prediction
+
+    edges = (
+        spark.range(0, 1_000_000, 1, 32)
+        .select(
+            (F.col("id") % 100_000).alias("src"),
+            ((F.col("id") * 2654435761) % 100_000).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return link_prediction(edges, k=100, max_center_degree=64)
+
+
+def _markov_12m_events(spark):
+    """Markov removal-effect attribution over the ×50-replicated 12M-event
+    stream (users remapped so journeys stay user-shaped): the ONE
+    data-sized stage is the sessionize/transition pass; the 50 value-
+    iteration joins then run on the |vocab|²-row probability relation."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.funnel import markov_removal_effects
+    from gridmet_etl_spark.sources.readers import read_events
+
+    e = read_events(spark, os.path.join(SF_DIR, "events.parquet"))
+    big = (
+        spark.range(0, 50, 1, 32)
+        .withColumnRenamed("id", "rep")
+        .crossJoin(F.broadcast(e))
+        .select(
+            (F.col("user_id") * 50 + F.col("rep")).alias("user_id"),
+            "ts",
+            "event_id",
+            "event_type",
+        )
+    )
+    return markov_removal_effects(
+        big, channels=["click", "error", "signup", "view"],
+        gap_minutes=1440, iters=10,
+    )
+
+
 EXTRA_BENCH = {
     "scd2_1M_changes": _scd2_1m_changes,
     "overlap_200k_spans": _overlap_200k_spans,
@@ -839,6 +914,9 @@ EXTRA_BENCH = {
     "cdc_10M_snapshot": _cdc_10m_snapshot,
     "zone_maps_12M_rows": _zone_maps_12m,
     "mcv_24M_values": _mcv_24m,
+    "kmv_setops_24M_keys": _kmv_24m,
+    "link_prediction_1M_edges": _link_prediction_1m,
+    "markov_attribution_12M_events": _markov_12m_events,
 }
 
 
@@ -847,8 +925,9 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext import EXT_QUERIES as _EXT
     from gridmet_etl_spark.contract_ext3 import EXT3_QUERIES as _EXT3
     from gridmet_etl_spark.contract_ext8 import EXT8_QUERIES as _EXT8
+    from gridmet_etl_spark.contract_ext10 import EXT10_QUERIES as _EXT10
 
-    DOMAIN_QUERIES = {**_CORE, **_EXT, **_EXT3, **_EXT8}
+    DOMAIN_QUERIES = {**_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10}
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")
     # warm-up: JVM + parquet footer caches

@@ -763,3 +763,125 @@ QUALIFY rank <= {_SP_K}
 """
 
 EXT10_QUERIES["session_paths"] = (q_session_paths, SQL_SESSION_PATHS)
+
+# ---------------------------------------------------------------------------
+# Markov-chain attribution: removal effects via unrolled value iteration
+# ---------------------------------------------------------------------------
+
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+_MK_ITERS = 10
+# day-level journeys: at a 30-min gap this event stream is all singleton
+# sessions (no multi-touch paths at all); 1440 min gives 3-10-touch
+# journeys with real channel->CONV mass
+_MK_GAP_MIN = 1440
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect attribution over 30-min-session journeys: START →
+    touches → CONV/NULL first-order chain, conversion probability by
+    10-round value iteration, channel knocked out by clamping its state to
+    absorb at 0. The principled sibling of multitouch_credit."""
+    from .operators.funnel import markov_removal_effects
+    from .sources.readers import read_events
+
+    ev = read_events(spark, _t(sf_dir, "events"))
+    return markov_removal_effects(
+        ev, channels=_MK_CHANNELS, gap_minutes=_MK_GAP_MIN, iters=_MK_ITERS, ndigits=R
+    )
+
+
+def _sql_markov() -> str:
+    trans = """
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts, 1) OVER w > INTERVAL '1440 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessioned AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_idx
+                               ORDER BY ts, event_id) AS ern
+  FROM sessioned),
+fp AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ern END)
+              OVER (PARTITION BY user_id, session_idx) AS fp_ern
+  FROM ranked),
+kept AS (SELECT * FROM fp WHERE fp_ern IS NULL OR ern <= fp_ern),
+body AS (
+  SELECT event_type AS s_from,
+         COALESCE(CASE WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END, 'NULL') AS s_to
+  FROM (SELECT *, lead(event_type) OVER (PARTITION BY user_id, session_idx
+                                         ORDER BY ts, event_id) AS nxt
+        FROM kept) _k
+  WHERE event_type <> 'purchase'),
+firsts AS (
+  SELECT 'START' AS s_from,
+         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS s_to
+  FROM kept WHERE ern = 1),
+trans AS (
+  SELECT s_from, s_to, count(*) AS n
+  FROM (SELECT * FROM body UNION ALL SELECT * FROM firsts) _u
+  GROUP BY s_from, s_to),
+rowsum AS (SELECT s_from, sum(n) AS n_out FROM trans GROUP BY s_from),
+probs AS (
+  SELECT t.s_from, t.s_to, t.n / CAST(r.n_out AS DOUBLE) AS prob
+  FROM trans t JOIN rowsum r USING (s_from))"""
+
+    def run(tag: str, clamp: str | None) -> list[str]:
+        ctes = []
+        for k in range(1, _MK_ITERS + 1):
+            clamp_val = f" WHEN probs.s_to = '{clamp}' THEN 0.0" if clamp else ""
+            tail = (
+                "ELSE 0.0 END"
+                if k == 1
+                else f"ELSE COALESCE(p{tag}{k - 1}.p, 0.0) END"
+            )
+            val = (
+                "CASE WHEN probs.s_to = 'CONV' THEN 1.0"
+                f" WHEN probs.s_to = 'NULL' THEN 0.0{clamp_val} {tail}"
+            )
+            src = "probs" if k == 1 else (
+                f"probs LEFT JOIN p{tag}{k - 1} ON p{tag}{k - 1}.state = probs.s_to"
+            )
+            where = f" WHERE probs.s_from <> '{clamp}'" if clamp else ""
+            ctes.append(
+                f"p{tag}{k} AS (SELECT probs.s_from AS state,"
+                f" sum(probs.prob * ({val})) AS p FROM {src}{where} GROUP BY 1)"
+            )
+        return ctes
+
+    ctes = [trans]
+    ctes += run("base", None)
+    for c in _MK_CHANNELS:
+        ctes += run(c, c)
+    rem_union = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS channel, p AS removed_cvr FROM p{c}{_MK_ITERS} WHERE state = 'START'"
+        for c in _MK_CHANNELS
+    )
+    ctes.append(
+        f"base_p AS (SELECT p AS base_cvr FROM pbase{_MK_ITERS} WHERE state = 'START')"
+    )
+    ctes.append(f"rem AS ({rem_union})")
+    ctes.append(
+        "eff AS (SELECT channel, base_cvr, removed_cvr,"
+        " (base_cvr - removed_cvr) / base_cvr AS removal_effect"
+        " FROM rem, base_p)"
+    )
+    ctes.append("tot AS (SELECT sum(removal_effect) AS t FROM eff)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT channel, ROUND(base_cvr, {R}) + 0 AS base_cvr,
+       ROUND(removed_cvr, {R}) + 0 AS removed_cvr,
+       ROUND(removal_effect, {R}) + 0 AS removal_effect,
+       ROUND(removal_effect / tot.t, {R}) + 0 AS share
+FROM eff, tot
+"""
+    )
+
+
+EXT10_QUERIES["markov_attribution"] = (q_markov_attribution, _sql_markov())

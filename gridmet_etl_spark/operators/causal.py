@@ -70,31 +70,26 @@ def cuped(
         (F.col("sxy") / F.col("n") - F.col("sx") * F.col("sy") / (F.col("n") * F.col("n"))).alias("cov_xy"),
         ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")).alias("var_x"),
     )
-    per_arm = (
+    # one conditional-agg pass folds both arms into a single row (no
+    # per-arm filter branches re-evaluating the units rollup)
+    is_t, is_c = F.col(t_col) == 1, F.col(t_col) == 0
+    arms = (
         units.crossJoin(F.broadcast(g))
         .withColumn(
             "_adj", F.col(y_col) - F.col("theta") * (F.col(x_col) - F.col("xbar"))
         )
-        .groupBy(t_col)
         .agg(
-            F.count(F.lit(1)).alias("n_arm"),
-            F.avg(y_col).alias("mean_y"),
-            F.avg("_adj").alias("mean_adj"),
+            F.count(F.when(is_t, F.lit(1))).alias("n_t"),
+            F.avg(F.when(is_t, F.col(y_col))).alias("mean_y_t"),
+            F.avg(F.when(is_t, F.col("_adj"))).alias("mean_adj_t"),
+            F.count(F.when(is_c, F.lit(1))).alias("n_c"),
+            F.avg(F.when(is_c, F.col(y_col))).alias("mean_y_c"),
+            F.avg(F.when(is_c, F.col("_adj"))).alias("mean_adj_c"),
         )
-    )
-    t_row = per_arm.filter(F.col(t_col) == 1).select(
-        F.col("n_arm").alias("n_t"),
-        F.col("mean_y").alias("mean_y_t"),
-        F.col("mean_adj").alias("mean_adj_t"),
-    )
-    c_row = per_arm.filter(F.col(t_col) == 0).select(
-        F.col("n_arm").alias("n_c"),
-        F.col("mean_y").alias("mean_y_c"),
-        F.col("mean_adj").alias("mean_adj_c"),
     )
     rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
     return (
-        t_row.crossJoin(c_row)
+        arms
         .crossJoin(F.broadcast(g))
         .select(
             "n_t",
@@ -170,23 +165,17 @@ def did(
     DiD = (ȳ_post,t − ȳ_pre,t) − (ȳ_post,c − ȳ_pre,c) — removes any
     additive unit-invariant time trend. Output (1 row): the four cell
     means, both arms' deltas, and the DiD estimate. One bounded pass."""
-    cells = units.groupBy(t_col).agg(
-        F.count(F.lit(1)).alias("n_arm"),
-        F.avg(y_pre_col).alias("m_pre"),
-        F.avg(y_post_col).alias("m_post"),
-    )
-    t_row = cells.filter(F.col(t_col) == 1).select(
-        F.col("n_arm").alias("n_t"),
-        F.col("m_pre").alias("pre_t"),
-        F.col("m_post").alias("post_t"),
-    )
-    c_row = cells.filter(F.col(t_col) == 0).select(
-        F.col("n_arm").alias("n_c"),
-        F.col("m_pre").alias("pre_c"),
-        F.col("m_post").alias("post_c"),
+    is_t, is_c = F.col(t_col) == 1, F.col(t_col) == 0
+    cells = units.agg(
+        F.count(F.when(is_t, F.lit(1))).alias("n_t"),
+        F.avg(F.when(is_t, F.col(y_pre_col))).alias("pre_t"),
+        F.avg(F.when(is_t, F.col(y_post_col))).alias("post_t"),
+        F.count(F.when(is_c, F.lit(1))).alias("n_c"),
+        F.avg(F.when(is_c, F.col(y_pre_col))).alias("pre_c"),
+        F.avg(F.when(is_c, F.col(y_post_col))).alias("post_c"),
     )
     rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
-    return t_row.crossJoin(c_row).select(
+    return cells.select(
         "n_t",
         "n_c",
         rnd(F.col("pre_t")).alias("pre_t"),

@@ -185,3 +185,152 @@ def session_paths(
         F.size(F.split(F.col("path"), ">")).alias("n_events_path"),
         F.col("path").contains(convert_type).alias("converted"),
     ).withColumn("rank", F.row_number().over(w))
+
+
+def markov_transitions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """First-order Markov transition counts over gap-sessionized journeys:
+    START → first touch, touch → next touch, first ``convert_type`` event
+    absorbs to CONV (later same-session events are dropped — the standard
+    split-at-conversion rule), sessions without a conversion end
+    touch → NULL. Output: (s_from, s_to, n) — a |vocab|²-bounded relation
+    from user-partitioned windows + one output-sized count."""
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "new_s",
+        F.when(
+            (F.col("ts") - F.lag("ts", 1).over(wo))
+            > F.expr(f"INTERVAL {gap_minutes} MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    ranked = sessioned.withColumn("ern", F.row_number().over(ws))
+    fp = ranked.withColumn(
+        "fp_ern",
+        F.min(
+            F.when(F.col("event_type") == convert_type, F.col("ern"))
+        ).over(Window.partitionBy("user_id", "session_idx")),
+    )
+    kept = fp.filter(
+        F.col("fp_ern").isNull() | (F.col("ern") <= F.col("fp_ern"))
+    )
+    # lead must see the conversion row: materialize it BEFORE the
+    # non-purchase filter (a fused filter+window would drop the purchase
+    # row from the frame and every journey would end ->NULL)
+    with_next = kept.withColumn("_nxt", F.lead("event_type", 1).over(ws))
+    mapped_next = (
+        F.when(F.col("_nxt") == convert_type, F.lit("CONV"))
+        .when(F.col("_nxt").isNull(), F.lit("NULL"))
+        .otherwise(F.col("_nxt"))
+    )
+    body = with_next.filter(F.col("event_type") != convert_type).select(
+        F.col("event_type").alias("s_from"), mapped_next.alias("s_to")
+    )
+    first = kept.filter(F.col("ern") == 1).select(
+        F.lit("START").alias("s_from"),
+        F.when(F.col("event_type") == convert_type, F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("s_to"),
+    )
+    return (
+        body.unionByName(first)
+        .groupBy("s_from", "s_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def markov_removal_effects(
+    events: DataFrame,
+    channels: list[str],
+    gap_minutes: int = 30,
+    iters: int = 10,
+    convert_type: str = "purchase",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Markov-chain attribution (Anderl et al. 2014): conversion
+    probability from START via value iteration over the transition matrix,
+    and each channel's REMOVAL EFFECT — the relative drop in conversion
+    when that channel is knocked out (clamped to absorb at 0, i.e. its
+    traffic is lost) — normalized into attribution shares. The principled
+    sibling of linear multi-touch credit: a channel that only appears on
+    already-doomed paths earns ~0 here.
+
+    Scale shape: ONE data-sized pass builds the transition counts
+    (markov_transitions); everything after operates on the
+    |vocab|²-bounded probability relation — (1 + |channels|) × iters tiny
+    joins, lineage cut by localCheckpoint every 4 rounds (the pagerank
+    discipline). Channels are a plan-time parameter (the event-type
+    vocabulary), not a collected list.
+
+    Output: (channel, base_cvr, removed_cvr, removal_effect, share)."""
+    t = markov_transitions(events, gap_minutes, convert_type)
+    row = t.groupBy("s_from").agg(F.sum("n").alias("n_out"))
+    probs = (
+        t.join(F.broadcast(row), "s_from")
+        .select("s_from", "s_to", (F.col("n") / F.col("n_out")).alias("prob"))
+        .localCheckpoint(eager=False)
+    )
+
+    def absorb(clamp: str | None) -> DataFrame:
+        """p(START) after ``iters`` rounds of p(s) = Σ P(s→t)·val(t)."""
+        base = probs if clamp is None else probs.filter(F.col("s_from") != clamp)
+        p = None  # round 0: p ≡ 0 for transient states
+        for it in range(iters):
+            val = (
+                F.when(F.col("s_to") == "CONV", F.lit(1.0))
+                .when(F.col("s_to") == "NULL", F.lit(0.0))
+            )
+            if clamp is not None:
+                val = val.when(F.col("s_to") == clamp, F.lit(0.0))
+            if p is None:
+                val = val.otherwise(F.lit(0.0))
+                cur = base
+            else:
+                val = val.otherwise(F.coalesce(F.col("_p"), F.lit(0.0)))
+                cur = base.join(
+                    p.select(F.col("state").alias("_st"), F.col("p").alias("_p")),
+                    base["s_to"] == F.col("_st"),
+                    "left",
+                )
+            p = cur.groupBy(F.col("s_from").alias("state")).agg(
+                F.sum(F.col("prob") * val).alias("p")
+            )
+            if (it + 1) % 4 == 0:
+                p = p.localCheckpoint(eager=False)
+        assert p is not None
+        return p.filter(F.col("state") == "START").select("p")
+
+    base_p = absorb(None).select(F.col("p").alias("base_cvr"))
+    out = None
+    for c in channels:
+        removed = absorb(c).select(F.col("p").alias("removed_cvr"))
+        one = (
+            removed.crossJoin(F.broadcast(base_p))
+            .select(
+                F.lit(c).alias("channel"),
+                "base_cvr",
+                "removed_cvr",
+                (
+                    (F.col("base_cvr") - F.col("removed_cvr")) / F.col("base_cvr")
+                ).alias("removal_effect"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    assert out is not None
+    tot = out.agg(F.sum("removal_effect").alias("_tot"))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return out.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        rnd(F.col("base_cvr")).alias("base_cvr"),
+        rnd(F.col("removed_cvr")).alias("removed_cvr"),
+        rnd(F.col("removal_effect")).alias("removal_effect"),
+        rnd(F.col("removal_effect") / F.col("_tot")).alias("share"),
+    )

@@ -413,3 +413,59 @@ def test_session_paths_caps_runaway_sessions(spark):
     ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
     r = session_paths(ev, k=5, max_events=20).first()
     assert r.n_events_path == 20 and r.n_sessions == 1
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+
+def test_markov_removal_effects_hand_chain(spark):
+    """Channel A sits on every converting path (removal effect 1); channel
+    B only on doomed paths (effect 0) — the case where linear multi-touch
+    would still pay B. Probabilities are exact halves, so assertions are
+    exact."""
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.funnel import (
+        markov_removal_effects,
+        markov_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = []
+    eid = 0
+    for u in (1, 2):  # A -> purchase
+        rows += [(u, t0, (eid := eid + 1), "A"), (u, t0 + m, (eid := eid + 1), "purchase")]
+    for u in (3, 4):  # B -> (nothing)
+        rows += [(u, t0, (eid := eid + 1), "B"), (u, t0 + m, (eid := eid + 1), "B")]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+
+    t = {(r.s_from, r.s_to): r.n for r in markov_transitions(ev).collect()}
+    assert t[("START", "A")] == 2 and t[("A", "CONV")] == 2
+    assert t[("START", "B")] == 2 and t[("B", "B")] == 2 and t[("B", "NULL")] == 2
+
+    out = {r.channel: r for r in markov_removal_effects(ev, ["A", "B"], iters=6).collect()}
+    assert out["A"].base_cvr == 0.5
+    assert out["A"].removal_effect == 1.0 and out["A"].share == 1.0
+    assert out["B"].removal_effect == 0.0 and out["B"].share == 0.0
+
+
+def test_markov_two_hop_path_credit(spark):
+    """A->B->purchase: removing EITHER hop kills the conversion (both
+    effects 1), exactly what position-based heuristics get wrong."""
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.funnel import markov_removal_effects
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "A"), (1, t0 + m, 2, "B"), (1, t0 + 2 * m, 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {r.channel: r for r in markov_removal_effects(ev, ["A", "B"], iters=6).collect()}
+    assert out["A"].removal_effect == 1.0
+    assert out["B"].removal_effect == 1.0
+    assert out["A"].share == 0.5 and out["B"].share == 0.5

@@ -152,6 +152,29 @@ EXPECTED_SINGLE = {
     # deduction/total accumulators are 1-row unions — all bounded by the
     # capacity constant, never by data
     "heavy_hitters_mg",
+    # session-C causal trio: every single-partition stage is a scalar or
+    # near-scalar merge — cuped_adjust's global moment row g (1 row), the
+    # 2-row per-arm relation split into two 1-row arm relations and
+    # crossJoined; ipw_ate's |strata|-row (4) aggregate + 1-row totals;
+    # did_estimate's 2-row cells → two 1-row arm relations. The only
+    # data-sized stage in each is the user-grain partial-agg rollup.
+    "cuped_adjust", "ipw_ate", "did_estimate",
+    # rrf_fusion: fusion runs entirely on candidate lists (two top-50
+    # relations from bm25's TakeOrdered and cosine's WindowGroupLimit);
+    # the rank windows sort ≤ depth rows and the fused global window ≤
+    # 2·depth rows, plus bm25's 1-row corpus-stats scalar — all bounded by
+    # the candidate-depth constant, never by corpus size
+    "rrf_fusion",
+    # curve_compare: two global_rank |partitions|-row offset cumsums (the
+    # mann_whitney shape) over the |cells| relation, then everything runs
+    # on the |zones|-row (≤ 25 per curve) stats relations
+    "curve_compare",
+    # markov_attribution: the ONE data-sized stage is the sessionize/
+    # transition pass (user-partitioned windows); every later stage —
+    # the 50 value-iteration joins, START filters, removal-effect and
+    # share scalars — runs on the |vocab|²-bounded (≤ ~26-row) transition-
+    # probability relation and 1-row scalars
+    "markov_attribution",
 }
 
 

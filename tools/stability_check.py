@@ -47,6 +47,8 @@ WATCHLIST = [
     # and the KMV estimator divisions (single exact-operand divisions —
     # expected rock-stable; listed to prove it)
     "cuped_adjust", "ipw_ate", "did_estimate", "kmv_distinct", "kmv_set_ops",
+    # 10-round value-iteration float chain (the pagerank class)
+    "markov_attribution",
 ]
 
 SESSIONS = [
