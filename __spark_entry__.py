@@ -47,15 +47,15 @@ _MERGED = {
 # The driver caps its per-round oracle comparison at the first 50 queries
 # in registration order, so ORDER decides coverage. Round-5 window:
 # (0) the three r4 hash-mismatch queries, re-checked after the R=4
-# rounding hardening (contract_ext7), then (1) the 19 new round-5 queries
-# (contract_ext8 session A, contract_ext9 session B — the riskiest names
-# go under the cap first), then (2) the oldest never-driver-checked
-# backlog — 28 of its 48 names fit under the cap; the rest (skew_profile
-# through survivorship) queue for r6. Everything below the cap was green
-# in a full tools/check_oracle.py sweep (251/251 session A, re-swept with
-# the ext9 additions in session B). Audit trail: r1 = first 44 registry
-# names, r2/r3/r4 = the 50-name windows recorded in
-# CORRECTNESS_r0{2,3,4}.json.
+# rounding hardening (contract_ext7), then (1) the 30 new round-5 queries
+# (contract_ext8 session A, contract_ext9 session B, contract_ext10
+# session C — the riskiest names go under the cap first), then (2) the
+# oldest never-driver-checked backlog — ~17 of its names fit under the
+# cap; the rest (tpch_q15ish through survivorship) queue for r6.
+# Everything below the cap was green in a full tools/check_oracle.py
+# sweep (251/251 session A, re-swept after the ext9 and ext10 additions —
+# 272/272 session C). Audit trail: r1 = first 44 registry names,
+# r2/r3/r4 = the 50-name windows recorded in CORRECTNESS_r0{2,3,4}.json.
 _CHECK_FIRST = [
     # (0) r4 mismatches, re-verified post-hardening
     "kaplan_meier", "dsir_select", "lift_eval",
@@ -63,6 +63,7 @@ _CHECK_FIRST = [
     "kmv_distinct", "kmv_set_ops", "rrf_fusion", "link_prediction",
     "cuped_adjust", "ipw_ate", "did_estimate",
     "hilbert_layout", "curve_compare", "session_paths", "markov_attribution",
+    "woe_iv", "tpcds_multiband",
     "minhash_lsh_star", "line_dedup", "mixture_weights", "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size", "bias_als", "boilerplate_report",
     "mcv_stats", "equiheight_bins", "zone_map_prune", "join_order_advisor",
     "source_overlap", "ridge_regression",

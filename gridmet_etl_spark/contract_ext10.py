@@ -885,3 +885,132 @@ FROM eff, tot
 
 
 EXT10_QUERIES["markov_attribution"] = (q_markov_attribution, _sql_markov())
+
+# ---------------------------------------------------------------------------
+# WOE / Information Value feature screening
+# ---------------------------------------------------------------------------
+
+_WOE_BINS = 10
+_WOE_LAP = 0.5
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence table + information value for l_extendedprice
+    against the return flag (label = returnflag == 'R') — the
+    credit-scoring feature screen as one scan + bin-bounded arithmetic."""
+    from .operators.mlprep import woe_iv
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        "l_extendedprice",
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return woe_iv(li, "l_extendedprice", "y", n_bins=_WOE_BINS, laplace=_WOE_LAP, ndigits=R)
+
+
+def _sql_woe_iv() -> str:
+    return f"""
+WITH src AS (
+  SELECT l_extendedprice AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+b AS (SELECT min(x) AS lo, max(x) AS hi, (max(x) - min(x)) / {_WOE_BINS} AS w FROM src),
+binned AS (
+  SELECT least({_WOE_BINS - 1},
+               CAST(floor((src.x - b.lo) / b.w) AS INT)) AS bin, src.y, b.lo, b.w
+  FROM src, b),
+per_bin AS (
+  SELECT bin,
+         min(lo + bin * w) AS blo, min(lo + (bin + 1) * w) AS bhi,
+         count(CASE WHEN y = 1 THEN 1 END) AS n_pos,
+         count(CASE WHEN y = 0 THEN 1 END) AS n_neg
+  FROM binned GROUP BY bin),
+tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM per_bin),
+scored AS (
+  SELECT bin, blo, bhi, n_pos, n_neg,
+         ln(((n_pos + {_WOE_LAP}) / (tp + {_WOE_LAP * _WOE_BINS}))
+            / ((n_neg + {_WOE_LAP}) / (tn + {_WOE_LAP * _WOE_BINS}))) AS woe,
+         ((n_pos + {_WOE_LAP}) / (tp + {_WOE_LAP * _WOE_BINS})
+          - (n_neg + {_WOE_LAP}) / (tn + {_WOE_LAP * _WOE_BINS}))
+         * ln(((n_pos + {_WOE_LAP}) / (tp + {_WOE_LAP * _WOE_BINS}))
+              / ((n_neg + {_WOE_LAP}) / (tn + {_WOE_LAP * _WOE_BINS}))) AS iv_term
+  FROM per_bin, tot),
+iv AS (SELECT sum(iv_term) AS iv FROM scored)
+SELECT bin, ROUND(blo, {R}) + 0 AS lo, ROUND(bhi, {R}) + 0 AS hi,
+       n_pos, n_neg,
+       ROUND(woe, {R}) + 0 AS woe,
+       ROUND(iv_term, {R}) + 0 AS iv_term,
+       ROUND(iv.iv, {R}) + 0 AS iv
+FROM scored, iv
+"""
+
+
+EXT10_QUERIES["woe_iv"] = (q_woe_iv, _sql_woe_iv())
+
+# ---------------------------------------------------------------------------
+# TPC-DS q88 shape: N band predicates answered in ONE scan
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("q1_d1", 1, 10, 0.00, 0.03),
+    ("q1_d2", 1, 10, 0.03, 0.06),
+    ("q2_d1", 11, 20, 0.00, 0.03),
+    ("q2_d2", 11, 20, 0.03, 0.06),
+    ("q3_d1", 21, 30, 0.00, 0.03),
+    ("q3_d2", 21, 30, 0.03, 0.06),
+    ("q4_d1", 31, 40, 0.00, 0.03),
+    ("q4_d2", 31, 40, 0.03, 0.06),
+]
+
+
+def q_tpcds_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: eight (quantity band × discount band) counts +
+    revenue sums answered by ONE lineitem scan of conditional aggregates —
+    where a naive engine runs eight scans, the single-pass form is an 8×
+    I/O saving that grows with predicate count. Output: one row per band."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    aggs = []
+    for name, qlo, qhi, dlo, dhi in _BANDS:
+        hit = (
+            F.col("l_quantity").between(qlo, qhi)
+            & (F.col("l_discount") >= dlo)
+            & (F.col("l_discount") < dhi)
+        )
+        aggs.append(F.count(F.when(hit, F.lit(1))).alias(f"n_{name}"))
+        aggs.append(
+            F.round(
+                F.sum(F.when(hit, F.col("l_extendedprice"))), R
+            ).alias(f"rev_{name}")
+        )
+    one = li.agg(*aggs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("band"),
+                F.col(f"n_{name}").alias("n_rows"),
+                (F.col(f"rev_{name}") + F.lit(0.0)).alias("revenue"),
+            )
+            for name, *_ in _BANDS
+        ]
+    )
+    return one.select(F.explode(bands).alias("b")).select(
+        "b.band", "b.n_rows", "b.revenue"
+    )
+
+
+def _sql_tpcds_multiband() -> str:
+    parts = []
+    for name, qlo, qhi, dlo, dhi in _BANDS:
+        hit = (
+            f"l_quantity BETWEEN {qlo} AND {qhi}"
+            f" AND l_discount >= {dlo} AND l_discount < {dhi}"
+        )
+        parts.append(
+            f"SELECT '{name}' AS band,"
+            f" count(CASE WHEN {hit} THEN 1 END) AS n_rows,"
+            f" ROUND(sum(CASE WHEN {hit} THEN l_extendedprice END), {R}) + 0"
+            f" AS revenue FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+EXT10_QUERIES["tpcds_multiband"] = (q_tpcds_multiband, _sql_tpcds_multiband())

@@ -484,3 +484,73 @@ def ridge_closed_form(
         r(det2 / det).alias("b2"),
         r(det3 / det).alias("b3"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    laplace: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence / information-value binning — the credit-scoring
+    feature-screening standard: bin the feature into equal-width bands,
+    WOE(bin) = ln(P(bin|positive) / P(bin|negative)) with Laplace
+    smoothing, IV = Σ (P(bin|pos) − P(bin|neg))·WOE. |IV| reads as
+    predictive power (<0.02 useless, >0.3 strong).
+
+    Scale shape: one data-sized conditional-agg groupBy on the bin id
+    (min/max bounds are a 1-row scalar broadcast), then everything runs
+    on the n_bins-row relation; class totals come from a second bounded
+    agg over those rows — the fact table is scanned ONCE.
+
+    Equal-WIDTH bins keep the bin id a pure expression (no rank shuffle);
+    for equal-mass bins compose with planner.equiheight_bounds.
+    Output: (bin, lo, hi, n_pos, n_neg, woe, iv_term, iv) — iv repeated
+    per row for a one-relation readout."""
+    bounds = df.agg(
+        F.min(feature_col).alias("_lo"), F.max(feature_col).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    binned = df.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col(feature_col) - F.col("_lo")) / width).cast("int"),
+        ).alias("bin"),
+        F.col(label_col).alias("_y"),
+        "_lo",
+        "_hi",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.min(F.col("_lo") + F.col("bin") * width).alias("lo"),
+        F.min(F.col("_lo") + (F.col("bin") + 1) * width).alias("hi"),
+        F.count(F.when(F.col("_y") == 1, F.lit(1))).alias("n_pos"),
+        F.count(F.when(F.col("_y") == 0, F.lit(1))).alias("n_neg"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_pos").alias("_tp"), F.sum("n_neg").alias("_tn")
+    )
+    lap = F.lit(laplace)
+    with_tot = per_bin.crossJoin(F.broadcast(tot))
+    p_pos = (F.col("n_pos") + lap) / (F.col("_tp") + lap * n_bins)
+    p_neg = (F.col("n_neg") + lap) / (F.col("_tn") + lap * n_bins)
+    woe = F.log(p_pos / p_neg)
+    scored = with_tot.withColumn("_woe", woe).withColumn(
+        "_iv_term", (p_pos - p_neg) * F.col("_woe")
+    )
+    iv = scored.agg(F.sum("_iv_term").alias("_iv"))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return (
+        scored.crossJoin(F.broadcast(iv))
+        .select(
+            "bin",
+            rnd(F.col("lo")).alias("lo"),
+            rnd(F.col("hi")).alias("hi"),
+            "n_pos",
+            "n_neg",
+            rnd(F.col("_woe")).alias("woe"),
+            rnd(F.col("_iv_term")).alias("iv_term"),
+            rnd(F.col("_iv")).alias("iv"),
+        )
+    )

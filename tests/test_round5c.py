@@ -469,3 +469,39 @@ def test_markov_two_hop_path_credit(spark):
     assert out["A"].removal_effect == 1.0
     assert out["B"].removal_effect == 1.0
     assert out["A"].share == 0.5 and out["B"].share == 0.5
+
+
+# ---------------------------------------------------------------------------
+# WOE / IV
+# ---------------------------------------------------------------------------
+
+
+def test_woe_iv_separating_feature_scores_high(spark):
+    """A perfectly separating feature (positives all in the top bins)
+    gets a large IV; a label-independent feature's IV ≈ 0; WOE signs track
+    positive enrichment."""
+    from gridmet_etl_spark.operators.mlprep import woe_iv
+
+    sep = [(float(i), 1 if i >= 500 else 0) for i in range(1000)]
+    out = woe_iv(spark.createDataFrame(sep, ["x", "y"]), "x", "y", n_bins=4)
+    rows = {r.bin: r for r in out.collect()}
+    assert rows[0].woe < 0 < rows[3].woe
+    assert rows[0].iv > 1.0  # strong predictor (IV repeated per row)
+    flat = [(float(i), i % 2) for i in range(1000)]
+    out2 = woe_iv(spark.createDataFrame(flat, ["x", "y"]), "x", "y", n_bins=4)
+    assert abs(out2.first().iv) < 0.01
+
+
+def test_woe_iv_bin_conservation(spark):
+    """Bin counts conserve class totals; max value lands in the top bin
+    (the least() clamp)."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.mlprep import woe_iv
+
+    rows = [(float(i % 37), 1 if (i * 7) % 3 == 0 else 0) for i in range(500)]
+    out = woe_iv(spark.createDataFrame(rows, ["x", "y"]), "x", "y", n_bins=5)
+    agg = out.agg(F.sum("n_pos"), F.sum("n_neg"), F.max("bin")).first()
+    n_pos = sum(1 for _, y in rows if y == 1)
+    assert (agg[0], agg[1]) == (n_pos, 500 - n_pos)
+    assert agg[2] == 4

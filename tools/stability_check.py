@@ -49,6 +49,8 @@ WATCHLIST = [
     "cuped_adjust", "ipw_ate", "did_estimate", "kmv_distinct", "kmv_set_ops",
     # 10-round value-iteration float chain (the pagerank class)
     "markov_attribution",
+    # single-ln WOE path (pmi/lm class)
+    "woe_iv",
 ]
 
 SESSIONS = [
