@@ -1014,3 +1014,109 @@ def _sql_tpcds_multiband() -> str:
 
 
 EXT10_QUERIES["tpcds_multiband"] = (q_tpcds_multiband, _sql_tpcds_multiband())
+
+# ---------------------------------------------------------------------------
+# Feature hashing + class-balanced downsampling (training-prep pair)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 512
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization of the documents table into
+    512-dimension signed sparse triples — vocabulary-free, integer-exact,
+    one partial-agg shuffle."""
+    from .operators.retrieval import feature_hash
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return feature_hash(docs, dim=_FH_DIM)
+
+
+SQL_FEATURE_HASH = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+       unnest(d.t) AS u(tok)
+  WHERE u.tok <> ''),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('fh:' || tok), 1, 6) AS BIGINT) % {_FH_DIM} AS idx,
+         CASE WHEN CAST('0x' || substr(md5('fs:' || tok), 1, 2) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM toks)
+SELECT doc_id, idx, CAST(sum(s) AS BIGINT) AS val
+FROM h GROUP BY doc_id, idx
+HAVING sum(s) <> 0
+"""
+
+EXT10_QUERIES["feature_hash"] = (q_feature_hash, SQL_FEATURE_HASH)
+
+_CB_PCT = 10
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample of lineitem (positive = returned rows,
+    ~25%; negatives hash-kept at 10% with weight 10) — verified by the
+    closed-loop readout: per-class kept counts, weighted counts (weighted
+    negatives ≈ true negatives), and weighted revenue next to true
+    revenue."""
+    from .operators.sampling import class_balance
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        "l_extendedprice",
+    )
+    kept = class_balance(li, "y", "rid", neg_keep_pct=_CB_PCT)
+    truth = li.groupBy("y").agg(
+        F.count(F.lit(1)).alias("true_n"),
+        F.round(F.sum("l_extendedprice"), R).alias("true_rev"),
+    )
+    got = kept.groupBy("y").agg(
+        F.count(F.lit(1)).alias("kept_n"),
+        F.round(F.sum("weight"), R).alias("weighted_n"),
+        F.round(F.sum(F.col("weight") * F.col("l_extendedprice")), R).alias(
+            "weighted_rev"
+        ),
+    )
+    return got.join(truth, "y").select(
+        "y",
+        "kept_n",
+        (F.col("weighted_n") + F.lit(0.0)).alias("weighted_n"),
+        (F.col("weighted_rev") + F.lit(0.0)).alias("weighted_rev"),
+        "true_n",
+        (F.col("true_rev") + F.lit(0.0)).alias("true_rev"),
+    )
+
+
+def _sql_class_balance() -> str:
+    return f"""
+WITH src AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS rid,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         l_extendedprice
+  FROM lineitem),
+kept AS (
+  SELECT *, CASE WHEN y = 1 THEN 1.0 ELSE {100.0 / _CB_PCT} END AS weight
+  FROM src
+  WHERE y = 1
+     OR CAST('0x' || substr(md5('bal:' || rid), 1, 6) AS BIGINT) % 100 < {_CB_PCT}),
+truth AS (
+  SELECT y, count(*) AS true_n, ROUND(sum(l_extendedprice), {R}) AS true_rev
+  FROM src GROUP BY y),
+got AS (
+  SELECT y, count(*) AS kept_n, ROUND(sum(weight), {R}) AS weighted_n,
+         ROUND(sum(weight * l_extendedprice), {R}) AS weighted_rev
+  FROM kept GROUP BY y)
+SELECT got.y, got.kept_n, got.weighted_n + 0 AS weighted_n,
+       got.weighted_rev + 0 AS weighted_rev, truth.true_n,
+       truth.true_rev + 0 AS true_rev
+FROM got JOIN truth ON truth.y = got.y
+"""
+
+
+EXT10_QUERIES["class_balance"] = (q_class_balance, _sql_class_balance())

@@ -308,3 +308,43 @@ def rrf_fuse(
         .filter(F.col("fused_rank") <= k)
         .select(F.col("_id").alias(id_col), "n_systems", "rrf_score", "fused_rank")
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): token → feature
+    index md5-hash % dim, with a ±1 sign from an independent hash bit so
+    collisions cancel in expectation instead of biasing counts upward.
+    Output: sparse (id, idx, val) triples — the fixed-dimension,
+    vocabulary-free featurizer that feeds logistic_gd/ridge without a
+    vocab broadcast or a dictionary shuffle.
+
+    Scale shape: explode → ONE (id, idx) partial-agg shuffle, output
+    bounded by nnz ≤ tokens; integer-exact (signed counts), md5 parity
+    with the DuckDB oracle."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    idx = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 6), 16, 10)
+        .cast("long")
+        % dim
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("fs:"), F.col("tok"))), 1, 2), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(F.col(id_col), idx.alias("idx"), sign.alias("s"))
+        .groupBy(id_col, "idx")
+        .agg(F.sum("s").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )

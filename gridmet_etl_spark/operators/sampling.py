@@ -354,3 +354,37 @@ def temporal_split(
         .otherwise(F.lit("embargo"))
     )
     return df.withColumn("split", split)
+
+
+def class_balance(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    neg_keep_pct: int = 10,
+    salt: str = "bal",
+) -> DataFrame:
+    """Negative downsampling with importance-weight compensation — the
+    CTR-training standard for 100:1 class skew: keep every positive, keep
+    a deterministic md5 ``neg_keep_pct``% of negatives, and attach
+    ``weight`` (1 for positives, 100/neg_keep_pct for kept negatives) so
+    weighted statistics remain unbiased estimates of the full data
+    (Σ weight over kept negatives ≈ original negative count).
+
+    Hash sampling (not random) keeps the draw reproducible, join-stable
+    across reruns, and oracle-replayable; row-local predicate → zero
+    shuffles, fully scan-pushed."""
+    pct = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    keep = (F.col(label_col) == 1) | (pct < neg_keep_pct)
+    w = F.when(F.col(label_col) == 1, F.lit(1.0)).otherwise(
+        F.lit(100.0 / neg_keep_pct)
+    )
+    return df.filter(keep).withColumn("weight", w)

@@ -505,3 +505,43 @@ def test_woe_iv_bin_conservation(spark):
     n_pos = sum(1 for _, y in rows if y == 1)
     assert (agg[0], agg[1]) == (n_pos, 500 - n_pos)
     assert agg[2] == 4
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing + class balance
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hash_deterministic_and_bounded(spark):
+    """Same tokens → same triples across calls; indexes within [0, dim);
+    a doc's total |val| ≤ its token count (signs can only cancel)."""
+    from gridmet_etl_spark.operators.retrieval import feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b d")], ["doc_id", "text"]
+    )
+    t1 = sorted(map(tuple, feature_hash(docs, dim=16).collect()))
+    t2 = sorted(map(tuple, feature_hash(docs, dim=16).collect()))
+    assert t1 == t2 and len(t1) > 0
+    assert all(0 <= idx < 16 for _, idx, _ in t1)
+    tot1 = sum(abs(v) for d, _, v in t1 if d == 1)
+    assert tot1 <= 4
+
+
+def test_class_balance_keeps_all_positives_and_compensates(spark):
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.sampling import class_balance
+
+    rows = [(str(i), 1 if i % 20 == 0 else 0) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["rid", "y"])
+    kept = class_balance(df, "y", "rid", neg_keep_pct=10)
+    pos_kept = kept.filter(F.col("y") == 1).count()
+    assert pos_kept == sum(1 for _, y in rows if y == 1)  # positives untouched
+    neg = kept.filter(F.col("y") == 0)
+    n_neg_true = sum(1 for _, y in rows if y == 0)
+    n_neg_kept = neg.count()
+    assert 0.07 * n_neg_true < n_neg_kept < 0.13 * n_neg_true  # ~10% hash keep
+    wsum = neg.agg(F.sum("weight")).first()[0]
+    assert abs(wsum - n_neg_true) / n_neg_true < 0.3  # unbiased compensation
+    assert kept.filter(F.col("y") == 1).agg(F.min("weight")).first()[0] == 1.0
