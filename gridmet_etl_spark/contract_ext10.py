@@ -1120,3 +1120,47 @@ FROM got JOIN truth ON truth.y = got.y
 
 
 EXT10_QUERIES["class_balance"] = (q_class_balance, _sql_class_balance())
+
+# ---------------------------------------------------------------------------
+# Privacy audit: k-anonymity / l-diversity before release
+# ---------------------------------------------------------------------------
+
+_KA_K = 5
+_KA_L = 2
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of a customer-style release:
+    quasi-identifiers = (nation, market segment), sensitive = account
+    balance band. One quasi-key shuffle; the report is |class-sizes|-row."""
+    from .operators.mlprep import k_anonymity_report
+
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    rel = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000)).cast("int").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        rel, ["c_nationkey", "c_mktsegment"], "bal_band", k=_KA_K, el=_KA_L
+    )
+
+
+def _sql_k_anonymity() -> str:
+    return f"""
+WITH rel AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS INT) AS bal_band
+  FROM customer),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+         count(DISTINCT bal_band) AS l
+  FROM rel GROUP BY c_nationkey, c_mktsegment)
+SELECT n AS class_size, count(*) AS n_classes, sum(n) AS n_rows,
+       sum(CASE WHEN n < {_KA_K} THEN n ELSE 0 END) AS n_k_violating_rows,
+       sum(CASE WHEN l < {_KA_L} THEN n ELSE 0 END) AS n_ldiv_violating_rows
+FROM classes GROUP BY n
+"""
+
+
+EXT10_QUERIES["k_anonymity"] = (q_k_anonymity, _sql_k_anonymity())

@@ -554,3 +554,41 @@ def woe_iv(
             rnd(F.col("_iv")).alias("iv"),
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    el: int = 2,
+) -> DataFrame:
+    """Privacy-risk audit before a data release: group rows by the
+    quasi-identifier combination and report, per equivalence-class SIZE,
+    how many classes/rows sit at that size, how many violate k-anonymity
+    (class smaller than k → re-identifiable) and l-diversity (fewer than
+    ``el`` distinct sensitive values → attribute disclosure even when
+    k holds). Sweeney 2002 / Machanavajjhala 2007 as one groupBy.
+
+    Scale shape: one quasi-key partial-agg shuffle (count +
+    count_distinct per class), then the report aggregates the
+    |classes|-row relation by size — the fact table is scanned once.
+    Output: (class_size, n_classes, n_rows, n_k_violating_rows,
+    n_ldiv_violating_rows)."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(sensitive_col).alias("_l"),
+    )
+    return (
+        classes.groupBy(F.col("_n").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("_n").alias("n_rows"),
+            F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)).alias(
+                "n_k_violating_rows"
+            ),
+            F.sum(F.when(F.col("_l") < el, F.col("_n")).otherwise(0)).alias(
+                "n_ldiv_violating_rows"
+            ),
+        )
+    )

@@ -545,3 +545,30 @@ def test_class_balance_keeps_all_positives_and_compensates(spark):
     wsum = neg.agg(F.sum("weight")).first()[0]
     assert abs(wsum - n_neg_true) / n_neg_true < 0.3  # unbiased compensation
     assert kept.filter(F.col("y") == 1).agg(F.min("weight")).first()[0] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_flags_small_and_homogeneous_classes(spark):
+    """A singleton class violates k; a large-but-homogeneous class
+    violates l-diversity only; row totals conserve."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.mlprep import k_anonymity_report
+
+    rows = (
+        [("a", 1, i % 3) for i in range(10)]     # size 10, 3 sensitive values
+        + [("b", 2, 7)] * 6                       # size 6, homogeneous -> l-violation
+        + [("c", 3, 1)]                           # singleton -> k-violation
+    )
+    df = spark.createDataFrame(rows, ["q1", "q2", "s"])
+    rep = {r.class_size: r for r in
+           k_anonymity_report(df, ["q1", "q2"], "s", k=5, el=2).collect()}
+    assert rep[1].n_k_violating_rows == 1 and rep[1].n_ldiv_violating_rows == 1
+    assert rep[6].n_k_violating_rows == 0 and rep[6].n_ldiv_violating_rows == 6
+    assert rep[10].n_k_violating_rows == 0 and rep[10].n_ldiv_violating_rows == 0
+    total = sum(r.n_rows for r in rep.values())
+    assert total == len(rows)
