@@ -1164,3 +1164,59 @@ FROM classes GROUP BY n
 
 
 EXT10_QUERIES["k_anonymity"] = (q_k_anonymity, _sql_k_anonymity())
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve — the causal twin of lift_eval
+# ---------------------------------------------------------------------------
+
+_QINI_BINS = 10
+
+
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve on the experiment panel: targeting score = pre-period
+    activity, outcome = post-period value, 50/50 md5 assignment. Reports
+    cumulative incremental outcome per decile against the random-targeting
+    diagonal — whether 'target the pre-period heavy users' buys anything
+    INCREMENTAL, which lift_eval cannot answer."""
+    from .operators.causal import hash_pct, qini_curve
+
+    units = _causal_units(spark, sf_dir).withColumn(
+        "t", (hash_pct(F.col("user_id"), "assign") < 50).cast("int")
+    )
+    return qini_curve(
+        units, score_col="x", y_col="y", t_col="t", id_col="user_id",
+        n_bins=_QINI_BINS, ndigits=R,
+    )
+
+
+def _sql_qini() -> str:
+    return f"""
+WITH {_SQL_CAUSAL_UNITS},
+units AS (SELECT pu.*, {_SQL_ASSIGN_50} AS t FROM pu),
+ranked AS (
+  SELECT user_id, y, t,
+         row_number() OVER (ORDER BY -x, user_id) AS rn,
+         count(*) OVER () AS n_all
+  FROM units),
+binned AS (
+  SELECT CAST(((rn - 1) * {_QINI_BINS}) // n_all AS INT) AS bin,
+         count(*) AS n, sum(t) AS n_t,
+         sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS y_t,
+         sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS y_c
+  FROM ranked GROUP BY 1),
+cum AS (
+  SELECT bin, n, n_t,
+         sum(n) OVER w AS cn, sum(n_t) OVER w AS cnt,
+         sum(y_t) OVER w AS cyt, sum(y_c) OVER w AS cyc
+  FROM binned
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+q AS (SELECT bin, n, n_t, cn, cyt - cyc * cnt / (cn - cnt) AS qini FROM cum),
+fin AS (SELECT qini AS q_final, cn AS n_all FROM q ORDER BY bin DESC LIMIT 1)
+SELECT q.bin, q.n, CAST(q.n_t AS BIGINT) AS n_t,
+       ROUND(q.qini, {R}) + 0 AS cum_qini,
+       ROUND(fin.q_final * q.cn / fin.n_all, {R}) + 0 AS qini_random
+FROM q, fin
+"""
+
+
+EXT10_QUERIES["qini_uplift"] = (q_qini_uplift, _sql_qini())

@@ -186,3 +186,77 @@ def did(
             (F.col("post_t") - F.col("pre_t")) - (F.col("post_c") - F.col("pre_c"))
         ).alias("did"),
     )
+
+
+def qini_curve(
+    units: DataFrame,
+    score_col: str,
+    y_col: str,
+    t_col: str,
+    id_col: str,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Uplift-model evaluation (Radcliffe's Qini): rank units by the
+    targeting score (best first), cut into equal-count bins, and report
+    the cumulative incremental outcome
+    ``qini(b) = cum_y_t − cum_y_c · cum_n_t / cum_n_c`` against the
+    random-targeting diagonal — the causal twin of lift_curve (which
+    measures response, not INCREMENTAL response; a model that targets
+    sure-things scores high on lift and ~0 on Qini).
+
+    Scale shape: the lift_curve discipline — scale.global_rank (no
+    single-partition data sort), integer bin arithmetic on rn, conditional
+    aggregation to n_bins rows, cumulative window over those rows only.
+    Output: (bin, n, n_t, cum_qini, qini_random), bin 0 = best-scored."""
+    from pyspark.sql import Window
+
+    from .scale import global_rank
+
+    base = units.select(
+        F.col(id_col).alias("_id"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(t_col).cast("int").alias("_t"),
+        (-F.col(score_col).cast("double")).alias("_negs"),
+    )
+    ranked = global_rank(base, "_negs", tie_cols=["_id"], with_rank=False)
+    tot = base.agg(F.count(F.lit(1)).alias("_n"))
+    binned = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"((rn - 1) * {n_bins}) div _n").alias("bin"),
+            "_y",
+            "_t",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_t").alias("n_t"),
+            F.sum(F.when(F.col("_t") == 1, F.col("_y")).otherwise(0.0)).alias("y_t"),
+            F.sum(F.when(F.col("_t") == 0, F.col("_y")).otherwise(0.0)).alias("y_c"),
+        )
+    )
+    w = Window.orderBy("bin")  # n_bins rows — bounded by construction
+    cum = binned.select(
+        "bin",
+        "n",
+        "n_t",
+        F.sum("n").over(w).alias("_cn"),
+        F.sum("n_t").over(w).alias("_cnt"),
+        F.sum("y_t").over(w).alias("_cyt"),
+        F.sum("y_c").over(w).alias("_cyc"),
+    ).withColumn(
+        "_qini",
+        F.col("_cyt") - F.col("_cyc") * F.col("_cnt") / (F.col("_cn") - F.col("_cnt")),
+    )
+    total = cum.orderBy(F.col("bin").desc()).limit(1).select(
+        F.col("_qini").alias("_q_final"), F.col("_cn").alias("_n_all")
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return cum.crossJoin(F.broadcast(total)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "n_t",
+        rnd(F.col("_qini")).alias("cum_qini"),
+        rnd(F.col("_q_final") * F.col("_cn") / F.col("_n_all")).alias("qini_random"),
+    )

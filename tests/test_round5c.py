@@ -572,3 +572,42 @@ def test_k_anonymity_flags_small_and_homogeneous_classes(spark):
     assert rep[10].n_k_violating_rows == 0 and rep[10].n_ldiv_violating_rows == 0
     total = sum(r.n_rows for r in rep.values())
     assert total == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift
+# ---------------------------------------------------------------------------
+
+
+def test_qini_perfect_targeting_beats_diagonal(spark):
+    """Units whose effect is concentrated in the high-score half: the
+    model's Qini dominates the random diagonal at mid-curve and meets it
+    at the end (both end at total incremental outcome)."""
+    from gridmet_etl_spark.operators.causal import qini_curve
+
+    rows = []
+    for i in range(400):
+        t = i % 2
+        score = float(400 - i)  # i < 200 -> high score
+        effect = 5.0 if i < 200 else 0.0  # effect only where score is high
+        y = 10.0 + effect * t
+        rows.append((i, score, y, t))
+    df = spark.createDataFrame(rows, ["uid", "s", "y", "t"])
+    out = {r.bin: r for r in qini_curve(df, "s", "y", "t", "uid").collect()}
+    last = out[max(out)]
+    assert abs(last.cum_qini - last.qini_random) < 1e-6  # curves meet at 100%
+    mid = out[4]
+    assert mid.cum_qini > mid.qini_random + 100  # strong dominance mid-curve
+    assert abs(last.cum_qini - 200 * 5.0 / 2) < 60  # ≈ total incremental mass
+
+
+def test_qini_null_model_tracks_diagonal(spark):
+    """Uniform effect + score independent of effect: the Qini curve stays
+    near the diagonal (no incremental targeting signal)."""
+    from gridmet_etl_spark.operators.causal import qini_curve
+
+    rows = [(i, float((i * 7) % 13), 10.0 + 2.0 * (i % 2), i % 2) for i in range(400)]
+    df = spark.createDataFrame(rows, ["uid", "s", "y", "t"])
+    out = qini_curve(df, "s", "y", "t", "uid").collect()
+    for r in out:
+        assert abs(r.cum_qini - r.qini_random) < 0.25 * max(abs(r.qini_random), 50)

@@ -51,6 +51,8 @@ WATCHLIST = [
     "markov_attribution",
     # single-ln WOE path (pmi/lm class)
     "woe_iv",
+    # decile-cumulative float ratios over the global rank (lift_eval class)
+    "qini_uplift",
 ]
 
 SESSIONS = [
