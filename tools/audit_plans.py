@@ -169,6 +169,17 @@ EXPECTED_SINGLE = {
     # mann_whitney shape) over the |cells| relation, then everything runs
     # on the |zones|-row (≤ 25 per curve) stats relations
     "curve_compare",
+    # qini_uplift: lift_eval's exact shape — global_rank's
+    # |partitions|-row offset cumsum, the n_bins-row cumulative window,
+    # and a 1-row final-bin totals scalar
+    "qini_uplift",
+    # tpcds_multiband: ONE global conditional-agg row (16 aggregates)
+    # exploded into 8 band rows — the corr_matrix/profile_lineitem shape
+    "tpcds_multiband",
+    # woe_iv: 1-row min/max bounds scalar broadcast into the bin
+    # expression, then the n_bins-row relation and its 1-row class-total
+    # and IV scalars — bm25 corpus-stats shape
+    "woe_iv",
     # markov_attribution: the ONE data-sized stage is the sessionize/
     # transition pass (user-partitioned windows); every later stage —
     # the 50 value-iteration joins, START filters, removal-effect and
