@@ -1220,3 +1220,55 @@ FROM q, fin
 
 
 EXT10_QUERIES["qini_uplift"] = (q_qini_uplift, _sql_qini())
+
+# ---------------------------------------------------------------------------
+# Polygon geometry summary: shoelace area + true centroid (HOF, zero UDFs)
+# ---------------------------------------------------------------------------
+
+
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area + centroid for the polygon fixture rings (the geopandas
+    `.area`/`.centroid` the reference leans on, as codegen expressions).
+    Reference parity: etl.py:322 needs feature bounds; helper.py:44-69
+    builds centroid points for the nearest-donor join — this is the
+    in-engine source for both."""
+    import os
+
+    from .contract import FIXDIR
+    from .operators.spatial_weights import polygon_metrics
+
+    polys = spark.read.parquet(os.path.join(FIXDIR, "polygons.parquet"))
+    return polygon_metrics(polys, ndigits=R)
+
+
+def _sql_polygon_metrics() -> str:
+    import os
+
+    from .contract import FIXDIR
+
+    path = os.path.join(FIXDIR, "polygons.parquet")
+    # DuckDB lists are 1-indexed; rings are open (wrap term closes them)
+    cross = "list_transform(generate_series(1, len(xs) - 1), k -> xs[k] * ys[k + 1] - xs[k + 1] * ys[k])"
+    wrap = "(xs[len(xs)] * ys[1] - xs[1] * ys[len(ys)])"
+    cxs = "list_transform(generate_series(1, len(xs) - 1), k -> (xs[k] + xs[k + 1]) * (xs[k] * ys[k + 1] - xs[k + 1] * ys[k]))"
+    cys = "list_transform(generate_series(1, len(xs) - 1), k -> (ys[k] + ys[k + 1]) * (xs[k] * ys[k + 1] - xs[k + 1] * ys[k]))"
+    return f"""
+WITH base AS (
+  SELECT feature_id, len(xs) AS n_vertices,
+         list_sum({cross}) + {wrap} AS two_a,
+         list_sum({cxs}) + (xs[len(xs)] + xs[1]) * {wrap} AS cxs,
+         list_sum({cys}) + (ys[len(ys)] + ys[1]) * {wrap} AS cys,
+         list_sum(xs) / len(xs) AS mx,
+         list_sum(ys) / len(ys) AS my
+  FROM read_parquet('{path}'))
+SELECT feature_id, CAST(n_vertices AS INT) AS n_vertices,
+       ROUND(abs(two_a) / 2, {R}) + 0 AS area,
+       ROUND(CASE WHEN abs(two_a) < 1e-12 THEN mx
+                  ELSE cxs / (3.0 * two_a) END, {R}) + 0 AS cx,
+       ROUND(CASE WHEN abs(two_a) < 1e-12 THEN my
+                  ELSE cys / (3.0 * two_a) END, {R}) + 0 AS cy
+FROM base
+"""
+
+
+EXT10_QUERIES["polygon_metrics"] = (q_polygon_metrics, _sql_polygon_metrics())

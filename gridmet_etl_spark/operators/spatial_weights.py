@@ -200,3 +200,65 @@ def cell_coverage_weights(
             (F.col("_cnt") / F.col("_tot")).alias("wght"),
         )
     )
+
+
+def polygon_metrics(polys: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Shoelace area + vertex-weighted centroid per polygon ring — the
+    geometry summary the reference delegates to geopandas (`.area`,
+    `.centroid` via shapely), computed as pure higher-order-function
+    column expressions over the (xs, ys) vertex arrays: zero shuffles,
+    zero UDFs, codegen end-to-end, so 10⁹ polygons cost one scan.
+
+    Shoelace (rings stored OPEN — the closing edge is added explicitly):
+    2A = Σ_k (x_k·y_{k+1} − x_{k+1}·y_k) + (x_n·y_1 − x_1·y_n);
+    centroid C = (1/6A)·Σ (p_k + p_{k+1})·cross_k (same wrap term).
+    Signed math keeps orientation; area is reported absolute, and the
+    true-centroid formula divides by the SIGNED area so it is
+    orientation-independent. Degenerate (zero-area) rings fall back to
+    the vertex mean. Output: (feature_id, n_vertices, area, cx, cy)."""
+    cross_terms = (
+        "transform(sequence(0, size(xs) - 2), k -> "
+        "xs[k] * ys[k + 1] - xs[k + 1] * ys[k])"
+    )
+    wrap = "(element_at(xs, -1) * ys[0] - xs[0] * element_at(ys, -1))"
+    two_a = f"aggregate({cross_terms}, 0D, (a, t) -> a + t) + {wrap}"
+    cx_terms = (
+        "transform(sequence(0, size(xs) - 2), k -> "
+        "(xs[k] + xs[k + 1]) * (xs[k] * ys[k + 1] - xs[k + 1] * ys[k]))"
+    )
+    cy_terms = (
+        "transform(sequence(0, size(xs) - 2), k -> "
+        "(ys[k] + ys[k + 1]) * (xs[k] * ys[k + 1] - xs[k + 1] * ys[k]))"
+    )
+    cx_wrap = f"(element_at(xs, -1) + xs[0]) * {wrap}"
+    cy_wrap = f"(element_at(ys, -1) + ys[0]) * {wrap}"
+    cx_sum = f"aggregate({cx_terms}, 0D, (a, t) -> a + t) + {cx_wrap}"
+    cy_sum = f"aggregate({cy_terms}, 0D, (a, t) -> a + t) + {cy_wrap}"
+    mean_x = "aggregate(xs, 0D, (a, t) -> a + t) / size(xs)"
+    mean_y = "aggregate(ys, 0D, (a, t) -> a + t) / size(ys)"
+    out = polys.select(
+        "feature_id",
+        F.size("xs").alias("n_vertices"),
+        F.expr(two_a).alias("_2a"),
+        F.expr(cx_sum).alias("_cxs"),
+        F.expr(cy_sum).alias("_cys"),
+        F.expr(mean_x).alias("_mx"),
+        F.expr(mean_y).alias("_my"),
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    degenerate = F.abs(F.col("_2a")) < 1e-12
+    return out.select(
+        "feature_id",
+        "n_vertices",
+        rnd(F.abs(F.col("_2a")) / 2).alias("area"),
+        rnd(
+            F.when(degenerate, F.col("_mx")).otherwise(
+                F.col("_cxs") / (F.lit(3.0) * F.col("_2a"))
+            )
+        ).alias("cx"),
+        rnd(
+            F.when(degenerate, F.col("_my")).otherwise(
+                F.col("_cys") / (F.lit(3.0) * F.col("_2a"))
+            )
+        ).alias("cy"),
+    )

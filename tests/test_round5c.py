@@ -656,3 +656,32 @@ def test_write_curve_clustered_prunes_files(spark, tmp_path):
     # row totals survive the clustered write
     assert spark.read.parquet(clustered).count() == 1600
     assert "_ck" in spark.read.parquet(clustered).columns
+
+
+# ---------------------------------------------------------------------------
+# Polygon shoelace metrics
+# ---------------------------------------------------------------------------
+
+
+def test_polygon_metrics_square_and_orientation(spark):
+    """Unit square: area 1, centroid (.5, .5) — in both orientations
+    (signed-area cancellation); an L-shape matches the hand shoelace;
+    a degenerate segment falls back to the vertex mean."""
+    from gridmet_etl_spark.operators.spatial_weights import polygon_metrics
+
+    sq = [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]
+    sq_rev = list(reversed(sq[0])), list(reversed(sq[1]))
+    ell = [0.0, 2.0, 2.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0, 2.0, 2.0]
+    seg = [0.0, 1.0], [0.0, 1.0]
+    df = spark.createDataFrame(
+        [(1, *sq), (2, *sq_rev), (3, *ell), (4, *seg)],
+        ["feature_id", "xs", "ys"],
+    )
+    out = {r.feature_id: r for r in polygon_metrics(df).collect()}
+    assert (out[1].area, out[1].cx, out[1].cy) == (1.0, 0.5, 0.5)
+    assert (out[2].area, out[2].cx, out[2].cy) == (1.0, 0.5, 0.5)
+    # L-shape: area 3; centroid = area-weighted sub-rectangle centroids:
+    # (2*(1,.5) + 1*(.5,1.5)) / 3 = (2.5/3, 2.5/3)
+    assert out[3].area == 3.0
+    assert abs(out[3].cx - 2.5 / 3) < 1e-6 and abs(out[3].cy - 2.5 / 3) < 1e-6
+    assert out[4].area == 0.0 and out[4].cx == 0.5 and out[4].cy == 0.5
