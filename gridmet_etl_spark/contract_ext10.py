@@ -1272,3 +1272,45 @@ FROM base
 
 
 EXT10_QUERIES["polygon_metrics"] = (q_polygon_metrics, _sql_polygon_metrics())
+
+# ---------------------------------------------------------------------------
+# DP count release (Laplace mechanism, seeded sampler)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+
+
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 Laplace count release of per-(event_type, day) activity — the
+    k_anonymity sibling for aggregate publication. Seeded inverse-CDF
+    noise → reproducible release, oracle-replayable; true counts NOT in
+    the output (that would be the whole point lost) — the pytest checks
+    calibration against truth instead."""
+    from .operators.mlprep import dp_noisy_counts
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        "event_type", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    )
+    return dp_noisy_counts(ev, ["event_type", "day"], epsilon=_DP_EPS)
+
+
+def _sql_dp_release() -> str:
+    b = 1.0 / _DP_EPS
+    return f"""
+WITH counts AS (
+  SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+keyed AS (
+  SELECT event_type, day, n,
+         CAST(CAST('0x' || substr(md5('dp:' || event_type || '|' || day), 1, 12)
+              AS BIGINT) AS DOUBLE) / {float(1 << 48)} AS u
+  FROM counts)
+SELECT event_type, day,
+       ROUND(n + (-{b}) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), {R}) + 0
+         AS noisy_count
+FROM keyed
+"""
+
+
+EXT10_QUERIES["dp_release"] = (q_dp_release, _sql_dp_release())

@@ -685,3 +685,29 @@ def test_polygon_metrics_square_and_orientation(spark):
     assert out[3].area == 3.0
     assert abs(out[3].cx - 2.5 / 3) < 1e-6 and abs(out[3].cy - 2.5 / 3) < 1e-6
     assert out[4].area == 0.0 and out[4].cx == 0.5 and out[4].cy == 0.5
+
+
+# ---------------------------------------------------------------------------
+# DP release
+# ---------------------------------------------------------------------------
+
+
+def test_dp_noise_calibration_and_reproducibility(spark):
+    """Noise is Laplace(1/ε)-calibrated (mean |noise| ≈ b over many
+    groups), zero-mean-ish, reproducible across runs, and scales with
+    1/ε."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.mlprep import dp_noisy_counts
+
+    df = spark.createDataFrame([(str(i), 1) for i in range(2000)], ["g", "x"])
+    out1 = dp_noisy_counts(df, ["g"], epsilon=1.0)
+    out2 = dp_noisy_counts(df, ["g"], epsilon=1.0)
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+    noise = out1.select((F.col("noisy_count") - 1).alias("e"))
+    stats = noise.agg(F.avg("e"), F.avg(F.abs(F.col("e")))).first()
+    assert abs(stats[0]) < 0.15          # ~zero-mean
+    assert 0.8 < stats[1] < 1.2          # E|Laplace(b=1)| = b = 1
+    tight = dp_noisy_counts(df, ["g"], epsilon=10.0)
+    m = tight.select(F.avg(F.abs(F.col("noisy_count") - 1))).first()[0]
+    assert 0.08 < m < 0.12               # b = 0.1 at eps 10

@@ -53,6 +53,8 @@ WATCHLIST = [
     "woe_iv",
     # decile-cumulative float ratios over the global rank (lift_eval class)
     "qini_uplift",
+    # seeded-Laplace ln path (single transcendental per row)
+    "dp_release",
 ]
 
 SESSIONS = [
