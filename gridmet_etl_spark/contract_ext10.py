@@ -1314,3 +1314,82 @@ FROM keyed
 
 
 EXT10_QUERIES["dp_release"] = (q_dp_release, _sql_dp_release())
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast: unrolled level/trend recursion
+# ---------------------------------------------------------------------------
+
+_HOLT_STEPS = 30  # every SF's events table spans exactly 2024-01-01..-30
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+_HOLT_H = 7
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day Holt linear-trend forecast of daily value per event type:
+    one pivot shuffle, then the 29-step smoothing recursion as chained
+    projections — the sequential-recurrence forecast windows can't
+    express, unrolled at plan time. Inputs are rounded daily sums, so the
+    recursion is bit-identical cross-engine."""
+    from .operators.timeseries import holt_forecast
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+        F.col("value").alias("y"),
+    )
+    return holt_forecast(
+        ev, ["event_type"], n_steps=_HOLT_STEPS, alpha=_HOLT_ALPHA,
+        beta=_HOLT_BETA, horizon=_HOLT_H, ndigits=R,
+    )
+
+
+def _sql_holt() -> str:
+    a = _HOLT_ALPHA
+    b = _HOLT_BETA
+    one_a = repr(1 - a)  # the SAME python double Spark's F.lit(1 - a) ships
+    one_b = repr(1 - b)
+    ys = ",\n         ".join(
+        f"ROUND(COALESCE(sum(CASE WHEN t = {k} THEN value END), 0), {R}) AS y{k}"
+        for k in range(_HOLT_STEPS)
+    )
+    ctes = [
+        f"""daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t, value
+  FROM events)""",
+        f"""wide AS (
+  SELECT event_type,
+         {ys}
+  FROM daily GROUP BY event_type)""",
+        "s1 AS (SELECT *, y0 AS l, y1 - y0 AS bb,"
+        " CAST(0.0 AS DOUBLE) AS ape FROM wide)",
+    ]
+    step = 1
+    for t in range(1, _HOLT_STEPS):
+        prev, step = step, step + 1
+        ctes.append(f"""s{step} AS (
+  SELECT event_type, {", ".join(f"y{k}" for k in range(_HOLT_STEPS))},
+         {a} * y{t} + {one_a} * (l + bb) AS l,
+         {b} * (({a} * y{t} + {one_a} * (l + bb)) - l) + {one_b} * bb AS bb,
+         ape + CASE WHEN abs(y{t}) + abs(l + bb) > 0
+                    THEN 2.0 * abs(y{t} - (l + bb)) / (abs(y{t}) + abs(l + bb))
+                    ELSE 0.0 END AS ape
+  FROM s{prev})""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT event_type, CAST(g.h AS INT) AS h,
+       ROUND(l + g.h * bb, {R}) + 0 AS forecast,
+       ROUND(l, {R}) + 0 AS level,
+       ROUND(bb, {R}) + 0 AS trend,
+       ROUND(ape / {_HOLT_STEPS - 1}, {R}) + 0 AS smape_fit
+FROM s{step}, generate_series(1, {_HOLT_H}) g(h)
+"""
+    )
+
+
+EXT10_QUERIES["holt_forecast"] = (q_holt_forecast, _sql_holt())

@@ -767,3 +767,96 @@ def forecast_backtest(
             F.count(F.lit(1)).alias("n_scored"),
         )
     )
+
+
+def holt_forecast(
+    daily: DataFrame,
+    key_cols: list[str],
+    idx_col: str = "day_idx",
+    y_col: str = "y",
+    n_steps: int = 30,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 7,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Holt linear-trend (double exponential) forecast, fully unrolled:
+    pivot each series to ``n_steps`` value columns, then run the
+    level/trend recursion l_t = α·y_t + (1−α)(l+b), b_t = β(l_t−l) +
+    (1−β)b as ``n_steps−1`` chained PROJECTIONS — after the one pivot
+    shuffle the whole fit is scalar column arithmetic (codegen, zero
+    exchanges, 10⁹ series fit in one pass). The smoothing recursion is
+    sequential in t, which kills window formulations; a fixed horizon
+    makes unrolling the plan-time answer (the hilbert_key_stages
+    discipline: stages reference columns by name, no expression blowup).
+
+    Inputs y_t are ROUNDED daily aggregates, so the recursion consumes
+    bit-identical operands in any engine and every later op is fixed-order
+    scalar IEEE arithmetic — deterministic end to end (no float-sum-order
+    hazard after the pivot). Missing steps are 0-filled (absent day = no
+    activity in an event stream). Also reports in-sample one-step sMAPE.
+
+    Output: (*key_cols, h, forecast, level, trend, smape_fit), h ∈
+    [1, horizon] with forecast = level + h·trend."""
+    cells = [
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col(idx_col) == t, F.col(y_col))), F.lit(0.0)
+            ),
+            ndigits,
+        ).alias(f"_y{t}")
+        for t in range(n_steps)
+    ]
+    wide = daily.groupBy(*key_cols).agg(*cells)
+    cur = wide.select(
+        *key_cols,
+        *[f"_y{t}" for t in range(n_steps)],
+        F.col("_y0").alias("_l"),
+        (F.col("_y1") - F.col("_y0")).alias("_b"),
+        F.lit(0.0).alias("_ape"),  # running Σ symmetric abs pct errors
+        F.lit(0).alias("_nf"),
+    )
+    a, b_ = alpha, beta
+    for t in range(1, n_steps):
+        f_t = F.col("_l") + F.col("_b")  # one-step-ahead fitted value
+        y_t = F.col(f"_y{t}")
+        denom = F.abs(y_t) + F.abs(f_t)
+        ape = F.when(denom > 0, F.lit(2.0) * F.abs(y_t - f_t) / denom).otherwise(
+            F.lit(0.0)
+        )
+        l_new = F.lit(a) * y_t + F.lit(1 - a) * (F.col("_l") + F.col("_b"))
+        cur = cur.select(
+            *key_cols,
+            *[f"_y{k}" for k in range(n_steps)],
+            l_new.alias("_l_new"),
+            F.col("_l").alias("_l_old"),
+            F.col("_b"),
+            (F.col("_ape") + ape).alias("_ape"),
+            (F.col("_nf") + 1).alias("_nf"),
+        ).select(
+            *key_cols,
+            *[f"_y{k}" for k in range(n_steps)],
+            F.col("_l_new").alias("_l"),
+            (
+                F.lit(b_) * (F.col("_l_new") - F.col("_l_old"))
+                + F.lit(1 - b_) * F.col("_b")
+            ).alias("_b"),
+            "_ape",
+            "_nf",
+        )
+    hs = F.explode(F.array(*[F.lit(h) for h in range(1, horizon + 1)])).alias("h")
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return cur.select(
+        *key_cols,
+        hs,
+        F.col("_l").alias("__l"),
+        F.col("_b").alias("__b"),
+        (F.col("_ape") / F.col("_nf")).alias("__sm"),
+    ).select(
+        *key_cols,
+        "h",
+        rnd(F.col("__l") + F.col("h") * F.col("__b")).alias("forecast"),
+        rnd(F.col("__l")).alias("level"),
+        rnd(F.col("__b")).alias("trend"),
+        rnd(F.col("__sm")).alias("smape_fit"),
+    )

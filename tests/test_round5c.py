@@ -711,3 +711,34 @@ def test_dp_noise_calibration_and_reproducibility(spark):
     tight = dp_noisy_counts(df, ["g"], epsilon=10.0)
     m = tight.select(F.avg(F.abs(F.col("noisy_count") - 1))).first()[0]
     assert 0.08 < m < 0.12               # b = 0.1 at eps 10
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast
+# ---------------------------------------------------------------------------
+
+
+def test_holt_tracks_perfect_line_exactly(spark):
+    """On y_t = c + m·t the Holt recursion is exact (l_t = y_t, b_t = m
+    invariant), so the h-step forecast extrapolates the line with zero
+    in-sample error."""
+    from gridmet_etl_spark.operators.timeseries import holt_forecast
+
+    rows = [("s", t, 5.0 + 2.0 * t) for t in range(30)]
+    df = spark.createDataFrame(rows, ["event_type", "day_idx", "y"])
+    out = {r.h: r for r in
+           holt_forecast(df, ["event_type"], n_steps=30, horizon=3).collect()}
+    assert out[1].smape_fit == 0.0
+    assert out[1].trend == 2.0
+    assert out[1].level == 5.0 + 2.0 * 29
+    for h in (1, 2, 3):
+        assert out[h].forecast == 5.0 + 2.0 * (29 + h)
+
+
+def test_holt_flat_series_zero_trend(spark):
+    from gridmet_etl_spark.operators.timeseries import holt_forecast
+
+    rows = [("s", t, 7.0) for t in range(30)]
+    df = spark.createDataFrame(rows, ["event_type", "day_idx", "y"])
+    r = holt_forecast(df, ["event_type"], n_steps=30, horizon=1).first()
+    assert (r.level, r.trend, r.forecast, r.smape_fit) == (7.0, 0.0, 7.0, 0.0)

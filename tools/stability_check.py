@@ -55,6 +55,9 @@ WATCHLIST = [
     "qini_uplift",
     # seeded-Laplace ln path (single transcendental per row)
     "dp_release",
+    # 29-step chained smoothing recursion on rounded inputs (should be
+    # bit-stable by construction; listed to prove it)
+    "holt_forecast",
 ]
 
 SESSIONS = [
