@@ -1393,3 +1393,70 @@ FROM s{step}, generate_series(1, {_HOLT_H}) g(h)
 
 
 EXT10_QUERIES["holt_forecast"] = (q_holt_forecast, _sql_holt())
+
+# ---------------------------------------------------------------------------
+# Classification report: per-class P/R/F1 + macro/micro
+# ---------------------------------------------------------------------------
+
+
+def q_f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 per class + MACRO/MICRO rows for the Rocchio
+    nearest-centroid classifier on the labeled embeddings — composed from
+    the same confusion relation centroid_classify exposes; all post-
+    confusion math is |classes|²-bounded."""
+    from .operators.mlprep import nearest_centroid
+    from .operators.scoring import f1_report
+
+    from .contract import _pq
+
+    emb = _pq(spark, _t(sf_dir, "embeddings"))
+    conf = nearest_centroid(emb, rank_round=R)
+    return f1_report(conf, label_col="label", pred_col="assigned", n_col="n", ndigits=R)
+
+
+def _sql_f1_report() -> str:
+    from .contract_ext2 import SQL_CENTROID_CLASSIFY
+
+    return f"""
+WITH conf AS ({SQL_CENTROID_CLASSIFY}),
+per_true AS (SELECT label AS c, sum(n) AS n_true FROM conf GROUP BY 1),
+per_pred AS (SELECT assigned AS c, sum(n) AS n_pred FROM conf GROUP BY 1),
+tp AS (SELECT label AS c, sum(n) AS tp FROM conf WHERE label = assigned GROUP BY 1),
+base AS (
+  SELECT COALESCE(pt.c, pp.c) AS c,
+         COALESCE(pt.n_true, 0) AS n_true,
+         COALESCE(pp.n_pred, 0) AS n_pred,
+         COALESCE(t.tp, 0) AS tp
+  FROM per_true pt FULL JOIN per_pred pp ON pp.c = pt.c
+  LEFT JOIN tp t ON t.c = COALESCE(pt.c, pp.c)),
+scored AS (
+  SELECT CAST(c AS VARCHAR) AS class, n_true, n_pred,
+         CASE WHEN n_pred > 0 THEN tp / CAST(n_pred AS DOUBLE) ELSE 0.0 END AS p,
+         CASE WHEN n_true > 0 THEN tp / CAST(n_true AS DOUBLE) ELSE 0.0 END AS r
+  FROM base),
+f AS (
+  SELECT class, n_true, n_pred, p, r,
+         CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS f1
+  FROM scored),
+micro AS (
+  SELECT sum(n) AS tot,
+         sum(CASE WHEN label = assigned THEN n ELSE 0 END) AS tp
+  FROM conf)
+SELECT class, n_true, n_pred,
+       ROUND(p, {R}) + 0 AS precision, ROUND(r, {R}) + 0 AS recall,
+       ROUND(f1, {R}) + 0 AS f1
+FROM f
+UNION ALL
+SELECT 'MACRO', sum(n_true), sum(n_pred),
+       ROUND(avg(p), {R}) + 0, ROUND(avg(r), {R}) + 0, ROUND(avg(f1), {R}) + 0
+FROM f
+UNION ALL
+SELECT 'MICRO', tot, tot,
+       ROUND(tp / CAST(tot AS DOUBLE), {R}) + 0,
+       ROUND(tp / CAST(tot AS DOUBLE), {R}) + 0,
+       ROUND(tp / CAST(tot AS DOUBLE), {R}) + 0
+FROM micro
+"""
+
+
+EXT10_QUERIES["f1_report"] = (q_f1_report, _sql_f1_report())

@@ -242,3 +242,74 @@ def lift_curve(
             + F.lit(0.0)
         ).alias("cum_lift"),
     )
+
+
+def f1_report(
+    confusion: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "assigned",
+    n_col: str = "n",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a confusion rollup
+    (label, predicted, n), plus MACRO (unweighted class mean) and MICRO
+    (pooled — equals accuracy for single-label) summary rows: the
+    classification report AUC/NDCG/MRR don't give.
+
+    Everything runs on the |classes|²-bounded confusion relation — three
+    bounded aggregates and a union; the fact table was consumed by
+    whatever built the confusion. Empty-denominator classes report 0
+    (the sklearn zero_division=0 convention).
+
+    Output: (class, n_true, n_pred, precision, recall, f1) with class as
+    string; summary rows use 'MACRO'/'MICRO'."""
+    lbl, prd, n = F.col(label_col), F.col(pred_col), F.col(n_col)
+    per_true = confusion.groupBy(lbl.alias("c")).agg(F.sum(n).alias("n_true"))
+    per_pred = confusion.groupBy(prd.alias("c")).agg(F.sum(n).alias("n_pred"))
+    tp = confusion.filter(lbl == prd).groupBy(lbl.alias("c")).agg(
+        F.sum(n).alias("tp")
+    )
+    base = (
+        per_true.join(per_pred, "c", "full")
+        .join(tp, "c", "left")
+        .na.fill({"n_true": 0, "n_pred": 0, "tp": 0})
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(0.0)
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    scored = base.select(
+        F.col("c").cast("string").alias("class"),
+        "n_true",
+        "n_pred",
+        prec.alias("_p"),
+        rec.alias("_r"),
+        f1.alias("_f"),
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    per_class = scored.select(
+        "class", "n_true", "n_pred",
+        rnd(F.col("_p")).alias("precision"),
+        rnd(F.col("_r")).alias("recall"),
+        rnd(F.col("_f")).alias("f1"),
+    )
+    macro = scored.agg(
+        F.lit("MACRO").alias("class"),
+        F.sum("n_true").alias("n_true"),
+        F.sum("n_pred").alias("n_pred"),
+        rnd(F.avg("_p")).alias("precision"),
+        rnd(F.avg("_r")).alias("recall"),
+        rnd(F.avg("_f")).alias("f1"),
+    )
+    micro_stats = confusion.agg(
+        F.sum(n).alias("_tot"),
+        F.sum(F.when(lbl == prd, n).otherwise(0)).alias("_tp"),
+    )
+    micro = micro_stats.select(
+        F.lit("MICRO").alias("class"),
+        F.col("_tot").alias("n_true"),
+        F.col("_tot").alias("n_pred"),
+        rnd(F.col("_tp") / F.col("_tot")).alias("precision"),
+        rnd(F.col("_tp") / F.col("_tot")).alias("recall"),
+        rnd(F.col("_tp") / F.col("_tot")).alias("f1"),
+    )
+    return per_class.unionByName(macro).unionByName(micro)

@@ -742,3 +742,32 @@ def test_holt_flat_series_zero_trend(spark):
     df = spark.createDataFrame(rows, ["event_type", "day_idx", "y"])
     r = holt_forecast(df, ["event_type"], n_steps=30, horizon=1).first()
     assert (r.level, r.trend, r.forecast, r.smape_fit) == (7.0, 0.0, 7.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# F1 report
+# ---------------------------------------------------------------------------
+
+
+def test_f1_report_hand_confusion(spark):
+    """Hand confusion: class a (tp=8, fn=2, fp=1), class b (tp=4, fn=1,
+    fp=2); never-predicted class c reports 0 precision without dividing
+    by zero; micro == accuracy; macro == mean of class F1s."""
+    from gridmet_etl_spark.operators.scoring import f1_report
+
+    conf = spark.createDataFrame(
+        [("a", "a", 8), ("a", "b", 2), ("b", "b", 4), ("b", "a", 1),
+         ("c", "a", 3)],
+        ["label", "assigned", "n"],
+    )
+    out = {r["class"]: r for r in f1_report(conf).collect()}
+    pa, ra = 8 / 12, 8 / 10
+    pb, rb = 4 / 6, 4 / 5
+    assert out["a"].precision == round(pa, 6) and out["a"].recall == round(ra, 6)
+    assert out["b"].precision == round(pb, 6) and out["b"].recall == round(rb, 6)
+    assert out["c"].precision == 0.0 and out["c"].recall == 0.0 and out["c"].f1 == 0.0
+    acc = (8 + 4) / 18
+    assert out["MICRO"].f1 == round(acc, 6)
+    f1a = 2 * pa * ra / (pa + ra)
+    f1b = 2 * pb * rb / (pb + rb)
+    assert out["MACRO"].f1 == round((f1a + f1b + 0.0) / 3, 6)
