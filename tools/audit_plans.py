@@ -180,6 +180,11 @@ EXPECTED_SINGLE = {
     # expression, then the n_bins-row relation and its 1-row class-total
     # and IV scalars — bm25 corpus-stats shape
     "woe_iv",
+    # f1_report: consumes centroid_classify's confusion relation
+    # (|classes|² ≤ 25 rows) — marginals, tp, MACRO and MICRO are all
+    # bounded aggregates/unions of it; the data-sized work (centroid
+    # train + assignment) is the already-whitelisted classifier
+    "f1_report",
     # markov_attribution: the ONE data-sized stage is the sessionize/
     # transition pass (user-partitioned windows); every later stage —
     # the 50 value-iteration joins, START filters, removal-effect and
