@@ -883,6 +883,24 @@ def _markov_12m_events(spark):
     )
 
 
+def _holt_100k_series(spark):
+    """Holt linear-trend fit of 100k synthetic daily series (30 steps,
+    3M input rows): ONE pivot shuffle to 100k wide rows, then the 29-step
+    recursion is pure projection work — per-series forecasting cost is
+    scan-dominated, exactly the fully-unrolled design's claim."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.timeseries import holt_forecast
+
+    day = F.floor(F.col("id") / 100_000)
+    daily = spark.range(0, 3_000_000, 1, 32).select(
+        (F.col("id") % 100_000).cast("string").alias("series"),
+        day.cast("int").alias("day_idx"),
+        ((F.col("id") % 97).cast("double") + 0.5 * day.cast("double")).alias("y"),
+    )
+    return holt_forecast(daily, ["series"], n_steps=30, horizon=3)
+
+
 EXTRA_BENCH = {
     "scd2_1M_changes": _scd2_1m_changes,
     "overlap_200k_spans": _overlap_200k_spans,
@@ -917,6 +935,7 @@ EXTRA_BENCH = {
     "kmv_setops_24M_keys": _kmv_24m,
     "link_prediction_1M_edges": _link_prediction_1m,
     "markov_attribution_12M_events": _markov_12m_events,
+    "holt_100k_series": _holt_100k_series,
 }
 
 
