@@ -47,14 +47,14 @@ _MERGED = {
 # The driver caps its per-round oracle comparison at the first 50 queries
 # in registration order, so ORDER decides coverage. Round-5 window:
 # (0) the three r4 hash-mismatch queries, re-checked after the R=4
-# rounding hardening (contract_ext7), then (1) the 30 new round-5 queries
-# (contract_ext8 session A, contract_ext9 session B, contract_ext10
-# session C — the riskiest names go under the cap first), then (2) the
-# oldest never-driver-checked backlog — ~17 of its names fit under the
-# cap; the rest (tpch_q15ish through survivorship) queue for r6.
-# Everything below the cap was green in a full tools/check_oracle.py
-# sweep (251/251 session A, re-swept after the ext9 and ext10 additions —
-# 272/272 session C). Audit trail: r1 = first 44 registry names,
+# rounding hardening (contract_ext7), then (1) the 40 new round-5 queries
+# (contract_ext8 session A: 9, contract_ext9 session B: 10,
+# contract_ext10 session C: 21 — the riskiest names go under the cap
+# first), then (2) the oldest never-driver-checked backlog — 7 of its
+# names fit under the cap (cooccurrence_topk..embed_covariance); the rest
+# (entity_resolution through survivorship) queue for r6. Everything below
+# the cap was green in a full tools/check_oracle.py sweep (282/282 at the
+# end of session C). Audit trail: r1 = first 44 registry names,
 # r2/r3/r4 = the 50-name windows recorded in CORRECTNESS_r0{2,3,4}.json.
 _CHECK_FIRST = [
     # (0) r4 mismatches, re-verified post-hardening
