@@ -1460,3 +1460,56 @@ FROM micro
 
 
 EXT10_QUERIES["f1_report"] = (q_f1_report, _sql_f1_report())
+
+# ---------------------------------------------------------------------------
+# RSI (Cutler SMA variant): trailing-window momentum indicator
+# ---------------------------------------------------------------------------
+
+_RSI_PERIOD = 14
+
+
+def q_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI of daily value per event type (SMA variant — window
+    algebra, no recursive smoothing): the momentum-indicator readout over
+    the daily_ohlc family. Series-partitioned windows only."""
+    from .operators.timeseries import rsi_sma
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(F.round(F.sum("value"), R).alias("y"))
+    return rsi_sma(daily, ["event_type"], period=_RSI_PERIOD, ndigits=R)
+
+
+def _sql_rsi() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+         ROUND(sum(value), {R}) AS y
+  FROM events GROUP BY 1, 2),
+moves AS (
+  SELECT event_type, day_idx AS idx, y,
+         greatest(y - lag(y, 1) OVER w, 0.0) AS gain,
+         greatest(-(y - lag(y, 1) OVER w), 0.0) AS loss,
+         row_number() OVER w AS rn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)),
+scored AS (
+  SELECT event_type, idx, y, rn,
+         avg(gain) OVER wt AS ag, avg(loss) OVER wt AS al
+  FROM moves
+  WINDOW wt AS (PARTITION BY event_type ORDER BY idx
+                ROWS BETWEEN {_RSI_PERIOD - 1} PRECEDING AND CURRENT ROW))
+SELECT event_type, idx, ROUND(y, {R}) + 0 AS y,
+       ROUND(CASE WHEN al = 0 THEN 100.0
+                  WHEN ag = 0 THEN 0.0
+                  ELSE 100.0 - 100.0 / (1.0 + ag / al) END, {R}) + 0 AS rsi
+FROM scored WHERE rn > {_RSI_PERIOD}
+"""
+
+
+EXT10_QUERIES["rsi_indicator"] = (q_rsi_indicator, _sql_rsi())

@@ -860,3 +860,60 @@ def holt_forecast(
         rnd(F.col("__b")).alias("trend"),
         rnd(F.col("__sm")).alias("smape_fit"),
     )
+
+
+def rsi_sma(
+    daily: DataFrame,
+    key_cols: list[str],
+    idx_col: str = "day_idx",
+    y_col: str = "y",
+    period: int = 14,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Relative Strength Index, SMA (Cutler) variant — RSI = 100 −
+    100/(1 + avgGain/avgLoss) over a trailing ``period``-row window of
+    up/down moves. Cutler's SMA form is chosen over Wilder's smoothing
+    deliberately: Wilder's is a recursive EWMA (order-dependent, needs an
+    unroll like holt_forecast), while the SMA form is pure window algebra
+    — one series-partitioned sort, no recursion, no global window.
+    All-loss windows → 0, all-gain → 100 (the standard conventions).
+
+    Inputs are rounded daily aggregates (the holt_forecast determinism
+    rule). Output: (*key_cols, idx, y, rsi) for rows with a full window.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(idx_col)
+    delta = F.col(y_col) - F.lag(y_col, 1).over(w)
+    moves = daily.select(
+        *key_cols,
+        F.col(idx_col).alias("idx"),
+        F.col(y_col).alias("y"),
+        F.greatest(delta, F.lit(0.0)).alias("_gain"),
+        F.greatest(-delta, F.lit(0.0)).alias("_loss"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    wt = (
+        Window.partitionBy(*key_cols)
+        .orderBy("idx")
+        .rowsBetween(-(period - 1), 0)
+    )
+    scored = moves.select(
+        *key_cols,
+        "idx",
+        "y",
+        "_rn",
+        F.avg("_gain").over(wt).alias("_ag"),
+        F.avg("_loss").over(wt).alias("_al"),
+    ).filter(F.col("_rn") > period)  # first delta is null; need a full window
+    rsi = (
+        F.when(F.col("_al") == 0, F.lit(100.0))
+        .when(F.col("_ag") == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("_ag") / F.col("_al"))
+        )
+    )
+    return scored.select(
+        *key_cols,
+        "idx",
+        (F.round(F.col("y"), ndigits) + F.lit(0.0)).alias("y"),
+        (F.round(rsi, ndigits) + F.lit(0.0)).alias("rsi"),
+    )

@@ -771,3 +771,26 @@ def test_f1_report_hand_confusion(spark):
     f1a = 2 * pa * ra / (pa + ra)
     f1b = 2 * pb * rb / (pb + rb)
     assert out["MACRO"].f1 == round((f1a + f1b + 0.0) / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# RSI
+# ---------------------------------------------------------------------------
+
+
+def test_rsi_extremes_and_hand_value(spark):
+    """Monotone-up series → RSI 100; monotone-down → 0; alternating
+    +2/−1 moves → RSI = 100·(avg gain)/(avg gain + avg loss) by hand."""
+    from gridmet_etl_spark.operators.timeseries import rsi_sma
+
+    up = [("u", t, float(t)) for t in range(20)]
+    dn = [("d", t, float(-t)) for t in range(20)]
+    alt = [("a", t, float((t // 2) * 1 + (t % 2) * 2)) for t in range(20)]
+    # alt deltas: +2, -1, +2, -1, ... → over any 14-window: 7 gains of 2,
+    # 7 losses of 1 → rsi = 100 * 14 / (14 + 7) = 66.666667
+    df = spark.createDataFrame(up + dn + alt, ["event_type", "day_idx", "y"])
+    out = {(r.event_type, r.idx): r.rsi for r in rsi_sma(df, ["event_type"]).collect()}
+    assert all(v == 100.0 for (g, _), v in out.items() if g == "u")
+    assert all(v == 0.0 for (g, _), v in out.items() if g == "d")
+    a_vals = {v for (g, _), v in out.items() if g == "a"}
+    assert a_vals == {round(100 * 14 / 21, 6)}
