@@ -1513,3 +1513,52 @@ FROM scored WHERE rn > {_RSI_PERIOD}
 
 
 EXT10_QUERIES["rsi_indicator"] = (q_rsi_indicator, _sql_rsi())
+
+# ---------------------------------------------------------------------------
+# Gini / Lorenz: value concentration across units
+# ---------------------------------------------------------------------------
+
+_GINI_POINTS = 10
+
+
+def q_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Lorenz curve + Gini across customers (order
+    totals per customer): deciles of the ascending-ranked population with
+    cumulative value shares, Gini from the exact rank identity (no
+    pairwise join). The inequality readout for budget/quota design."""
+    from .operators.stats import gini_lorenz
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), R).alias("y")
+    )
+    return gini_lorenz(per_cust, "y", "o_custkey", n_points=_GINI_POINTS, ndigits=R)
+
+
+def _sql_gini() -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, ROUND(sum(o_totalprice), {R}) AS y
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT y, row_number() OVER (ORDER BY y, o_custkey) AS rn FROM per_cust),
+tot AS (
+  SELECT count(*) AS n, sum(y) AS sy, sum(rn * y) AS srny FROM ranked),
+binned AS (
+  SELECT CAST(ceil(rn * {_GINI_POINTS} / CAST(tot.n AS DOUBLE)) AS INT) AS point,
+         sum(y) AS py
+  FROM ranked, tot GROUP BY 1),
+cum AS (
+  SELECT point, sum(py) OVER (ORDER BY point
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy
+  FROM binned)
+SELECT cum.point,
+       ROUND(cum.point / {float(_GINI_POINTS)}, {R}) + 0 AS pop_share,
+       ROUND(cum.cy / tot.sy, {R}) + 0 AS cum_value_share,
+       ROUND(2.0 * tot.srny / (tot.n * tot.sy) - (tot.n + 1) / CAST(tot.n AS DOUBLE),
+             {R}) + 0 AS gini
+FROM cum, tot
+"""
+
+
+EXT10_QUERIES["gini_lorenz"] = (q_gini_lorenz, _sql_gini())

@@ -369,3 +369,61 @@ def kaplan_meier(
         F.col("_d").alias("d"),
         (F.round(F.col("_s"), ndigits) + F.lit(0.0)).alias("surv"),
     )
+
+
+def gini_lorenz(
+    units: DataFrame,
+    y_col: str,
+    id_col: str,
+    n_points: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Lorenz curve + Gini coefficient of a nonnegative quantity across
+    units (revenue concentration, token-budget share, …): rank units by
+    value ascending through ``scale.global_rank`` (never a
+    single-partition data sort), bucket ranks into ``n_points`` equal-
+    population points, and report each point's cumulative value share.
+    Gini uses the exact rank identity G = 2·Σ(rn·y)/(n·Σy) − (n+1)/n —
+    one extra aggregate over the ranked relation, no pairwise |y_i − y_j|
+    join. Ties rank deterministically by (y, id).
+
+    Output: (point, pop_share, cum_value_share, gini) — gini repeated per
+    row for a one-relation readout; point n_points = (1.0, 1.0)."""
+    from pyspark.sql import Window
+
+    from .scale import global_rank
+
+    base = units.select(
+        F.col(id_col).alias("_id"), F.col(y_col).cast("double").alias("_y")
+    )
+    ranked = global_rank(base, "_y", tie_cols=["_id"], with_rank=False)
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("rn") * F.col("_y")).alias("_srny"),
+    )
+    binned = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            # ceil so point p covers ranks ((p-1)/k, p/k]·n — point k is all
+            F.ceil(F.col("rn") * n_points / F.col("_n")).cast("int").alias("point"),
+            "_y",
+        )
+        .groupBy("point")
+        .agg(F.sum("_y").alias("_py"))
+    )
+    w = Window.orderBy("point")  # n_points rows — bounded
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return (
+        binned.select("point", F.sum("_py").over(w).alias("_cy"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "point",
+            rnd(F.col("point") / F.lit(float(n_points))).alias("pop_share"),
+            rnd(F.col("_cy") / F.col("_sy")).alias("cum_value_share"),
+            rnd(
+                F.lit(2.0) * F.col("_srny") / (F.col("_n") * F.col("_sy"))
+                - (F.col("_n") + 1) / F.col("_n")
+            ).alias("gini"),
+        )
+    )

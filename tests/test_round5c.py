@@ -794,3 +794,31 @@ def test_rsi_extremes_and_hand_value(spark):
     assert all(v == 0.0 for (g, _), v in out.items() if g == "d")
     a_vals = {v for (g, _), v in out.items() if g == "a"}
     assert a_vals == {round(100 * 14 / 21, 6)}
+
+
+# ---------------------------------------------------------------------------
+# Gini / Lorenz
+# ---------------------------------------------------------------------------
+
+
+def test_gini_equality_and_concentration(spark):
+    """All-equal values → Gini 0 and a diagonal Lorenz curve; one unit
+    owning everything → Gini = (n−1)/n; curve is monotone and ends at 1."""
+    from gridmet_etl_spark.operators.stats import gini_lorenz
+
+    eq = spark.createDataFrame([(i, 5.0) for i in range(100)], ["uid", "y"])
+    out = sorted(gini_lorenz(eq, "y", "uid").collect(), key=lambda r: r.point)
+    assert all(r.gini == 0.0 for r in out)
+    for r in out:
+        assert abs(r.cum_value_share - r.pop_share) < 1e-6
+    assert out[-1].cum_value_share == 1.0
+
+    conc = spark.createDataFrame(
+        [(i, 0.0) for i in range(99)] + [(99, 1000.0)], ["uid", "y"]
+    )
+    out2 = sorted(gini_lorenz(conc, "y", "uid").collect(), key=lambda r: r.point)
+    assert out2[0].gini == round(99 / 100, 6)
+    assert out2[-2].cum_value_share == 0.0  # bottom 90% own nothing
+    assert out2[-1].cum_value_share == 1.0
+    shares = [r.cum_value_share for r in out]
+    assert shares == sorted(shares)
