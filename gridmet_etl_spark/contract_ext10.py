@@ -1562,3 +1562,68 @@ FROM cum, tot
 
 
 EXT10_QUERIES["gini_lorenz"] = (q_gini_lorenz, _sql_gini())
+
+# ---------------------------------------------------------------------------
+# Log-rank test: the significance companion to kaplan_meier
+# ---------------------------------------------------------------------------
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank over a two-arm synthetic cohort (arm B's
+    durations deliberately shifted shorter, same censoring rule as
+    kaplan_meier) — O−E accumulation over the event-time grid, χ² with
+    1 df. Time-grid-bounded range join for the at-risk sets."""
+    from .operators.stats import logrank_test
+
+    o = spark.read.parquet(_t(sf_dir, "orders")).select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B").alias("grp"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.col("o_orderkey") % 60 + 1
+        ).otherwise(F.col("o_orderkey") % 45 + 1).alias("dur"),
+        (F.col("o_orderkey") % 4 != 0).cast("int").alias("ev"),
+    )
+    return logrank_test(o, "grp", "dur", "ev", group_a="A", ndigits=R)
+
+
+def _sql_logrank() -> str:
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+         CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 60 + 1
+                   ELSE o_orderkey % 45 + 1 END AS BIGINT) AS dur,
+         CAST(o_orderkey % 4 <> 0 AS INT) AS ev
+  FROM orders),
+per AS (
+  SELECT grp, dur, sum(ev) AS d, count(*) AS lv FROM base GROUP BY grp, dur),
+times AS (
+  SELECT dur AS t FROM per GROUP BY dur HAVING sum(d) > 0),
+risk AS (
+  SELECT times.t, per.grp, sum(per.lv) AS n_g
+  FROM times JOIN per ON per.dur >= times.t
+  GROUP BY times.t, per.grp),
+cells AS (
+  SELECT r.t,
+         sum(CASE WHEN r.grp = 'A' THEN r.n_g ELSE 0 END) AS n1,
+         sum(r.n_g) AS n,
+         sum(CASE WHEN r.grp = 'A' THEN COALESCE(p.d, 0) ELSE 0 END) AS d1,
+         sum(COALESCE(p.d, 0)) AS dd
+  FROM risk r LEFT JOIN per p ON p.grp = r.grp AND p.dur = r.t
+  GROUP BY r.t HAVING sum(r.n_g) > 1),
+acc AS (
+  SELECT sum(d1) AS o,
+         sum(dd * (n1 / CAST(n AS DOUBLE))) AS e,
+         sum(dd * (n1 / CAST(n AS DOUBLE)) * (1 - n1 / CAST(n AS DOUBLE))
+             * (n - dd) / CAST(n - 1 AS DOUBLE)) AS v
+  FROM cells),
+sizes AS (SELECT grp, count(*) AS ng FROM base GROUP BY grp)
+SELECT (SELECT ng FROM sizes WHERE grp = 'A') AS n_a,
+       (SELECT sum(ng) FROM sizes WHERE grp <> 'A') AS n_b,
+       CAST(acc.o AS BIGINT) AS observed_a,
+       ROUND(acc.e, {R}) + 0 AS expected_a,
+       ROUND(acc.v, {R}) + 0 AS variance,
+       ROUND((acc.o - acc.e) * (acc.o - acc.e) / acc.v, {R}) + 0 AS chi2
+FROM acc
+"""
+
+
+EXT10_QUERIES["logrank_test"] = (q_logrank_test, _sql_logrank())

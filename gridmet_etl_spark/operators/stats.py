@@ -427,3 +427,85 @@ def gini_lorenz(
             ).alias("gini"),
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    grp_col: str,
+    t_col: str,
+    e_col: str,
+    group_a,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox) — the significance companion
+    to kaplan_meier: at every event time, compare group A's observed
+    deaths d1 to its hypergeometric expectation d·n1/n given the at-risk
+    sets, accumulate O−E and the variance, report χ² = (O−E)²/V (1 df).
+
+    Scale shape: subject rows collapse to per-(group, time) counts in ONE
+    partial-agg shuffle; at-risk counts come from a time-grid range join
+    (|event times| × |distinct durations| pairs — bounded by the TIME
+    GRID squared, e.g. days², never by subjects); the O/E/V accumulation
+    is one aggregate over the |event times|-row relation.
+
+    Output (1 row): (n_a, n_b, observed_a, expected_a, variance, chi2)."""
+    per = df.groupBy(grp_col, t_col).agg(
+        F.sum(F.col(e_col).cast("long")).alias("d"),
+        F.count(F.lit(1)).alias("lv"),
+    )
+    times = (
+        per.groupBy(t_col)
+        .agg(F.sum("d").alias("_dt"))
+        .filter(F.col("_dt") > 0)
+        .select(F.col(t_col).alias("_t"))
+    )
+    # at-risk n_g(t) = Σ lv over durations ≥ t (time-grid range join)
+    risk = (
+        times.join(per, per[t_col] >= F.col("_t"))
+        .groupBy("_t", grp_col)
+        .agg(F.sum("lv").alias("n_g"))
+    )
+    deaths = per.select(grp_col, F.col(t_col).alias("_t"), "d")
+    is_a = F.col(grp_col) == group_a
+    cells = (
+        risk.join(deaths, ["_t", grp_col], "left")
+        .na.fill({"d": 0})
+        .groupBy("_t")
+        .agg(
+            F.sum(F.when(is_a, F.col("n_g")).otherwise(0)).alias("n1"),
+            F.sum("n_g").alias("n"),
+            F.sum(F.when(is_a, F.col("d")).otherwise(0)).alias("d1"),
+            F.sum("d").alias("dd"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    frac = F.col("n1") / F.col("n")
+    acc = cells.agg(
+        F.sum("d1").alias("_o"),
+        F.sum(F.col("dd") * frac).alias("_e"),
+        F.sum(
+            F.col("dd")
+            * frac
+            * (1 - frac)
+            * (F.col("n") - F.col("dd"))
+            / (F.col("n") - 1)
+        ).alias("_v"),
+    )
+    sizes = df.groupBy(grp_col).agg(F.count(F.lit(1)).alias("_ng"))
+    n_a = sizes.filter(is_a).select(F.col("_ng").alias("n_a"))
+    n_b = sizes.filter(~is_a).agg(F.sum("_ng").alias("n_b"))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return (
+        acc.crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "n_a",
+            "n_b",
+            F.col("_o").cast("long").alias("observed_a"),
+            rnd(F.col("_e")).alias("expected_a"),
+            rnd(F.col("_v")).alias("variance"),
+            rnd((F.col("_o") - F.col("_e")) * (F.col("_o") - F.col("_e")) / F.col("_v")).alias(
+                "chi2"
+            ),
+        )
+    )

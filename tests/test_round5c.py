@@ -822,3 +822,39 @@ def test_gini_equality_and_concentration(spark):
     assert out2[-1].cum_value_share == 1.0
     shares = [r.cum_value_share for r in out]
     assert shares == sorted(shares)
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_null_vs_shifted(spark):
+    """Identical arms → O ≈ E and a tiny χ²; a strongly shifted arm →
+    large χ². Hand-checkable two-subject case pins the O−E arithmetic."""
+    from gridmet_etl_spark.operators.stats import logrank_test
+
+    same = [("A", t % 10 + 1, 1) for t in range(200)] + [
+        ("B", t % 10 + 1, 1) for t in range(200)
+    ]
+    r0 = logrank_test(
+        spark.createDataFrame(same, ["grp", "dur", "ev"]), "grp", "dur", "ev", "A"
+    ).first()
+    assert abs(r0.observed_a - r0.expected_a) < 1e-6 and r0.chi2 < 1e-6
+
+    shifted = [("A", t % 10 + 20, 1) for t in range(200)] + [
+        ("B", t % 10 + 1, 1) for t in range(200)
+    ]
+    r1 = logrank_test(
+        spark.createDataFrame(shifted, ["grp", "dur", "ev"]), "grp", "dur", "ev", "A"
+    ).first()
+    assert r1.chi2 > 50  # wildly significant separation
+
+    # two subjects, death at t=1 (B) and t=2 (A):
+    # t=1: n1=1, n=2, d1=0, d=1 -> e += 0.5, v += 0.25; t=2: n=1 skipped
+    tiny = [("A", 2, 1), ("B", 1, 1)]
+    r2 = logrank_test(
+        spark.createDataFrame(tiny, ["grp", "dur", "ev"]), "grp", "dur", "ev", "A"
+    ).first()
+    assert (r2.observed_a, r2.expected_a, r2.variance) == (0, 0.5, 0.25)
+    assert r2.chi2 == 1.0

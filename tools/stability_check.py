@@ -58,6 +58,8 @@ WATCHLIST = [
     # 29-step chained smoothing recursion on rounded inputs (should be
     # bit-stable by construction; listed to prove it)
     "holt_forecast",
+    # O-E/variance float accumulations over the event-time grid
+    "logrank_test", "gini_lorenz",
 ]
 
 SESSIONS = [
