@@ -1627,3 +1627,66 @@ FROM acc
 
 
 EXT10_QUERIES["logrank_test"] = (q_logrank_test, _sql_logrank())
+
+# ---------------------------------------------------------------------------
+# Capture-recapture: estimated unseen corpus behind overlapping crawls
+# ---------------------------------------------------------------------------
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman population estimate per source pair over the same
+    8-token-line digest units as source_overlap: how big the underlying
+    corpus is — and how much NEITHER crawl captured — from two capture
+    samples. Digest-relation shuffles only."""
+    from .contract_ext9 import _LINE_W
+    from .operators.dedup import capture_recapture
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    units = docs.select(
+        "source",
+        F.split(F.col("text"), " ").alias("_a"),
+    ).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_a), {_LINE_W}),"
+                f" st -> md5(array_join(slice(_a, st, {_LINE_W}), ' ')))"
+            )
+        ).alias("d"),
+    )
+    return capture_recapture(units, ndigits=R)
+
+
+def _sql_capture_recapture() -> str:
+    from .contract_ext9 import _LINE_W
+
+    return f"""
+WITH base AS (SELECT source, string_split(text, ' ') AS a FROM documents),
+units AS (
+  SELECT source, md5(array_to_string(a[s.st : s.st + {_LINE_W - 1}], ' ')) AS d
+  FROM base, generate_series(1, 4000, {_LINE_W}) s(st)
+  WHERE s.st <= len(a)),
+ds AS (SELECT DISTINCT source, d FROM units),
+per AS (SELECT source, count(*) AS n FROM ds GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM ds a JOIN ds b ON a.d = b.d AND a.source < b.source
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT pa.source AS source_a, pb.source AS source_b,
+         pa.n AS n_a, pb.n AS n_b, COALESCE(s.n_shared, 0) AS n_shared
+  FROM per pa JOIN per pb ON pa.source < pb.source
+  LEFT JOIN shared s ON s.source_a = pa.source AND s.source_b = pb.source)
+SELECT source_a, source_b, n_a, n_b, n_shared,
+       n_a + n_b - n_shared AS n_union,
+       CASE WHEN n_shared > 0
+            THEN ROUND((n_a + 1) * (n_b + 1) / CAST(n_shared + 1 AS DOUBLE) - 1,
+                       {R}) + 0 END AS est_population,
+       CASE WHEN n_shared > 0
+            THEN ROUND((n_a + 1) * (n_b + 1) / CAST(n_shared + 1 AS DOUBLE) - 1
+                       - (n_a + n_b - n_shared), {R}) + 0 END AS est_unseen
+FROM pairs
+"""
+
+
+EXT10_QUERIES["capture_recapture"] = (q_capture_recapture, _sql_capture_recapture())

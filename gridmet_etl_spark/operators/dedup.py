@@ -772,3 +772,60 @@ def source_overlap(
         F.col(source_col).alias("source"), _fp(F.col(text_col)).alias("d")
     )
     return source_overlap_from_digests(units, ndigits=ndigits)
+
+
+def capture_recapture(
+    units: DataFrame,
+    source_col: str = "source",
+    digest_col: str = "d",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Chapman capture–recapture estimate of the UNSEEN population behind
+    two overlapping crawls: treating each source as a 'capture' of the
+    same underlying corpus, N̂ = (n_a+1)(n_b+1)/(m+1) − 1 with m = shared
+    distinct digests — the 'how much corpus exists that NEITHER crawl
+    found' answer that overlap counts alone don't give (standard ecology
+    estimator; applies to web crawls under the same independence caveat).
+    Pairs with m = 0 are reported with a NULL estimate (disjoint captures
+    say nothing about the total).
+
+    Rides source_overlap_from_digests' shape: digest-relation shuffles
+    only. Output: (source_a, source_b, n_a, n_b, n_shared, n_union,
+    est_population, est_unseen)."""
+    ds = units.select(
+        F.col(source_col).alias("source"), F.col(digest_col).alias("d")
+    ).distinct()
+    per = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    left = ds.select(F.col("source").alias("source_a"), "d")
+    right = ds.select(F.col("source").alias("source_b"), "d")
+    shared = (
+        left.join(right, "d")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    pairs = (
+        pa.crossJoin(pb)
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(shared, ["source_a", "source_b"], "left")
+        .na.fill({"n_shared": 0})
+    )
+    chapman = (
+        (F.col("n_a") + 1) * (F.col("n_b") + 1) / (F.col("n_shared") + 1) - 1
+    )
+    est = F.when(F.col("n_shared") > 0, F.round(chapman, ndigits) + F.lit(0.0))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_shared",
+        union.alias("n_union"),
+        est.alias("est_population"),
+        F.when(F.col("n_shared") > 0, F.round(chapman - union, ndigits) + F.lit(0.0)).alias(
+            "est_unseen"
+        ),
+    )

@@ -858,3 +858,32 @@ def test_logrank_null_vs_shifted(spark):
     ).first()
     assert (r2.observed_a, r2.expected_a, r2.variance) == (0, 0.5, 0.25)
     assert r2.chi2 == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture
+# ---------------------------------------------------------------------------
+
+
+def test_capture_recapture_recovers_planted_population(spark):
+    """Two random-ish 'crawls' of a known 1000-item universe: Chapman
+    lands near 1000; identical crawls estimate ≈ their own size (no
+    unseen mass); disjoint crawls report NULL."""
+    from gridmet_etl_spark.operators.dedup import capture_recapture
+
+    # crawl A: items where md5ish hash < 40%, crawl B: independent 40%
+    items = list(range(1000))
+    a = [("a", str(i)) for i in items if (i * 7919) % 100 < 40]
+    b = [("b", str(i)) for i in items if (i * 104729) % 100 < 40]
+    c = [("c", str(i)) for i in items if i < 300]        # identical to d
+    d = [("d", str(i)) for i in items if i < 300]
+    e = [("e", str(i)) for i in items if i >= 900]       # disjoint from c
+    df = spark.createDataFrame(a + b + c + d + e, ["source", "d"])
+    out = {(r.source_a, r.source_b): r for r in capture_recapture(df).collect()}
+    ab = out[("a", "b")]
+    assert abs(ab.est_population - 1000) / 1000 < 0.15  # independence holds
+    assert ab.est_unseen > 0
+    cd = out[("c", "d")]
+    assert cd.n_shared == 300 and abs(cd.est_population - 300) < 2
+    ce = out[("c", "e")]
+    assert ce.n_shared == 0 and ce.est_population is None
