@@ -180,6 +180,14 @@ EXPECTED_SINGLE = {
     # expression, then the n_bins-row relation and its 1-row class-total
     # and IV scalars — bm25 corpus-stats shape
     "woe_iv",
+    # gini_lorenz: lift_eval's shape — global_rank's |partitions|-row
+    # offset cumsum, a 1-row totals scalar, and the n_points-row
+    # cumulative window
+    "gini_lorenz",
+    # logrank_test: the at-risk range join runs on the per-(group, time)
+    # COUNT relation (time-grid-sized); O/E/V, group sizes, and the final
+    # row are 1-row scalar merges
+    "logrank_test",
     # f1_report: consumes centroid_classify's confusion relation
     # (|classes|² ≤ 25 rows) — marginals, tp, MACRO and MICRO are all
     # bounded aggregates/unions of it; the data-sized work (centroid
