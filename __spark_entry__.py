@@ -66,7 +66,7 @@ _CHECK_FIRST = [
     "woe_iv", "tpcds_multiband", "feature_hash", "class_balance",
     "k_anonymity", "qini_uplift", "polygon_metrics", "dp_release",
     "holt_forecast", "f1_report", "rsi_indicator", "gini_lorenz",
-    "logrank_test", "capture_recapture",
+    "logrank_test", "capture_recapture", "welch_ttest",
     "minhash_lsh_star", "line_dedup", "mixture_weights", "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size", "bias_als", "boilerplate_report",
     "mcv_stats", "equiheight_bins", "zone_map_prune", "join_order_advisor",
     "source_overlap", "ridge_regression",

@@ -1690,3 +1690,51 @@ FROM pairs
 
 
 EXT10_QUERIES["capture_recapture"] = (q_capture_recapture, _sql_capture_recapture())
+
+# ---------------------------------------------------------------------------
+# Welch's t-test: continuous-metric A/B significance
+# ---------------------------------------------------------------------------
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t on the experiment panel (post-period value, 50/50 md5
+    arms): the continuous-means significance readout next to ab_test's
+    proportion z and cuped_adjust's variance-reduced effect."""
+    from .operators.causal import hash_pct
+    from .operators.stats import welch_ttest
+
+    units = _causal_units(spark, sf_dir).withColumn(
+        "t", (hash_pct(F.col("user_id"), "assign") < 50).cast("int")
+    )
+    return welch_ttest(units, "y", "t", ndigits=R)
+
+
+def _sql_welch() -> str:
+    return f"""
+WITH {_SQL_CAUSAL_UNITS},
+units AS (SELECT pu.*, {_SQL_ASSIGN_50} AS t FROM pu),
+g AS (
+  SELECT count(CASE WHEN t = 1 THEN 1 END) AS n1,
+         sum(CASE WHEN t = 1 THEN y END) AS s1,
+         sum(CASE WHEN t = 1 THEN y * y END) AS q1,
+         count(CASE WHEN t = 0 THEN 1 END) AS n2,
+         sum(CASE WHEN t = 0 THEN y END) AS s2,
+         sum(CASE WHEN t = 0 THEN y * y END) AS q2
+  FROM units),
+d AS (
+  SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+         (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+  FROM g)
+SELECT n1 AS n_t, n2 AS n_c,
+       ROUND(m1, {R}) + 0 AS mean_t, ROUND(m2, {R}) + 0 AS mean_c,
+       ROUND(m1 - m2, {R}) + 0 AS diff,
+       ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), {R}) + 0 AS t_stat,
+       ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), {R}) + 0 AS df
+FROM d
+"""
+
+
+EXT10_QUERIES["welch_ttest"] = (q_welch_ttest, _sql_welch())

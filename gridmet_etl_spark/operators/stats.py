@@ -509,3 +509,47 @@ def logrank_test(
             ),
         )
     )
+
+
+def welch_ttest(
+    units: DataFrame,
+    y_col: str,
+    t_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test for a continuous metric — the
+    means-comparison companion to the two-proportion z (ab_test) and the
+    rank tests (mann_whitney): per-arm mean and sample variance from ONE
+    conditional-aggregate pass, t = Δm/√(s₁²/n₁ + s₂²/n₂), and the
+    Welch–Satterthwaite effective df. No pooled-variance assumption — the
+    correct default when arms differ in spread (they do, post-treatment).
+
+    Output (1 row): (n_t, n_c, mean_t, mean_c, diff, t_stat, df)."""
+    is_t, is_c = F.col(t_col) == 1, F.col(t_col) == 0
+    y = F.col(y_col)
+    g = units.agg(
+        F.count(F.when(is_t, F.lit(1))).alias("n1"),
+        F.sum(F.when(is_t, y)).alias("s1"),
+        F.sum(F.when(is_t, y * y)).alias("q1"),
+        F.count(F.when(is_c, F.lit(1))).alias("n2"),
+        F.sum(F.when(is_c, y)).alias("s2"),
+        F.sum(F.when(is_c, y * y)).alias("q2"),
+    )
+    m1, m2 = F.col("s1") / F.col("n1"), F.col("s2") / F.col("n2")
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    df_ws = (se2 * se2) / (
+        (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+        + (v2 / F.col("n2")) * (v2 / F.col("n2")) / (F.col("n2") - 1)
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return g.select(
+        F.col("n1").alias("n_t"),
+        F.col("n2").alias("n_c"),
+        rnd(m1).alias("mean_t"),
+        rnd(m2).alias("mean_c"),
+        rnd(m1 - m2).alias("diff"),
+        rnd((m1 - m2) / F.sqrt(se2)).alias("t_stat"),
+        rnd(df_ws).alias("df"),
+    )

@@ -887,3 +887,34 @@ def test_capture_recapture_recovers_planted_population(spark):
     assert cd.n_shared == 300 and abs(cd.est_population - 300) < 2
     ce = out[("c", "e")]
     assert ce.n_shared == 0 and ce.est_population is None
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test
+# ---------------------------------------------------------------------------
+
+
+def test_welch_matches_scipy_free_reference(spark):
+    """Hand-computed Welch on a small two-arm sample (python float math,
+    same formulas) and a planted large shift → |t| large; equal arms →
+    t == 0 exactly."""
+    from gridmet_etl_spark.operators.stats import welch_ttest
+
+    t_arm = [4.0, 5.0, 6.0, 7.0]
+    c_arm = [1.0, 2.0, 3.0]
+    rows = [(y, 1) for y in t_arm] + [(y, 0) for y in c_arm]
+    r = welch_ttest(spark.createDataFrame(rows, ["y", "t"]), "y", "t").first()
+    import statistics as st
+
+    m1, m2 = st.mean(t_arm), st.mean(c_arm)
+    v1, v2 = st.variance(t_arm), st.variance(c_arm)
+    se2 = v1 / 4 + v2 / 3
+    t_ref = (m1 - m2) / se2**0.5
+    df_ref = se2**2 / ((v1 / 4) ** 2 / 3 + (v2 / 3) ** 2 / 2)
+    assert r.t_stat == round(t_ref, 6)
+    assert r.df == round(df_ref, 6)
+    assert r.diff == round(m1 - m2, 6)
+
+    same = [(float(i % 7), i % 2) for i in range(280)]
+    r0 = welch_ttest(spark.createDataFrame(same, ["y", "t"]), "y", "t").first()
+    assert r0.t_stat == 0.0 and r0.diff == 0.0

@@ -60,6 +60,8 @@ WATCHLIST = [
     "holt_forecast",
     # O-E/variance float accumulations over the event-time grid
     "logrank_test", "gini_lorenz",
+    # moment-sum t statistic (cuped class)
+    "welch_ttest",
 ]
 
 SESSIONS = [
