@@ -180,6 +180,9 @@ EXPECTED_SINGLE = {
     # expression, then the n_bins-row relation and its 1-row class-total
     # and IV scalars — bm25 corpus-stats shape
     "woe_iv",
+    # welch_ttest: the cuped shape — one user-grain rollup is the only
+    # data-sized stage; the moment row and the t/df arithmetic are 1-row
+    "welch_ttest",
     # gini_lorenz: lift_eval's shape — global_rank's |partitions|-row
     # offset cumsum, a 1-row totals scalar, and the n_points-row
     # cumulative window
