@@ -45,51 +45,65 @@ _MERGED = {
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
-# in registration order, so ORDER decides coverage. Round-5 window:
-# (0) the three r4 hash-mismatch queries, re-checked after the R=4
-# rounding hardening (contract_ext7), then (1) the 40 new round-5 queries
-# (contract_ext8 session A: 9, contract_ext9 session B: 10,
-# contract_ext10 session C: 21 — the riskiest names go under the cap
-# first), then (2) the oldest never-driver-checked backlog — 7 of its
-# names fit under the cap (cooccurrence_topk..embed_covariance); the rest
-# (entity_resolution through survivorship) queue for r6. Everything below
-# the cap was green in a full tools/check_oracle.py sweep (282/282 at the
-# end of session C). Audit trail: r1 = first 44 registry names,
-# r2/r3/r4 = the 50-name windows recorded in CORRECTNESS_r0{2,3,4}.json.
+# in registration order, so ORDER decides coverage. Round-6 window:
+# (0) the 11 round-5 hash-red queries, re-certified after the root-cause
+# fix (their DuckDB oracles emitted HUGEINT sum columns, which the
+# driver's pandas fetch renders as float64 "88.0" vs Spark's int64 "88" —
+# tools/type_parity.py found the exact 11 + 3 latent cases, all now CAST
+# to BIGINT/DOUBLE in the oracle SQL); then (1) the 3 latent same-class
+# fixes re-certified; (2) new round-6 queries; (3) ivf_topk, whose only
+# driver record (r2) predates its oracle; (4) the never-driver-checked
+# backlog, oldest first — the overflow queues for r7. Everything below
+# the cap is green in the full tools/check_oracle.py sweep (lenient AND
+# --strict driver-sim modes). Audit trail: the 50-name windows are in
+# CORRECTNESS_r0{1..5}.json.
 _CHECK_FIRST = [
-    # (0) r4 mismatches, re-verified post-hardening
-    "kaplan_meier", "dsir_select", "lift_eval",
-    # (1) new round-5 queries land here as they are added
-    "kmv_distinct", "kmv_set_ops", "rrf_fusion", "link_prediction",
-    "cuped_adjust", "ipw_ate", "did_estimate",
-    "hilbert_layout", "curve_compare", "session_paths", "markov_attribution",
-    "woe_iv", "tpcds_multiband", "feature_hash", "class_balance",
-    "k_anonymity", "qini_uplift", "polygon_metrics", "dp_release",
-    "holt_forecast", "f1_report", "rsi_indicator", "gini_lorenz",
-    "logrank_test", "capture_recapture", "welch_ttest",
-    "minhash_lsh_star", "line_dedup", "mixture_weights", "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size", "bias_als", "boilerplate_report",
-    "mcv_stats", "equiheight_bins", "zone_map_prune", "join_order_advisor",
-    "source_overlap", "ridge_regression",
-    "selectivity_eval", "join_qerror", "layout_advisor", "heavy_hitters_mg",
-    # (2) never driver-checked backlog, oldest-waiting first
-    "cooccurrence_topk",
-    "vocab_topk", "pii_flags", "cosine_topk_lsh",
-    "kmeans_assign",
+    # (0) r5 hash-red, re-certified post oracle-type fix
+    "kaplan_meier", "dsir_select", "lift_eval", "curve_compare",
+    "k_anonymity", "f1_report", "logrank_test", "boilerplate_report",
+    "zone_map_prune", "selectivity_eval", "heavy_hitters_mg",
+    # (1) latent same-class oracle-type fixes (never driver-red, but the
+    # oracle SQL changed this round → re-certify under the driver's hash)
+    "ks_test", "class_balance", "histogram_docs",
+    # (1b) estimator corrections this round (values changed → re-certify):
+    # kmv_set_ops jaccard_est de-biased to the union-k-sample window;
+    # ipw_ate positivity-trimmed (overlap estimand + surfaced trim columns)
+    "kmv_set_ops", "ipw_ate",
+    # (2) new round-6 queries land here as they are added
+    # (3) only driver record predates its oracle (r2 no_oracle)
+    "ivf_topk",
+    # (4) never driver-checked backlog, oldest-waiting first
+    "pii_flags", "cosine_topk_lsh", "kmeans_assign",
     "bpe_merges", "embed_covariance", "entity_resolution",
     "lm_scores", "containment_dups", "quota_filter", "minhash_estimate",
     "corpus_pipeline_v2", "lsh_recall", "hard_negatives", "bpe_compression",
     "cosine_topk", "simhash",
     "tpch_q15ish", "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
     "autocorr_daily", "ewma_daily", "scd2_users", "corr_matrix",
-    "target_encode", "ref_integrity",
-    # ---- driver cap (50) reached (28 backlog names fit; the rest queue) ----
-    "skew_profile", "khop_reach",
-    "heatwave_runs", "spi_index",
+    "target_encode", "ref_integrity", "skew_profile", "khop_reach",
+    "heatwave_runs",
+    # ---- driver cap (50) reached; the rest of the backlog queues for r7 ----
+    "spi_index",
     "frost_dates", "heat_index",
     "overlap_join", "threshold_alerts", "centroid_classify", "knn_eval",
     "terrain_gradient", "seasonal_decomp", "temporal_split",
-    "chi_square", "mann_whitney", "ks_test", "auc_eval",
+    "chi_square", "mann_whitney", "auc_eval",
     "trailing_features", "daily_ohlc", "survivorship",
+    # round-5 batch (green in CORRECTNESS_r05.json)
+    "kmv_distinct", "rrf_fusion", "link_prediction",
+    "cuped_adjust", "did_estimate",
+    "hilbert_layout", "session_paths", "markov_attribution",
+    "woe_iv", "tpcds_multiband", "feature_hash",
+    "qini_uplift", "polygon_metrics", "dp_release",
+    "holt_forecast", "rsi_indicator", "gini_lorenz",
+    "capture_recapture", "welch_ttest",
+    "minhash_lsh_star", "line_dedup", "mixture_weights",
+    "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size",
+    "bias_als",
+    "mcv_stats", "equiheight_bins", "join_order_advisor",
+    "source_overlap", "ridge_regression",
+    "join_qerror", "layout_advisor",
+    "cooccurrence_topk", "vocab_topk",
     # previously-checked r3/r4 batch (green in CORRECTNESS_r04.json)
     "impute_median",
     "idw_interp", "dbscan_clusters", "item_similarity", "cdc_apply",
@@ -123,7 +137,7 @@ _CHECK_FIRST = [
     "token_drift", "readability", "bilinear_interp", "degree_days",
     "climate_pipeline", "skew_join", "set_ops", "grouping_sets",
     "range_frame_sum", "weighted_median",
-    "ivf_topk", "attribution_join",
+    "attribution_join",
     "weighted_mean", "gridmet_pipeline", "cfsv2_median_pipeline",
     "cfsv2_ensemble_pipeline", "tpch_weighted_mean", "tpch_q1",
     "tpch_join3", "tpch_window_topk", "tpch_topn", "tpch_semi_anti",

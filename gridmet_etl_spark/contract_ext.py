@@ -1647,8 +1647,10 @@ SELECT lang,
        CAST(least(greatest(floor((n_chars - {HIST_LO}) / {width}), 0),
                   {HIST_BINS - 1}) AS INTEGER) AS bin,
        count(*) AS n,
-       {HIST_LO} + CAST(least(greatest(floor((n_chars - {HIST_LO}) / {width}), 0),
-                  {HIST_BINS - 1}) AS INTEGER) * {width} AS bin_lo
+       -- CAST AS DOUBLE: the bare {width} literal is DECIMAL in DuckDB and
+       -- decimal outputs are not hash-safe under the driver's pandas fetch
+       CAST({HIST_LO} + CAST(least(greatest(floor((n_chars - {HIST_LO}) / {width}), 0),
+                  {HIST_BINS - 1}) AS INTEGER) * {width} AS DOUBLE) AS bin_lo
 FROM documents WHERE n_chars IS NOT NULL
 GROUP BY 1, 2
 """

@@ -179,6 +179,15 @@ common AS (
   JOIN meta mb ON mb.g = p.gb
   WHERE a.h < ma.theta AND a.h < mb.theta
   GROUP BY p.ga, p.gb),
+-- Jaccard numerator: common hashes INSIDE the union k-sample (rn <= k),
+-- one sampling window with the u_kept denominator (theta-window counts
+-- overestimate by ~|A inter B|/max(|A|,|B|))
+common_u AS (
+  SELECT a.ga, a.gb, count(*) AS n_common_u
+  FROM (SELECT ga, gb, h FROM urk WHERE rn <= {_KMV_K}) a
+  JOIN sk sa2 ON sa2.g = a.ga AND sa2.h = a.h
+  JOIN sk sb2 ON sb2.g = a.gb AND sb2.h = a.h
+  GROUP BY a.ga, a.gb),
 rawdist AS (SELECT DISTINCT event_type AS g, {_KMV_KEY_SQL} AS k FROM events),
 truth AS (
   SELECT a.g AS ga, b.g AS gb, count(*) AS true_inter
@@ -195,7 +204,7 @@ SELECT p.ga, p.gb,
              ELSE COALESCE(c.n_common, 0)
                   * CAST({_KMV_SPACE} AS DOUBLE) / least(ma.theta, mb.theta) END,
              {R}) + 0 AS inter_est,
-       ROUND(COALESCE(c.n_common, 0) / CAST(uk.u_kept AS DOUBLE), {R}) + 0
+       ROUND(COALESCE(cu.n_common_u, 0) / CAST(uk.u_kept AS DOUBLE), {R}) + 0
          AS jaccard_est,
        sa.n + sb.n - t.true_inter AS true_union,
        t.true_inter
@@ -204,6 +213,7 @@ JOIN meta ma ON ma.g = p.ga
 JOIN meta mb ON mb.g = p.gb
 JOIN uk ON uk.ga = p.ga AND uk.gb = p.gb
 LEFT JOIN common c ON c.ga = p.ga AND c.gb = p.gb
+LEFT JOIN common_u cu ON cu.ga = p.ga AND cu.gb = p.gb
 JOIN truth t ON t.ga = p.ga AND t.gb = p.gb
 JOIN sizes sa ON sa.g = p.ga
 JOIN sizes sb ON sb.g = p.gb
@@ -529,17 +539,26 @@ tot AS (
          avg(CASE WHEN t = 0 THEN y END) AS mean_c
   FROM units),
 per AS (
-  SELECT n_s, sy_t * n_s / n_t_s AS ht_t,
+  SELECT n_s, (n_t_s = 0 OR n_t_s = n_s) AS deg,
+         sy_t * n_s / n_t_s AS ht_t,
          sy_c * n_s / (n_s - n_t_s) AS ht_c,
          n_s * (sy_t / n_t_s - sy_c / (n_s - n_t_s)) AS strat_term
   FROM strata),
 acc AS (
-  SELECT sum(ht_t) AS sht_t, sum(ht_c) AS sht_c, sum(strat_term) AS s_strat
+  -- positivity trim: strata lacking an arm leave BOTH numerator and
+  -- denominator (overlap-population estimand), surfaced in the output
+  SELECT sum(CASE WHEN NOT deg THEN ht_t END) AS sht_t,
+         sum(CASE WHEN NOT deg THEN ht_c END) AS sht_c,
+         sum(CASE WHEN NOT deg THEN strat_term END) AS s_strat,
+         CAST(sum(CASE WHEN NOT deg THEN n_s ELSE 0 END) AS BIGINT) AS n_ov,
+         CAST(sum(CASE WHEN deg THEN 1 ELSE 0 END) AS BIGINT) AS n_deg
   FROM per)
 SELECT CAST(tot.n AS BIGINT) AS n_units,
+       acc.n_ov AS n_overlap_units,
+       acc.n_deg AS n_degenerate_strata,
        ROUND(tot.mean_t - tot.mean_c, {R}) + 0 AS diff_naive,
-       ROUND((acc.sht_t - acc.sht_c) / tot.n, {R}) + 0 AS ate_ipw,
-       ROUND(acc.s_strat / tot.n, {R}) + 0 AS ate_stratified
+       ROUND((acc.sht_t - acc.sht_c) / acc.n_ov, {R}) + 0 AS ate_ipw,
+       ROUND(acc.s_strat / acc.n_ov, {R}) + 0 AS ate_stratified
 FROM acc, tot
 """
 
@@ -686,8 +705,11 @@ def _sql_curve_compare() -> str:
     for curve, keysrc in (("zorder", "zkeyed"), ("hilbert", "hkeyed")):
         branches.append(f"""
 SELECT '{curve}' AS curve, b.box, count(*) AS n_zones,
-       sum(CASE WHEN b.hit THEN 1 ELSE 0 END) AS n_zones_scanned,
-       sum(CASE WHEN b.hit THEN z.n_rows ELSE 0 END) AS n_rows_scanned,
+       -- CAST: DuckDB sums widen to HUGEINT — not hash-safe (pandas fetch)
+       CAST(sum(CASE WHEN b.hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zones_scanned,
+       CAST(sum(CASE WHEN b.hit THEN z.n_rows ELSE 0 END) AS BIGINT)
+         AS n_rows_scanned,
        ROUND(1.0 - sum(CASE WHEN b.hit THEN z.n_rows ELSE 0 END)
                    / CAST(sum(z.n_rows) AS DOUBLE), {R}) + 0 AS prune_frac
 FROM (
@@ -756,7 +778,9 @@ agg AS (
   FROM per_sess GROUP BY path)
 SELECT path, n_sessions, n_users,
        CAST(len(string_split(path, '>')) AS INT) AS n_events_path,
-       path LIKE '%purchase%' AS converted,
+       -- exact type membership, not substring (a 'pre_purchase_view'
+       -- event type must not read as converted)
+       list_contains(string_split(path, '>'), 'purchase') AS converted,
        CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rank
 FROM agg
 QUALIFY rank <= {_SP_K}
@@ -777,7 +801,9 @@ _MK_GAP_MIN = 1440
 
 
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Removal-effect attribution over 30-min-session journeys: START →
+    """Removal-effect attribution over day-level (1440-min gap) journeys
+    — 30-min sessions on this stream are all singleton, see _MK_GAP_MIN:
+    START →
     touches → CONV/NULL first-order chain, conversion probability by
     10-round value iteration, channel knocked out by clamping its state to
     absorb at 0. The principled sibling of multitouch_credit."""
@@ -1101,7 +1127,10 @@ WITH src AS (
          l_extendedprice
   FROM lineitem),
 kept AS (
-  SELECT *, CASE WHEN y = 1 THEN 1.0 ELSE {100.0 / _CB_PCT} END AS weight
+  -- CAST AS DOUBLE: bare x.y literals are DECIMAL in DuckDB, and a DECIMAL
+  -- sum output is not hash-safe under the driver's pandas fetch
+  SELECT *, CASE WHEN y = 1 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST({100.0 / _CB_PCT} AS DOUBLE) END AS weight
   FROM src
   WHERE y = 1
      OR CAST('0x' || substr(md5('bal:' || rid), 1, 6) AS BIGINT) % 100 < {_CB_PCT}),
@@ -1156,9 +1185,14 @@ classes AS (
   SELECT c_nationkey, c_mktsegment, count(*) AS n,
          count(DISTINCT bal_band) AS l
   FROM rel GROUP BY c_nationkey, c_mktsegment)
-SELECT n AS class_size, count(*) AS n_classes, sum(n) AS n_rows,
-       sum(CASE WHEN n < {_KA_K} THEN n ELSE 0 END) AS n_k_violating_rows,
-       sum(CASE WHEN l < {_KA_L} THEN n ELSE 0 END) AS n_ldiv_violating_rows
+-- CAST: DuckDB integer sums widen to HUGEINT — not hash-safe under the
+-- driver's pandas fetch (float64 vs Spark int64)
+SELECT n AS class_size, count(*) AS n_classes,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n < {_KA_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_k_violating_rows,
+       CAST(sum(CASE WHEN l < {_KA_L} THEN n ELSE 0 END) AS BIGINT)
+         AS n_ldiv_violating_rows
 FROM classes GROUP BY n
 """
 
@@ -1442,16 +1476,19 @@ micro AS (
   SELECT sum(n) AS tot,
          sum(CASE WHEN label = assigned THEN n ELSE 0 END) AS tp
   FROM conf)
-SELECT class, n_true, n_pred,
+-- CAST the sum-derived counts to BIGINT: DuckDB widens them to HUGEINT,
+-- which is not hash-safe under the driver's pandas fetch
+SELECT class, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pred AS BIGINT) AS n_pred,
        ROUND(p, {R}) + 0 AS precision, ROUND(r, {R}) + 0 AS recall,
        ROUND(f1, {R}) + 0 AS f1
 FROM f
 UNION ALL
-SELECT 'MACRO', sum(n_true), sum(n_pred),
+SELECT 'MACRO', CAST(sum(n_true) AS BIGINT), CAST(sum(n_pred) AS BIGINT),
        ROUND(avg(p), {R}) + 0, ROUND(avg(r), {R}) + 0, ROUND(avg(f1), {R}) + 0
 FROM f
 UNION ALL
-SELECT 'MICRO', tot, tot,
+SELECT 'MICRO', CAST(tot AS BIGINT), CAST(tot AS BIGINT),
        ROUND(tp / CAST(tot AS DOUBLE), {R}) + 0,
        ROUND(tp / CAST(tot AS DOUBLE), {R}) + 0,
        ROUND(tp / CAST(tot AS DOUBLE), {R}) + 0
@@ -1617,7 +1654,8 @@ acc AS (
   FROM cells),
 sizes AS (SELECT grp, count(*) AS ng FROM base GROUP BY grp)
 SELECT (SELECT ng FROM sizes WHERE grp = 'A') AS n_a,
-       (SELECT sum(ng) FROM sizes WHERE grp <> 'A') AS n_b,
+       -- CAST: sum() widens to HUGEINT — not hash-safe (pandas fetch)
+       (SELECT CAST(sum(ng) AS BIGINT) FROM sizes WHERE grp <> 'A') AS n_b,
        CAST(acc.o AS BIGINT) AS observed_a,
        ROUND(acc.e, {R}) + 0 AS expected_a,
        ROUND(acc.v, {R}) + 0 AS variance,
@@ -1662,10 +1700,16 @@ def _sql_capture_recapture() -> str:
 
     return f"""
 WITH base AS (SELECT source, string_split(text, ' ') AS a FROM documents),
+starts AS (
+  -- series bound derived from len(a) via the unnest(list) form (this
+  -- DuckDB build rejects lateral table-function bounds), matching Spark's
+  -- sequence(1, size(_a)) — a fixed 4000 cap would silently diverge on
+  -- any document longer than 4000 tokens
+  SELECT source, a, unnest(generate_series(1, len(a), {_LINE_W})) AS st
+  FROM base),
 units AS (
-  SELECT source, md5(array_to_string(a[s.st : s.st + {_LINE_W - 1}], ' ')) AS d
-  FROM base, generate_series(1, 4000, {_LINE_W}) s(st)
-  WHERE s.st <= len(a)),
+  SELECT source, md5(array_to_string(a[st : st + {_LINE_W - 1}], ' ')) AS d
+  FROM starts),
 ds AS (SELECT DISTINCT source, d FROM units),
 per AS (SELECT source, count(*) AS n FROM ds GROUP BY source),
 shared AS (

@@ -1014,7 +1014,9 @@ pv AS (
   FROM two GROUP BY v),
 c AS (SELECT sum(na) OVER (ORDER BY v) AS ca, sum(nb) OVER (ORDER BY v) AS cb FROM pv),
 t AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM pv)
-SELECT n_a, n_b,
+-- CAST: sum()-derived counts are HUGEINT in DuckDB (driver pandas-fetch
+-- renders those as float64 while Spark emits int64 — hash poison)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        ROUND(max(abs(CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)), {R}) AS d_stat
 FROM c CROSS JOIN t GROUP BY n_a, n_b
 """

@@ -740,7 +740,11 @@ surv AS (
          exp(sum(ln(greatest(1.0 - d / CAST(n AS DOUBLE), 1e-300)))
              OVER (PARTITION BY grp ORDER BY t)) AS s
   FROM cum)
-SELECT grp, t, n AS n_risk, d, ROUND(s, {_RKM}) + 0 AS surv
+-- CAST the sum-derived counts to BIGINT: DuckDB widens integer sums to
+-- HUGEINT, which the driver's pandas fetch renders as float64 ("88.0")
+-- while Spark emits int64 ("88") — the r4/r5 hash_match:false mechanism
+SELECT grp, t, CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       ROUND(s, {_RKM}) + 0 AS surv
 FROM surv WHERE d > 0
 """
 
@@ -803,8 +807,9 @@ per_doc AS (
   JOIN model m ON m.token = c.token
   GROUP BY c._id),
 full_corpus AS (
+  -- CAST: sum()-derived n_tokens is HUGEINT in DuckDB (pandas-fetch float)
   SELECT d.doc_id,
-         coalesce(p.n_tokens, 0) AS n_tokens,
+         CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
          coalesce(p.weight, 0.0) AS weight
   FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id),
 scored AS (
@@ -876,7 +881,7 @@ cum AS (
          sum(cnt) OVER (ORDER BY bin) AS cn,
          sum(n_pos) OVER (ORDER BY bin) AS cp
   FROM binned)
-SELECT CAST(bin AS INT) AS bin, cnt AS n, n_pos,
+SELECT CAST(bin AS INT) AS bin, cnt AS n, CAST(n_pos AS BIGINT) AS n_pos,
        ROUND(cp / CAST(npos AS DOUBLE), {_RKM}) + 0 AS cum_capture,
        ROUND((cp / CAST(cn AS DOUBLE)) / (npos / CAST(n AS DOUBLE)), {_RKM}) + 0
          AS cum_lift

@@ -101,13 +101,16 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LINE_DEDUP = f"""
 WITH base AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+starts AS (
+  -- len(a)-bounded series via the unnest(list) form (this DuckDB build
+  -- rejects lateral table-function bounds; a fixed 4000 cap would
+  -- silently diverge on longer documents)
+  SELECT doc_id, a, unnest(generate_series(1, len(a), {_LINE_W})) AS st
+  FROM base),
 lines AS (
-  -- fixed-bound series + WHERE (this DuckDB build rejects lateral
-  -- len(a) bounds), same pattern as the shingle CTE
-  SELECT doc_id, CAST((s.st - 1) / {_LINE_W} AS INT) AS line_no,
-         array_to_string(a[s.st : s.st + {_LINE_W - 1}], ' ') AS line
-  FROM base, generate_series(1, 4000, {_LINE_W}) s(st)
-  WHERE s.st <= len(a)),
+  SELECT doc_id, CAST((st - 1) / {_LINE_W} AS INT) AS line_no,
+         array_to_string(a[st : st + {_LINE_W - 1}], ' ') AS line
+  FROM starts),
 keyed AS (SELECT doc_id, line_no, md5(line) AS d FROM lines),
 firsts AS (
   SELECT doc_id, line_no,
@@ -198,11 +201,15 @@ def _sql_corpus_v3() -> str:
     return f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+lstarts AS (
+  -- len(a)-bounded series via unnest(list) (no lateral table functions
+  -- in this DuckDB build; a fixed cap would diverge on long documents)
+  SELECT doc_id, a, unnest(generate_series(1, len(a), {_LINE_W})) AS st
+  FROM base),
 lines AS (
-  SELECT doc_id, CAST((s.st - 1) / {_LINE_W} AS INT) AS line_no,
-         array_to_string(a[s.st : s.st + {_LINE_W - 1}], ' ') AS line
-  FROM base, generate_series(1, 4000, {_LINE_W}) s(st)
-  WHERE s.st <= len(a)),
+  SELECT doc_id, CAST((st - 1) / {_LINE_W} AS INT) AS line_no,
+         array_to_string(a[st : st + {_LINE_W - 1}], ' ') AS line
+  FROM lstarts),
 keyed AS (SELECT doc_id, line_no, md5(line) AS d FROM lines),
 firsts AS (
   SELECT doc_id, line_no,
@@ -519,10 +526,14 @@ ld AS (
 SELECT t.doc_id{final}
 )
 SELECT d.source, count(*) AS n_docs,
-       sum(ld.n_lines) AS n_lines, sum(ld.n_kept) AS n_kept,
+       -- CAST: DuckDB integer sums widen to HUGEINT — not hash-safe under
+       -- the driver's pandas fetch (float64 "88.0" vs Spark int64 "88")
+       CAST(sum(ld.n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(ld.n_kept) AS BIGINT) AS n_kept,
        ROUND(1.0 - sum(ld.n_kept) / CAST(sum(ld.n_lines) AS DOUBLE), {R}) + 0
          AS boilerplate_rate,
-       sum(CASE WHEN ld.n_kept = 0 THEN 1 ELSE 0 END) AS n_wiped_docs
+       CAST(sum(CASE WHEN ld.n_kept = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_wiped_docs
 FROM ld JOIN documents d ON d.doc_id = ld.doc_id
 GROUP BY d.source
 """

@@ -166,8 +166,10 @@ hits AS (
   FROM zones)
 SELECT predicate,
        count(*) AS n_zones,
-       sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_zones_scanned,
-       sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS n_rows_scanned,
+       -- CAST: DuckDB integer sums widen to HUGEINT, which the driver's
+       -- pandas fetch renders as float64 vs Spark's int64 (hash poison)
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_zones_scanned,
+       CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned,
        ROUND(1.0 - sum(CASE WHEN hit THEN n_rows ELSE 0 END)
                    / CAST(sum(n_rows) AS DOUBLE), {R}) + 0 AS prune_frac
 FROM hits GROUP BY predicate
@@ -267,10 +269,14 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SOURCE_OVERLAP = f"""
 WITH base AS (SELECT source, string_split(text, ' ') AS a FROM documents),
+starts AS (
+  -- len(a)-bounded series via unnest(list) (no lateral table functions
+  -- in this DuckDB build; a fixed cap would diverge on long documents)
+  SELECT source, a, unnest(generate_series(1, len(a), {_LINE_W})) AS st
+  FROM base),
 units AS (
-  SELECT source, md5(array_to_string(a[s.st : s.st + {_LINE_W - 1}], ' ')) AS d
-  FROM base, generate_series(1, 4000, {_LINE_W}) s(st)
-  WHERE s.st <= len(a)),
+  SELECT source, md5(array_to_string(a[st : st + {_LINE_W - 1}], ' ')) AS d
+  FROM starts),
 ds AS (SELECT DISTINCT source, d FROM units),
 per AS (SELECT source, count(*) AS n_digests FROM ds GROUP BY source),
 shared AS (
@@ -431,8 +437,9 @@ est AS (
          ROUND(sum(frac * n_rows) / sum(n_rows), {R}) + 0 AS sel_est
   FROM fr),
 act AS (
-  SELECT sum(CASE WHEN l_extendedprice BETWEEN {_SEL_LO} AND {_SEL_HI}
-                  THEN 1 ELSE 0 END) AS actual_rows,
+  -- CAST: sum() widens to HUGEINT in DuckDB — not hash-safe (pandas fetch)
+  SELECT CAST(sum(CASE WHEN l_extendedprice BETWEEN {_SEL_LO} AND {_SEL_HI}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS actual_rows,
          count(*) AS n_total
   FROM lineitem)
 SELECT e.est_rows, e.sel_est, a.actual_rows,
@@ -674,7 +681,9 @@ ded AS (
   SELECT CAST(s0.s + s1.s + s2.s AS BIGINT) AS deducted
   FROM s0, s1, s2),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events)
-SELECT key, cnt AS est, cnt + deducted AS est_hi, n_total, deducted
+-- CAST: the folded cnt is sum()-derived (HUGEINT) — not hash-safe raw
+SELECT key, CAST(cnt AS BIGINT) AS est,
+       CAST(cnt + deducted AS BIGINT) AS est_hi, n_total, deducted
 FROM sum2 CROSS JOIN ded CROSS JOIN tot
 """
 

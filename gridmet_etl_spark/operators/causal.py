@@ -115,10 +115,22 @@ def ipw_ate(
     propensity weighting: p̂(s) = treated share within stratum s (the
     nonparametric propensity — exact rational n_t/n per stratum), then
     ATE = (1/N)·Σ [ t·y/p̂(s) − (1−t)·y/(1−p̂(s)) ] (Horvitz-Thompson).
-    Output (1 row): naive difference-in-means (confounded), the IPW ATE,
-    and the stratification-theorem twin (Σ_s w_s·(ȳ_t(s) − ȳ_c(s)),
-    w_s = n_s/N) which equals the H-T form algebraically — carrying both
-    is a built-in consistency check. Two bounded aggregation passes."""
+
+    Positivity: a stratum with zero treated (or zero control) units has an
+    undefined propensity weight — no estimator can recover its effect from
+    the data. Such strata are EXCLUDED from both the numerator and the
+    denominator (the trimmed estimand: ATE over the overlap population
+    only — Crump et al. 2009's standard practice), and surfaced in the
+    output so the trim is never silent. Including their units in N while
+    sums skip them (NULL terms) would shrink both estimates toward 0 with
+    no warning.
+
+    Output (1 row): n_units, n_overlap_units, n_degenerate_strata, naive
+    difference-in-means (confounded), the IPW ATE, and the
+    stratification-theorem twin (Σ_s w_s·(ȳ_t(s) − ȳ_c(s)), w_s = n_s/N_ov)
+    which equals the H-T form algebraically on the SAME overlap population
+    — carrying both is a built-in consistency check. Two bounded
+    aggregation passes."""
     strata = units.groupBy(stratum_col).agg(
         F.count(F.lit(1)).alias("n_s"),
         F.sum(F.col(t_col).cast("long")).alias("n_t_s"),
@@ -130,9 +142,11 @@ def ipw_ate(
         F.avg(F.when(F.col(t_col) == 1, F.col(y_col))).alias("mean_t"),
         F.avg(F.when(F.col(t_col) == 0, F.col(y_col))).alias("mean_c"),
     )
+    degenerate = (F.col("n_t_s") == 0) | (F.col("n_t_s") == F.col("n_s"))
     # per-stratum arm means and weights; H-T form: sy_t/p̂ = sy_t·n_s/n_t_s
     per = strata.select(
         "n_s",
+        degenerate.alias("deg"),
         (F.col("sy_t") * F.col("n_s") / F.col("n_t_s")).alias("ht_t"),
         (F.col("sy_c") * F.col("n_s") / (F.col("n_s") - F.col("n_t_s"))).alias("ht_c"),
         (
@@ -141,16 +155,23 @@ def ipw_ate(
         ).alias("strat_term"),
     )
     acc = per.agg(
-        F.sum("ht_t").alias("sht_t"),
-        F.sum("ht_c").alias("sht_c"),
-        F.sum("strat_term").alias("s_strat"),
+        F.sum(F.when(~F.col("deg"), F.col("ht_t"))).alias("sht_t"),
+        F.sum(F.when(~F.col("deg"), F.col("ht_c"))).alias("sht_c"),
+        F.sum(F.when(~F.col("deg"), F.col("strat_term"))).alias("s_strat"),
+        # trimmed denominator: units in strata where BOTH arms exist
+        F.sum(F.when(~F.col("deg"), F.col("n_s")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_ov"),
+        F.sum(F.col("deg").cast("long")).alias("n_deg"),
     )
     rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
     return acc.crossJoin(F.broadcast(tot)).select(
         F.col("n").cast("long").alias("n_units"),
+        F.col("n_ov").alias("n_overlap_units"),
+        F.col("n_deg").cast("long").alias("n_degenerate_strata"),
         rnd(F.col("mean_t") - F.col("mean_c")).alias("diff_naive"),
-        rnd((F.col("sht_t") - F.col("sht_c")) / F.col("n")).alias("ate_ipw"),
-        rnd(F.col("s_strat") / F.col("n")).alias("ate_stratified"),
+        rnd((F.col("sht_t") - F.col("sht_c")) / F.col("n_ov")).alias("ate_ipw"),
+        rnd(F.col("s_strat") / F.col("n_ov")).alias("ate_stratified"),
     )
 
 

@@ -142,6 +142,12 @@ def session_paths(
     (ts, event_id, type) structs — no reliance on arrival order.
 
     Output: (path, n_sessions, n_users, n_events_path, converted, rank).
+    ``converted`` is exact membership of ``convert_type`` among the path's
+    event types (substring matching would count e.g. 'pre_purchase_view'),
+    evaluated on the CAPPED path — a conversion landing beyond the
+    ``max_events`` cap reports as unconverted, by design (the path string
+    IS the unit of analysis here; use funnel/markov ops for uncapped
+    conversion accounting).
     """
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.select("user_id", "ts", "event_id", "event_type").withColumn(
@@ -183,7 +189,9 @@ def session_paths(
         "n_sessions",
         "n_users",
         F.size(F.split(F.col("path"), ">")).alias("n_events_path"),
-        F.col("path").contains(convert_type).alias("converted"),
+        F.array_contains(F.split(F.col("path"), ">"), convert_type).alias(
+            "converted"
+        ),
     ).withColumn("rank", F.row_number().over(w))
 
 

@@ -458,7 +458,9 @@ def kmv_set_ops(
     two groups' kth-min thresholds (SPACE when a group is exact, i.e. kept
     < k); count common hashes below θ; estimate = common · SPACE / θ —
     exact integers everywhere except one final division. Jaccard uses the
-    standard KMV form: common-below-θ over the union's bounded sample.
+    union-k-sample form: common hashes INSIDE the union's k smallest
+    (h ≤ u_kth) over u_kept — one sampling window for both numerator and
+    denominator (a θ-window numerator would overestimate by ~|A∩B|/max).
 
     Output: (ga, gb, n_common, union_est, inter_est, jaccard_est)."""
     from pyspark.sql.window import Window
@@ -505,12 +507,26 @@ def kmv_set_ops(
         .groupBy("ga", "gb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # Jaccard numerator: common hashes INSIDE the union's k-sample (h ≤
+    # u_kth), NOT below θ — θ ≥ u_kth, so the θ-window numerator over the
+    # u_kept denominator mixes two sampling windows and overestimates
+    # (measured ~0.445 vs true 1/3 on the k=256 test fixture; the union
+    # k-sample is a uniform sample of A∪B, of which the common fraction
+    # is an unbiased Jaccard estimate — Beyer et al., "On Synopses for
+    # Distinct-Value Estimation Under Multiset Operations", SIGMOD'07)
+    common_u = (
+        a_side.join(b_side, "h")
+        .join(u_k.select("ga", "gb", "h"), ["ga", "gb", "h"], "left_semi")
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_common_u"))
+    )
     out = (
         pairs.join(F.broadcast(ma), "ga")
         .join(F.broadcast(mb), "gb")
         .join(u_est, ["ga", "gb"], "left")
         .join(common, ["ga", "gb"], "left")
-        .na.fill({"n_common": 0})
+        .join(common_u, ["ga", "gb"], "left")
+        .na.fill({"n_common": 0, "n_common_u": 0})
     )
     theta = F.least(F.col("theta_a"), F.col("theta_b"))
     union_est = F.when(
@@ -519,8 +535,8 @@ def kmv_set_ops(
     inter_est = F.when(
         theta == KMV_SPACE, F.col("n_common").cast("double")
     ).otherwise(F.col("n_common") * F.lit(float(KMV_SPACE)) / theta)
-    # KMV Jaccard: fraction of the union's bounded sample that is common
-    jac = F.col("n_common") / F.col("u_kept")
+    # KMV Jaccard: fraction of the union's bounded k-sample that is common
+    jac = F.col("n_common_u") / F.col("u_kept")
     return out.select(
         "ga",
         "gb",

@@ -93,7 +93,11 @@ def test_kmv_set_ops_estimator_reasonable(spark):
     tol = 4.0 / (254.0**0.5)
     assert abs(r.union_est - 6000) / 6000 < tol
     assert abs(r.inter_est - 2000) / 2000 < 2 * tol  # intersection: higher variance
-    assert abs(r.jaccard_est - 2000 / 6000) < 2 * tol
+    # Jaccard must use ONE sampling window (common-in-union-k-sample over
+    # u_kept). The old theta-window numerator yielded ~0.445 on this exact
+    # deterministic fixture (estimating |A∩B|/max, not J) — keep the band
+    # tight enough to refute it; the corrected estimator yields ~0.332.
+    assert abs(r.jaccard_est - 2000 / 6000) < 0.06
 
 
 def test_streaming_kmv_matches_batch_build(spark, tmp_path):
@@ -284,6 +288,31 @@ def test_ipw_debiases_confounded_panel(spark):
     assert r.ate_stratified == 1.0
     assert r.diff_naive > 1.0  # confounding inflates the naive contrast
     assert r.ate_ipw == r.ate_stratified  # algebraic identity carried as a check
+    assert (r.n_overlap_units, r.n_degenerate_strata) == (40, 0)
+
+
+def test_ipw_trims_and_surfaces_positivity_violations(spark):
+    """A stratum with zero treated units can't contribute an effect
+    estimate: it must leave BOTH numerator and denominator (trimmed /
+    overlap estimand) and be surfaced — NOT silently shrink the ATE
+    toward 0 by staying in N while its terms go NULL."""
+    from gridmet_etl_spark.operators.causal import ipw_ate
+
+    rows = []
+    for i in range(40):  # stratum 0: both arms, effect exactly +1
+        t = 1 if i % 2 else 0
+        rows.append((float(5 + t), t, 0))
+    for i in range(60):  # stratum 1: ALL control — no overlap
+        rows.append((100.0, 0, 1))
+    df = spark.createDataFrame(rows, ["y", "t", "stratum"])
+    r = ipw_ate(df).first()
+    assert r.n_units == 100
+    assert r.n_overlap_units == 40
+    assert r.n_degenerate_strata == 1
+    # the trimmed estimand recovers the overlap-population effect exactly;
+    # the old N=100 denominator reported 0.4 here
+    assert r.ate_ipw == 1.0
+    assert r.ate_stratified == 1.0
 
 
 def test_did_removes_common_trend(spark):
@@ -398,6 +427,26 @@ def test_session_paths_hand_case_and_conservation(spark):
     assert out["view>view"].n_sessions == 1 and out["view>view"].converted is False
     assert sum(r.n_sessions for r in out.values()) == 3
     assert out["view>click>purchase"].n_events_path == 3
+
+
+def test_session_paths_converted_is_exact_membership(spark):
+    """An event type merely CONTAINING the conversion type as a substring
+    ('pre_purchase_view') must not flag the path converted — membership is
+    on the exact type list, not the path string."""
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.funnel import session_paths
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "view"), (1, t0 + m, 2, "pre_purchase_view"),
+        (2, t0, 3, "view"), (2, t0 + m, 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {r.path: r for r in session_paths(ev, k=10).collect()}
+    assert out["view>pre_purchase_view"].converted is False
+    assert out["view>purchase"].converted is True
 
 
 def test_session_paths_caps_runaway_sessions(spark):

