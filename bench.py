@@ -976,10 +976,20 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
+    # the headline corpus-scale LSH entry runs FIRST — cold, before ~80
+    # queries of accumulated JVM/broadcast/cache debt. Round-5 recorded
+    # 62.5 s for it at position ~50 under load 12 vs 25 s isolated; a 2.5x
+    # spread on the headline entry makes the artifact unreviewable, and
+    # position (not plan) was the variable. Pinning the run slot pins the
+    # number.
+    _first = "minhash_lsh_100k_docs"
+    timings[_first] = timed(EXTRA_BENCH[_first](spark))
     for name in BENCH_QUERIES:
         fn, _sql = DOMAIN_QUERIES[name]
         timings[name] = timed(fn(spark, SF_DIR))
     for name, builder in EXTRA_BENCH.items():
+        if name == _first:
+            continue
         timings[name] = timed(builder(spark))
     for name, builder in CALL_TIMED.items():
         # each CALL_TIMED execution is self-contained (the build call

@@ -179,17 +179,18 @@ def export_netcdf(
     calendar: str = GRIDMET_CALENDAR,
 ) -> str:
     """K1/K2 edge-export: true NetCDF (dims (time, nhru), CF-1.8,
-    _FillValue=9.96920996838687e+36 per gm_header.md:13) — only when a
-    NetCDF stack is importable. The engine's canonical format stays parquet;
+    _FillValue=9.96920996838687e+36 per gm_header.md:13). With xarray
+    importable this writes NETCDF4 (compressed) exactly as the reference
+    does (reference etl.py:585-607); without it, it falls back to the
+    pure-python NetCDF-3 classic writer (sources/nc_micro.py) — same dims,
+    variables, CF attributes, fill value and calendar, real bytes any
+    netCDF consumer can open. The engine's canonical format stays parquet;
     this is a compatibility shim for downstream NHM tooling.
     """
     try:
         import xarray  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "NetCDF export requires xarray+netCDF4, not present in this "
-            "environment; use write_output (parquet + CF sidecar) instead"
-        ) from exc
+    except ImportError:  # pragma: no cover - env-dependent
+        return export_netcdf_classic(df, path, time_col=time_col, calendar=calendar)
     pdf = df.toPandas()  # edge-export: bounded output (features × days)
     value_cols = [c for c in pdf.columns if c not in ("feature_id", time_col, "ens")]
     pdf = pdf.set_index(["feature_id", time_col]).sort_index()
@@ -201,6 +202,60 @@ def export_netcdf(
         ds[time_col].encoding.update({"calendar": calendar})
     ds.attrs.update({"Conventions": "CF-1.8", "featureType": "timeSeries"})
     ds.to_netcdf(path, format="NETCDF4")
+    return path
+
+
+def export_netcdf_classic(
+    df: DataFrame,
+    path: str,
+    time_col: str = "time",
+    calendar: str = GRIDMET_CALENDAR,
+) -> str:
+    """NetCDF-3 classic export via the dependency-free micro-writer:
+    dims (time, nhru), CF time encoding ('days since 1970-01-01',
+    per-pipeline calendar), per-variable CF attrs + _FillValue for
+    missing (feature, time) cells. Bounded edge-export like the NETCDF4
+    path (features × days), so the driver-side pivot is correct here."""
+    import numpy as np
+
+    from .nc_micro import write_netcdf3
+
+    pdf = df.toPandas()  # edge-export: bounded output (features × days)
+    value_cols = [c for c in pdf.columns if c not in ("feature_id", time_col, "ens")]
+    features = np.sort(pdf["feature_id"].unique())
+    times = np.sort(pdf[time_col].unique())
+    f_ix = {f: i for i, f in enumerate(features)}
+    t_ix = {t: i for i, t in enumerate(times)}
+    rows = pdf[time_col].map(t_ix).to_numpy()
+    cols = pdf["feature_id"].map(f_ix).to_numpy()
+    epoch = np.datetime64("1970-01-01")
+    time_days = (
+        (np.asarray(times, dtype="datetime64[D]") - epoch) / np.timedelta64(1, "D")
+    ).astype("f8")
+    variables = [
+        (
+            time_col,
+            [time_col],
+            {"units": "days since 1970-01-01 00:00:00", "calendar": calendar},
+            time_days,
+        ),
+        ("nhru", ["nhru"], {"long_name": "local model hru id"},
+         np.asarray(features, dtype="i4")),
+    ]
+    for v in value_cols:
+        grid = np.full((len(times), len(features)), NETCDF_FILL_VALUE, dtype="f8")
+        grid[rows, cols] = pdf[v].to_numpy(dtype="f8")
+        # NaN cells (missing measurements) export as the CF fill value
+        grid[np.isnan(grid)] = NETCDF_FILL_VALUE
+        attrs = dict(CF_ATTRS.get(v, {}))
+        attrs["_FillValue"] = float(NETCDF_FILL_VALUE)
+        variables.append((v, [time_col, "nhru"], attrs, grid))
+    write_netcdf3(
+        path,
+        dims={time_col: len(times), "nhru": len(features)},
+        variables=variables,
+        global_attrs={"Conventions": "CF-1.8", "featureType": "timeSeries"},
+    )
     return path
 
 

@@ -1,8 +1,9 @@
 """CLI end-to-end runs, writer layout/sidecar, ingest-job plumbing with an
-injected synthetic fetcher, NetCDF gate."""
+injected synthetic fetcher, real-bytes NetCDF export."""
 
 import json
 import os
+import datetime as dt
 from datetime import date
 
 import numpy as np
@@ -98,17 +99,49 @@ def test_cli_run_date_partition(spark, fixdir, tmp_path):
     assert any(p.name.startswith("ens=") for p in base.iterdir())
 
 
-def test_netcdf_export_gated(spark, fixdir):
-    df = spark.read.parquet(os.path.join(fixdir, "features.parquet"))
-    try:
-        import xarray  # noqa: F401
+def test_netcdf_export_real_bytes_no_injection(spark, tmp_path):
+    """export_netcdf produces a REAL netCDF file in every environment:
+    NETCDF4 via xarray when importable, else NetCDF-3 classic via the
+    pure-python micro-writer — never a NotImplementedError gate. Verified
+    by re-reading the classic bytes and checking values, fill cells, CF
+    time encoding and the calendar attribute."""
+    import numpy as np
 
-        has_xarray = True
-    except ImportError:
-        has_xarray = False
-    if not has_xarray:
-        with pytest.raises(NotImplementedError):
-            export_netcdf(df.withColumn("time", F.current_date()), "/tmp/x.nc")
+    from gridmet_etl_spark.schemas import NETCDF_FILL_VALUE
+    from gridmet_etl_spark.sources.nc_micro import read_netcdf3
+    from gridmet_etl_spark.sources.writers import export_netcdf_classic
+
+    rows = [
+        (1, dt.date(2024, 6, 1), 20.5),
+        (1, dt.date(2024, 6, 2), 21.0),
+        (2, dt.date(2024, 6, 1), 18.25),
+        # (2, 2024-06-02) missing -> must export as the CF fill value
+    ]
+    df = spark.createDataFrame(rows, ["feature_id", "time", "tmax"])
+    path = str(tmp_path / "extract.nc")
+    out = export_netcdf(df, path)  # xarray absent here -> classic fallback
+    assert out == path
+    assert open(path, "rb").read(4) == b"CDF\x01"
+    dims, gatts, data = read_netcdf3(path)
+    assert dims == {"time": 2, "nhru": 2}
+    assert gatts["Conventions"] == "CF-1.8"
+    tdims, tattrs, tvals = data["time"]
+    assert tattrs["units"].startswith("days since 1970-01-01")
+    assert "calendar" in tattrs
+    assert list(tvals) == [
+        (dt.date(2024, 6, 1) - dt.date(1970, 1, 1)).days,
+        (dt.date(2024, 6, 2) - dt.date(1970, 1, 1)).days,
+    ]
+    vdims, vattrs, grid = data["tmax"]
+    assert vdims == ["time", "nhru"]
+    assert vattrs["_FillValue"] == NETCDF_FILL_VALUE
+    assert grid[0, 0] == 20.5 and grid[1, 0] == 21.0 and grid[0, 1] == 18.25
+    assert grid[1, 1] == NETCDF_FILL_VALUE
+    # explicit-classic entry point writes the same bytes
+    p2 = str(tmp_path / "extract2.nc")
+    export_netcdf_classic(df, p2)
+    assert open(p2, "rb").read() == open(path, "rb").read()
+    assert np.asarray(data["nhru"][2]).tolist() == [1, 2]
 
 
 def _make_synthetic_fetcher():
