@@ -29,6 +29,7 @@ from gridmet_etl_spark.contract_ext7 import EXT7_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext8 import EXT8_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext9 import EXT9_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext10 import EXT10_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext11 import EXT11_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -42,6 +43,7 @@ _MERGED = {
     **EXT8_QUERIES,
     **EXT9_QUERIES,
     **EXT10_QUERIES,
+    **EXT11_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -69,7 +71,10 @@ _CHECK_FIRST = [
     # kmv_set_ops jaccard_est de-biased to the union-k-sample window;
     # ipw_ate positivity-trimmed (overlap estimand + surfaced trim columns)
     "kmv_set_ops", "ipw_ate",
-    # (2) new round-6 queries land here as they are added
+    # (2) new round-6 queries (contract_ext11)
+    "sequence_packing", "split_leakage_audit", "zipf_fit",
+    "weighted_ess", "token_budget_alloc", "lsh_band_sweep",
+    "ivf_nprobe_sweep", "cohen_kappa",
     # (3) only driver record predates its oracle (r2 no_oracle)
     "ivf_topk",
     # (4) never driver-checked backlog, oldest-waiting first
@@ -80,10 +85,9 @@ _CHECK_FIRST = [
     "cosine_topk", "simhash",
     "tpch_q15ish", "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
     "autocorr_daily", "ewma_daily", "scd2_users", "corr_matrix",
-    "target_encode", "ref_integrity", "skew_profile", "khop_reach",
-    "heatwave_runs",
+    "target_encode",
     # ---- driver cap (50) reached; the rest of the backlog queues for r7 ----
-    "spi_index",
+    "ref_integrity", "skew_profile", "khop_reach", "heatwave_runs", "spi_index",
     "frost_dates", "heat_index",
     "overlap_join", "threshold_alerts", "centroid_classify", "knn_eval",
     "terrain_gradient", "seasonal_decomp", "temporal_split",

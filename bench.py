@@ -72,6 +72,15 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "session_paths",
     "markov_attribution",
+    # round-6 additions (ext11): packing/leakage/fingerprint batch — the
+    # 1M-doc packing stress twin runs in EXTRA_BENCH
+    "sequence_packing",
+    "split_leakage_audit",
+    "zipf_fit",
+    "token_budget_alloc",
+    "lsh_band_sweep",
+    "ivf_nprobe_sweep",
+    "cohen_kappa",
 ]
 
 
@@ -901,7 +910,58 @@ def _holt_100k_series(spark):
     return holt_forecast(daily, ["series"], n_steps=30, horizon=3)
 
 
+def _seq_packing_1m_docs(spark):
+    """1M synthetic docs (50-550 whitespace tokens via deterministic id
+    arithmetic) across 64 shards, packed into 2048-token sequences — the
+    loader-layout question at corpus scale. The window is shard-partitioned
+    (64-way parallel); per-doc state entering it is 16 bytes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    docs = (
+        spark.range(n)
+        .repartition(32)
+        .select(
+            (F.col("id") % 64).alias("shard"),
+            F.col("id").alias("doc_id"),
+            (F.lit(50) + (F.col("id") * 37 % 500)).alias("_n"),
+        )
+    )
+    # same span arithmetic as operators/packing.sequence_packing, driven
+    # straight from token counts (no synthetic text materialization — the
+    # operator's window/explode/agg pipeline is what's being measured)
+    b = 2048
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = docs.select(
+        "shard",
+        "_n",
+        F.coalesce(
+            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_start"),
+    ).withColumn("_end", F.col("_start") + F.col("_n"))
+    p0, p1 = F.expr(f"_start div {b}"), F.expr(f"(_end - 1) div {b}")
+    ex = spans.select(
+        "shard",
+        "_start",
+        "_end",
+        p0.alias("_p0"),
+        p1.alias("_p1"),
+        F.explode(F.sequence(p0, p1)).alias("pack_id"),
+    )
+    return ex.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("_p1") > F.col("_p0")).cast("long")).alias("n_boundary_docs"),
+        F.sum(
+            F.least(F.col("_end"), (F.col("pack_id") + 1) * b)
+            - F.greatest(F.col("_start"), F.col("pack_id") * b)
+        ).alias("n_tokens"),
+    )
+
+
 EXTRA_BENCH = {
+    "seq_packing_1M_docs": _seq_packing_1m_docs,
     "scd2_1M_changes": _scd2_1m_changes,
     "overlap_200k_spans": _overlap_200k_spans,
     "jaccard_join_500docs": _jaccard_500docs,
@@ -945,8 +1005,9 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext3 import EXT3_QUERIES as _EXT3
     from gridmet_etl_spark.contract_ext8 import EXT8_QUERIES as _EXT8
     from gridmet_etl_spark.contract_ext10 import EXT10_QUERIES as _EXT10
+    from gridmet_etl_spark.contract_ext11 import EXT11_QUERIES as _EXT11
 
-    DOMAIN_QUERIES = {**_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10}
+    DOMAIN_QUERIES = {**_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11}
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")
     # warm-up: JVM + parquet footer caches

@@ -169,3 +169,62 @@ def decontaminate_bloom(
         F.col(id_col),
         bloom_hit(F.col(text_col), bitmap, m_bits, k_hashes).alias("bloom_hit"),
     )
+
+
+def cross_split_leakage(
+    digests: DataFrame,
+    train_split: str = "train",
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    digest_col: str = "d",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Train→eval contamination audit over content digests: for every
+    non-train split, how many of its documents share at least one digest
+    (e.g. an 8-token line fingerprint) with ANY train document, and how
+    many of its distinct digests appear in train. The QA readout a
+    decontamination pass is graded by — benchmark answers leaking through
+    shared boilerplate lines are exactly what this catches.
+
+    Scale shape: everything runs on (split, doc, digest) relations —
+    document bodies never move. The train digest set joins as a LEFT SEMI
+    on the digest key (Bloom/broadcast-prunable); rollups are
+    output-sized partial aggs per split.
+
+    Output per eval split: (split, n_docs, n_contaminated_docs,
+    contaminated_docs_e4, n_digests, n_shared_digests, shared_digests_e4)
+    — the _e4 rates are exact scaled integers (x·scale // total), so the
+    report is hash-stable cross-engine."""
+    base = digests.select(
+        F.col(split_col).alias("split"),
+        F.col(id_col).alias("_id"),
+        F.col(digest_col).alias("_d"),
+    ).distinct()
+    train_d = base.filter(F.col("split") == train_split).select("_d").distinct()
+    ev = base.filter(F.col("split") != train_split)
+    hits = ev.join(train_d, "_d", "left_semi")
+    docs_per = ev.groupBy("split").agg(
+        F.countDistinct("_id").alias("n_docs"),
+        F.countDistinct("_d").alias("n_digests"),
+    )
+    hit_per = hits.groupBy("split").agg(
+        F.countDistinct("_id").alias("n_contaminated_docs"),
+        F.countDistinct("_d").alias("n_shared_digests"),
+    )
+    return (
+        docs_per.join(hit_per, "split", "left")
+        .na.fill({"n_contaminated_docs": 0, "n_shared_digests": 0})
+        .select(
+            "split",
+            "n_docs",
+            "n_contaminated_docs",
+            F.expr(f"n_contaminated_docs * {scale} div n_docs").alias(
+                "contaminated_docs_e4"
+            ),
+            "n_digests",
+            "n_shared_digests",
+            F.expr(f"n_shared_digests * {scale} div n_digests").alias(
+                "shared_digests_e4"
+            ),
+        )
+    )

@@ -829,3 +829,91 @@ def capture_recapture(
             "est_unseen"
         ),
     )
+
+
+def lsh_band_sweep(
+    docs: DataFrame,
+    configs: tuple[int, ...] = (1, 2, 4, 8, 16),
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_seeds: int = N_MINHASH_SEEDS,
+    scale: int = 10_000,
+) -> DataFrame:
+    """LSH configuration advisor: measured precision/recall of the
+    candidate set for EVERY (bands, rows-per-band) split of the SAME
+    n_seeds-hash signature matrix, against the exact ≥ ``threshold``
+    Jaccard truth set — the empirical S-curve sweep you run once on a
+    bounded sample before committing a banding to a 100 TB dedup pass
+    (theory says the collision threshold is (1/b)^(1/r); this measures
+    what those knobs actually do on YOUR shingle distribution).
+
+    Scale shape: the truth set is the quadratic piece, so callers pass a
+    bounded sample (the shared-shingle join prunes it further); each
+    config reuses the same row-local wide signature and costs one
+    band-key self-join. All counts/rates are exact integers
+    (`x·scale div total`) — hash-stable cross-engine.
+
+    Output per config: (rows_per_band, n_bands, thr_theory_e4, n_true,
+    n_cand, n_hit, precision_e4, recall_e4)."""
+    truth = ngram_jaccard_pairs(docs, threshold=threshold, k=k).select(
+        "doc_a", "doc_b"
+    )
+    per = None
+    for r in configs:
+        cands = minhash_lsh_candidates(
+            docs, text_col, id_col, k=k, n_seeds=n_seeds, rows_per_band=r
+        ).select(F.lit(int(r)).alias("rows_per_band"), "doc_a", "doc_b")
+        per = cands if per is None else per.unionByName(cands)
+    hits = per.join(truth, ["doc_a", "doc_b"], "left_semi")
+    n_true_rel = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    cand_stats = per.groupBy("rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    hit_stats = hits.groupBy("rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    # theory threshold per config, computed HERE and injected as literals
+    # so both engines carry the identical double
+    n_bands = {r: -(-n_seeds // r) for r in configs}
+    thr = {
+        r: int(round((1.0 / n_bands[r]) ** (1.0 / r) * scale)) for r in configs
+    }
+    thr_expr = None
+    for r in configs:
+        cond = F.col("rows_per_band") == int(r)
+        pair = (F.lit(n_bands[r]).cast("int"), F.lit(thr[r]).cast("long"))
+        thr_expr = (
+            F.when(cond, F.struct(pair[0].alias("nb"), pair[1].alias("th")))
+            if thr_expr is None
+            else thr_expr.when(
+                cond, F.struct(pair[0].alias("nb"), pair[1].alias("th"))
+            )
+        )
+    return (
+        cand_stats.join(hit_stats, "rows_per_band", "left")
+        .na.fill({"n_hit": 0})
+        .crossJoin(F.broadcast(n_true_rel))
+        .withColumn("_m", thr_expr)
+        .select(
+            F.col("rows_per_band").cast("int").alias("rows_per_band"),
+            F.col("_m.nb").alias("n_bands"),
+            F.col("_m.th").alias("thr_theory_e4"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.when(
+                F.col("n_cand") > 0,
+                F.expr(f"n_hit * {scale} div n_cand"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("precision_e4"),
+            F.when(
+                F.col("n_true") > 0,
+                F.expr(f"n_hit * {scale} div n_true"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("recall_e4"),
+        )
+    )

@@ -667,3 +667,122 @@ def kcenter_coreset(
         id_to_center[best["cid"]].alias("center_id"),
         F.round(best["dist"], 6).alias("center_dist"),
     )
+
+
+def ivf_nprobe_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    probes: tuple[int, ...] = (1, 2, 4, 8, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rank_round: int = 6,
+    scale: int = 10_000,
+) -> DataFrame:
+    """IVF tuning advisor: measured recall@k AND scan cost for every
+    ``n_probe`` in one pass — the ANN twin of dedup.lsh_band_sweep (LSH
+    sweeps banding, this sweeps probe depth; both turn a rule of thumb
+    into a measured curve before committing a 100 TB index config).
+
+    Key identity that makes the sweep one pass: with exact scoring inside
+    probed cells, the retrieved top-k ∩ true top-k equals the true top-k
+    members whose cell IS probed (any truth member among the candidates
+    outranks every non-truth candidate). So recall@k needs only each
+    truth neighbor's cell probe-rank — no per-config top-k reranking.
+
+    Determinism: centroid assignment and probe order rank on
+    ROUND(sim, rank_round) with centroid-id tie-break, the cosine_topk
+    discipline — replayable by a SQL oracle.
+
+    Scale shape: assignment is expression-only (write-time at 100 TB);
+    the probe-rank relation is |queries|×|centroids| rows; truth comes
+    from the brute-force pass (the thing being benchmarked against);
+    per-config counts are ONE conditional aggregate over the
+    |queries|·k-row truth relation.
+
+    Output per probe depth: (n_probe, n_queries, n_truth_pairs, n_hit,
+    recall_e4, n_scanned_rows) — all exact integers."""
+    n_cents = len(centroids)
+    ranked_cids = F.transform(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(
+                            -cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])),
+                            rank_round,
+                        ).alias("negsim"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, c in enumerate(centroids)
+                ]
+            )
+        ),
+        lambda s: s["cid"],
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), ranked_cids[0].alias("cluster")
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("c_size"))
+    probe_ranks = queries.select(
+        F.col(query_id_col),
+        F.posexplode(ranked_cids).alias("_pos", "cluster"),
+    ).select(query_id_col, (F.col("_pos") + 1).alias("probe_rank"), "cluster")
+    truth = cosine_topk(
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        rank_round=rank_round,
+    ).select(query_id_col, "neighbor_id")
+    # each truth neighbor's cell probe-rank for its query
+    truth_ranked = (
+        truth.join(assigned, "neighbor_id")
+        .join(probe_ranks, [query_id_col, "cluster"])
+    )
+    nq = queries.select(query_id_col).distinct().count()  # bounded: query batch
+    hit_aggs = [
+        F.sum((F.col("probe_rank") <= p).cast("long")).alias(f"h{p}")
+        for p in probes
+    ]
+    hits = truth_ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"), *hit_aggs
+    )
+    scan_aggs = [
+        F.sum(
+            F.when(F.col("probe_rank") <= p, F.col("c_size")).otherwise(0)
+        ).cast("long").alias(f"s{p}")
+        for p in probes
+    ]
+    scans = probe_ranks.join(F.broadcast(sizes), "cluster").agg(*scan_aggs)
+    per_probe = F.array(
+        *[
+            F.struct(
+                F.lit(int(p)).alias("n_probe"),
+                F.col(f"h{p}").alias("n_hit"),
+                F.col(f"s{p}").alias("n_scanned_rows"),
+            )
+            for p in probes
+        ]
+    )
+    return (
+        hits.crossJoin(F.broadcast(scans))
+        .select(F.col("n_truth"), F.explode(per_probe).alias("p"))
+        .select(
+            F.col("p.n_probe").cast("int").alias("n_probe"),
+            F.lit(nq).cast("long").alias("n_queries"),
+            F.col("n_truth").alias("n_truth_pairs"),
+            F.col("p.n_hit").alias("n_hit"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr(f"p.n_hit * {scale} div n_truth"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("recall_e4"),
+            F.col("p.n_scanned_rows").alias("n_scanned_rows"),
+        )
+    )

@@ -553,3 +553,89 @@ def welch_ttest(
         rnd((m1 - m2) / F.sqrt(se2)).alias("t_stat"),
         rnd(df_ws).alias("df"),
     )
+
+
+def effective_sample_size(
+    units: DataFrame,
+    group_cols: Sequence[str],
+    w_col: str,
+    cents: int = 100,
+) -> DataFrame:
+    """Kish effective sample size per group: ESS = (Σw)² / Σw² — how many
+    EQUAL-weight observations a weighted sample is worth. The design
+    effect deff = n/ESS is the variance-inflation factor every weighted
+    estimate (IPW, importance-resampled corpora, upweighted minority
+    classes) silently pays; ESS ≪ n means a few huge weights dominate.
+
+    Determinism discipline: weights quantize to integers at ``cents``
+    resolution (exact for currency-like inputs) BEFORE the sums, so Σw
+    and Σw² are exact order-independent integers; the two output ratios
+    divide exact ints in fixed order. int64 bound: Σw² ≤ n·(w_max·cents)².
+
+    One aggregation pass; output one row per group:
+    (*group_cols, n, sum_w_cents, ess, deff)."""
+    wq = F.round(F.col(w_col).cast("double") * cents).cast("long")
+    agg = units.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(wq).alias("sum_w_cents"),
+        F.sum(wq * wq).alias("_sw2"),
+    )
+    sw = F.col("sum_w_cents").cast("double")
+    ess = sw * sw / F.col("_sw2").cast("double")
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        *group_cols,
+        "n",
+        "sum_w_cents",
+        rnd(ess).alias("ess"),
+        rnd(F.col("n").cast("double") / ess).alias("deff"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cohen's κ agreement between two categorical raters — accuracy
+    corrected for chance (two raters both predicting the majority class
+    'agree' constantly; κ discounts exactly that). κ = (p_o − p_e)/(1 − p_e)
+    with p_o = observed agreement and p_e = Σ_c marginal_a(c)·marginal_b(c)/n².
+
+    Determinism: p_o and p_e divide EXACT integer counts (the marginal
+    cross-products sum in int64), and κ is a fixed expression over those
+    two — engine-exact. Everything runs on the |categories|²-bounded
+    confusion rollup; the data-sized work is one counting agg.
+
+    Degenerate guard: p_e = 1 (both raters constant, same class) forces
+    p_o = 1 — report κ = 1. Output (1 row): (n, n_agree, po, pe, kappa)."""
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    conf = df.groupBy(a.alias("_a"), b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tot = conf.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ma = conf.groupBy("_a").agg(F.sum("_n").cast("long").alias("_na"))
+    mb = conf.groupBy("_b").agg(F.sum("_n").cast("long").alias("_nb"))
+    pe_num = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .agg(F.sum(F.col("_na") * F.col("_nb")).cast("long").alias("_pe_num"))
+    )
+    po = F.col("n_agree").cast("double") / F.col("n")
+    pe = F.col("_pe_num").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    kappa = F.when(pe == 1.0, F.lit(1.0)).otherwise((po - pe) / (1 - pe))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return tot.crossJoin(F.broadcast(pe_num)).select(
+        "n",
+        "n_agree",
+        rnd(po).alias("po"),
+        rnd(pe).alias("pe"),
+        rnd(kappa).alias("kappa"),
+    )

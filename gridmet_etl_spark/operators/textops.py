@@ -525,3 +525,71 @@ def flesch_reading_ease(text: Column | str) -> Column:
         - F.lit(1.015) * (words / sentences)
         - F.lit(84.6) * (syllables / words)
     )
+
+
+def zipf_fit(docs: DataFrame, k: int = 200, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the top-k vocabulary: OLS of ln(freq) on
+    ln(rank) — slope ≈ −1 for natural language, much flatter for
+    templated/synthetic text, so the slope is a cheap corpus-level
+    quality/fingerprint signal (alongside per-doc quality_score).
+
+    Determinism discipline: the per-rank (ln rank, ln freq) points are
+    quantized to e6 integers BEFORE the regression sums, so Σx, Σy, Σxy,
+    Σx², Σy² are EXACT integers (order-independent — a raw double sum over
+    the k rows would be shuffle-order dependent); the closed-form
+    slope/intercept/R² then divide exact integers in fixed expression
+    order. int64 bounds: |x_e6| ≤ ln(k)·1e6, |y_e6| ≤ ln(N)·1e6 → Σx·y
+    ≤ k·(13e6)² ≈ 3e16 ≪ 2^63.
+
+    Scale shape: one vocabulary-sized count agg → TakeOrdered top-k → all
+    remaining arithmetic on the k-row relation (single-partition by
+    construction, bounded by k).
+
+    Output (1 row): (n_types, n_tokens, k_used, slope, intercept, r2)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_types"), F.sum("n").alias("n_tokens")
+    )
+    topk = counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))  # k rows — bounded
+    pts = topk.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    acc = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("kk"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # exact-integer differences, then fixed-order double arithmetic;
+    # degenerate spreads (k = 1 ranks → dx = 0; constant frequencies →
+    # dy = 0) report slope/r2 = 0 instead of dividing by zero
+    dn = (F.col("kk") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("kk") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("kk") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = F.when(dx == 0.0, F.lit(0.0)).otherwise(dn / dx)
+    intercept = (
+        F.col("sy").cast("double") / 1e6 - slope * F.col("sx").cast("double") / 1e6
+    ) / F.col("kk")
+    r2 = F.when((dx == 0.0) | (dy == 0.0), F.lit(0.0)).otherwise(
+        dn * dn / (dx * dy)
+    )
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return acc.crossJoin(F.broadcast(stats)).select(
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("kk").cast("int").alias("k_used"),
+        rnd(slope).alias("slope"),
+        rnd(intercept).alias("intercept"),
+        rnd(r2).alias("r2"),
+    )

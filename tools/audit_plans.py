@@ -202,6 +202,23 @@ EXPECTED_SINGLE = {
     # share scalars — runs on the |vocab|²-bounded (≤ ~26-row) transition-
     # probability relation and 1-row scalars
     "markov_attribution",
+    # round-6 batch. zipf_fit: the data-sized stages are the vocab count
+    # agg + TakeOrdered top-k; the rank window and the regression agg run
+    # on the k(=200)-row relation, and the (n_types, n_tokens) scalar is
+    # a 1-row broadcast. token_budget_alloc: EVERYTHING after the
+    # per-source token-count agg runs on the |sources|-row relation (the
+    # remainder-rank window sorts ≤ |sources| rows) plus 1-row total and
+    # shortfall scalars. (weighted_ess / split_leakage_audit /
+    # sequence_packing have no global-window stage and are not listed.)
+    "zipf_fit", "token_budget_alloc",
+    # lsh_band_sweep: per-config candidate sets are band-key self-joins
+    # (data-sized, parallel); the 1-row truth-count scalar crossJoins into
+    # the |configs|(=5)-row stats relation — the only single stage
+    "lsh_band_sweep",
+    # ivf_nprobe_sweep: hit/scan conditional aggs reduce to 1-row scalars
+    # crossJoined and exploded into the |probes|(=5)-row output; the
+    # probe-rank window partitions by query (bounded query batch)
+    "ivf_nprobe_sweep",
 }
 
 

@@ -62,6 +62,10 @@ WATCHLIST = [
     "logrank_test", "gini_lorenz",
     # moment-sum t statistic (cuped class)
     "welch_ttest",
+    # round-6 float paths: zipf_fit divides exact e6-quantized integer
+    # regression sums (expected rock-stable by construction — listed to
+    # prove it); weighted_ess divides exact cents-quantized Σw/Σw²
+    "zipf_fit", "weighted_ess",
 ]
 
 SESSIONS = [
