@@ -59,28 +59,39 @@ def project_bounds(bounds: dict[str, float], crs: str | None) -> dict[str, float
     ``gdf.to_crs(cat.get("crs")).total_bounds`` step (etl.py:322).
 
     Identity when the catalog CRS is geographic (both shipped catalogs are);
-    otherwise requires pyproj (gated like the geopandas converter) and
-    transforms a densified boundary of the bbox (21 samples per edge — a
-    corner-only transform under-covers curved projected edges). Raises with
-    an actionable message when the CRS is projected and pyproj is missing —
-    silently mis-pruning the bbox (the pre-round-4 behavior) is never an
-    option (VERDICT r3 missing item 1 / F10)."""
+    otherwise transforms a densified boundary of the bbox (21 samples per
+    edge — a corner-only transform under-covers curved projected edges)
+    through pyproj when importable, else through the pure-python
+    ``sources/proj_micro.py`` backend (LCC/Albers from the public Snyder
+    formulas, golden-value-tested against the USGS PP1395 examples — the
+    projections CONUS climate grids actually use). Raises with an
+    actionable message only when the CRS is projected AND outside both
+    backends — silently mis-pruning the bbox (the pre-round-4 behavior)
+    is never an option (VERDICT r3 missing item 1 / F10)."""
     if crs is None or str(crs).strip() == "":
         return bounds
+    tf_fn = None
     try:
         import pyproj  # noqa: PLC0415 — optional, gated like geopandas
+
+        cat_crs = pyproj.CRS(crs)
+        if cat_crs.is_geographic:
+            return bounds
+        tf = pyproj.Transformer.from_crs("EPSG:4326", cat_crs, always_xy=True)
+        tf_fn = tf.transform
     except ImportError:
         if _crs_is_lonlat(str(crs)):
             return bounds
-        raise ValueError(
-            f"catalog CRS {crs!r} is not lon/lat and pyproj is not installed: "
-            "cannot reproject feature bounds; install pyproj or supply a "
-            "geographic-CRS catalog record"
-        ) from None
-    cat_crs = pyproj.CRS(crs)
-    if cat_crs.is_geographic:
-        return bounds
-    tf = pyproj.Transformer.from_crs("EPSG:4326", cat_crs, always_xy=True)
+        from ..sources.proj_micro import MicroProj, supports
+
+        if supports(str(crs)):
+            tf_fn = MicroProj(str(crs)).forward
+        else:
+            raise ValueError(
+                f"catalog CRS {crs!r} is not lon/lat, pyproj is not "
+                "installed, and proj_micro does not recognize it (LCC/AEA "
+                "proj4 or EPSG:5070): cannot reproject feature bounds"
+            ) from None
     n = 21
     xs, ys = [], []
     for k in range(n):
@@ -93,7 +104,7 @@ def project_bounds(bounds: dict[str, float], crs: str | None) -> dict[str, float
             (bounds["minx"], ey),
             (bounds["maxx"], ey),
         ):
-            tx, ty = tf.transform(px, py)
+            tx, ty = tf_fn(px, py)
             xs.append(tx)
             ys.append(ty)
     return {"minx": min(xs), "maxx": max(xs), "miny": min(ys), "maxy": max(ys)}
