@@ -59,20 +59,28 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Codec boundary, gated like ``export_netcdf``: the real path uses PIL
-    when importable (grayscale float32 pixel array), raising the documented
-    NotImplementedError only when no imaging library exists. ``fake=True``
-    selects the deterministic pseudo-decoder (byte statistics reshaped into
-    a tiny image) that exercises the identical dataflow in
-    codec-less containers like this one."""
+    """Codec boundary: the real path uses PIL when importable (grayscale
+    float32 via convert("L")); without PIL, REAL netpbm P5/P6 and
+    uncompressed BMP payloads decode through the dependency-free
+    ``sources/img_micro.py`` (same ITU-R 601-2 luma, integer-truncated, so
+    the two backends produce identical arrays — pinned in tests). Only a
+    payload neither backend recognizes raises the documented
+    NotImplementedError. ``fake=True`` selects the deterministic
+    pseudo-decoder (byte statistics reshaped into a tiny image) for
+    synthetic opaque-blob fixtures."""
     if not fake:
         try:
             from PIL import Image
-        except ImportError as exc:
+        except ImportError:
+            from ..sources import img_micro
+
+            if img_micro.sniff(payload) is not None:
+                return img_micro.decode_to_gray(payload)
             raise NotImplementedError(
-                "image decode requires an imaging library (PIL/cv2); "
-                "run with fake=True for the deterministic pseudo-decoder"
-            ) from exc
+                "image decode: payload is not netpbm/BMP (img_micro) and no "
+                "imaging library (PIL/cv2) is installed; run with fake=True "
+                "for the deterministic pseudo-decoder"
+            ) from None
         import io
 
         return np.asarray(Image.open(io.BytesIO(payload)).convert("L"), dtype=np.float32)
