@@ -72,11 +72,12 @@ def convert_features(path: str, out_path: str | None = None, fid_col: str = "fea
     the parquet it emits is what the distributed engine scans.
 
     Returns the parquet path. ``.parquet`` inputs pass through untouched.
-    ``.shp`` works without geopandas via the vendored pure-python
-    micro-reader (shp_micro.py — geographic-CRS Point/PolyLine/Polygon,
-    the shapes the ETL's feature tables use); geopandas, when importable,
-    is preferred (full driver coverage + reprojection). ``.gpkg``/
-    ``.geojson`` require geopandas — gated like ``export_netcdf``.
+    Every GIS suffix works without geopandas via vendored pure-python
+    micro-readers — ``.shp`` through shp_micro (geographic-CRS Point/
+    PolyLine/Polygon), ``.geojson`` and ``.gpkg`` through geojson_micro
+    (RFC 7946 JSON; OGC GeoPackage over stdlib sqlite3 + standard-WKB
+    parsing); geopandas, when importable, is preferred (full driver
+    coverage + reprojection).
     Output columns: feature_id (from ``fid_col``, else the row index), lat/
     lon (geometry centroid — the only geometry the engine consumes,
     helper.py:58,69), geometry (WKB)."""
@@ -87,27 +88,29 @@ def convert_features(path: str, out_path: str | None = None, fid_col: str = "fea
         return path
     try:
         import geopandas as gpd
-    except ImportError as exc:
+    except ImportError:
+        # every dispatch branch has a pure-python micro-backend (real
+        # bytes, no injection): shp_micro (.shp), geojson_micro (.geojson
+        # RFC 7946 + .gpkg via stdlib sqlite3 and standard-WKB parsing)
         if suffix == "shp":
-            from .shp_micro import read_shapefile
-
-            attrs = read_shapefile(path)
-            out = attrs.rename(columns={c: c.lower() for c in attrs.columns})
-            fid_l = fid_col.lower()
-            out["feature_id"] = (
-                out[fid_l].astype("int64")
-                if fid_l in out.columns
-                else range(len(out))
-            )
-            out = out[["feature_id", "lat", "lon", "geometry"]]
-            if out_path is None:
-                out_path = path.rsplit(".", 1)[0] + ".parquet"
-            out.to_parquet(out_path, index=False)
-            return out_path
-        raise NotImplementedError(
-            "gpkg/geojson ingest requires geopandas (pyogrio/fiona); "
-            "convert to (Geo)Parquet offline or install geopandas"
-        ) from exc
+            from .shp_micro import read_shapefile as _read
+        elif suffix == "geojson":
+            from .geojson_micro import read_geojson as _read
+        else:  # gpkg
+            from .geojson_micro import read_geopackage as _read
+        attrs = _read(path)
+        out = attrs.rename(columns={c: c.lower() for c in attrs.columns})
+        fid_l = fid_col.lower()
+        out["feature_id"] = (
+            out[fid_l].astype("int64")
+            if fid_l in out.columns
+            else range(len(out))
+        )
+        out = out[["feature_id", "lat", "lon", "geometry"]]
+        if out_path is None:
+            out_path = path.rsplit(".", 1)[0] + ".parquet"
+        out.to_parquet(out_path, index=False)
+        return out_path
     gdf = gpd.read_file(path)
     if gdf.crs is not None and gdf.crs.to_epsg() != 4326:
         gdf = gdf.to_crs(4326)  # engine convention: lon/lat degrees
