@@ -141,14 +141,18 @@ def make_opendap_fetcher(
 
     def _fetch(task: dict) -> pd.DataFrame:
         opener = open_dataset
-        if opener is None:  # pragma: no cover - needs netCDF client
+        if opener is None:
             try:
                 import xarray as xr
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "OPeNDAP ingest requires xarray+netCDF4; inject open_dataset"
-                ) from exc
-            opener = xr.open_dataset
+
+                opener = xr.open_dataset
+            except ImportError:
+                # pure-python DAP2 client (sources/dap_micro.py): real
+                # .dods wire-format parsing with the xarray sub-API this
+                # fetcher drives — no xarray/netCDF4/pydap needed
+                from .dap_micro import open_dods
+
+                opener = open_dods
         ds = opener(task["url"])
         sub = ds.isel(
             {
