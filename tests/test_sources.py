@@ -129,13 +129,17 @@ def test_convert_features_dispatch(tmp_path):
         has_gpd = False
 
     if not has_gpd:
-        # .shp now falls back to the vendored micro-reader (round-5,
-        # tests/test_shp_micro.py covers it end-to-end) — a missing file
-        # surfaces as the reader's I/O error, not the geopandas gate
+        # every GIS suffix now falls back to a vendored micro-reader
+        # (.shp: shp_micro; .geojson/.gpkg: geojson_micro — round-6,
+        # tests/test_geojson_micro.py covers them end-to-end) — a missing
+        # file surfaces as the reader's I/O error, never a gate
         with pytest.raises(FileNotFoundError):
             convert_features("/x/features.shp")
-        # gpkg/geojson still require geopandas
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(FileNotFoundError):
+            convert_features("/x/features.geojson")
+        import sqlite3
+
+        with pytest.raises(sqlite3.OperationalError):
             convert_features("/x/features.gpkg")
     else:  # pragma: no cover - geopandas not in this container
         import geopandas as gpd

@@ -219,6 +219,10 @@ EXPECTED_SINGLE = {
     # crossJoined and exploded into the |probes|(=5)-row output; the
     # probe-rank window partitions by query (bounded query batch)
     "ivf_nprobe_sweep",
+    # cohen_kappa: everything after the one counting agg runs on the
+    # |categories|²-bounded confusion rollup; the two single-partition
+    # stages merge it into the 1-row (n, n_agree) and (pe_num) scalars
+    "cohen_kappa",
 }
 
 
