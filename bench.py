@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "lsh_band_sweep",
     "ivf_nprobe_sweep",
     "cohen_kappa",
+    "cv_folds",
+    "novelty_curve",
 ]
 
 

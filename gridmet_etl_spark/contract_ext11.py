@@ -548,3 +548,98 @@ FROM tot, pe_num
 
 
 EXT11_QUERIES["cohen_kappa"] = (q_cohen_kappa, _sql_cohen_kappa())
+
+# ---------------------------------------------------------------------------
+# cv_folds: group-leakage-safe k-fold assignment report
+# ---------------------------------------------------------------------------
+
+_CV_K = 5
+
+
+def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupKFold over orders grouped by customer: all of a customer's
+    orders share a fold (hash-deterministic — re-runs and new data never
+    move a group), with the realized per-fold size and urgent-order
+    balance the CV variance estimate depends on."""
+    from .operators.sampling import group_kfold
+
+    o = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_custkey", (F.col("o_orderpriority") == "1-URGENT").alias("y")
+    )
+    return group_kfold(o, "o_custkey", k=_CV_K, label_col="y")
+
+
+def _sql_cv_folds() -> str:
+    from .operators.sampling import sql_hash_bucket
+
+    bucket = sql_hash_bucket("o_custkey", "fold")
+    return f"""
+WITH base AS (
+  SELECT CAST(({bucket}) % {_CV_K} AS INT) AS fold, o_custkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders)
+SELECT fold, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(y) * 10000 // count(*) AS BIGINT) AS pos_e4
+FROM base GROUP BY fold
+"""
+
+
+EXT11_QUERIES["cv_folds"] = (q_cv_folds, _sql_cv_folds())
+
+# ---------------------------------------------------------------------------
+# novelty_curve: marginal new content per id-ordered corpus increment
+# ---------------------------------------------------------------------------
+
+_NV_BUCKETS = 10
+_NV_LINE_W = 8
+
+
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each 10%-increment of the corpus is content never seen
+    in earlier increments (distinct 8-token line digests) — the measured
+    is-the-next-crawl-worth-it curve."""
+    from .operators.dedup import novelty_curve
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return novelty_curve(docs, n_buckets=_NV_BUCKETS, line_w=_NV_LINE_W)
+
+
+def _sql_novelty_curve() -> str:
+    return f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+based AS (
+  SELECT doc_id, CAST((doc_id * {_NV_BUCKETS}) // (mx.m + 1) AS INT) AS bucket,
+         string_split(text, ' ') AS a
+  FROM documents, mx),
+starts AS (
+  SELECT doc_id, bucket, a,
+         unnest(generate_series(1, len(a), {_NV_LINE_W})) AS st
+  FROM based),
+units AS (
+  SELECT DISTINCT bucket,
+         md5(array_to_string(a[st : st + {_NV_LINE_W - 1}], ' ')) AS d
+  FROM starts),
+first_b AS (SELECT d, min(bucket) AS fb FROM units GROUP BY d),
+stats AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_digests
+          FROM units GROUP BY bucket),
+news AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new_digests
+         FROM first_b GROUP BY fb),
+docs_per AS (
+  SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM (SELECT doc_id, CAST((doc_id * {_NV_BUCKETS}) // (mx.m + 1) AS INT)
+          AS bucket FROM documents, mx)
+  GROUP BY bucket)
+SELECT d.bucket, d.n_docs, s.n_digests,
+       COALESCE(n.n_new_digests, 0) AS n_new_digests,
+       CAST(COALESCE(n.n_new_digests, 0) * 10000 // s.n_digests AS BIGINT)
+         AS new_e4,
+       CAST(sum(COALESCE(n.n_new_digests, 0))
+            OVER (ORDER BY d.bucket) AS BIGINT) AS cum_new_digests
+FROM docs_per d JOIN stats s ON s.bucket = d.bucket
+LEFT JOIN news n ON n.bucket = d.bucket
+"""
+
+
+EXT11_QUERIES["novelty_curve"] = (q_novelty_curve, _sql_novelty_curve())

@@ -917,3 +917,76 @@ def lsh_band_sweep(
             .alias("recall_e4"),
         )
     )
+
+
+def novelty_curve(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    line_w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Marginal-novelty curve of a growing corpus: split the corpus into
+    ``n_buckets`` id-ordered increments and report, per increment, how
+    much of its content (distinct ``line_w``-token line digests) was
+    NEVER seen in any earlier increment — the measured answer to "is the
+    next crawl batch still adding new data, or re-crawling the old web".
+    Novelty decaying toward the duplication floor is the budget signal
+    dedup pipelines act on.
+
+    Semantics: a digest is NEW in the first bucket (min over buckets)
+    where it appears; new_e4 = new distinct digests / distinct digests in
+    the bucket, exact scaled integer.
+
+    Scale shape: one digest-relation distinct + a digest-keyed min agg
+    (32 B rows — bodies never shuffle) + an output-sized per-bucket
+    rollup; the cumulative window runs over the n_buckets-row result.
+
+    Output: (bucket, n_docs, n_digests, n_new_digests, new_e4,
+    cum_new_digests)."""
+    from pyspark.sql import Window
+
+    mx = docs.agg(F.max(F.col(id_col)).alias("_mx"))
+    based = docs.crossJoin(F.broadcast(mx)).select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"CAST({id_col} * {n_buckets} div (_mx + 1) AS INT)").alias(
+            "bucket"
+        ),
+        F.split(F.col(text_col), " ").alias("_a"),
+    )
+    units = based.select(
+        "_id",
+        "bucket",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_a), {line_w}),"
+                f" st -> md5(array_join(slice(_a, st, {line_w}), ' ')))"
+            )
+        ).alias("d"),
+    )
+    per_bucket_d = units.select("bucket", "d").distinct()
+    first_b = per_bucket_d.groupBy("d").agg(F.min("bucket").alias("_fb"))
+    stats = per_bucket_d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_digests")
+    )
+    news = first_b.groupBy(F.col("_fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_new_digests")
+    )
+    docs_per = based.groupBy("bucket").agg(
+        F.countDistinct("_id").alias("n_docs")
+    )
+    w = Window.orderBy("bucket")  # n_buckets rows — bounded
+    return (
+        docs_per.join(stats, "bucket")
+        .join(news, "bucket", "left")
+        .na.fill({"n_new_digests": 0})
+        .select(
+            "bucket",
+            "n_docs",
+            "n_digests",
+            "n_new_digests",
+            F.expr(f"n_new_digests * {scale} div n_digests").alias("new_e4"),
+            F.sum("n_new_digests").over(w).cast("long").alias("cum_new_digests"),
+        )
+    )

@@ -388,3 +388,36 @@ def class_balance(
         F.lit(100.0 / neg_keep_pct)
     )
     return df.filter(keep).withColumn("weight", w)
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    label_col: str | None = None,
+    salt: str = "fold",
+) -> DataFrame:
+    """Group-leakage-safe k-fold assignment report (sklearn GroupKFold's
+    property, hash-deterministic): every row of a group lands in the SAME
+    fold (fold = md5 bucket of the group key mod k), so entities never
+    straddle train/validation — the per-group twin of deterministic_split.
+    Re-runs, new rows, and repartitioning never move a group.
+
+    Output per fold: (fold, n_groups, n_rows[, n_pos, pos_e4]) — the size
+    and class-balance readout you check BEFORE trusting CV variance
+    (hash folds are balanced in expectation, not by construction; this
+    measures the realized skew). One counting agg; the fold column is a
+    narrow projection usable directly as a filter."""
+    fold = (hash_bucket(F.col(group_col), salt) % k).cast("int").alias("fold")
+    base = df.select(fold, F.col(group_col).alias("_g"),
+                     *([F.col(label_col).alias("_y")] if label_col else []))
+    aggs = [
+        F.countDistinct("_g").alias("n_groups"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    if label_col:
+        aggs.append(F.sum(F.col("_y").cast("long")).alias("n_pos"))
+    out = base.groupBy("fold").agg(*aggs)
+    if label_col:
+        out = out.withColumn("pos_e4", F.expr("n_pos * 10000 div n_rows"))
+    return out

@@ -265,3 +265,49 @@ def test_streaming_leakage_gate_matches_batch(spark, tmp_path):
     ).select("split", F.col("_id").alias("doc_id"), "d")
     rep = cross_split_leakage(dig).first()
     assert rep.n_contaminated_docs == sum(1 for v in got.values() if v[2])
+
+
+def test_group_kfold_no_group_straddles(spark):
+    """Every row of a group lands in ONE fold; totals conserve; the class
+    balance columns add up."""
+    from gridmet_etl_spark.operators.sampling import group_kfold
+
+    rows = [(g, 1 if (g + i) % 3 == 0 else 0) for g in range(40) for i in range(3)]
+    df = spark.createDataFrame(rows, ["grp", "y"])
+    rep = group_kfold(df, "grp", k=4, label_col="y").collect()
+    assert sum(r.n_rows for r in rep) == 120
+    assert sum(r.n_groups for r in rep) == 40
+    assert sum(r.n_pos for r in rep) == sum(y for _g, y in rows)
+    # leakage check: assigning folds twice (by group) yields 1 fold/group
+    from gridmet_etl_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as FF
+
+    per_group = (
+        df.select("grp", (hash_bucket(FF.col("grp"), "fold") % 4).alias("f"))
+        .groupBy("grp")
+        .agg(FF.countDistinct("f").alias("nf"))
+    )
+    assert per_group.agg(FF.max("nf")).first()[0] == 1
+
+
+def test_novelty_curve_planted_decay(spark):
+    """Bucket 0 is all-new (10000 e4); a bucket that only repeats earlier
+    content scores 0; a half-new bucket scores 5000; cumulative new
+    digests equal the corpus-wide distinct count."""
+    from gridmet_etl_spark.operators.dedup import novelty_curve
+
+    w8 = lambda w: " ".join([w] * 8)  # noqa: E731 - one digest per word
+    # ids 0..5 -> 3 buckets of 2 docs (n_buckets=3, max id 5)
+    rows = [
+        (0, w8("a") + " " + w8("b")), (1, w8("c") + " " + w8("d")),  # bucket 0
+        (2, w8("a") + " " + w8("b")), (3, w8("c") + " " + w8("d")),  # bucket 1: all repeats
+        (4, w8("a") + " " + w8("e")), (5, w8("f") + " " + w8("g")),  # bucket 2: 3 of 4 new
+    ]
+    out = {r.bucket: r for r in novelty_curve(
+        spark.createDataFrame(rows, ["doc_id", "text"]), n_buckets=3
+    ).collect()}
+    assert out[0].new_e4 == 10000 and out[0].n_new_digests == 4
+    assert out[1].new_e4 == 0 and out[1].n_new_digests == 0
+    assert out[2].n_digests == 4 and out[2].n_new_digests == 3
+    assert out[2].new_e4 == 7500
+    assert out[2].cum_new_digests == 7  # a b c d e f g

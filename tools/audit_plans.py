@@ -223,6 +223,10 @@ EXPECTED_SINGLE = {
     # |categories|²-bounded confusion rollup; the two single-partition
     # stages merge it into the 1-row (n, n_agree) and (pe_num) scalars
     "cohen_kappa",
+    # novelty_curve: the 1-row max-id scalar broadcast + the cumulative
+    # window over the n_buckets(=10)-row rollup; digest relations carry
+    # the data-sized work (distinct + min agg, digest-keyed)
+    "novelty_curve",
 }
 
 
