@@ -93,9 +93,7 @@ def sequence_packing(
             - F.greatest(F.col("_start"), F.col("pack_id") * b)
         ).alias("_tok"),
         (F.col("_p1") > F.col("_p0")).cast("long").alias("_boundary"),
-        (F.expr("_start div " + str(budget)) == F.col("pack_id"))
-        .cast("long")
-        .alias("_started"),
+        (F.col("_p0") == F.col("pack_id")).cast("long").alias("_started"),
     )
     return contrib.groupBy("shard", "pack_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -173,20 +173,16 @@ def _parse_wkb(buf: bytes, off: int = 0):
             (nr,) = struct.unpack_from(sub_bo + "I", buf, p)
             p += 4
             rings = []
-            bo_saved = bo
-            try:
-                # rings of the member polygon use the member's byte order
-                for _ in range(nr):
-                    (n,) = struct.unpack_from(sub_bo + "I", buf, p)
-                    p += 4
-                    pts = []
-                    for _ in range(n):
-                        vals = struct.unpack_from(sub_bo + "d" * ncoord, buf, p)
-                        pts.append((vals[0], vals[1]))
-                        p += 8 * ncoord
-                    rings.append(pts)
-            finally:
-                bo = bo_saved
+            # rings of the member polygon use the member's byte order
+            for _ in range(nr):
+                (n,) = struct.unpack_from(sub_bo + "I", buf, p)
+                p += 4
+                pts = []
+                for _ in range(n):
+                    vals = struct.unpack_from(sub_bo + "d" * ncoord, buf, p)
+                    pts.append((vals[0], vals[1]))
+                    p += 8 * ncoord
+                rings.append(pts)
             polys.append(rings)
             pos = p
         cx, cy = _multipolygon_centroid(polys)
