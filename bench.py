@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "cohen_kappa",
     "cv_folds",
     "novelty_curve",
+    "truncation_report",
+    "source_jsd",
 ]
 
 

@@ -643,3 +643,107 @@ LEFT JOIN news n ON n.bucket = d.bucket
 
 
 EXT11_QUERIES["novelty_curve"] = (q_novelty_curve, _sql_novelty_curve())
+
+# ---------------------------------------------------------------------------
+# truncation_report: what truncate-at-context-length would cost, per source
+# ---------------------------------------------------------------------------
+
+_TR_BUDGET = 256
+
+
+def q_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cost of a hard truncate-at-256-tokens loader: documents
+    over budget and tokens thrown away — the packing-vs-truncation
+    decision numbers (sequence_packing's sibling readout)."""
+    from .operators.packing import truncation_report
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return truncation_report(docs, _TR_BUDGET, shard_col="source")
+
+
+SQL_TRUNCATION_REPORT = f"""
+WITH base AS (
+  SELECT source AS shard, len(string_split(text, ' ')) AS n FROM documents),
+agg AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN n > {_TR_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over_budget,
+         CAST(sum(greatest(n - {_TR_BUDGET}, 0)) AS BIGINT) AS tokens_lost
+  FROM base GROUP BY shard)
+SELECT shard, n_docs, n_tokens, n_over_budget,
+       CAST(n_over_budget * 10000 // n_docs AS BIGINT) AS over_e4,
+       tokens_lost,
+       CAST(tokens_lost * 10000 // n_tokens AS BIGINT) AS lost_e4
+FROM agg
+"""
+
+
+EXT11_QUERIES["truncation_report"] = (q_truncation_report, SQL_TRUNCATION_REPORT)
+
+# ---------------------------------------------------------------------------
+# source_jsd: Jensen–Shannon fingerprint distance between source pairs
+# ---------------------------------------------------------------------------
+
+_JSD_K = 100
+
+
+def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSD between every source pair over the global top-100 vocabulary —
+    which crawls speak the same register (the distance companion to the
+    zipf_fit shape and the source_overlap content matrix). Per-token
+    terms quantize to e12 integers before the sum, so the divergence is
+    engine-exact."""
+    from .operators.textops import source_jsd
+
+    return source_jsd(
+        spark.read.parquet(_t(sf_dir, "documents")), k=_JSD_K
+    )
+
+
+SQL_SOURCE_JSD = f"""
+WITH toks AS (
+  SELECT source AS src, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+per_src AS (
+  SELECT src, token, count(*) AS c FROM toks WHERE token <> ''
+  GROUP BY src, token),
+topk AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY sum(c) DESC, token) AS r
+    FROM per_src GROUP BY token) WHERE r <= {_JSD_K}),
+kept AS (SELECT p.* FROM per_src p JOIN topk USING (token)),
+totals AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM kept GROUP BY src),
+pair_rel AS (
+  SELECT a.src AS sa, b.src AS sb FROM totals a, totals b WHERE a.src < b.src),
+frame AS (SELECT sa, sb, token FROM pair_rel, topk),
+joined AS (
+  SELECT f.sa, f.sb, f.token,
+         COALESCE(ka.c, 0) AS ca, ta.t AS ta,
+         COALESCE(kb.c, 0) AS cb, tb.t AS tb
+  FROM frame f
+  LEFT JOIN kept ka ON ka.src = f.sa AND ka.token = f.token
+  LEFT JOIN kept kb ON kb.src = f.sb AND kb.token = f.token
+  JOIN totals ta ON ta.src = f.sa
+  JOIN totals tb ON tb.src = f.sb),
+terms AS (
+  SELECT sa, sb,
+         CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS shared,
+         CAST(round((
+           (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / ta)
+             * ln((CAST(ca AS DOUBLE) / ta)
+                  / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))
+             ELSE 0.0 END
+           + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / tb)
+             * ln((CAST(cb AS DOUBLE) / tb)
+                  / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))
+             ELSE 0.0 END) / 2) * 1e12) AS BIGINT) AS q
+  FROM joined)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(sum(shared) AS BIGINT) AS n_shared_topk,
+       ROUND(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 1e12, 6) + 0 AS jsd
+FROM terms GROUP BY sa, sb
+"""
+
+
+EXT11_QUERIES["source_jsd"] = (q_source_jsd, SQL_SOURCE_JSD)

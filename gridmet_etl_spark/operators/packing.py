@@ -158,3 +158,37 @@ def largest_remainder_alloc(
             ),
         )
     )
+
+
+def truncation_report(
+    docs: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    text_col: str = "text",
+    scale: int = 10_000,
+) -> DataFrame:
+    """What a truncate-at-context-length loader (the concat-and-chunk
+    alternative) would cost, per shard: documents exceeding ``budget``
+    tokens, and the tokens a hard truncation throws away — the numbers
+    that decide packing vs truncation for a corpus. One counting agg over
+    a narrow projection; exact scaled-integer rates.
+
+    Output: (shard, n_docs, n_tokens, n_over_budget, over_e4,
+    tokens_lost, lost_e4)."""
+    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = docs.select(F.col(shard_col).alias("shard"), n.alias("_n"))
+    agg = base.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("n_tokens"),
+        F.sum((F.col("_n") > budget).cast("long")).alias("n_over_budget"),
+        F.sum(F.greatest(F.col("_n") - budget, F.lit(0))).alias("tokens_lost"),
+    )
+    return agg.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_over_budget",
+        F.expr(f"n_over_budget * {scale} div n_docs").alias("over_e4"),
+        "tokens_lost",
+        F.expr(f"tokens_lost * {scale} div n_tokens").alias("lost_e4"),
+    )

@@ -593,3 +593,97 @@ def zipf_fit(docs: DataFrame, k: int = 200, text_col: str = "text") -> DataFrame
         rnd(intercept).alias("intercept"),
         rnd(r2).alias("r2"),
     )
+
+
+def source_jsd(
+    docs: DataFrame,
+    k: int = 100,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of sources over the
+    global top-k vocabulary — the corpus fingerprint DISTANCE (zipf_fit is
+    the per-corpus shape; this says which crawls speak the same
+    language/register). JSD is symmetric and bounded by ln 2, so the
+    output is comparable across pairs.
+
+    Determinism discipline: per-token contributions p·ln(2p/(p+q)) +
+    q·ln(2q/(p+q)) are computed from EXACT integer counts in a fixed
+    expression chain and quantized to e12 integers BEFORE the sum over
+    the k tokens (a raw double sum would be shuffle-order dependent);
+    absent tokens contribute exactly 0 (the p→0 limit). int64 bound:
+    k·ln2·1e12 ≈ 7e13 ≪ 2^63.
+
+    Scale shape: one vocabulary-sized (source, token) count agg, a
+    TakeOrdered global top-k, then all arithmetic on the
+    |sources|²·k-bounded pair relation.
+
+    Output: (source_a, source_b, n_shared_topk, jsd)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_src = toks.groupBy("src", "token").agg(F.count("*").alias("c"))
+    topk = (
+        per_src.groupBy("token")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+        .select("token")
+    )
+    kept = per_src.join(F.broadcast(topk), "token")
+    totals = kept.groupBy("src").agg(F.sum("c").alias("t"))
+    a = kept.select(
+        F.col("src").alias("sa"), "token", F.col("c").alias("ca")
+    ).join(F.broadcast(totals.select(F.col("src").alias("sa"), F.col("t").alias("ta"))), "sa")
+    b = kept.select(
+        F.col("src").alias("sb"), "token", F.col("c").alias("cb")
+    ).join(F.broadcast(totals.select(F.col("src").alias("sb"), F.col("t").alias("tb"))), "sb")
+    # full (pair, top-k token) frame with left joins so tokens present in
+    # only one source of a pair still contribute their one-sided term
+    srcs = totals.select(F.col("src"))
+    pair_rel = (
+        srcs.select(F.col("src").alias("sa"))
+        .crossJoin(srcs.select(F.col("src").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    frame = pair_rel.crossJoin(F.broadcast(topk))
+    joined = (
+        frame.join(a, ["sa", "token"], "left")
+        .join(b, ["sb", "token"], "left")
+        .join(F.broadcast(totals.select(F.col("src").alias("sa"), F.col("t").alias("_ta2"))), "sa")
+        .join(F.broadcast(totals.select(F.col("src").alias("sb"), F.col("t").alias("_tb2"))), "sb")
+        .select(
+            "sa", "sb", "token",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.col("_ta2").alias("ta"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+            F.col("_tb2").alias("tb"),
+        )
+    )
+    p = F.col("ca").cast("double") / F.col("ta")
+    q = F.col("cb").cast("double") / F.col("tb")
+    m = (p + q) / 2
+    term = (
+        F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / 2
+    quant = F.round(term * 1e12).cast("long")
+    out = joined.groupBy(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b")
+    ).agg(
+        F.sum(((F.col("ca") > 0) & (F.col("cb") > 0)).cast("long")).alias(
+            "n_shared_topk"
+        ),
+        F.sum(quant).alias("_jsd_e12"),
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared_topk",
+        (F.round(F.col("_jsd_e12").cast("double") / 1e12, 6) + F.lit(0.0)).alias(
+            "jsd"
+        ),
+    )

@@ -311,3 +311,41 @@ def test_novelty_curve_planted_decay(spark):
     assert out[2].n_digests == 4 and out[2].n_new_digests == 3
     assert out[2].new_e4 == 7500
     assert out[2].cum_new_digests == 7  # a b c d e f g
+
+
+def test_truncation_report_hand_case(spark):
+    """Budget 4: a 6-token doc loses 2 tokens; rates are exact scaled
+    integers."""
+    from gridmet_etl_spark.operators.packing import truncation_report
+
+    docs = spark.createDataFrame(
+        [("A", "a b c"), ("A", "a b c d e f"), ("B", "x y z w")],
+        ["source", "text"],
+    )
+    out = {r.shard: r for r in truncation_report(docs, 4).collect()}
+    assert (out["A"].n_docs, out["A"].n_tokens) == (2, 9)
+    assert (out["A"].n_over_budget, out["A"].tokens_lost) == (1, 2)
+    assert out["A"].over_e4 == 5000
+    assert out["A"].lost_e4 == 2 * 10000 // 9
+    assert (out["B"].n_over_budget, out["B"].tokens_lost) == (0, 0)
+
+
+def test_source_jsd_identical_zero_disjoint_ln2(spark):
+    """Identical token distributions -> JSD 0; fully disjoint -> ln 2
+    (the JSD upper bound); a mixed pair lands strictly between."""
+    import math
+
+    from gridmet_etl_spark.operators.textops import source_jsd
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "aa bb aa bb"), ("s2", "aa bb aa bb"),  # identical
+            ("s3", "cc dd cc dd"),                           # disjoint from s1/s2
+        ],
+        ["source", "text"],
+    )
+    out = {(r.source_a, r.source_b): r for r in source_jsd(docs, k=10).collect()}
+    assert out[("s1", "s2")].jsd == 0.0
+    assert out[("s1", "s2")].n_shared_topk == 2
+    assert abs(out[("s1", "s3")].jsd - math.log(2)) < 1e-6  # 6-dp output
+    assert out[("s1", "s3")].n_shared_topk == 0

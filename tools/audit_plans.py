@@ -227,6 +227,10 @@ EXPECTED_SINGLE = {
     # window over the n_buckets(=10)-row rollup; digest relations carry
     # the data-sized work (distinct + min agg, digest-keyed)
     "novelty_curve",
+    # source_jsd: TakeOrdered global top-k(=100) vocabulary + the
+    # |sources|-row totals broadcast; all pair arithmetic runs on the
+    # |pairs|×k-bounded frame
+    "source_jsd",
 }
 
 
