@@ -74,7 +74,7 @@ _CHECK_FIRST = [
     # (2) new round-6 queries (contract_ext11)
     "sequence_packing", "split_leakage_audit", "zipf_fit",
     "weighted_ess", "token_budget_alloc", "lsh_band_sweep",
-    "ivf_nprobe_sweep", "cohen_kappa", "cv_folds", "novelty_curve", "truncation_report", "source_jsd",
+    "ivf_nprobe_sweep", "cohen_kappa", "cv_folds", "novelty_curve", "truncation_report", "source_jsd", "source_entropy",
     # (3) only driver record predates its oracle (r2 no_oracle)
     "ivf_topk",
     # (4) never driver-checked backlog, oldest-waiting first
@@ -84,9 +84,8 @@ _CHECK_FIRST = [
     "corpus_pipeline_v2", "lsh_recall", "hard_negatives", "bpe_compression",
     "cosine_topk", "simhash",
     "tpch_q15ish", "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
-    "autocorr_daily",
     # ---- driver cap (50) reached; the rest of the backlog queues for r7 ----
-    "ewma_daily", "scd2_users", "corr_matrix", "target_encode", "ref_integrity", "skew_profile", "khop_reach", "heatwave_runs", "spi_index",
+    "autocorr_daily", "ewma_daily", "scd2_users", "corr_matrix", "target_encode", "ref_integrity", "skew_profile", "khop_reach", "heatwave_runs", "spi_index",
     "frost_dates", "heat_index",
     "overlap_join", "threshold_alerts", "centroid_classify", "knn_eval",
     "terrain_gradient", "seasonal_decomp", "temporal_split",

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "novelty_curve",
     "truncation_report",
     "source_jsd",
+    "source_entropy",
 ]
 
 

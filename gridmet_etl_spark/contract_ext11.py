@@ -747,3 +747,47 @@ FROM terms GROUP BY sa, sb
 
 
 EXT11_QUERIES["source_jsd"] = (q_source_jsd, SQL_SOURCE_JSD)
+
+# ---------------------------------------------------------------------------
+# source_entropy: per-source unigram diversity fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and ln-vocab-normalized form) of each source's
+    unigram distribution — the per-source diversity number completing the
+    zipf_fit / source_jsd corpus-fingerprint trio. Vocabulary-sized
+    shuffles only; e12-quantized terms keep it engine-exact."""
+    from .operators.textops import source_entropy
+
+    return source_entropy(spark.read.parquet(_t(sf_dir, "documents")))
+
+
+SQL_SOURCE_ENTROPY = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (
+  SELECT source, token, count(*) AS c FROM toks WHERE token <> ''
+  GROUP BY source, token),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM counts GROUP BY source),
+per AS (
+  SELECT c.source,
+         CAST(sum(CAST(round(-(CAST(c.c AS DOUBLE) / t.t)
+                             * ln(CAST(c.c AS DOUBLE) / t.t) * 1e12)
+                       AS BIGINT)) AS BIGINT) AS h_e12
+  FROM counts c JOIN totals t ON t.source = c.source
+  GROUP BY c.source)
+SELECT p.source, t.t AS n_tokens, t.n_types,
+       ROUND(CAST(p.h_e12 AS DOUBLE) / 1e12, 6) + 0 AS entropy,
+       ROUND(CASE WHEN t.n_types > 1
+                  THEN (CAST(p.h_e12 AS DOUBLE) / 1e12)
+                       / ln(CAST(t.n_types AS DOUBLE))
+             ELSE 0.0 END, 6) + 0 AS norm_entropy
+FROM per p JOIN totals t ON t.source = p.source
+"""
+
+
+EXT11_QUERIES["source_entropy"] = (q_source_entropy, SQL_SOURCE_ENTROPY)

@@ -687,3 +687,54 @@ def source_jsd(
             "jsd"
         ),
     )
+
+
+def source_entropy(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram Shannon entropy per source (nats), with the normalized
+    form H/ln(n_types) in [0,1] — the DIVERSITY fingerprint completing
+    the corpus trio (zipf_fit: shape; source_jsd: pairwise distance;
+    this: per-source spread). Low entropy = templated/boilerplate-heavy
+    source; near-1 normalized entropy = uniform token use.
+
+    Determinism discipline: per-TYPE terms −(c/t)·ln(c/t) compute from
+    exact integer counts and quantize to e12 integers before the
+    vocabulary-sized sum (order-independent); the normalized form divides
+    the exact quantized sum by ln(n_types) in fixed order. int64 bound:
+    |vocab|·ln(t)·1e12 ≲ 1e17 for vocabularies to ~10⁵ types.
+
+    Scale shape: one (source, token) counting agg (the shuffle carries
+    per-source vocabulary, not corpus tokens) + a per-source rollup.
+
+    Output: (source, n_tokens, n_types, entropy, norm_entropy)."""
+    toks = docs.select(
+        F.col(group_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("source", "token").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("_t"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p = F.col("c").cast("double") / F.col("_t")
+    term_e12 = F.round(-p * F.log(p) * 1e12).cast("long")
+    per = (
+        counts.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(F.sum(term_e12).alias("_h_e12"))
+    )
+    h = F.col("_h_e12").cast("double") / 1e12
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return per.join(totals, "source").select(
+        "source",
+        F.col("_t").alias("n_tokens"),
+        "n_types",
+        rnd(h).alias("entropy"),
+        rnd(
+            F.when(F.col("n_types") > 1, h / F.log(F.col("n_types").cast("double")))
+            .otherwise(F.lit(0.0))
+        ).alias("norm_entropy"),
+    )

@@ -349,3 +349,27 @@ def test_source_jsd_identical_zero_disjoint_ln2(spark):
     assert out[("s1", "s2")].n_shared_topk == 2
     assert abs(out[("s1", "s3")].jsd - math.log(2)) < 1e-6  # 6-dp output
     assert out[("s1", "s3")].n_shared_topk == 0
+
+
+def test_source_entropy_uniform_vs_constant(spark):
+    """Uniform over 4 types -> H = ln 4, norm 1; constant single token ->
+    H = 0; a skewed source lands strictly between (hand-exact)."""
+    import math
+
+    from gridmet_etl_spark.operators.textops import source_entropy
+
+    docs = spark.createDataFrame(
+        [
+            ("u", "a b c d a b c d"),   # uniform over 4 types
+            ("k", "x x x x x x"),       # constant
+            ("s", "y y y z"),           # p = (3/4, 1/4)
+        ],
+        ["source", "text"],
+    )
+    out = {r.source: r for r in source_entropy(docs).collect()}
+    assert abs(out["u"].entropy - math.log(4)) < 1e-6
+    assert out["u"].norm_entropy == 1.0
+    assert (out["k"].entropy, out["k"].norm_entropy) == (0.0, 0.0)
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(out["s"].entropy - h) < 1e-6
+    assert (out["u"].n_tokens, out["u"].n_types) == (8, 4)
