@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import re
 import struct
-from datetime import date, timedelta
+from datetime import date, datetime, timedelta
 
 import numpy as np
 import pandas as pd
@@ -125,7 +125,12 @@ def _decode_time(values: np.ndarray, units: str) -> np.ndarray | None:
     if not m:
         return None
     unit = m.group(1).lower()
-    epoch = date(int(m.group(2)), int(m.group(3)), int(m.group(4)))
+    # decode to full datetimes (NOT dates): date + timedelta would discard
+    # sub-day components, collapsing 6-hourly coords (0,6,12,18h) onto
+    # duplicate day labels — diverging from the xarray path's datetime64
+    # coords and making inclusive sel() slices ambiguous (ADVICE r6). The
+    # fetcher's pd.to_datetime(...).dt.date still does any day collapse.
+    epoch = datetime(int(m.group(2)), int(m.group(3)), int(m.group(4)))
     scale = 1.0 if unit == "days" else 1.0 / 24.0
     return np.array(
         [epoch + timedelta(days=float(v) * scale) for v in values], dtype=object
@@ -178,25 +183,39 @@ class MicroDataset:
 
     def sel(self, indexers: dict[str, slice]) -> MicroDataset:
         """Inclusive label slices (the xarray convention). String labels
-        compare against decoded date coords via ISO parsing."""
+        compare against decoded datetime coords via ISO parsing; a
+        date-only upper label includes the WHOLE day (xarray partial
+        string indexing), so 6-hourly coords at 06/12/18h still fall
+        inside `sel(time=slice("2020-01-01", "2020-01-05"))`."""
         dim_slices: dict[str, slice] = {}
         for d, sl in indexers.items():
             vals = self.coords[d]
             lo, hi = sl.start, sl.stop
+            is_dt = len(vals) and isinstance(vals[0], date)
+            hi_excl = None
 
-            def _cmp(label):
-                if isinstance(label, str) and len(vals) and isinstance(
-                    vals[0], date
-                ):
-                    return date.fromisoformat(label[:10])
-                return label
+            def _parse(label):
+                full = datetime.fromisoformat(label)
+                if isinstance(vals[0], datetime):
+                    return full
+                return full.date()
 
-            lo, hi = _cmp(lo), _cmp(hi)
+            if isinstance(lo, str) and is_dt:
+                lo = _parse(lo)
+            if isinstance(hi, str) and is_dt:
+                if len(hi) <= 10 and isinstance(vals[0], datetime):
+                    # date-only label on sub-daily coords: whole-day bound
+                    hi_excl = _parse(hi) + timedelta(days=1)
+                    hi = None
+                else:
+                    hi = _parse(hi)
             mask = np.ones(len(vals), dtype=bool)
             if lo is not None:
                 mask &= np.array([v >= lo for v in vals])
             if hi is not None:
                 mask &= np.array([v <= hi for v in vals])
+            if hi_excl is not None:
+                mask &= np.array([v < hi_excl for v in vals])
             nz = np.nonzero(mask)[0]
             if len(nz) == 0:
                 dim_slices[d] = slice(0, 0)

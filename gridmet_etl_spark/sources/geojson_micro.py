@@ -126,9 +126,18 @@ def _parse_wkb(buf: bytes, off: int = 0):
     the ISO type-code convention are reduced modulo 1000)."""
     bo = "<" if buf[off] == 1 else ">"
     (code,) = _rd(bo + "I", buf, off + 1)
+    if code & 0xE0000000:
+        # PostGIS EWKB dimension/SRID flag bits — not ISO WKB; parsing as
+        # ISO would misalign every coordinate. Fail loudly (ADVICE r6).
+        raise ValueError(f"EWKB flag bits in geometry type code 0x{code:08x}")
     base = code % 1000
-    has_z = code >= 1000
-    ncoord = 3 if has_z else 2
+    # ISO type-code thousands digit: 0→XY, 1→XYZ, 2→XYM, 3→XYZM. Reading
+    # all ZM codes as 3 coords would misalign ZM points (4 doubles each)
+    # and silently return garbage centroids (ADVICE r6).
+    dim_code = code // 1000
+    if dim_code > 3:
+        raise ValueError(f"unknown WKB dimension code {dim_code} (type {code})")
+    ncoord = (2, 3, 3, 4)[dim_code]
     pos = off + 5
 
     def point(p):

@@ -186,6 +186,14 @@ def export_netcdf(
     variables, CF attributes, fill value and calendar, real bytes any
     netCDF consumer can open. The engine's canonical format stays parquet;
     this is a compatibility shim for downstream NHM tooling.
+
+    CONTAINER DIVERGENCE (documented, asserted in test_realdata.py): the
+    reference always writes NETCDF4/HDF5 (etl.py:231,465,750); the no-xarray
+    fallback emits NetCDF-3 classic — identical logical structure (dims,
+    variable names/dtypes, CF attrs, _FillValue, calendar per gm_header.md)
+    but a different container (no compression, classic 32-bit offsets).
+    Consumers that require the HDF5 container must run with xarray+netCDF4
+    installed.
     """
     try:
         import xarray  # noqa: F401
@@ -221,6 +229,16 @@ def export_netcdf_classic(
     from .nc_micro import write_netcdf3
 
     pdf = df.toPandas()  # edge-export: bounded output (features × days)
+    # the xarray path's set_index would surface duplicate (feature, time)
+    # labels as a reindex error; the positional grid assignment below would
+    # silently last-write-win — fail loudly instead (ADVICE r6)
+    dup = pdf[["feature_id", time_col]].duplicated()
+    if dup.any():
+        raise ValueError(
+            f"duplicate (feature_id, {time_col}) rows in NetCDF export input "
+            f"({int(dup.sum())} dups, e.g. "
+            f"{pdf.loc[dup, ['feature_id', time_col]].iloc[0].tolist()})"
+        )
     value_cols = [c for c in pdf.columns if c not in ("feature_id", time_col, "ens")]
     features = np.sort(pdf["feature_id"].unique())
     times = np.sort(pdf[time_col].unique())

@@ -56,8 +56,10 @@ def test_parse_dods_spec_assembled_grid():
     assert ds.arrays["pr"][1, 1, 0] == np.float32(110.0)
     import datetime as dt
 
+    # datetime coords (xarray decodes to datetime64, not date — ADVICE r6:
+    # date coords collapsed sub-daily offsets onto duplicate labels)
     assert list(ds.coords["day"]) == [
-        dt.date(1900, 1, 1) + dt.timedelta(days=45000 + k) for k in range(3)
+        dt.datetime(1900, 1, 1) + dt.timedelta(days=45000 + k) for k in range(3)
     ]
     assert list(ds.coords["lat"]) == [49.0, 48.9]
 
@@ -75,6 +77,48 @@ def test_sel_isel_and_to_dataframe():
     assert sorted(df["pr"]) == [0.0, 1.0, 100.0, 101.0]
     # inclusive-label sel: both endpoint days survive
     assert df["day"].nunique() == 2
+
+
+def test_subdaily_time_coords_stay_distinct():
+    """ADVICE r6: 'hours since' values at 0/6/12/18h must decode to FOUR
+    distinct datetime labels (date coords collapsed them), and a date-only
+    sel() upper label must include the whole day (xarray partial string
+    indexing)."""
+    import datetime as dt
+
+    dds = """Dataset {
+    Grid {
+     ARRAY:
+        Float32 pr[t = 4][lat = 1][lon = 1];
+     MAPS:
+        Float64 t[t = 4];
+        Float64 lat[lat = 1];
+        Float64 lon[lon = 1];
+    } pr;
+} g;"""
+    das = """Attributes {
+    t {
+        String units "hours since 2020-01-01";
+    }
+}"""
+    data = (
+        _xdr_array([1.0, 2.0, 3.0, 4.0], ">f")
+        + _xdr_array([0.0, 6.0, 12.0, 18.0], ">d")
+        + _xdr_array([49.0], ">d")
+        + _xdr_array([-124.0], ">d")
+    )
+    ds = parse_dods(dds.encode("ascii") + b"\nData:\n" + data, das)
+    coords = list(ds.coords["t"])
+    assert coords == [
+        dt.datetime(2020, 1, 1, h) for h in (0, 6, 12, 18)
+    ]
+    assert len(set(coords)) == 4
+    # whole-day inclusive sel keeps all four sub-daily steps
+    sub = ds.sel({"t": slice("2020-01-01", "2020-01-01")})
+    assert list(sub.arrays["pr"].reshape(-1)) == [1.0, 2.0, 3.0, 4.0]
+    # a full timestamp upper label is an exact inclusive bound
+    sub2 = ds.sel({"t": slice("2020-01-01", "2020-01-01T06:00:00")})
+    assert list(sub2.arrays["pr"].reshape(-1)) == [1.0, 2.0]
 
 
 def test_parse_das():

@@ -156,3 +156,32 @@ def test_convert_features_geojson_and_gpkg_end_to_end(spark, tmp_path, monkeypat
     assert set(got) == {7, 8, 9}
     assert (got[8].lon, got[8].lat) == (2.0, 2.0)
     assert got[7].geometry is not None
+
+
+def test_wkb_dimension_codes(tmp_path):
+    """ADVICE r6: ISO Z/M/ZM type codes carry 3/3/4 doubles per point —
+    the old '>=1000 means 3 coords' rule parsed ZM points misaligned.
+    EWKB flag bits must raise, never silently mis-parse."""
+    from gridmet_etl_spark.sources.geojson_micro import _parse_wkb
+
+    def pt(code, *vals):
+        return struct.pack("<BI" + "d" * len(vals), 1, code, *vals)
+
+    # XY / XYZ / XYM / XYZM points all yield the same 2-D centroid
+    assert _parse_wkb(pt(1, -104.5, 39.25))[:2] == (-104.5, 39.25)
+    assert _parse_wkb(pt(1001, -104.5, 39.25, 1500.0))[:2] == (-104.5, 39.25)
+    assert _parse_wkb(pt(2001, -104.5, 39.25, 7.0))[:2] == (-104.5, 39.25)
+    assert _parse_wkb(pt(3001, -104.5, 39.25, 1500.0, 7.0))[:2] == (
+        -104.5,
+        39.25,
+    )
+    # ZM LineString: 4 doubles per point must stay aligned across points
+    ls = struct.pack("<BII", 1, 3002, 2) + struct.pack(
+        "<8d", 0.0, 0.0, 5.0, 9.0, 2.0, 2.0, 5.0, 9.0
+    )
+    assert _parse_wkb(ls)[:2] == (1.0, 1.0)
+    # EWKB (PostGIS flag bits) raises instead of mis-parsing
+    with pytest.raises(ValueError, match="EWKB"):
+        _parse_wkb(struct.pack("<BId", 1, 0x80000001, 0.0))
+    with pytest.raises(ValueError, match="EWKB"):
+        _parse_wkb(struct.pack("<BIId", 1, 0x20000001, 4326, 0.0))
