@@ -875,31 +875,30 @@ def lsh_band_sweep(
         F.count(F.lit(1)).alias("n_hit")
     )
     # theory threshold per config, computed HERE and injected as literals
-    # so both engines carry the identical double
+    # so both engines carry the identical double. The configs relation is
+    # the LITERAL driver of the output shape: a config whose banding
+    # yields ZERO candidate pairs (e.g. rows_per_band=16 needs identical
+    # 16-hash signatures) must still report its row with n_cand=0 — the
+    # oracle's UNION ALL of scalar subqueries always emits every config
+    # (ADVICE r6), and the advisor is useless without the "this banding
+    # finds nothing" data point.
     n_bands = {r: -(-n_seeds // r) for r in configs}
     thr = {
         r: int(round((1.0 / n_bands[r]) ** (1.0 / r) * scale)) for r in configs
     }
-    thr_expr = None
-    for r in configs:
-        cond = F.col("rows_per_band") == int(r)
-        pair = (F.lit(n_bands[r]).cast("int"), F.lit(thr[r]).cast("long"))
-        thr_expr = (
-            F.when(cond, F.struct(pair[0].alias("nb"), pair[1].alias("th")))
-            if thr_expr is None
-            else thr_expr.when(
-                cond, F.struct(pair[0].alias("nb"), pair[1].alias("th"))
-            )
-        )
+    base = docs.sparkSession.createDataFrame(
+        [(int(r), int(n_bands[r]), int(thr[r])) for r in configs],
+        "rows_per_band int, n_bands int, thr_theory_e4 long",
+    )
     return (
-        cand_stats.join(hit_stats, "rows_per_band", "left")
-        .na.fill({"n_hit": 0})
+        base.join(cand_stats, "rows_per_band", "left")
+        .join(hit_stats, "rows_per_band", "left")
+        .na.fill({"n_cand": 0, "n_hit": 0})
         .crossJoin(F.broadcast(n_true_rel))
-        .withColumn("_m", thr_expr)
         .select(
             F.col("rows_per_band").cast("int").alias("rows_per_band"),
-            F.col("_m.nb").alias("n_bands"),
-            F.col("_m.th").alias("thr_theory_e4"),
+            F.col("n_bands"),
+            F.col("thr_theory_e4"),
             F.col("n_true").cast("long").alias("n_true"),
             F.col("n_cand").cast("long").alias("n_cand"),
             F.col("n_hit").cast("long").alias("n_hit"),

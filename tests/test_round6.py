@@ -143,6 +143,32 @@ def test_lsh_band_sweep_identical_pair_all_configs(spark):
     )
 
 
+def test_lsh_band_sweep_zero_candidate_configs_still_report(spark):
+    """ADVICE r6: a corpus with NO band collisions anywhere must still
+    emit all 5 config rows with n_cand = n_hit = 0 (the oracle's UNION
+    ALL of scalar subqueries always does) — 'this banding finds nothing'
+    is the advisor's most important data point."""
+    from gridmet_etl_spark.operators.dedup import lsh_band_sweep
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "rot blau gruen gelb violett braun"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = lsh_band_sweep(docs).collect()
+    assert len(rows) == 5
+    assert {r.rows_per_band for r in rows} == {1, 2, 4, 8, 16}
+    for r in rows:
+        assert r.n_true == 0
+        assert r.n_hit == 0
+        assert r.recall_e4 == 0 and (r.n_cand == 0) == (r.precision_e4 == 0)
+        # zero-candidate configs may exist and must not drop the row
+        assert r.n_cand >= 0
+
+
 def test_ivf_nprobe_sweep_monotone_and_exact_at_full_probe(spark):
     """Recall is non-decreasing in probe depth and EXACTLY 10000 at full
     probe (cluster assignment partitions the corpus, so probing every
