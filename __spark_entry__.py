@@ -30,6 +30,7 @@ from gridmet_etl_spark.contract_ext8 import EXT8_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext9 import EXT9_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext10 import EXT10_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext11 import EXT11_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext12 import EXT12_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -44,10 +45,11 @@ _MERGED = {
     **EXT9_QUERIES,
     **EXT10_QUERIES,
     **EXT11_QUERIES,
+    **EXT12_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
-# in registration order, so ORDER decides coverage. Round-6 window:
+# in registration order, so ORDER decides coverage. Round-7 window:
 # (0) the 11 round-5 hash-red queries, re-certified after the root-cause
 # fix (their DuckDB oracles emitted HUGEINT sum columns, which the
 # driver's pandas fetch renders as float64 "88.0" vs Spark's int64 "88" —
@@ -60,99 +62,107 @@ _MERGED = {
 # --strict driver-sim modes). Audit trail: the 50-name windows are in
 # CORRECTNESS_r0{1..5}.json.
 _CHECK_FIRST = [
-    # (0) r5 hash-red, re-certified post oracle-type fix
-    "kaplan_meier", "dsir_select", "lift_eval", "curve_compare",
-    "k_anonymity", "f1_report", "logrank_test", "boilerplate_report",
-    "zone_map_prune", "selectivity_eval", "heavy_hitters_mg",
-    # (1) latent same-class oracle-type fixes (never driver-red, but the
-    # oracle SQL changed this round → re-certify under the driver's hash)
-    "ks_test", "class_balance", "histogram_docs",
-    # (1b) estimator corrections this round (values changed → re-certify):
-    # kmv_set_ops jaccard_est de-biased to the union-k-sample window;
-    # ipw_ate positivity-trimmed (overlap estimand + surfaced trim columns)
-    "kmv_set_ops", "ipw_ate",
-    # (2) new round-6 queries (contract_ext11)
-    "sequence_packing", "split_leakage_audit", "zipf_fit",
-    "weighted_ess", "token_budget_alloc", "lsh_band_sweep",
-    "ivf_nprobe_sweep", "cohen_kappa", "cv_folds", "novelty_curve", "truncation_report", "source_jsd", "source_entropy",
-    # (3) only driver record predates its oracle (r2 no_oracle)
-    "ivf_topk",
-    # (4) never driver-checked backlog, oldest-waiting first
+    # (0) the 25 never-driver-checked names (no CORRECTNESS row in any of
+    # r1-r6 under the 50-cap; judge strict-sim green r6) — certifying these
+    # completes driver coverage of the whole registry (VERDICT r7 item 1)
+    "auc_eval", "autocorr_daily", "centroid_classify",
+    "chi_square", "corr_matrix", "daily_ohlc",
+    "ewma_daily", "frost_dates", "heat_index",
+    "heatwave_runs", "khop_reach", "knn_eval",
+    "mann_whitney", "overlap_join", "ref_integrity",
+    "scd2_users", "seasonal_decomp", "skew_profile",
+    "spi_index", "survivorship", "target_encode",
+    "temporal_split", "terrain_gradient", "threshold_alerts",
+    "trailing_features",
+    # (1) new round-7 queries (contract_ext12)
+    "asof_forward_join", "gapfill_interp", "spearman_corr",
+    "kruskal_wallis", "cramers_v", "winsorized_stats",
+    "heaps_fit", "dup_ngrams", "rbo_overlap",
+    "filter_cascade", "ppl_buckets",
+    # (2) re-certify: output-shape fix this round (zero-candidate configs
+    # now always emit their row, ADVICE r6)
+    "lsh_band_sweep",
+    # (3) rotating re-checks: flagships + the r6-changed float paths
+    # (kmv_set_ops / ipw_ate / session_paths — VERDICT r7 item 6 watchlist)
+    "weighted_mean", "gridmet_pipeline", "cfsv2_ensemble_pipeline",
+    "tpch_q1", "minhash_lsh_star", "exact_dedup",
+    "corpus_pipeline_v3", "ivf_topk", "sequence_packing",
+    "split_leakage_audit", "kmv_set_ops", "ipw_ate",
+    "session_paths",
+    # ---- driver cap (50) reached; everything below has a green driver
+    # CORRECTNESS recording from an earlier round (r1-r6) ----
+    "kaplan_meier", "dsir_select", "lift_eval",
+    "curve_compare", "k_anonymity", "f1_report",
+    "logrank_test", "boilerplate_report", "zone_map_prune",
+    "selectivity_eval", "heavy_hitters_mg", "ks_test",
+    "class_balance", "histogram_docs", "zipf_fit",
+    "weighted_ess", "token_budget_alloc", "ivf_nprobe_sweep",
+    "cohen_kappa", "cv_folds", "novelty_curve",
+    "truncation_report", "source_jsd", "source_entropy",
     "pii_flags", "cosine_topk_lsh", "kmeans_assign",
     "bpe_merges", "embed_covariance", "entity_resolution",
-    "lm_scores", "containment_dups", "quota_filter", "minhash_estimate",
-    "corpus_pipeline_v2", "lsh_recall", "hard_negatives", "bpe_compression",
-    "cosine_topk", "simhash",
-    "tpch_q15ish", "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
-    # ---- driver cap (50) reached; the rest of the backlog queues for r7 ----
-    "autocorr_daily", "ewma_daily", "scd2_users", "corr_matrix", "target_encode", "ref_integrity", "skew_profile", "khop_reach", "heatwave_runs", "spi_index",
-    "frost_dates", "heat_index",
-    "overlap_join", "threshold_alerts", "centroid_classify", "knn_eval",
-    "terrain_gradient", "seasonal_decomp", "temporal_split",
-    "chi_square", "mann_whitney", "auc_eval",
-    "trailing_features", "daily_ohlc", "survivorship",
-    # round-5 batch (green in CORRECTNESS_r05.json)
-    "kmv_distinct", "rrf_fusion", "link_prediction",
-    "cuped_adjust", "did_estimate",
-    "hilbert_layout", "session_paths", "markov_attribution",
+    "lm_scores", "containment_dups", "quota_filter",
+    "minhash_estimate", "corpus_pipeline_v2", "lsh_recall",
+    "hard_negatives", "bpe_compression", "cosine_topk",
+    "simhash", "tpch_q15ish", "tpch_q17ish",
+    "tpch_q21ish", "tpch_q22ish", "kmv_distinct",
+    "rrf_fusion", "link_prediction", "cuped_adjust",
+    "did_estimate", "hilbert_layout", "markov_attribution",
     "woe_iv", "tpcds_multiband", "feature_hash",
     "qini_uplift", "polygon_metrics", "dp_release",
     "holt_forecast", "rsi_indicator", "gini_lorenz",
-    "capture_recapture", "welch_ttest",
-    "minhash_lsh_star", "line_dedup", "mixture_weights",
-    "corpus_pipeline_v3", "jl_project", "tfidf_terms", "cms_join_size",
-    "bias_als",
-    "mcv_stats", "equiheight_bins", "join_order_advisor",
-    "source_overlap", "ridge_regression",
-    "join_qerror", "layout_advisor",
-    "cooccurrence_topk", "vocab_topk",
-    # previously-checked r3/r4 batch (green in CORRECTNESS_r04.json)
-    "impute_median",
-    "idw_interp", "dbscan_clusters", "item_similarity", "cdc_apply",
-    "hist_quantiles", "bootstrap_ci", "logit_gd", "forecast_eval",
-    "nb_language_id",
-    "mrr_eval", "ppr_scores",
-    "pca_power", "geo_knn", "sssp_hops", "weighted_median_pooled",
-    "rolling_median", "kcore_nodes", "dedup_report", "rfm_segments",
-    "basket_lift",
-    "pq_codes", "hll_rollup", "scd2_pit_enrich", "twap_daily",
-    "coreset_assign", "ndcg_eval", "multitouch_credit", "lpa_communities",
-    "session_windows", "hits_scores", "psi_drift", "textrank_keywords",
-    "cohort_ltv", "ivfpq_topk",
-    "conversion_lag",
-    "cumulative_users", "rebased_series", "theilsen_trend", "props_map",
-    "calendar_gaps", "ab_test", "skyline_parts", "dow_anomaly",
-    "rolling_actives", "benford_check", "embedding_stats",
-    # ---- tail below has a green driver CORRECTNESS recording (r1–r3) ----
-    "tpch_q2ish", "tpch_q3ish", "tpch_q4ish", "tpch_q6ish", "tpch_q8ish",
-    "tpch_q9ish", "tpch_q10ish", "tpch_q11ish", "tpch_q12ish",
-    "tpch_q14ish", "tpch_q20ish",
+    "capture_recapture", "welch_ttest", "line_dedup",
+    "mixture_weights", "jl_project", "tfidf_terms",
+    "cms_join_size", "bias_als", "mcv_stats",
+    "equiheight_bins", "join_order_advisor", "source_overlap",
+    "ridge_regression", "join_qerror", "layout_advisor",
+    "cooccurrence_topk", "vocab_topk", "impute_median",
+    "idw_interp", "dbscan_clusters", "item_similarity",
+    "cdc_apply", "hist_quantiles", "bootstrap_ci",
+    "logit_gd", "forecast_eval", "nb_language_id",
+    "mrr_eval", "ppr_scores", "pca_power",
+    "geo_knn", "sssp_hops", "weighted_median_pooled",
+    "rolling_median", "kcore_nodes", "dedup_report",
+    "rfm_segments", "basket_lift", "pq_codes",
+    "hll_rollup", "scd2_pit_enrich", "twap_daily",
+    "coreset_assign", "ndcg_eval", "multitouch_credit",
+    "lpa_communities", "session_windows", "hits_scores",
+    "psi_drift", "textrank_keywords", "cohort_ltv",
+    "ivfpq_topk", "conversion_lag", "cumulative_users",
+    "rebased_series", "theilsen_trend", "props_map",
+    "calendar_gaps", "ab_test", "skyline_parts",
+    "dow_anomaly", "rolling_actives", "benford_check",
+    "embedding_stats", "tpch_q2ish", "tpch_q3ish",
+    "tpch_q4ish", "tpch_q6ish", "tpch_q8ish",
+    "tpch_q9ish", "tpch_q10ish", "tpch_q11ish",
+    "tpch_q12ish", "tpch_q14ish", "tpch_q20ish",
     "max_dup_spans", "calibration_eval", "incremental_refresh",
     "polygon_weights", "polygon_zonal_mean", "hex_density",
-    "quantile_normalize", "cusum_changepoints",
-    "rag_pipeline", "pq_topk",
-    "funnel_steps", "retention_cohorts", "event_transitions",
-    "triangle_count", "jaccard_join", "fuzzy_join", "mad_outliers",
-    "ntile_bins", "percentile_cut", "char_entropy", "snapshot_diff",
-    "coarsen_grid", "zorder_layout", "media_dedup", "trending_topk",
-    "focal_mean", "topk_per_source", "trend_slope", "cross_correlation",
-    "token_drift", "readability", "bilinear_interp", "degree_days",
-    "climate_pipeline", "skew_join", "set_ops", "grouping_sets",
-    "range_frame_sum", "weighted_median",
-    "attribution_join",
-    "weighted_mean", "gridmet_pipeline", "cfsv2_median_pipeline",
-    "cfsv2_ensemble_pipeline", "tpch_weighted_mean", "tpch_q1",
-    "tpch_join3", "tpch_window_topk", "tpch_topn", "tpch_semi_anti",
-    "tpch_cube", "tpch_rollup", "tpch_q5ish", "tpch_q7ish",
-    "tpch_q13ish", "tpch_q16ish", "tpch_q18ish", "tpch_q19ish",
-    "tpch_above_avg", "tpch_outer_agg",
-    "salted_agg", "range_join", "exact_dedup",
-    "ngram_jaccard", "text_analysis", "bigram_topk", "events_props_json",
-    "pivot_wide", "unpivot_long", "fill_pipeline", "qa_checks",
+    "quantile_normalize", "cusum_changepoints", "rag_pipeline",
+    "pq_topk", "funnel_steps", "retention_cohorts",
+    "event_transitions", "triangle_count", "jaccard_join",
+    "fuzzy_join", "mad_outliers", "ntile_bins",
+    "percentile_cut", "char_entropy", "snapshot_diff",
+    "coarsen_grid", "zorder_layout", "media_dedup",
+    "trending_topk", "focal_mean", "topk_per_source",
+    "trend_slope", "cross_correlation", "token_drift",
+    "readability", "bilinear_interp", "degree_days",
+    "climate_pipeline", "skew_join", "set_ops",
+    "grouping_sets", "range_frame_sum", "weighted_median",
+    "attribution_join", "cfsv2_median_pipeline", "tpch_weighted_mean",
+    "tpch_join3", "tpch_window_topk", "tpch_topn",
+    "tpch_semi_anti", "tpch_cube", "tpch_rollup",
+    "tpch_q5ish", "tpch_q7ish", "tpch_q13ish",
+    "tpch_q16ish", "tpch_q18ish", "tpch_q19ish",
+    "tpch_above_avg", "tpch_outer_agg", "salted_agg",
+    "range_join", "ngram_jaccard", "text_analysis",
+    "bigram_topk", "events_props_json", "pivot_wide",
+    "unpivot_long", "fill_pipeline", "qa_checks",
     "ensemble_median", "ensemble_stats", "ensemble_quantiles",
-    "nearest_donor", "bbox_filter", "time_filter", "catalog_lookup",
-    "weight_sum_qa", "physics_rh", "union_concat", "events_daily",
-    "events_window", "events_moving_avg", "sessionize_batch", "media_stats",
+    "nearest_donor", "bbox_filter", "time_filter",
+    "catalog_lookup", "weight_sum_qa", "physics_rh",
+    "union_concat", "events_daily", "events_window",
+    "events_moving_avg", "sessionize_batch", "media_stats",
 ]
 assert set(_CHECK_FIRST) <= set(_MERGED), sorted(set(_CHECK_FIRST) - set(_MERGED))
 ALL_QUERIES = {name: _MERGED[name] for name in _CHECK_FIRST}

@@ -107,10 +107,24 @@ def asof_join(
     )
 
     if tolerance_seconds is not None:
-        stale = (
-            F.abs(F.col("_ts").cast("long") - F.col("_matched_ts").cast("long"))
-            > tolerance_seconds
-        )
+        # staleness in exact microseconds: TIMESTAMP_NTZ cannot cast to
+        # BIGINT directly (and a plain long cast would be seconds anyway);
+        # route timestamps/dates through unix_micros. Numeric ts columns
+        # keep their native difference (interpreted as seconds).
+        ltype = rtypes[right_ts]
+        if ltype.startswith(("timestamp", "date")):
+            diff = F.abs(
+                F.unix_micros(F.col("_ts").cast("timestamp"))
+                - F.unix_micros(F.col("_matched_ts").cast("timestamp"))
+            )
+            stale = diff > tolerance_seconds * 1_000_000
+        else:
+            stale = (
+                F.abs(
+                    F.col("_ts").cast("long") - F.col("_matched_ts").cast("long")
+                )
+                > tolerance_seconds
+            )
         out = out.select(
             "_k",
             "_ts",

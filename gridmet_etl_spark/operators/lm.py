@@ -97,3 +97,41 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), ndigits).alias("nll"),
     )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    group_col: str = "lang",
+    lam: float = 0.8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus bigram LM (bigram_lm_scores), then split each
+    language into ``n_buckets`` equal-count bands by score — head/middle/
+    tail tiers, the standard "keep head, sample middle, drop tail"
+    curation knob, reported with each band's volume and score range.
+
+    Determinism: band assignment is ntile over the total order
+    (nll, doc_id) — nll is the already-rounded score (identical on both
+    engines by the lm_scores contract), doc_id breaks ties; all counts are
+    exact integers and min/max pass the rounded scores through.
+
+    Scale shape: the LM scoring is the heavy part (see bigram_lm_scores);
+    the bucketing adds one per-language window + one band-sized agg.
+
+    Output per (group, bucket): (group, bucket, n_docs, sum_bigrams,
+    min_nll, max_nll)."""
+    from pyspark.sql import Window
+
+    scored = bigram_lm_scores(docs, lam=lam).join(
+        docs.select("doc_id", F.col(group_col).alias("_g")), "doc_id"
+    )
+    w = Window.partitionBy("_g").orderBy("nll", "doc_id")
+    banded = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return banded.groupBy(F.col("_g").alias(group_col), "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
+        F.min("nll").alias("min_nll"),
+        F.max("nll").alias("max_nll"),
+    )

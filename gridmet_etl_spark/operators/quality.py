@@ -166,3 +166,48 @@ def percentile_cut(
         .where(F.col("pr") >= cut)
         .withColumn("pr", F.round("pr", 6))
     )
+
+
+def filter_cascade(
+    flags: DataFrame, rule_cols: Sequence[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Marginal-value report for a boolean rule set (gopher_flags /
+    c4_clean output, or any per-row pass flags): per rule, how many rows
+    it fails and how many it UNIQUELY kills (fails this rule, passes all
+    others) — the number that says whether a filter is still earning its
+    keep or is shadowed by the rest of the cascade.
+
+    One pass: a single aggregate computes every (fail, unique-kill)
+    counter; the per-rule rows come from unpivoting the 1-row result —
+    no per-rule scans, no shuffle beyond the one agg.
+
+    Output per rule: (rule, n_failed, n_unique_kills) + shared
+    (n_docs, n_survivors)."""
+    from functools import reduce
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_n_docs"),
+        F.sum(
+            reduce(lambda x, y: x & y, [F.col(c) for c in rule_cols]).cast("long")
+        )
+        .cast("long")
+        .alias("_n_pass"),
+    ]
+    for r in rule_cols:
+        others = [F.col(c) for c in rule_cols if c != r]
+        all_others = reduce(lambda x, y: x & y, others) if others else F.lit(True)
+        aggs.append(F.sum((~F.col(r)).cast("long")).cast("long").alias(f"_f_{r}"))
+        aggs.append(
+            F.sum((~F.col(r) & all_others).cast("long"))
+            .cast("long")
+            .alias(f"_u_{r}")
+        )
+    one = flags.agg(*aggs)
+    stack = ", ".join(f"'{r}', _f_{r}, _u_{r}" for r in rule_cols)
+    return one.select(
+        F.expr(
+            f"stack({len(rule_cols)}, {stack}) AS (rule, n_failed, n_unique_kills)"
+        ),
+        F.col("_n_docs").alias("n_docs"),
+        F.col("_n_pass").alias("n_survivors"),
+    )

@@ -313,3 +313,73 @@ def f1_report(
         rnd(F.col("_tp") / F.col("_tot")).alias("f1"),
     )
     return per_class.unionByName(macro).unionByName(micro)
+
+
+def rbo_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    item_col: str = "item",
+    rank_col: str = "rank",
+    k: int = 32,
+    scale: int = 10**15,
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010) between two top-``k``
+    rankings with persistence p = 1/2: RBO = (1−p)·Σ_d p^(d−1)·A_d where
+    A_d is the prefix-agreement |A₁..d ∩ B₁..d|/d — the top-weighted
+    "did the ranking change" number for comparing retrieval runs, feature
+    rankings, or drifted top-k reports.
+
+    p = 1/2 is chosen for EXACTNESS, not just taste: p^(d−1)·(1−p) =
+    2^(−d), so every depth's term is the exact integer division
+    (overlap_d·scale) div (d·2^d) — both engines floor identically and
+    the k-term sum is exact (an arbitrary p would need cross-engine pow()
+    rounding). int64 bound: overlap·10¹⁵ ≤ k·10¹⁵ ≪ 2⁶³ for k ≤ 4000.
+
+    Scale shape: callers produce the two rankings however they like (the
+    heavy part); this joins two ≤k-row relations and does bounded-window
+    arithmetic — driver-free, broadcast-sized.
+
+    Output per depth: (depth, overlap, agree_e4) + shared (rbo, n_both)."""
+    from pyspark.sql import Window
+
+    am = a.filter(F.col(rank_col) <= k).select(
+        F.col(item_col).alias("_i"), F.col(rank_col).alias("_ra")
+    )
+    bm = b.filter(F.col(rank_col) <= k).select(
+        F.col(item_col).alias("_i"), F.col(rank_col).alias("_rb")
+    )
+    both = am.join(bm, "_i").select(
+        F.greatest("_ra", "_rb").alias("_md")
+    )
+    per_md = both.groupBy("_md").agg(F.count(F.lit(1)).alias("_c"))
+    spark = a.sparkSession
+    depths = spark.range(1, k + 1).select(F.col("id").cast("int").alias("depth"))
+    w = Window.orderBy("depth")  # k rows — bounded
+    curve = (
+        depths.join(per_md, depths["depth"] == per_md["_md"], "left")
+        .na.fill({"_c": 0})
+        .select(
+            "depth",
+            F.sum("_c")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("overlap"),
+        )
+        .withColumn(
+            "term",
+            F.expr(
+                f"overlap * CAST({scale} AS BIGINT) div "
+                f"(depth * CAST(power(2, depth) AS BIGINT))"
+            ),
+        )
+    )
+    summary = curve.agg(
+        (
+            F.round(F.sum("term").cast("double") / scale, 6) + F.lit(0.0)
+        ).alias("rbo")
+    ).crossJoin(F.broadcast(both.agg(F.count(F.lit(1)).cast("long").alias("n_both"))))
+    return curve.select(
+        "depth",
+        "overlap",
+        F.expr("overlap * 10000 div depth").alias("agree_e4"),
+    ).crossJoin(F.broadcast(summary))

@@ -639,3 +639,257 @@ def cohen_kappa(
         rnd(pe).alias("pe"),
         rnd(kappa).alias("kappa"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation (average-rank ties) per group — the
+    monotone-association screen (Pearson on RANKS, so it sees any
+    monotone relation and shrugs at outliers).
+
+    Determinism discipline: tie-averaged ranks are carried as the exact
+    INTEGER 2·r̄ = 2·RANK() + t − 1 (t = tie-class size), so every
+    regression sum (Σx, Σy, Σxy, Σx², Σy²) is an exact int64 —
+    order-independent across shuffles and engines; the closed-form
+    correlation then combines the exact sums in fixed expression order.
+    int64 bound: Σ(2r)² ≤ n·(2n)² — safe through n ≈ 10⁸ per group.
+
+    Scale shape: two rank windows keyed by the group (the 100 TB layout:
+    groups partition the data; within-group sort is the windows' one
+    exchange), then one group-sized agg. No driver loops.
+
+    Output per group: (*group_cols, n, rho)."""
+    gp = list(group_cols)
+    wx = Window.partitionBy(*gp).orderBy(F.col(x_col))
+    wy = Window.partitionBy(*gp).orderBy(F.col(y_col))
+    cx = Window.partitionBy(*gp, x_col)
+    cy = Window.partitionBy(*gp, y_col)
+    ranked = df.select(
+        *gp,
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1).alias("ry"),
+    )
+    acc = ranked.groupBy(*gp).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    dn = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    dx = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    dy = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    rho = F.when((dx == 0.0) | (dy == 0.0), F.lit(0.0)).otherwise(
+        dn / F.sqrt(dx * dy)
+    )
+    return acc.select(
+        *gp,
+        F.col("n"),
+        (F.round(rho, ndigits) + F.lit(0.0)).alias("rho"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kruskal–Wallis H (rank one-way ANOVA): do ≥2 groups draw from the
+    same distribution, judged on GLOBAL average ranks — the k-sample
+    generalization of mann_whitney_u.
+
+    Determinism: global tie-averaged ranks as exact 2·r̄ integers (see
+    spearman_corr); per-group H terms use the DEVIATION form
+    H = 12/(N(N+1))·Σ n_g·(r̄_g − r̄)², with the deviation numerator
+    D_g = Σ2r_g − n_g·(N+1) an EXACT integer — all terms positive, no
+    catastrophic cancellation; each group's double term is floor-quantized
+    to e6 before the (k-row) sum so it is order-independent. Tie
+    correction C = 1 − Σ(t³−t)/(N³−N) from exact integer tie counts.
+
+    Output per group: (group, n_g, mean_rank, d_g) plus the shared
+    (n, h, h_corrected, dof) columns."""
+    wv = Window.orderBy(F.col(value_col))
+    cv = Window.partitionBy(value_col)
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(cv) - 1).alias("r2"),
+    )
+    per_g = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("r2").alias("s2"),
+    )
+    tot = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("dof_plus1"),
+    )
+    ties = (
+        df.groupBy(F.col(value_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"))
+    )
+    # D_g = Σ2r − n_g·(N+1): exact integer deviation ×2; term = D²/(4·n_g)
+    # in double (identical operands both engines), floor-e6-quantized so
+    # the k-row sum is exact
+    g = per_g.crossJoin(F.broadcast(tot)).withColumn(
+        "_d", F.col("s2") - F.col("n_g") * (F.col("n") + 1)
+    )
+    term_e6 = F.floor(
+        F.col("_d").cast("double")
+        * F.col("_d").cast("double")
+        / (4.0 * F.col("n_g").cast("double"))
+        * 1e6
+    ).cast("long")
+    acc = g.agg(
+        F.sum(term_e6).alias("q_e6"),
+        F.first("n").alias("n"),
+        F.first("dof_plus1").alias("k"),
+    ).crossJoin(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    h = (
+        12.0
+        * (F.col("q_e6").cast("double") / 1e6)
+        / (nn * (nn + 1.0))
+    )
+    corr = 1.0 - F.col("tie3").cast("double") / (nn * nn * nn - nn)
+    h_corr = F.when(corr == 0.0, F.lit(0.0)).otherwise(h / corr)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    summary = acc.select(
+        "n",
+        (F.col("k") - 1).cast("int").alias("dof"),
+        rnd(h).alias("h"),
+        rnd(h_corr).alias("h_corrected"),
+    )
+    detail = per_g.crossJoin(F.broadcast(tot)).select(
+        F.col("grp"),
+        F.col("n_g"),
+        (
+            F.round(F.col("s2").cast("double") / (2.0 * F.col("n_g")), ndigits)
+            + F.lit(0.0)
+        ).alias("mean_rank"),
+    )
+    return detail.crossJoin(F.broadcast(summary))
+
+
+def cramers_v(
+    df: DataFrame, row_col: str, col_col: str, ndigits: int = 6
+) -> DataFrame:
+    """Association SUMMARY for two categoricals: total chi², dof, and
+    Cramér's V (chi_square_contingency is the per-cell table; this is the
+    one-row effect size you act on). Per-cell (O−E)²/E terms are computed
+    from exact integer marginals in fixed order and floor-e9-quantized
+    before the |cells|-row sum (order-independent); V = √(χ²/(N·min(r−1,
+    c−1)))."""
+    cells = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_tot = cells.groupBy("_r").agg(F.sum("n").alias("rt"))
+    col_tot = cells.groupBy("_c").agg(F.sum("n").alias("ct"))
+    grand = cells.agg(
+        F.sum("n").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    dims = row_tot.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
+        col_tot.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exp = (
+        cells.join(F.broadcast(row_tot), "_r")
+        .join(F.broadcast(col_tot), "_c")
+        .crossJoin(F.broadcast(grand))
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("_tot")
+    term_e9 = F.floor(
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e * 1e9
+    ).cast("long")
+    chi = exp.agg(
+        F.sum(term_e9).alias("chi_e9"), F.first("_tot").alias("_tot"),
+        F.first("n_cells").alias("n_cells"),
+    ).crossJoin(F.broadcast(dims))
+    chi2 = F.col("chi_e9").cast("double") / 1e9
+    denom = F.col("_tot").cast("double") * F.least(
+        F.col("r") - 1, F.col("c") - 1
+    ).cast("double")
+    v = F.when(denom == 0.0, F.lit(0.0)).otherwise(F.sqrt(chi2 / denom))
+    rnd = lambda x: F.round(x, ndigits) + F.lit(0.0)  # noqa: E731
+    return chi.select(
+        F.col("_tot").alias("n"),
+        F.col("r").cast("int").alias("n_rows"),
+        F.col("c").cast("int").alias("n_cols"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        rnd(chi2).alias("chi2"),
+        rnd(v).alias("cramers_v"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Winsorized + trimmed means per group over an INTEGER value column
+    (quantize money to cents upstream): the robust-mean pair reported
+    next to the raw mean, with the nearest-rank percentile bounds used.
+
+    Exactness: bounds are order statistics at rank ⌈p·n/100⌉ (exact
+    integers via one rank window); clamped/trimmed sums are integer sums;
+    only the final mean divisions are double. One window + one agg.
+
+    Output per group: (*group_cols, n, lo_bound, hi_bound, winsorized_mean,
+    trimmed_mean, raw_mean, n_trimmed)."""
+    gp = list(group_cols)
+    w = Window.partitionBy(*gp).orderBy(F.col(value_col), F.lit(1))
+    cnt = Window.partitionBy(*gp)
+    ranked = df.select(
+        *gp,
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    # nearest-rank bounds: k = ⌈p·n/100⌉ via exact integer arithmetic
+    ranked = ranked.withColumn(
+        "k_lo", F.floor((F.col("n") * lo_pct + 99) / 100).cast("long")
+    ).withColumn("k_hi", F.floor((F.col("n") * hi_pct + 99) / 100).cast("long"))
+    bounds = ranked.groupBy(*gp).agg(
+        F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("v"))).alias("hi"),
+    )
+    j = ranked.join(F.broadcast(bounds), gp) if gp else ranked.crossJoin(
+        F.broadcast(bounds)
+    )
+    clamped = F.greatest(F.least(F.col("v"), F.col("hi")), F.col("lo"))
+    in_core = (F.col("rn") > F.col("k_lo")) & (F.col("rn") <= F.col("k_hi"))
+    acc = j.groupBy(*gp).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("lo").alias("lo_bound"),
+        F.first("hi").alias("hi_bound"),
+        F.sum(clamped).alias("s_win"),
+        F.sum(F.when(in_core, F.col("v"))).alias("s_trim"),
+        F.sum(F.when(in_core, 1).otherwise(0)).cast("long").alias("n_core"),
+        F.sum("v").alias("s_raw"),
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        *gp,
+        "n",
+        "lo_bound",
+        "hi_bound",
+        rnd(F.col("s_win").cast("double") / F.col("n")).alias("winsorized_mean"),
+        rnd(F.col("s_trim").cast("double") / F.col("n_core")).alias("trimmed_mean"),
+        rnd(F.col("s_raw").cast("double") / F.col("n")).alias("raw_mean"),
+        (F.col("n") - F.col("n_core")).cast("long").alias("n_trimmed"),
+    )

@@ -738,3 +738,141 @@ def source_entropy(
             .otherwise(F.lit(0.0))
         ).alias("norm_entropy"),
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β measured at
+    ``n_buckets`` id-ordered corpus increments, with a log-log OLS for
+    (β, ln K). Natural corpora show β ≈ 0.4–0.6; templated or heavily
+    duplicated text goes flat — the VOCABULARY twin of the zipf_fit
+    frequency fingerprint, and (with novelty_curve) the third
+    is-more-data-worth-it readout.
+
+    Exactness: cumulative token and distinct-type counts per checkpoint
+    are exact integers (a word's vocabulary contribution is attributed to
+    its FIRST bucket, then a bounded n_buckets-row cumulative window);
+    the (ln n, ln V) points are e6-quantized integers before the
+    regression sums (zipf_fit discipline), so every sum is exact and
+    order-independent.
+
+    Scale shape: one vocabulary-sized agg (word → first bucket, count) +
+    one bucket-sized agg; all regression arithmetic on the n_buckets-row
+    relation.
+
+    Output per checkpoint: (bucket, cum_tokens, cum_types) plus shared
+    (beta, ln_k, r2) fit columns."""
+    from pyspark.sql import Window
+
+    mx = docs.agg(F.max(F.col(id_col)).alias("_mx"))
+    toks = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"CAST({id_col} * {n_buckets} div (_mx + 1) AS INT)").alias(
+                "bucket"
+            ),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    tok_per = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tok"))
+    first_b = toks.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    new_types = first_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("bucket")  # n_buckets rows — bounded
+    pts = (
+        tok_per.join(new_types, "bucket", "left")
+        .na.fill({"n_new": 0})
+        .select(
+            "bucket",
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum_tokens"),
+            F.sum("n_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum_types"),
+        )
+        .withColumn(
+            "x", F.round(F.log(F.col("cum_tokens").cast("double")) * 1e6).cast("long")
+        )
+        .withColumn(
+            "y", F.round(F.log(F.col("cum_types").cast("double")) * 1e6).cast("long")
+        )
+    )
+    acc = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("kk"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dn = (F.col("kk") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("kk") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("kk") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    beta = F.when(dx == 0.0, F.lit(0.0)).otherwise(dn / dx)
+    ln_k = (
+        F.col("sy").cast("double") / 1e6 - beta * F.col("sx").cast("double") / 1e6
+    ) / F.col("kk")
+    r2 = F.when((dx == 0.0) | (dy == 0.0), F.lit(0.0)).otherwise(
+        dn * dn / (dx * dy)
+    )
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    fit = acc.select(
+        rnd(beta).alias("beta"), rnd(ln_k).alias("ln_k"), rnd(r2).alias("r2")
+    )
+    return pts.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_types").cast("long").alias("cum_types"),
+    ).crossJoin(F.broadcast(fit))
+
+
+def dup_ngrams(
+    docs: DataFrame,
+    k: int = 5,
+    top: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus's most-duplicated word ``k``-grams: for every k-gram
+    appearing in ≥ ``min_docs`` distinct documents, its document
+    frequency and total occurrence count, global top-``top`` — the
+    boilerplate/template inventory (what span_dedup would cut), readable
+    by a human because the N-GRAM TEXT itself is the key.
+
+    Scale shape: row-local shingle explosion → ONE (ngram)-keyed
+    aggregate carrying (count, distinct-doc count) → global
+    TakeOrdered(top) with a total order (n_docs desc, n_occ desc, ngram
+    asc) — never a full sort.
+
+    Output: (ngram, n_docs, n_occurrences), exactly ``top`` rows or fewer."""
+    # pre-filter: sequence(1, n) needs n ≥ 1 (Spark's sequence(1, 0) is
+    # the DESCENDING [1, 0], which would emit short trailing grams)
+    grams = (
+        docs.filter(F.size(F.split(F.col(text_col), " ")) >= k)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split({text_col}, ' ')) - {k} + 1),"
+                    f" st -> array_join(slice(split({text_col}, ' '), st, {k}), ' '))"
+                )
+            ).alias("ngram"),
+        )
+    )
+    agg = grams.groupBy("ngram").agg(
+        F.countDistinct("_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("ngram")
+        )
+        .limit(top)
+    )

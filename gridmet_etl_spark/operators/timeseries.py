@@ -917,3 +917,81 @@ def rsi_sma(
         (F.round(F.col("y"), ndigits) + F.lit(0.0)).alias("y"),
         (F.round(rsi, ndigits) + F.lit(0.0)).alias("rsi"),
     )
+
+
+def gapfill_interp(
+    daily: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str = "day",
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Calendar gap-fill with linear interpolation per series: densify
+    each key's day axis to its full [min, max] range (sequence + explode
+    — no driver calendar), then fill INTERIOR missing days by linear
+    interpolation between the bracketing observed days; leading/trailing
+    days (no neighbor on one side) stay NULL. calendar_gaps FINDS the
+    holes — this is the repair step feeding models that need a dense,
+    regular series.
+
+    Windows: one ordered window per direction carrying (last observed
+    value, its day) via last/first(ignorenulls) over a STRUCT — value and
+    day travel together, so a null value can never borrow another row's
+    day. Both windows and the final arithmetic shuffle once on the series
+    key. Interpolation arithmetic runs in fixed expression order on both
+    engines (oracle twin), final ROUND only.
+
+    Output: (*key_cols, day, value, is_filled, gap_fill_src_span)."""
+    gp = list(key_cols)
+    span = daily.groupBy(*gp).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    cal = span.select(
+        *gp, F.explode(F.sequence("_d0", "_d1")).alias(day_col)
+    )
+    full = cal.join(daily, [*gp, day_col], "left")
+    wb = (
+        Window.partitionBy(*gp)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*gp)
+        .orderBy(day_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.col(day_col).alias("d"), F.col(value_col).alias("v")),
+    )
+    filled = full.select(
+        *gp,
+        F.col(day_col),
+        F.col(value_col),
+        F.last(obs, ignorenulls=True).over(wb).alias("_prev"),
+        F.first(obs, ignorenulls=True).over(wf).alias("_next"),
+    )
+    span_days = F.datediff(F.col("_next.d"), F.col("_prev.d"))
+    k = F.datediff(F.col(day_col), F.col("_prev.d"))
+    interp = F.col("_prev.v") + (F.col("_next.v") - F.col("_prev.v")) * (
+        k.cast("double") / span_days.cast("double")
+    )
+    value_out = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        F.when(
+            F.col("_prev").isNotNull() & F.col("_next").isNotNull(), interp
+        )
+    )
+    return filled.select(
+        *gp,
+        F.col(day_col),
+        (F.round(value_out, ndigits) + F.lit(0.0)).alias(value_col),
+        F.col(value_col).isNull().alias("is_filled"),
+        F.when(
+            F.col(value_col).isNull()
+            & F.col("_prev").isNotNull()
+            & F.col("_next").isNotNull(),
+            span_days,
+        )
+        .cast("int")
+        .alias("gap_fill_src_span"),
+    )
