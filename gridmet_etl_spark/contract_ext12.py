@@ -326,6 +326,11 @@ grand AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
                  CAST(count(*) AS BIGINT) AS n_cells FROM cells),
 dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS r,
                 (SELECT CAST(count(*) AS BIGINT) FROM ct) AS c),
+full_tab AS (
+  -- the FULL r×c table including zero cells: (0−E)²/E terms are part of
+  -- chi² (mirrors the engine; omitting them halves perfect-association)
+  SELECT rt._r, ct._c, rt.rt, ct.ct, COALESCE(c.n, 0) AS n
+  FROM rt CROSS JOIN ct LEFT JOIN cells c ON c._r = rt._r AND c._c = ct._c),
 terms AS (
   SELECT CAST(sum(CAST(floor(
            (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot)
@@ -333,7 +338,7 @@ terms AS (
            / (CAST(rt AS DOUBLE) * ct / tot) * 1e9) AS BIGINT)) AS BIGINT)
            AS chi_e9,
          any_value(tot) AS tot, any_value(n_cells) AS n_cells
-  FROM cells JOIN rt USING (_r) JOIN ct USING (_c), grand)
+  FROM full_tab, grand)
 SELECT tot AS n, CAST(r AS INT) AS n_rows, CAST(c AS INT) AS n_cols,
        CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
        ROUND(CAST(chi_e9 AS DOUBLE) / 1e9, {R}) + 0 AS chi2,

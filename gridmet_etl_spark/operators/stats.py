@@ -804,9 +804,13 @@ def cramers_v(
     dims = row_tot.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
         col_tot.agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # the FULL r×c table, including zero cells — (0−E)²/E terms are part
+    # of chi² (omitting them halves the statistic under perfect
+    # association; caught by the textbook pytest)
     exp = (
-        cells.join(F.broadcast(row_tot), "_r")
-        .join(F.broadcast(col_tot), "_c")
+        row_tot.crossJoin(col_tot)
+        .join(cells, ["_r", "_c"], "left")
+        .na.fill({"n": 0})
         .crossJoin(F.broadcast(grand))
     )
     e = F.col("rt").cast("double") * F.col("ct") / F.col("_tot")
