@@ -653,34 +653,52 @@ def spearman_corr(
     monotone relation and shrugs at outliers).
 
     Determinism discipline: tie-averaged ranks are carried as the exact
-    INTEGER 2·r̄ = 2·RANK() + t − 1 (t = tie-class size), so every
-    regression sum (Σx, Σy, Σxy, Σx², Σy²) is an exact int64 —
-    order-independent across shuffles and engines; the closed-form
-    correlation then combines the exact sums in fixed expression order.
-    int64 bound: Σ(2r)² ≤ n·(2n)² — safe through n ≈ 10⁸ per group.
+    INTEGER 2·r̄(v) = 2·(#rows below v) + tie(v) + 1, so every regression
+    sum (Σx, Σy, Σxy, Σx², Σy²) is an exact int64 — order-independent
+    across shuffles and engines; the closed-form correlation combines the
+    exact sums in fixed expression order. int64 bound: Σ(2r)² ≤ n·(2n)² —
+    safe through n ≈ 10⁸ per group.
 
-    Scale shape: two rank windows keyed by the group (the 100 TB layout:
-    groups partition the data; within-group sort is the windows' one
-    exchange), then one group-sized agg. No driver loops.
+    Scale shape — COUNT-BASED, no row-level rank window: ranks are a
+    function of the VALUE alone, so the per-(group, x, y) cell counts
+    (one groupBy) join two per-(group, value) rank relations built with
+    histogram-sized cumulative windows (|distinct values| rows per group,
+    not |rows|). The raw data is touched by exactly one aggregation; at
+    100 TB every later exchange is histogram-sized.
 
     Output per group: (*group_cols, n, rho)."""
     gp = list(group_cols)
-    wx = Window.partitionBy(*gp).orderBy(F.col(x_col))
-    wy = Window.partitionBy(*gp).orderBy(F.col(y_col))
-    cx = Window.partitionBy(*gp, x_col)
-    cy = Window.partitionBy(*gp, y_col)
-    ranked = df.select(
-        *gp,
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1).alias("rx"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1).alias("ry"),
+    cells = df.groupBy(
+        *gp, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+
+    def ranks2(col: str, out: str) -> DataFrame:
+        per_v = cells.groupBy(*gp, col).agg(F.sum("_c").alias("_cv"))
+        w = (
+            Window.partitionBy(*gp)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per_v.select(
+            *gp,
+            col,
+            (
+                2 * F.coalesce(F.sum("_cv").over(w), F.lit(0))
+                + F.col("_cv")
+                + 1
+            ).alias(out),
+        )
+
+    j = cells.join(ranks2("_x", "rx"), [*gp, "_x"]).join(
+        ranks2("_y", "ry"), [*gp, "_y"]
     )
-    acc = ranked.groupBy(*gp).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    acc = j.groupBy(*gp).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.col("_c") * F.col("rx")).alias("sx"),
+        F.sum(F.col("_c") * F.col("ry")).alias("sy"),
+        F.sum(F.col("_c") * F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("_c") * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("_c") * F.col("ry") * F.col("ry")).alias("syy"),
     )
     dn = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
         "double"
@@ -711,34 +729,66 @@ def kruskal_wallis(
     same distribution, judged on GLOBAL average ranks — the k-sample
     generalization of mann_whitney_u.
 
-    Determinism: global tie-averaged ranks as exact 2·r̄ integers (see
-    spearman_corr); per-group H terms use the DEVIATION form
-    H = 12/(N(N+1))·Σ n_g·(r̄_g − r̄)², with the deviation numerator
+    Determinism: global tie-averaged ranks as exact 2·r̄(v) = 2·(#rows
+    below v) + tie(v) + 1 integers; per-group H terms use the DEVIATION
+    form H = 12/(N(N+1))·Σ n_g·(r̄_g − r̄)², with the deviation numerator
     D_g = Σ2r_g − n_g·(N+1) an EXACT integer — all terms positive, no
     catastrophic cancellation; each group's double term is floor-quantized
     to e6 before the (k-row) sum so it is order-independent. Tie
     correction C = 1 − Σ(t³−t)/(N³−N) from exact integer tie counts.
 
-    Output per group: (group, n_g, mean_rank, d_g) plus the shared
-    (n, h, h_corrected, dof) columns."""
-    wv = Window.orderBy(F.col(value_col))
-    cv = Window.partitionBy(value_col)
-    ranked = df.select(
-        F.col(group_col).alias("grp"),
-        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(cv) - 1).alias("r2"),
+    Scale shape — COUNT-BASED, no row-level rank window: rank is a
+    function of the value alone, so Σ2r̄ per group = Σ_v count_g(v)·2r̄(v)
+    over the per-(group, value) cell relation. The pooled per-value
+    cumulative counts use the distributed two-level prefix (range
+    repartition + per-partition windows + a |partitions|-row offset
+    relation — the ks_statistic / global_rank shape), never a
+    single-partition pass over the data or its distinct values.
+
+    Output per group: (grp, n_g, mean_rank) plus the shared
+    (n, dof, h, h_corrected) columns."""
+    cells = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    vals = cells.groupBy("_v").agg(F.sum("_c").alias("_cv"))
+    # distributed prefix over the pooled distinct values
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    rp = (
+        vals.repartitionByRange(npart, F.col("_v"))
+        .sortWithinPartitions("_v")
+        .withColumn("_pid", F.spark_partition_id())
     )
-    per_g = ranked.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum("r2").alias("s2"),
+    # pin ONE evaluation: the offset branch and the cumulative branch must
+    # see the same sampled range bounds (see scale.global_rank)
+    rp = rp.localCheckpoint(eager=False)
+    ptot = rp.groupBy("_pid").agg(F.sum("_cv").alias("_pc"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_pid", F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_ob")
+    )
+    w_in = Window.partitionBy("_pid").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r2v = (
+        rp.withColumn("_lb", F.coalesce(F.sum("_cv").over(w_in), F.lit(0)))
+        .join(F.broadcast(offs), "_pid")
+        .select(
+            "_v",
+            (2 * (F.col("_lb") + F.col("_ob")) + F.col("_cv") + 1).alias("_r2"),
+        )
+    )
+    per_g = cells.join(r2v, "_v").groupBy("grp").agg(
+        F.sum("_c").cast("long").alias("n_g"),
+        F.sum(F.col("_c") * F.col("_r2")).alias("s2"),
     )
     tot = per_g.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("dof_plus1"),
     )
-    ties = (
-        df.groupBy(F.col(value_col))
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"))
+    ties = vals.agg(
+        F.sum(F.col("_cv") * F.col("_cv") * F.col("_cv") - F.col("_cv")).alias(
+            "tie3"
+        )
     )
     # D_g = Σ2r − n_g·(N+1): exact integer deviation ×2; term = D²/(4·n_g)
     # in double (identical operands both engines), floor-e6-quantized so
@@ -772,7 +822,7 @@ def kruskal_wallis(
         rnd(h).alias("h"),
         rnd(h_corr).alias("h_corrected"),
     )
-    detail = per_g.crossJoin(F.broadcast(tot)).select(
+    detail = per_g.select(
         F.col("grp"),
         F.col("n_g"),
         (

@@ -124,6 +124,16 @@ EXPECTED_SINGLE = {
     # cms_join_size: the whole point is that the output is ONE scalar row
     # (min over 4 depth-row inner products of ≤4×256-cell sketches)
     "cms_join_size",
+    # round-7 bounded stages: heaps_fit's checkpoint cumsum + OLS run over
+    # the n_buckets(=10)-row relation and a 1-row fit scalar; rbo_overlap's
+    # windows run over ≤k(=32)-row rank/depth relations plus a 1-row
+    # summary scalar; kruskal_wallis uses the two-level distributed prefix
+    # (|partitions|-row offset window, mann_whitney shape) + 1-row
+    # H/tie scalars; cramers_v broadcasts 1-row grand-total/dims scalars;
+    # filter_cascade is ONE global agg row unpivoted to |rules| rows;
+    # ppl_buckets inherits lm_scores' 1-row corpus-stat scalars
+    "heaps_fit", "rbo_overlap", "kruskal_wallis", "cramers_v",
+    "filter_cascade", "ppl_buckets",
     # bias_als trains by broadcasting |users|/|items|-row bias relations;
     # its 1-row global-mean scalar is the only single-partition stage
     "bias_als",

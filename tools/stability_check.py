@@ -66,6 +66,17 @@ WATCHLIST = [
     # regression sums (expected rock-stable by construction — listed to
     # prove it); weighted_ess divides exact cents-quantized Σw/Σw²
     "zipf_fit", "weighted_ess",
+    # round-6-changed estimators re-checked per VERDICT r7 item 6:
+    # session_paths joined kmv_set_ops/ipw_ate (already above) on the
+    # watchlist after its exact-membership conversion fix
+    "session_paths",
+    # round-7 float paths: spearman/kruskal divide exact 2·r̄ integer rank
+    # sums (floor-quantized positive H terms); cramers_v sums e9-quantized
+    # cell terms; winsorized/heaps/rbo divide exact integers; the
+    # interpolation chain in gapfill_interp runs fixed-order IEEE ops on
+    # e6-exact daily means; ppl_buckets ntiles on the rounded nll
+    "spearman_corr", "kruskal_wallis", "cramers_v", "winsorized_stats",
+    "heaps_fit", "rbo_overlap", "gapfill_interp", "ppl_buckets",
 ]
 
 SESSIONS = [
