@@ -226,6 +226,58 @@ def test_netcdf_export_matches_gm_header_structure(spark, pipeline_out, tmp_path
     assert len(narr) == 2462
 
 
+def test_masked_vs_strict_mean_on_real_weights(spark, real_weights_pdf):
+    """A1 vs A2 on the real weights: NaN-poison a block of grid cells
+    (i < 40) for ONE var — HRUs touching those cells go NULL under
+    stat_method='mean' (strict NaN poisoning) but keep a value under
+    'masked_mean' normalized over the remaining weights; HRUs fully
+    inside the poisoned block go NULL under both. Each masked value is
+    checked against an independent numpy masked recomputation."""
+    import numpy as np
+
+    from gridmet_etl_spark.operators.weighted_agg import weighted_mean
+    from gridmet_etl_spark.sources.readers import read_weights_csv
+
+    w = real_weights_pdf.rename(columns={"nhru_v1_1": "fid"})
+    gp = _grid_pdf(real_weights_pdf)
+    one = gp[(gp["var"] == "tmmx") & (gp["time"] == gp["time"].min())].copy()
+    one.loc[one["i"] < 40, "value"] = np.nan
+    grid = spark.createDataFrame(one)
+    weights = read_weights_csv(spark, GM_CSV, fid_col="nhru_v1_1")
+
+    strict = {
+        r.feature_id: r.value
+        for r in weighted_mean(grid, weights, masked=False).collect()
+    }
+    masked = {
+        r.feature_id: r.value
+        for r in weighted_mean(grid, weights, masked=True).collect()
+    }
+
+    touched = set(w.loc[w["i"] < 40, "fid"])
+    clean = set(w["fid"]) - touched
+    fully_in = set(w["fid"]) - set(w.loc[w["i"] >= 40, "fid"])
+    assert touched and clean and fully_in  # the real domain has all three
+
+    vals = _cell_value(w["i"].to_numpy(), w["j"].to_numpy(), 0, 0, "tmmx")
+    ok = w["i"].to_numpy() >= 40
+    num = pd.Series(np.where(ok, w["wght"].to_numpy() * vals, 0.0)).groupby(
+        w["fid"].to_numpy()
+    ).sum()
+    den = pd.Series(np.where(ok, w["wght"].to_numpy(), 0.0)).groupby(
+        w["fid"].to_numpy()
+    ).sum()
+
+    for fid in touched - fully_in:
+        assert strict[fid] is None or np.isnan(strict[fid])  # poisoned
+        assert masked[fid] == pytest.approx(num[fid] / den[fid], rel=1e-9)
+    for fid in fully_in:
+        assert strict[fid] is None or np.isnan(strict[fid])
+        assert masked[fid] is None or np.isnan(masked[fid])  # 0/0 -> NULL
+    for fid in list(clean)[:50]:
+        assert strict[fid] == pytest.approx(masked[fid], rel=1e-12)
+
+
 def test_netcdf_export_rejects_duplicate_rows(spark, tmp_path):
     """ADVICE r6: duplicate (feature_id, time) rows must fail loudly, not
     last-write-win into the grid."""
