@@ -402,7 +402,9 @@ acc AS (
   GROUP BY k.l_returnflag)
 SELECT l_returnflag, n, lo_bound, hi_bound,
        ROUND(CAST(s_win AS DOUBLE) / n, {R}) + 0 AS winsorized_mean,
-       ROUND(CAST(s_trim AS DOUBLE) / n_core, {R}) + 0 AS trimmed_mean,
+       -- empty trim core (⌈lo·n⌉ = ⌈hi·n⌉, e.g. n = 1): winsorized fallback
+       ROUND(CASE WHEN n_core > 0 THEN CAST(s_trim AS DOUBLE) / n_core
+             ELSE CAST(s_win AS DOUBLE) / n END, {R}) + 0 AS trimmed_mean,
        ROUND(CAST(s_raw AS DOUBLE) / n, {R}) + 0 AS raw_mean,
        CAST(n - n_core AS BIGINT) AS n_trimmed
 FROM acc

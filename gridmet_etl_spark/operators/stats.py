@@ -937,13 +937,20 @@ def winsorized_stats(
         F.sum("v").alias("s_raw"),
     )
     rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    win_mean = F.col("s_win").cast("double") / F.col("n")
+    # degenerate groups (n so small that ⌈lo·n⌉ == ⌈hi·n⌉, e.g. n = 1)
+    # have an EMPTY trim core — fall back to the winsorized mean rather
+    # than emitting NULL (caught by the hypothesis bounds property)
+    trim_mean = F.when(
+        F.col("n_core") > 0, F.col("s_trim").cast("double") / F.col("n_core")
+    ).otherwise(win_mean)
     return acc.select(
         *gp,
         "n",
         "lo_bound",
         "hi_bound",
-        rnd(F.col("s_win").cast("double") / F.col("n")).alias("winsorized_mean"),
-        rnd(F.col("s_trim").cast("double") / F.col("n_core")).alias("trimmed_mean"),
+        rnd(win_mean).alias("winsorized_mean"),
+        rnd(trim_mean).alias("trimmed_mean"),
         rnd(F.col("s_raw").cast("double") / F.col("n")).alias("raw_mean"),
         (F.col("n") - F.col("n_core")).cast("long").alias("n_trimmed"),
     )
