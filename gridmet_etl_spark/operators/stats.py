@@ -641,6 +641,50 @@ def cohen_kappa(
     )
 
 
+def _prefix_rank2(per_v: DataFrame, gp: Sequence[str], val_col: str) -> DataFrame:
+    """Per-(group, value) exact integer 2·r̄(v) = 2·(#rows below v) + tie(v)
+    + 1 from a (group, value, _cv) count relation, with the cumulative
+    below-counts computed by the two-level DISTRIBUTED prefix (range
+    repartition on (group, value) → per-(partition, group) windows + a
+    bounded |partitions|×|groups| offset relation ordered per group) — a
+    per-group window over the whole value relation would funnel each group
+    through ONE task when values are near-continuous (|distinct| ≈ |rows|,
+    e.g. prices). localCheckpoint pins one evaluation across the offset and
+    cumulative branches (scale.global_rank precedent)."""
+    gp = list(gp)
+    npart = per_v.sparkSession.sparkContext.defaultParallelism
+    rp = (
+        per_v.repartitionByRange(npart, *[F.col(c) for c in gp], F.col(val_col))
+        .sortWithinPartitions(*gp, val_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    rp = rp.localCheckpoint(eager=False)
+    ptot = rp.groupBy("_pid", *gp).agg(F.sum("_cv").alias("_pc"))
+    w_off = (
+        Window.partitionBy(*gp)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ptot.select(
+        "_pid", *gp,
+        F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_ob"),
+    )
+    w_in = (
+        Window.partitionBy("_pid", *gp)
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        rp.withColumn("_lb", F.coalesce(F.sum("_cv").over(w_in), F.lit(0)))
+        .join(F.broadcast(offs), ["_pid", *gp])
+        .select(
+            *gp,
+            val_col,
+            (2 * (F.col("_lb") + F.col("_ob")) + F.col("_cv") + 1).alias("_r2"),
+        )
+    )
+
+
 def spearman_corr(
     df: DataFrame,
     x_col: str,
@@ -674,20 +718,7 @@ def spearman_corr(
 
     def ranks2(col: str, out: str) -> DataFrame:
         per_v = cells.groupBy(*gp, col).agg(F.sum("_c").alias("_cv"))
-        w = (
-            Window.partitionBy(*gp)
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return per_v.select(
-            *gp,
-            col,
-            (
-                2 * F.coalesce(F.sum("_cv").over(w), F.lit(0))
-                + F.col("_cv")
-                + 1
-            ).alias(out),
-        )
+        return _prefix_rank2(per_v, gp, col).withColumnRenamed("_r2", out)
 
     j = cells.join(ranks2("_x", "rx"), [*gp, "_x"]).join(
         ranks2("_y", "ry"), [*gp, "_y"]
@@ -751,32 +782,9 @@ def kruskal_wallis(
         F.col(group_col).alias("grp"), F.col(value_col).alias("_v")
     ).agg(F.count(F.lit(1)).alias("_c"))
     vals = cells.groupBy("_v").agg(F.sum("_c").alias("_cv"))
-    # distributed prefix over the pooled distinct values
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    rp = (
-        vals.repartitionByRange(npart, F.col("_v"))
-        .sortWithinPartitions("_v")
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    # pin ONE evaluation: the offset branch and the cumulative branch must
-    # see the same sampled range bounds (see scale.global_rank)
-    rp = rp.localCheckpoint(eager=False)
-    ptot = rp.groupBy("_pid").agg(F.sum("_cv").alias("_pc"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = ptot.select(
-        "_pid", F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_ob")
-    )
-    w_in = Window.partitionBy("_pid").orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    r2v = (
-        rp.withColumn("_lb", F.coalesce(F.sum("_cv").over(w_in), F.lit(0)))
-        .join(F.broadcast(offs), "_pid")
-        .select(
-            "_v",
-            (2 * (F.col("_lb") + F.col("_ob")) + F.col("_cv") + 1).alias("_r2"),
-        )
-    )
+    # distributed prefix over the pooled distinct values (shared helper,
+    # gp=() — the grouped form is spearman's)
+    r2v = _prefix_rank2(vals, (), "_v")
     per_g = cells.join(r2v, "_v").groupBy("grp").agg(
         F.sum("_c").cast("long").alias("n_g"),
         F.sum(F.col("_c") * F.col("_r2")).alias("s2"),
