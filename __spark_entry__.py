@@ -74,20 +74,22 @@ _CHECK_FIRST = [
     "spi_index", "survivorship", "target_encode",
     "temporal_split", "terrain_gradient", "threshold_alerts",
     "trailing_features",
-    # (1) new round-7 queries (contract_ext12)
+    # (1) new round-7 queries (contract_ext12, both waves)
     "asof_forward_join", "gapfill_interp", "spearman_corr",
     "kruskal_wallis", "cramers_v", "winsorized_stats",
     "heaps_fit", "dup_ngrams", "rbo_overlap",
     "filter_cascade", "ppl_buckets",
+    "fleiss_kappa", "wilcoxon_signed", "friedman_test",
+    "ordinal_gamma", "window_funnel", "interdup_report",
     # (2) re-certify: output-shape fix this round (zero-candidate configs
     # now always emit their row, ADVICE r6)
     "lsh_band_sweep",
     # (3) rotating re-checks: flagships + the r6-changed float paths
-    # (kmv_set_ops / ipw_ate / session_paths — VERDICT r7 item 6 watchlist)
-    "weighted_mean", "gridmet_pipeline", "cfsv2_ensemble_pipeline",
-    "tpch_q1", "minhash_lsh_star", "exact_dedup",
-    "corpus_pipeline_v3", "ivf_topk", "sequence_packing",
-    "split_leakage_audit", "kmv_set_ops", "ipw_ate",
+    # (kmv_set_ops / ipw_ate / session_paths — VERDICT r7 item 6 watchlist;
+    # six rotation slots ceded to the second-wave queries so the registry
+    # stays 100% driver-certified)
+    "weighted_mean", "gridmet_pipeline", "tpch_q1",
+    "corpus_pipeline_v3", "kmv_set_ops", "ipw_ate",
     "session_paths",
     # ---- driver cap (50) reached; everything below has a green driver
     # CORRECTNESS recording from an earlier round (r1-r6) ----

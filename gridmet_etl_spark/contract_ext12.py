@@ -711,3 +711,432 @@ FROM banded GROUP BY lang, bucket
 
 
 EXT12_QUERIES["ppl_buckets"] = (q_ppl_buckets, _sql_ppl_buckets())
+
+# ===========================================================================
+# Round-7 second wave: the slots freed by rotating fewer flagship re-checks
+# go to six more certified queries (nonparametric test family completion,
+# the windowed funnel, inter-document repetition)
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa: multi-rater agreement of three deterministic length raters
+# ---------------------------------------------------------------------------
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across three deterministic document 'raters' (char-,
+    word-, and BPE-ish-token-count bucketers into short/mid/long) —
+    cohen_kappa's m-rater generalization; all agreement terms are ratios
+    of exact integers (operators/stats.py::fleiss_kappa)."""
+    from .operators.stats import fleiss_kappa
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    nw = F.size(F.split(F.col("text"), " "))
+    nb = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+        )
+    )
+    def bucket(c, lo, hi):
+        return (
+            F.when(c < lo, F.lit("short"))
+            .when(c < hi, F.lit("mid"))
+            .otherwise(F.lit("long"))
+        )
+
+    ratings = (
+        docs.select(F.col("doc_id").alias("item"),
+                    bucket(F.col("n_chars"), 900, 2200).alias("category"))
+        .unionByName(
+            docs.select(F.col("doc_id").alias("item"),
+                        bucket(nw, 150, 370).alias("category"))
+        )
+        .unionByName(
+            docs.select(F.col("doc_id").alias("item"),
+                        bucket(nb, 170, 420).alias("category"))
+        )
+    )
+    return fleiss_kappa(ratings)
+
+
+SQL_FLEISS_KAPPA = rf"""
+WITH ratings AS (
+  SELECT doc_id AS item,
+         CASE WHEN n_chars < 900 THEN 'short'
+              WHEN n_chars < 2200 THEN 'mid' ELSE 'long' END AS category
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < 150 THEN 'short'
+              WHEN len(string_split(text, ' ')) < 370 THEN 'mid'
+              ELSE 'long' END
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) < 170 THEN 'short'
+              WHEN len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) < 420 THEN 'mid'
+              ELSE 'long' END
+  FROM documents),
+per_cell AS (
+  SELECT item, category, CAST(count(*) AS BIGINT) AS n
+  FROM ratings GROUP BY item, category),
+per_item AS (
+  SELECT item, CAST(sum(n) AS BIGINT) AS m,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM per_cell GROUP BY item),
+mmode AS (
+  SELECT m AS mm FROM (
+    SELECT m, count(*) AS c FROM per_item GROUP BY m
+    ORDER BY c DESC, m LIMIT 1)),
+kept AS (SELECT p.* FROM per_item p, mmode WHERE p.m = mmode.mm),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items, any_value(m) AS m,
+         CAST(sum(s2) AS BIGINT) AS s2
+  FROM kept),
+dropped AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_dropped
+  FROM per_item p, mmode WHERE p.m <> mmode.mm),
+ct AS (
+  SELECT category, CAST(sum(n) AS BIGINT) AS cj
+  FROM per_cell SEMI JOIN kept USING (item)
+  GROUP BY category),
+c2 AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS c2 FROM ct)
+SELECT n_items, CAST(m AS INT) AS m_raters, n_dropped,
+       ROUND((CAST(s2 AS DOUBLE) - CAST(n_items AS DOUBLE) * m)
+             / (CAST(n_items AS DOUBLE) * m * (CAST(m AS DOUBLE) - 1.0)),
+             {R}) + 0 AS pbar,
+       ROUND(CAST(c2 AS DOUBLE)
+             / ((CAST(n_items AS DOUBLE) * m) * (CAST(n_items AS DOUBLE) * m)),
+             {R}) + 0 AS pe,
+       ROUND(CASE WHEN CAST(c2 AS DOUBLE)
+                       / ((CAST(n_items AS DOUBLE) * m)
+                          * (CAST(n_items AS DOUBLE) * m)) = 1.0 THEN 1.0
+             ELSE ((CAST(s2 AS DOUBLE) - CAST(n_items AS DOUBLE) * m)
+                   / (CAST(n_items AS DOUBLE) * m * (CAST(m AS DOUBLE) - 1.0))
+                   - CAST(c2 AS DOUBLE)
+                     / ((CAST(n_items AS DOUBLE) * m)
+                        * (CAST(n_items AS DOUBLE) * m)))
+                  / (1.0 - CAST(c2 AS DOUBLE)
+                     / ((CAST(n_items AS DOUBLE) * m)
+                        * (CAST(n_items AS DOUBLE) * m)))
+             END, {R}) + 0 AS kappa
+FROM tot, c2, dropped
+"""
+
+
+EXT12_QUERIES["fleiss_kappa"] = (q_fleiss_kappa, SQL_FLEISS_KAPPA)
+
+# ---------------------------------------------------------------------------
+# wilcoxon_signed: paired per-customer spend, 1996 vs 1997
+# ---------------------------------------------------------------------------
+
+
+def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank over paired per-customer order spend
+    (1997 − 1996, exact cents, customers active both years) — the paired
+    companion to mann_whitney/welch_ttest; |d| ranks via the shared
+    distributed prefix (operators/stats.py::wilcoxon_signed_rank)."""
+    from .operators.stats import wilcoxon_signed_rank
+
+    o = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    per = (
+        o.filter(F.col("yr").isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("yr") == 1996, F.col("cents"))).alias("c96"),
+            F.sum(F.when(F.col("yr") == 1997, F.col("cents"))).alias("c97"),
+        )
+        .filter(F.col("c96").isNotNull() & F.col("c97").isNotNull())
+        .select((F.col("c97") - F.col("c96")).alias("diff"))
+    )
+    return wilcoxon_signed_rank(per)
+
+
+SQL_WILCOXON_SIGNED = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1996
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+           AS c96,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1997
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+           AS c97
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey),
+d AS (SELECT c97 - c96 AS d FROM per
+      WHERE c96 IS NOT NULL AND c97 IS NOT NULL),
+nz AS (SELECT CAST(count(*) AS BIGINT) AS n_zero FROM d WHERE d = 0),
+cells AS (
+  SELECT abs(d) AS v, d > 0 AS pos, CAST(count(*) AS BIGINT) AS c
+  FROM d WHERE d <> 0 GROUP BY abs(d), d > 0),
+vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY v),
+r2v AS (
+  SELECT v, CAST(2 * COALESCE(sum(cv) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cv + 1 AS BIGINT) AS r2
+  FROM vals),
+acc AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pos THEN c * r2 END) AS BIGINT) AS wp2,
+         CAST(sum(CASE WHEN NOT pos THEN c * r2 END) AS BIGINT) AS wm2
+  FROM cells JOIN r2v USING (v)),
+ties AS (SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tie3 FROM vals)
+SELECT n, n_zero,
+       ROUND(COALESCE(CAST(wp2 AS DOUBLE), 0.0) / 2.0, {R}) + 0 AS w_plus,
+       ROUND(COALESCE(CAST(wm2 AS DOUBLE), 0.0) / 2.0, {R}) + 0 AS w_minus,
+       ROUND(CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                       * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                       - CAST(tie3 AS DOUBLE) / 48.0 <= 0.0 THEN 0.0
+             ELSE (COALESCE(CAST(wp2 AS DOUBLE), 0.0) / 2.0
+                   - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+                  / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                         * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                         - CAST(tie3 AS DOUBLE) / 48.0)
+             END, {R}) + 0 AS z
+FROM acc, ties, nz
+"""
+
+
+EXT12_QUERIES["wilcoxon_signed"] = (q_wilcoxon_signed, SQL_WILCOXON_SIGNED)
+
+# ---------------------------------------------------------------------------
+# friedman_test: event types ranked within each day
+# ---------------------------------------------------------------------------
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test of the five event types' daily volumes across the 30
+    day-blocks — the repeated-measures cousin of kruskal_wallis
+    (operators/stats.py::friedman_test); within-block rank windows are
+    k(=5)-row bounded."""
+    from .operators.stats import friedman_test
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return friedman_test(daily, "day", "event_type", "n")
+
+
+SQL_FRIEDMAN_TEST = f"""
+WITH one AS (
+  SELECT CAST(ts AS DATE) AS b, event_type AS t,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY CAST(ts AS DATE), event_type),
+ranked AS (
+  SELECT b, t,
+         2 * rank() OVER (PARTITION BY b ORDER BY v)
+           + count(*) OVER (PARTITION BY b, v) - 1 AS r2
+  FROM one),
+per_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(r2) AS BIGINT) AS s2
+  FROM ranked GROUP BY t),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(max(n_blocks) AS BIGINT) AS n FROM per_t),
+ties AS (
+  SELECT CAST(sum(t3 * t3 * t3 - t3) AS BIGINT) AS tie3
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t3 FROM one GROUP BY b, v)),
+terms AS (
+  SELECT CAST(sum(CAST(floor(
+           CAST(s2 - n * (k + 1) AS DOUBLE)
+           * CAST(s2 - n * (k + 1) AS DOUBLE) / 4.0 * 1e6) AS BIGINT))
+           AS BIGINT) AS q_e6,
+         any_value(k) AS k, any_value(n) AS n
+  FROM per_t, kk),
+summary AS (
+  SELECT CAST(k AS INT) AS k,
+         12.0 * (CAST(q_e6 AS DOUBLE) / 1e6)
+           / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+              * (CAST(k AS DOUBLE) + 1.0)) AS chi_raw,
+         1.0 - CAST(tie3 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+              * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) AS corr,
+         CAST(k - 1 AS INT) AS dof
+  FROM terms, ties)
+SELECT p.t AS treatment, p.n_blocks,
+       ROUND(CAST(p.s2 AS DOUBLE) / (2.0 * p.n_blocks), {R}) + 0
+         AS mean_rank,
+       s.k, ROUND(s.chi_raw, {R}) + 0 AS chi2,
+       ROUND(CASE WHEN s.corr = 0 THEN 0.0 ELSE s.chi_raw / s.corr END,
+             {R}) + 0 AS chi2_corrected,
+       s.dof
+FROM per_t p CROSS JOIN summary s
+"""
+
+
+EXT12_QUERIES["friedman_test"] = (q_friedman_test, SQL_FRIEDMAN_TEST)
+
+# ---------------------------------------------------------------------------
+# ordinal_gamma: quantity quintile × order priority
+# ---------------------------------------------------------------------------
+
+
+def q_ordinal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal gamma between the quantity quintile bucket and the
+    order-priority ordinal — concordant/discordant pair counts computed
+    on the 5×5 cell relation only (operators/stats.py::ordinal_gamma)."""
+    from .operators.stats import ordinal_gamma
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        "l_orderkey",
+        F.expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 10 AS INT)").alias(
+            "qbucket"
+        ),
+    )
+    o = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select("qbucket", "prio")
+    return ordinal_gamma(j, "qbucket", "prio")
+
+
+SQL_ORDINAL_GAMMA = f"""
+WITH j AS (
+  SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS INT) AS x,
+         CAST(substr(o_orderpriority, 1, 1) AS INT) AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY x, y),
+pairs AS (
+  SELECT a.y AS ya, b.y AS yb, a.n AS na, b.n AS nb
+  FROM cells a JOIN cells b ON a.x < b.x AND a.y <> b.y),
+acc AS (
+  SELECT CAST(sum(CASE WHEN ya < yb THEN na * nb END) AS BIGINT)
+           AS concordant,
+         CAST(sum(CASE WHEN ya > yb THEN na * nb END) AS BIGINT)
+           AS discordant
+  FROM pairs),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+SELECT n, n_cells,
+       COALESCE(concordant, 0) AS concordant,
+       COALESCE(discordant, 0) AS discordant,
+       ROUND(CASE WHEN COALESCE(CAST(concordant AS DOUBLE), 0.0)
+                       + COALESCE(CAST(discordant AS DOUBLE), 0.0) = 0.0
+             THEN 0.0
+             ELSE (COALESCE(CAST(concordant AS DOUBLE), 0.0)
+                   - COALESCE(CAST(discordant AS DOUBLE), 0.0))
+                  / (COALESCE(CAST(concordant AS DOUBLE), 0.0)
+                     + COALESCE(CAST(discordant AS DOUBLE), 0.0))
+             END, {R}) + 0 AS gamma
+FROM acc, tot
+"""
+
+
+EXT12_QUERIES["ordinal_gamma"] = (q_ordinal_gamma, SQL_ORDINAL_GAMMA)
+
+# ---------------------------------------------------------------------------
+# window_funnel: strictly-sequenced view→click→purchase within 2 hours
+# ---------------------------------------------------------------------------
+
+_WF_STEPS = ["view", "click", "purchase"]
+_WF_WITHIN_S = 7200
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-windowFunnel shape: per user, the deepest
+    view→click→purchase chain with non-decreasing timestamps completing
+    within 2 hours of the chain's first event; each chain extension is
+    one forward as-of join (operators/funnel.py::window_funnel reusing
+    operators/asof.py). funnel_steps counts unordered step users — this
+    is the sequenced, time-bounded version."""
+    from .operators.funnel import window_funnel
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    return window_funnel(e, _WF_STEPS, _WF_WITHIN_S)
+
+
+SQL_WINDOW_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+s1 AS (SELECT u, ts AS t1 FROM ev WHERE event_type = '{_WF_STEPS[0]}'),
+r2 AS (SELECT u, ts FROM ev WHERE event_type = '{_WF_STEPS[1]}'
+       GROUP BY u, ts),
+r3 AS (SELECT u, ts FROM ev WHERE event_type = '{_WF_STEPS[2]}'
+       GROUP BY u, ts),
+c2 AS (
+  SELECT s1.u, s1.t1, min(r2.ts) AS t2
+  FROM s1 LEFT JOIN r2 ON r2.u = s1.u AND r2.ts >= s1.t1
+  GROUP BY s1.u, s1.t1),
+k2 AS (SELECT u, t1, t2 FROM c2 WHERE t2 IS NOT NULL
+       AND epoch_us(t2) - epoch_us(t1)
+           <= CAST({_WF_WITHIN_S} AS BIGINT) * 1000000),
+c3 AS (
+  SELECT k2.u, k2.t1, min(r3.ts) AS t3
+  FROM k2 LEFT JOIN r3 ON r3.u = k2.u AND r3.ts >= k2.t2
+  GROUP BY k2.u, k2.t1),
+k3 AS (SELECT u, t1, t3 FROM c3 WHERE t3 IS NOT NULL
+       AND epoch_us(t3) - epoch_us(t1)
+           <= CAST({_WF_WITHIN_S} AS BIGINT) * 1000000),
+lv AS (
+  SELECT u, 1 AS lvl FROM s1
+  UNION ALL SELECT u, 2 FROM k2
+  UNION ALL SELECT u, 3 FROM k3),
+per_user AS (SELECT u, max(lvl) AS lvl FROM lv GROUP BY u)
+SELECT CAST(lvl AS INT) AS level, CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY lvl
+"""
+
+
+EXT12_QUERIES["window_funnel"] = (q_window_funnel, SQL_WINDOW_FUNNEL)
+
+# ---------------------------------------------------------------------------
+# interdup_report: per-source inter-document 5-gram repetition rate
+# ---------------------------------------------------------------------------
+
+
+def q_interdup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source inter-document repetition: each doc's share of distinct
+    word 5-grams that appear in ≥1 OTHER document, averaged per source
+    (exact scaled integers; operators/textops.py::interdup_report) — the
+    rate behind dup_ngrams' top-offender list."""
+    from .operators.textops import interdup_report
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return interdup_report(docs, k=5)
+
+
+SQL_INTERDUP_REPORT = """
+WITH base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+short AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_short_docs
+  FROM base WHERE len(a) < 5 GROUP BY source),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(a[st:st + 4], ' ') AS gram
+  FROM base, LATERAL (SELECT unnest(range(1, len(a) - 3)) AS st)
+  WHERE len(a) >= 5),
+dfq AS (
+  SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM grams GROUP BY gram),
+per_doc AS (
+  SELECT g.source,
+         CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 10000
+              // count(*) AS BIGINT) AS share
+  FROM grams g JOIN dfq d USING (gram)
+  GROUP BY g.doc_id, g.source),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(CAST(sum(share) AS BIGINT) // count(*) AS BIGINT)
+           AS mean_interdup_e4,
+         CAST(max(share) AS BIGINT) AS max_interdup_e4
+  FROM per_doc GROUP BY source)
+SELECT a.source, a.n_docs,
+       CAST(COALESCE(s.n_short_docs, 0) AS BIGINT) AS n_short_docs,
+       a.mean_interdup_e4, a.max_interdup_e4
+FROM agg a LEFT JOIN short s USING (source)
+"""
+
+
+EXT12_QUERIES["interdup_report"] = (q_interdup_report, SQL_INTERDUP_REPORT)

@@ -342,3 +342,78 @@ def markov_removal_effects(
         rnd(F.col("removal_effect")).alias("removal_effect"),
         rnd(F.col("removal_effect") / F.col("_tot")).alias("share"),
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse-windowFunnel-shaped sequence match: per user, the
+    deepest step k such that SOME step-1 event starts a chain
+    e₁ → e₂ → … → e_k with ts_{i+1} ≥ ts_i (each eᵢ₊₁ the EARLIEST
+    matching event at or after eᵢ — greedy-earliest is optimal for a
+    window anchored at e₁) and ts_k − ts₁ ≤ ``within_seconds``.
+
+    Spark-first shape: each chain extension is ONE forward as-of join
+    (operators/asof.py — union + running-first window, |chains|+|events|
+    rows keyed by user), so a k-step funnel is k−1 as-of passes — never
+    a per-user quadratic self-join, never a Python UDF. funnel_conversion
+    counts UNORDERED per-step users; this is the strictly-sequenced,
+    time-bounded version.
+
+    Output per level: (level, n_users), level 1..k — n_users = users
+    whose deepest completed step is exactly ``level``."""
+    from .asof import asof_join
+
+    typed = [
+        events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        for s in steps
+    ]
+    # one row per step-1 event: the chain anchor (t1 drives the window)
+    chains = typed[0].select("_u", F.col("_ts").alias("_t1"), F.col("_ts").alias("_cur"))
+    levels = [
+        chains.select("_u", "_t1").withColumn("_lvl", F.lit(1))
+    ]
+    for i, nxt in enumerate(typed[1:], start=2):
+        # earliest step-i event at/after the chain's current frontier
+        right = nxt.groupBy("_u", "_ts").agg(F.count(F.lit(1)).alias("_dummy")).drop(
+            "_dummy"
+        )
+        step = asof_join(
+            chains.select(F.col("_u").alias("k"), F.col("_cur").alias("ts"), "_t1"),
+            right.select(F.col("_u").alias("k"), F.col("_ts").alias("ts")),
+            on="k",
+            direction="forward",
+        )
+        chains = (
+            step.filter(
+                F.col("ts_right").isNotNull()
+                & (
+                    F.unix_micros(F.col("ts_right").cast("timestamp"))
+                    - F.unix_micros(F.col("_t1").cast("timestamp"))
+                    <= within_seconds * 1_000_000
+                )
+            )
+            .select(
+                F.col("k").alias("_u"),
+                "_t1",
+                F.col("ts_right").alias("_cur"),
+            )
+        )
+        levels.append(
+            chains.select("_u", "_t1").withColumn("_lvl", F.lit(i))
+        )
+    all_lv = levels[0]
+    for lv in levels[1:]:
+        all_lv = all_lv.unionByName(lv)
+    per_user = all_lv.groupBy("_u").agg(F.max("_lvl").alias("level"))
+    out = per_user.groupBy("level").agg(
+        F.countDistinct("_u").cast("long").alias("n_users")
+    )
+    return out.select(F.col("level").cast("int").alias("level"), "n_users")

@@ -962,3 +962,250 @@ def winsorized_stats(
         rnd(F.col("s_raw").cast("double") / F.col("n")).alias("raw_mean"),
         (F.col("n") - F.col("n_core")).cast("long").alias("n_trimmed"),
     )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item",
+    category_col: str = "category",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for m raters per item
+    (cohen_kappa's multi-rater generalization; m is read from the data
+    and items with a different rater count are dropped and counted).
+
+    Exactness: P̄ and P̄_e are ratios of EXACT integers —
+    Σ_i Σ_j n_ij² (one |item × category| agg) and Σ_j (Σ_i n_ij)²
+    (one |categories| agg) — combined in fixed expression order:
+    P̄ = (S2 − N·m)/(N·m·(m−1)), P̄_e = C2/(N·m)², κ = (P̄−P̄_e)/(1−P̄_e).
+    No per-cell floats anywhere.
+
+    Output (1 row): (n_items, m_raters, n_dropped, pbar, pe, kappa)."""
+    per_cell = ratings.groupBy(
+        F.col(item_col).alias("_i"), F.col(category_col).alias("_j")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    per_item = per_cell.groupBy("_i").agg(
+        F.sum("_n").alias("_m"), F.sum(F.col("_n") * F.col("_n")).alias("_s2")
+    )
+    m_mode = (
+        per_item.groupBy("_m")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_m"))
+        .limit(1)
+        .select(F.col("_m").alias("_mm"))
+    )
+    kept = per_item.join(F.broadcast(m_mode), per_item["_m"] == F.col("_mm"))
+    tot = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.first("_mm").alias("m"),
+        F.sum("_s2").cast("long").alias("s2"),
+    )
+    dropped = per_item.crossJoin(F.broadcast(m_mode)).filter(
+        F.col("_m") != F.col("_mm")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    col_tot = (
+        per_cell.join(F.broadcast(kept.select("_i")), "_i", "left_semi")
+        .groupBy("_j")
+        .agg(F.sum("_n").alias("_cj"))
+    )
+    c2 = col_tot.agg(
+        F.sum(F.col("_cj") * F.col("_cj")).cast("long").alias("c2")
+    )
+    acc = tot.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(dropped))
+    nn = F.col("n_items").cast("double")
+    mm = F.col("m").cast("double")
+    pbar = (F.col("s2").cast("double") - nn * mm) / (nn * mm * (mm - 1.0))
+    pe = F.col("c2").cast("double") / ((nn * mm) * (nn * mm))
+    kappa = F.when(pe == 1.0, F.lit(1.0)).otherwise((pbar - pe) / (1.0 - pe))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        "n_items",
+        F.col("m").cast("int").alias("m_raters"),
+        "n_dropped",
+        rnd(pbar).alias("pbar"),
+        rnd(pe).alias("pe"),
+        rnd(kappa).alias("kappa"),
+    )
+
+
+def wilcoxon_signed_rank(
+    pairs: DataFrame,
+    diff_col: str = "diff",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over an INTEGER difference column
+    (quantize money to cents upstream): zero diffs drop (Wilcoxon
+    convention), |d| gets tie-averaged ranks as exact 2·r̄ integers via
+    the shared distributed prefix (_prefix_rank2 — no row-level rank
+    window), W± = signed rank sums, and the normal approximation
+    z = (W⁺ − n(n+1)/4)/σ with the tie-corrected
+    σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48 from exact integer tie counts.
+
+    Output (1 row): (n, n_zero, w_plus, w_minus, z)."""
+    d = pairs.select(F.col(diff_col).alias("_d")).filter(F.col("_d") != 0)
+    cells = d.groupBy(
+        F.abs(F.col("_d")).alias("_v"), (F.col("_d") > 0).alias("_pos")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    vals = cells.groupBy("_v").agg(F.sum("_c").alias("_cv"))
+    r2v = _prefix_rank2(vals, (), "_v")
+    acc = cells.join(r2v, "_v").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.when(F.col("_pos"), F.col("_c") * F.col("_r2"))).alias("_wp2"),
+        F.sum(F.when(~F.col("_pos"), F.col("_c") * F.col("_r2"))).alias("_wm2"),
+    )
+    ties = vals.agg(
+        F.sum(F.col("_cv") * F.col("_cv") * F.col("_cv") - F.col("_cv"))
+        .cast("long")
+        .alias("tie3")
+    )
+    n_zero = pairs.select(F.col(diff_col).alias("_d")).filter(
+        F.col("_d") == 0
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_zero"))
+    j = acc.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n_zero))
+    nn = F.col("n").cast("double")
+    wp = F.coalesce(F.col("_wp2").cast("double"), F.lit(0.0)) / 2.0
+    wm = F.coalesce(F.col("_wm2").cast("double"), F.lit(0.0)) / 2.0
+    var = nn * (nn + 1.0) * (2.0 * nn + 1.0) / 24.0 - F.col("tie3").cast(
+        "double"
+    ) / 48.0
+    z = F.when(var <= 0.0, F.lit(0.0)).otherwise(
+        (wp - nn * (nn + 1.0) / 4.0) / F.sqrt(var)
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return j.select(
+        "n", "n_zero", rnd(wp).alias("w_plus"), rnd(wm).alias("w_minus"),
+        rnd(z).alias("z"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Friedman test — k related treatments ranked WITHIN each block
+    (the repeated-measures cousin of kruskal_wallis; blocks are days,
+    treatments compared per day). Within-block rank windows run over k
+    rows each (k = |treatments|, bounded); per-treatment deviation
+    numerators D_j = Σ2r̄_j − n(k+1) are exact integers, the positive
+    χ² terms are floor-e6-quantized before the k-row sum, and the tie
+    correction 1 − Σ(t³−t)/(n·k·(k²−1)) uses exact per-block tie counts.
+
+    Output per treatment: (treatment, n_blocks, mean_rank) + shared
+    (k, chi2, chi2_corrected, dof)."""
+    one = df.groupBy(
+        F.col(block_col).alias("_b"), F.col(treatment_col).alias("_t")
+    ).agg(F.sum(value_col).alias("_v"))
+    wr = Window.partitionBy("_b").orderBy("_v")  # k rows per block
+    wt = Window.partitionBy("_b", "_v")
+    ranked = one.select(
+        "_b",
+        "_t",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("_r2"),
+    )
+    per_t = ranked.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("_r2").alias("_s2"),
+    )
+    kk = per_t.agg(F.count(F.lit(1)).cast("long").alias("k"),
+                   F.max("n_blocks").cast("long").alias("n"))
+    ties = (
+        one.groupBy("_b", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t3"))
+        .agg(
+            F.sum(F.col("_t3") * F.col("_t3") * F.col("_t3") - F.col("_t3"))
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    g = per_t.crossJoin(F.broadcast(kk)).withColumn(
+        "_d", F.col("_s2") - F.col("n") * (F.col("k") + 1)
+    )
+    term_e6 = F.floor(
+        F.col("_d").cast("double") * F.col("_d").cast("double") / 4.0 * 1e6
+    ).cast("long")
+    acc = g.agg(
+        F.sum(term_e6).alias("q_e6"),
+        F.first("k").alias("k"),
+        F.first("n").alias("n"),
+    ).crossJoin(F.broadcast(ties))
+    nn, kx = F.col("n").cast("double"), F.col("k").cast("double")
+    chi2 = 12.0 * (F.col("q_e6").cast("double") / 1e6) / (
+        nn * kx * (kx + 1.0)
+    )
+    corr = 1.0 - F.col("tie3").cast("double") / (
+        nn * kx * (kx * kx - 1.0)
+    )
+    chi2_c = F.when(corr == 0.0, F.lit(0.0)).otherwise(chi2 / corr)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    summary = acc.select(
+        F.col("k").cast("int").alias("k"),
+        rnd(chi2).alias("chi2"),
+        rnd(chi2_c).alias("chi2_corrected"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+    )
+    detail = per_t.select(
+        F.col("_t").alias("treatment"),
+        "n_blocks",
+        (
+            F.round(F.col("_s2").cast("double") / (2.0 * F.col("n_blocks")), ndigits)
+            + F.lit(0.0)
+        ).alias("mean_rank"),
+    )
+    return detail.crossJoin(F.broadcast(summary))
+
+
+def ordinal_gamma(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Goodman–Kruskal gamma — ordinal association from concordant vs
+    discordant pairs: γ = (C − D)/(C + D). Computed ENTIRELY on the
+    |X-levels × Y-levels| cell relation (one data-sized count agg, then a
+    cells×cells self-join bounded by the ordinal cardinalities squared —
+    pass BUCKETED ordinals, never raw continuous values). C and D are
+    exact int64 pair counts (n_a·n_b sums halved once at the edge).
+
+    Output (1 row): (n, n_cells, concordant, discordant, gamma)."""
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    a = cells.select(
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"), F.col("_n").alias("_na")
+    )
+    b = cells.select(
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"), F.col("_n").alias("_nb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("_xa") < F.col("_xb"))
+        & (F.col("_ya") != F.col("_yb")),
+        "inner",
+    )
+    acc = pairs.agg(
+        F.sum(
+            F.when(F.col("_ya") < F.col("_yb"), F.col("_na") * F.col("_nb"))
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when(F.col("_ya") > F.col("_yb"), F.col("_na") * F.col("_nb"))
+        ).cast("long").alias("discordant"),
+    )
+    tot = cells.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    j = acc.crossJoin(F.broadcast(tot))
+    c = F.coalesce(F.col("concordant"), F.lit(0)).cast("double")
+    d = F.coalesce(F.col("discordant"), F.lit(0)).cast("double")
+    gamma = F.when((c + d) == 0.0, F.lit(0.0)).otherwise((c - d) / (c + d))
+    return j.select(
+        "n",
+        "n_cells",
+        F.coalesce(F.col("concordant"), F.lit(0)).alias("concordant"),
+        F.coalesce(F.col("discordant"), F.lit(0)).alias("discordant"),
+        (F.round(gamma, ndigits) + F.lit(0.0)).alias("gamma"),
+    )

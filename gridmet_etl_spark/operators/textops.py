@@ -876,3 +876,79 @@ def dup_ngrams(
         )
         .limit(top)
     )
+
+
+def interdup_report(
+    docs: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Inter-document repetition per source: for each document, the share
+    of its DISTINCT word k-grams that also appear in at least one OTHER
+    document — the corpus-level self-repetition number (dup_ngrams is the
+    top offenders list; this is the per-source rate you trend). Documents
+    shorter than k words are excluded and counted.
+
+    Exactness: per-doc share is the exact scaled integer
+    (dup_grams·scale div grams); the per-source mean divides two exact
+    integer sums. Data-sized work = one distinct (doc, gram) projection +
+    one gram-keyed doc-frequency agg; the per-doc join is gram-keyed.
+
+    Output per source: (source, n_docs, n_short_docs, mean_interdup_e4,
+    max_interdup_e4)."""
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.split(F.col(text_col), " ").alias("_a"),
+    )
+    short = base.filter(F.size("_a") < k).groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_short_docs")
+    )
+    grams = (
+        base.filter(F.size("_a") >= k)
+        .select(
+            "_id",
+            "_g",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_a) - {k} + 1),"
+                    f" st -> array_join(slice(_a, st, {k}), ' '))"
+                )
+            ).alias("_gram"),
+        )
+        .distinct()
+    )
+    df_per_gram = grams.groupBy("_gram").agg(
+        F.countDistinct("_id").alias("_df")
+    )
+    per_doc = (
+        grams.join(df_per_gram, "_gram")
+        .groupBy("_id", "_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0)).alias("_dup"),
+        )
+        .select(
+            "_g",
+            F.expr(f"_dup * {scale} div _n").alias("_share"),
+        )
+    )
+    agg = per_doc.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(_share) div count(*)").cast("long").alias("mean_interdup_e4"),
+        F.max("_share").cast("long").alias("max_interdup_e4"),
+    )
+    return (
+        agg.join(short, "_g", "left")
+        .na.fill({"n_short_docs": 0})
+        .select(
+            F.col("_g").alias(group_col),
+            "n_docs",
+            F.col("n_short_docs").cast("long").alias("n_short_docs"),
+            "mean_interdup_e4",
+            "max_interdup_e4",
+        )
+    )

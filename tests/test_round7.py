@@ -379,3 +379,207 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
     q2.awaitTermination()
     got2 = {r.tag: r.mark_right for r in spark.read.parquet(out2).collect()}
     assert got2 == got
+
+
+# -- fleiss_kappa -----------------------------------------------------------
+
+
+def test_fleiss_kappa_textbook_bounds(spark):
+    from gridmet_etl_spark.operators.stats import fleiss_kappa
+
+    # perfect agreement: 4 items, 3 raters each, unanimous
+    rows = [(i, f"r{j}", "a" if i < 2 else "b") for i in range(4) for j in range(3)]
+    df = spark.createDataFrame(rows, ["item", "rater", "category"]).select(
+        "item", "category"
+    )
+    [r] = fleiss_kappa(df).collect()
+    assert r.n_items == 4 and r.m_raters == 3 and r.n_dropped == 0
+    assert r.pbar == pytest.approx(1.0)
+    assert r.kappa == pytest.approx(1.0)
+
+
+def test_fleiss_kappa_wikipedia_example(spark):
+    """The canonical 10-item × 14-rater × 5-category example: κ ≈ 0.210."""
+    from gridmet_etl_spark.operators.stats import fleiss_kappa
+
+    table = [
+        [0, 0, 0, 0, 14],
+        [0, 2, 6, 4, 2],
+        [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0],
+        [2, 2, 8, 1, 1],
+        [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0],
+        [2, 5, 3, 2, 2],
+        [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    rows = []
+    for i, counts in enumerate(table):
+        for j, c in enumerate(counts):
+            rows += [(i, f"cat{j}")] * c
+    df = spark.createDataFrame(rows, ["item", "category"])
+    [r] = fleiss_kappa(df).collect()
+    assert r.n_items == 10 and r.m_raters == 14
+    assert r.pbar == pytest.approx(0.378, abs=1e-3)
+    assert r.pe == pytest.approx(0.213, abs=1e-3)
+    assert r.kappa == pytest.approx(0.210, abs=1e-3)
+
+
+def test_fleiss_kappa_drops_offsize_items(spark):
+    from gridmet_etl_spark.operators.stats import fleiss_kappa
+
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "a")]  # item 3: m=1
+    df = spark.createDataFrame(rows, ["item", "category"])
+    [r] = fleiss_kappa(df).collect()
+    assert r.m_raters == 2 and r.n_items == 2 and r.n_dropped == 1
+
+
+# -- wilcoxon_signed_rank ---------------------------------------------------
+
+
+def test_wilcoxon_hand_case(spark):
+    """diffs {1, -2, 3, 4}: |d| ranks 1..4, W+ = 1+3+4 = 8, W- = 2."""
+    from gridmet_etl_spark.operators.stats import wilcoxon_signed_rank
+
+    df = spark.createDataFrame([(1,), (-2,), (3,), (4,), (0,)], ["diff"])
+    [r] = wilcoxon_signed_rank(df).collect()
+    assert r.n == 4 and r.n_zero == 1
+    assert r.w_plus == pytest.approx(8.0) and r.w_minus == pytest.approx(2.0)
+    # z = (8 - 4*5/4)/sqrt(4*5*9/24) = 3/sqrt(7.5)
+    assert r.z == pytest.approx(3.0 / (7.5 ** 0.5), abs=1e-6)
+
+
+def test_wilcoxon_symmetric_distribution_zero_z(spark):
+    from gridmet_etl_spark.operators.stats import wilcoxon_signed_rank
+
+    df = spark.createDataFrame([(d,) for d in (-3, -2, -1, 1, 2, 3)], ["diff"])
+    [r] = wilcoxon_signed_rank(df).collect()
+    assert r.w_plus == r.w_minus and r.z == pytest.approx(0.0)
+
+
+# -- friedman_test ----------------------------------------------------------
+
+
+def test_friedman_textbook(spark):
+    """3 treatments × 4 blocks, consistent ordering A<B<C in every block:
+    rank sums 4, 8, 12 → χ² = 12/(4·3·4)·(16+0+16) = 8 (no ties)."""
+    from gridmet_etl_spark.operators.stats import friedman_test
+
+    rows = []
+    for b in range(4):
+        rows += [(b, "A", 1.0 + b), (b, "B", 2.0 + b), (b, "C", 3.0 + b)]
+    df = spark.createDataFrame(rows, ["block", "treat", "v"])
+    out = {r.treatment: r for r in friedman_test(df, "block", "treat", "v").collect()}
+    assert out["A"].mean_rank == pytest.approx(1.0)
+    assert out["C"].mean_rank == pytest.approx(3.0)
+    r = out["A"]
+    assert r.k == 3 and r.dof == 2
+    assert r.chi2 == pytest.approx(8.0, abs=1e-5)
+    assert r.chi2_corrected == pytest.approx(8.0, abs=1e-5)
+
+
+def test_friedman_no_effect_zero(spark):
+    from gridmet_etl_spark.operators.stats import friedman_test
+
+    rows = []
+    vals = [[1.0, 2.0, 3.0], [2.0, 3.0, 1.0], [3.0, 1.0, 2.0]]  # latin square
+    for b, vs in enumerate(vals):
+        for t, v in zip("ABC", vs):
+            rows.append((b, t, v))
+    df = spark.createDataFrame(rows, ["block", "treat", "v"])
+    out = friedman_test(df, "block", "treat", "v").collect()
+    assert out[0].chi2 == pytest.approx(0.0, abs=1e-5)
+
+
+# -- ordinal_gamma ----------------------------------------------------------
+
+
+def test_gamma_perfect_and_reverse(spark):
+    from gridmet_etl_spark.operators.stats import ordinal_gamma
+
+    up = spark.createDataFrame([(i, i) for i in range(5)] * 3, ["x", "y"])
+    [r] = ordinal_gamma(up, "x", "y").collect()
+    assert r.gamma == pytest.approx(1.0) and r.discordant == 0
+    down = spark.createDataFrame([(i, 4 - i) for i in range(5)] * 3, ["x", "y"])
+    [r2] = ordinal_gamma(down, "x", "y").collect()
+    assert r2.gamma == pytest.approx(-1.0) and r2.concordant == 0
+
+
+def test_gamma_hand_counts(spark):
+    """cells: (0,0)=2, (1,1)=3, (1,0)=1 → C = 2·3 = 6, D = 0 (the (1,0)
+    cell shares x with (1,1) and y with (0,0), pairing with neither)."""
+    from gridmet_etl_spark.operators.stats import ordinal_gamma
+
+    rows = [(0, 0)] * 2 + [(1, 1)] * 3 + [(1, 0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    [r] = ordinal_gamma(df, "x", "y").collect()
+    assert r.concordant == 6 and r.discordant == 0
+    assert r.gamma == pytest.approx(1.0)
+    assert r.n == 6 and r.n_cells == 3
+
+
+# -- window_funnel ----------------------------------------------------------
+
+
+def test_window_funnel_hand_case(spark):
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.funnel import window_funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        # user 1: full chain within window
+        (1, t(0), "view"), (1, t(10), "click"), (1, t(20), "purchase"),
+        # user 2: click before view only -> level 1
+        (2, t(5), "click"), (2, t(10), "view"),
+        # user 3: view->click, purchase too late (window 30 min)
+        (3, t(0), "view"), (3, t(10), "click"), (3, t(50), "purchase"),
+        # user 4: purchase only -> no step-1 anchor, absent from output
+        (4, t(0), "purchase"),
+        # user 5: late anchor rescues the chain (window anchored per view)
+        (5, t(0), "view"), (5, t(40), "view"), (5, t(45), "click"),
+        (5, t(55), "purchase"),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r.level: r.n_users for r in
+           window_funnel(e, ["view", "click", "purchase"], 1800).collect()}
+    assert out == {1: 1, 2: 1, 3: 2}  # u2=1, u3=2, u1&u5=3; u4 absent
+
+
+def test_window_funnel_inclusive_same_ts(spark):
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.funnel import window_funnel
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    e = spark.createDataFrame(
+        [(1, t0, "view"), (1, t0, "click")], ["user_id", "ts", "event_type"]
+    )
+    out = {r.level: r.n_users for r in
+           window_funnel(e, ["view", "click"], 60).collect()}
+    assert out == {2: 1}  # ts2 >= ts1 is inclusive by contract
+
+
+# -- interdup_report --------------------------------------------------------
+
+
+def test_interdup_planted_shares(spark):
+    from gridmet_etl_spark.operators.textops import interdup_report
+
+    boiler = "one two three four five"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta", "s1"),   # grams: 9-5+1=5... computed below
+        (2, f"{boiler} epsilon zeta eta theta", "s1"),
+        (3, "totally fresh words nothing shared here", "s2"),
+        (4, "tiny", "s2"),  # short doc: excluded + counted
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in interdup_report(docs, k=5).collect()}
+    # doc1/doc2: 9 words -> 5 distinct grams each; only the exact boiler
+    # gram (positions 1..5) is shared -> share = 1/5 = 2000 e4
+    assert out["s1"].n_docs == 2
+    assert out["s1"].mean_interdup_e4 == 2000
+    assert out["s1"].max_interdup_e4 == 2000
+    assert out["s2"].n_docs == 1 and out["s2"].mean_interdup_e4 == 0
+    assert out["s2"].n_short_docs == 1

@@ -134,6 +134,13 @@ EXPECTED_SINGLE = {
     # ppl_buckets inherits lm_scores' 1-row corpus-stat scalars
     "heaps_fit", "rbo_overlap", "kruskal_wallis", "cramers_v",
     "filter_cascade", "ppl_buckets",
+    # round-7 second wave: fleiss/wilcoxon/friedman/gamma end in 1-row
+    # scalar agreement/statistic relations (cohen_kappa shape); wilcoxon
+    # additionally uses the shared distributed prefix (|partitions|-row
+    # offset window, mann_whitney shape); window_funnel's level rollup is
+    # a ≤|steps|-row relation
+    "fleiss_kappa", "wilcoxon_signed", "friedman_test", "ordinal_gamma",
+    "window_funnel",
     # bias_als trains by broadcasting |users|/|items|-row bias relations;
     # its 1-row global-mean scalar is the only single-partition stage
     "bias_als",
