@@ -85,6 +85,12 @@ BENCH_QUERIES = [
     "rbo_overlap",
     "filter_cascade",
     "ppl_buckets",
+    "fleiss_kappa",
+    "wilcoxon_signed",
+    "friedman_test",
+    "ordinal_gamma",
+    "window_funnel",
+    "interdup_report",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",

@@ -77,6 +77,9 @@ WATCHLIST = [
     # e6-exact daily means; ppl_buckets ntiles on the rounded nll
     "spearman_corr", "kruskal_wallis", "cramers_v", "winsorized_stats",
     "heaps_fit", "rbo_overlap", "gapfill_interp", "ppl_buckets",
+    # round-7 second wave: all statistics divide exact integers in fixed
+    # expression order (fleiss P̄/P̄_e, wilcoxon z, friedman χ², gamma)
+    "fleiss_kappa", "wilcoxon_signed", "friedman_test", "ordinal_gamma",
 ]
 
 SESSIONS = [
