@@ -732,11 +732,8 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     nw = F.size(F.split(F.col("text"), " "))
-    nb = F.size(
-        F.regexp_extract_all(
-            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
-        )
-    )
+    nv = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+
     def bucket(c, lo, hi):
         return (
             F.when(c < lo, F.lit("short"))
@@ -744,16 +741,19 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("long"))
         )
 
+    # tercile-ish thresholds of the sf corpus so the three raters
+    # genuinely disagree at the boundaries (char-length, word-count, and
+    # vocabulary-size views of "document size")
     ratings = (
         docs.select(F.col("doc_id").alias("item"),
-                    bucket(F.col("n_chars"), 900, 2200).alias("category"))
+                    bucket(F.col("n_chars"), 216, 373).alias("category"))
         .unionByName(
             docs.select(F.col("doc_id").alias("item"),
-                        bucket(nw, 150, 370).alias("category"))
+                        bucket(nw, 39, 68).alias("category"))
         )
         .unionByName(
             docs.select(F.col("doc_id").alias("item"),
-                        bucket(nb, 170, 420).alias("category"))
+                        bucket(nv, 22, 27).alias("category"))
         )
     )
     return fleiss_kappa(ratings)
@@ -762,21 +762,21 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FLEISS_KAPPA = rf"""
 WITH ratings AS (
   SELECT doc_id AS item,
-         CASE WHEN n_chars < 900 THEN 'short'
-              WHEN n_chars < 2200 THEN 'mid' ELSE 'long' END AS category
+         CASE WHEN n_chars < 216 THEN 'short'
+              WHEN n_chars < 373 THEN 'mid' ELSE 'long' END AS category
   FROM documents
   UNION ALL
   SELECT doc_id,
-         CASE WHEN len(string_split(text, ' ')) < 150 THEN 'short'
-              WHEN len(string_split(text, ' ')) < 370 THEN 'mid'
+         CASE WHEN len(string_split(text, ' ')) < 39 THEN 'short'
+              WHEN len(string_split(text, ' ')) < 68 THEN 'mid'
               ELSE 'long' END
   FROM documents
   UNION ALL
   SELECT doc_id,
-         CASE WHEN len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) < 170 THEN 'short'
-              WHEN len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) < 420 THEN 'mid'
+         CASE WHEN len(list_distinct(string_split(text, ' '))) < 22
+              THEN 'short'
+              WHEN len(list_distinct(string_split(text, ' '))) < 27
+              THEN 'mid'
               ELSE 'long' END
   FROM documents),
 per_cell AS (
