@@ -1039,13 +1039,13 @@ EXT12_QUERIES["ordinal_gamma"] = (q_ordinal_gamma, SQL_ORDINAL_GAMMA)
 # ---------------------------------------------------------------------------
 
 _WF_STEPS = ["view", "click", "purchase"]
-_WF_WITHIN_S = 7200
+_WF_WITHIN_S = 43200
 
 
 def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse-windowFunnel shape: per user, the deepest
     view→click→purchase chain with non-decreasing timestamps completing
-    within 2 hours of the chain's first event; each chain extension is
+    within 12 hours of the chain's first event; each chain extension is
     one forward as-of join (operators/funnel.py::window_funnel reusing
     operators/asof.py). funnel_steps counts unordered step users — this
     is the sequenced, time-bounded version."""
