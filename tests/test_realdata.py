@@ -56,6 +56,8 @@ def _grid_pdf(wpdf: pd.DataFrame) -> pd.DataFrame:
             f["var"] = var
             f["ens"] = -1
             f["time"] = pd.Timestamp("1980-01-01") + pd.Timedelta(days=di)
+            f["lat"] = 49.0 - f["i"] * 0.04167
+            f["lon"] = -125.0 + f["j"] * 0.04167
             f["value"] = _cell_value(
                 f["i"].to_numpy(), f["j"].to_numpy(), di, vi, var
             )
@@ -276,6 +278,41 @@ def test_masked_vs_strict_mean_on_real_weights(spark, real_weights_pdf):
         assert masked[fid] is None or np.isnan(masked[fid])  # 0/0 -> NULL
     for fid in list(clean)[:50]:
         assert strict[fid] == pytest.approx(masked[fid], rel=1e-12)
+
+
+def test_cli_gridmet_real_weights_csv_fid_flag(spark, real_weights_pdf, tmp_path):
+    """The reference's own invocation shape (etl.py:693 hands this exact
+    CSV to AggGen; --fid mirrors cli.py): run the gridmet subcommand with
+    the REAL weights CSV and the documented --fid nhru_v1_1, end to end
+    to parquet + CF sidecar."""
+    import json
+
+    from gridmet_etl_spark.cli import main
+
+    grid_path = str(tmp_path / "grid.parquet")
+    spark.createDataFrame(_grid_pdf(real_weights_pdf)).write.parquet(grid_path)
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "gridmet-etl",
+            "--grid", grid_path,
+            "--weights", GM_CSV,
+            "--fid", "nhru_v1_1",
+            "--start-date", "1980-01-01",
+            "--end-date", "1980-01-07",
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    res = spark.read.parquet(str(out / "converted"))
+    assert res.count() == 2462 * _N_DAYS
+    fids = res.select(F.countDistinct("feature_id")).first()[0]
+    assert fids == 2462
+    # real HRU ids, never CSV row indexes (the S6 regression)
+    ids = {r.feature_id for r in res.select("feature_id").distinct().collect()}
+    assert ids == set(real_weights_pdf["nhru_v1_1"].unique().tolist())
+    sidecar = json.load(open(out / "converted_attrs.json"))
+    assert sidecar["variables"]["tmax"]["units"] == "degree_Celsius"
 
 
 def test_netcdf_export_rejects_duplicate_rows(spark, tmp_path):
