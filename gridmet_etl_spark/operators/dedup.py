@@ -148,6 +148,15 @@ def minhash_bands(
     key = md5 of the seed-ordered minhash concat — computed straight from
     the wide row-local signature (no long-form groupBy/collect_list)."""
     wide = _minhash_wide(docs, text_col, id_col, k, n_seeds, hash_fn)
+    return _bands_from_wide(wide, id_col, n_seeds, rows_per_band)
+
+
+def _bands_from_wide(
+    wide: DataFrame, id_col: str, n_seeds: int, rows_per_band: int
+) -> DataFrame:
+    """Band keys from an ALREADY-computed wide signature — lets callers
+    that band the same signature matrix several ways (lsh_band_sweep)
+    compute the shingle/minhash pipeline ONCE."""
     # ceil-div: a non-divisible n_seeds forms a PARTIAL final band from the
     # trailing seeds rather than silently dropping them (recall, and parity
     # with the long-form (seed // rows_per_band) banding)
@@ -860,11 +869,24 @@ def lsh_band_sweep(
     truth = ngram_jaccard_pairs(docs, threshold=threshold, k=k).select(
         "doc_a", "doc_b"
     )
+    # ONE signature matrix for the whole sweep (the point of the advisor:
+    # every (bands, rows) split reuses the same n_seeds hashes). Without
+    # the pin, each config's union branch re-derives the shingle/minhash
+    # pipeline — 5× the corpus scans (audit: 75 exchanges → ~20).
+    wide = _minhash_wide(docs, text_col, id_col, k, n_seeds, "md5")
+    wide = wide.localCheckpoint(eager=False)
     per = None
     for r in configs:
-        cands = minhash_lsh_candidates(
-            docs, text_col, id_col, k=k, n_seeds=n_seeds, rows_per_band=r
-        ).select(F.lit(int(r)).alias("rows_per_band"), "doc_a", "doc_b")
+        bands = _bands_from_wide(wide, id_col, n_seeds, rows_per_band=r)
+        a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+        b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+        cands = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .select(F.lit(int(r)).alias("rows_per_band"), "doc_a", "doc_b")
+        )
         per = cands if per is None else per.unionByName(cands)
     hits = per.join(truth, ["doc_a", "doc_b"], "left_semi")
     n_true_rel = truth.agg(F.count(F.lit(1)).alias("n_true"))
