@@ -168,6 +168,14 @@ def make_opendap_fetcher(
             df["ens"] = -1
         df["ens"] = df["ens"].astype("int32")
         df["var"] = variable
+        # day collapse: sub-daily coordinates (e.g. 6-hourly CFSv2 slices,
+        # kept distinct by dap_micro/xarray datetime coords) map onto the
+        # same date label, so a cell-day carries one row per timestep.
+        # Downstream weighted_mean groups by (feature, time): each slice
+        # contributes weight w, so the result is the area-weighted DAILY
+        # MEAN of the sub-daily values — the semantics a daily pipeline
+        # wants (pinned by test_dap_micro's sub-daily ingest test). The
+        # reference's own feeds are daily, where this is a no-op.
         df["time"] = pd.to_datetime(df["time"]).dt.date
         # full-grid cell indexes (the weights-table join keys); row index
         # counts from the NORTH edge when lat is stored descending

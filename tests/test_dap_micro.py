@@ -187,3 +187,72 @@ def test_opendap_fetcher_end_to_end_real_dap_bytes(spark, tmp_path, monkeypatch)
     back = spark.read.parquet(landing)
     assert back.count() == 12
     assert back.filter(F.col("var") == "pr").select("time").distinct().count() == 3
+
+
+def test_subdaily_ingest_collapses_to_daily_mean(spark, tmp_path, monkeypatch):
+    """Sub-daily (6-hourly) DAP data through the FULL ingest + weighted
+    aggregation: the fetcher emits one GRID_SCHEMA row per timestep with
+    the same date label, and weighted_mean's Σw·v/Σw over the duplicate
+    cell-day rows yields the area-weighted DAILY MEAN of the sub-daily
+    values (documented in ingest.py)."""
+    import builtins
+
+    from gridmet_etl_spark.operators.weighted_agg import weighted_mean
+    from gridmet_etl_spark.sources.ingest import make_opendap_fetcher
+
+    dds = """Dataset {
+    Grid {
+     ARRAY:
+        Float32 pr[t = 4][lat = 1][lon = 1];
+     MAPS:
+        Float64 t[t = 4];
+        Float64 lat[lat = 1];
+        Float64 lon[lon = 1];
+    } pr;
+} g;"""
+    das = """Attributes {
+    t {
+        String units "hours since 2020-01-01";
+    }
+}"""
+    data = (
+        _xdr_array([1.0, 2.0, 3.0, 6.0], ">f")  # day mean = 3.0
+        + _xdr_array([0.0, 6.0, 12.0, 18.0], ">d")
+        + _xdr_array([49.0], ">d")
+        + _xdr_array([-124.0], ">d")
+    )
+    dods = tmp_path / "pr6h.dods"
+    dods.write_bytes(dds.encode("ascii") + b"\nData:\n" + data)
+    (tmp_path / "pr6h.das").write_text(das)
+
+    real_import = builtins.__import__
+
+    def no_xarray(name, *a, **kw):
+        if name == "xarray":
+            raise ImportError("xarray disabled for test")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_xarray)
+    rec = {
+        "T_name": "t", "X_name": "lon", "Y_name": "lat",
+        "varname": "pr", "variable": "pr",
+        "X1": -124.0, "Y1": 49.0, "resX": 0.5, "resY": 0.5,
+        "toptobottom": False,
+    }
+    fetch = make_opendap_fetcher(rec)
+    pdf = fetch(
+        {
+            "url": str(dods),
+            "i0": 0, "i1": 0, "j0": 0, "j1": 0,
+            "t0": "2020-01-01", "t1": "2020-01-01",
+        }
+    )
+    assert len(pdf) == 4  # one row per 6-hourly step, same date label
+    assert pdf["time"].nunique() == 1
+
+    grid = spark.createDataFrame(pdf)
+    weights = spark.createDataFrame(
+        [(7, 0, 0, 1.0)], ["feature_id", "i", "j", "wght"]
+    )
+    [row] = weighted_mean(grid, weights).collect()
+    assert row.value == pytest.approx(3.0)  # daily mean of 1,2,3,6
