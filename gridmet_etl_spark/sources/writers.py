@@ -234,10 +234,16 @@ def export_netcdf_classic(
     # silently last-write-win — fail loudly instead (ADVICE r6)
     dup = pdf[["feature_id", time_col]].duplicated()
     if dup.any():
+        hint = (
+            "; input has multiple ensemble members — export per member "
+            "(filter ens == k, or write parquet partitionBy('ens'))"
+            if "ens" in pdf.columns and pdf["ens"].nunique() > 1
+            else ""
+        )
         raise ValueError(
             f"duplicate (feature_id, {time_col}) rows in NetCDF export input "
             f"({int(dup.sum())} dups, e.g. "
-            f"{pdf.loc[dup, ['feature_id', time_col]].iloc[0].tolist()})"
+            f"{pdf.loc[dup, ['feature_id', time_col]].iloc[0].tolist()}){hint}"
         )
     value_cols = [c for c in pdf.columns if c not in ("feature_id", time_col, "ens")]
     features = np.sort(pdf["feature_id"].unique())
