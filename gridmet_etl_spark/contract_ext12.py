@@ -183,7 +183,11 @@ SELECT user_id, day,
           prev.v + (next.v - prev.v)
             * (CAST(day - prev.d AS DOUBLE) / CAST(next.d - prev.d AS DOUBLE))
         END, 6) + 0 AS value,
-  (value IS NULL) AS is_filled,
+  (value IS NULL AND (CASE WHEN value IS NOT NULL THEN value
+        WHEN prev IS NOT NULL AND next IS NOT NULL THEN
+          prev.v + (next.v - prev.v)
+            * (CAST(day - prev.d AS DOUBLE) / CAST(next.d - prev.d AS DOUBLE))
+        END) IS NOT NULL) AS is_filled,
   CASE WHEN value IS NULL AND prev IS NOT NULL AND next IS NOT NULL
        THEN CAST(next.d - prev.d AS INT) END AS gap_fill_src_span
 FROM filled
@@ -273,17 +277,22 @@ ties AS (
   SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
   FROM (SELECT CAST(count(*) AS BIGINT) AS t
         FROM lineitem GROUP BY l_extendedprice)),
-terms AS (
-  SELECT CAST(sum(CAST(floor(
-           CAST(s2 - n_g * (n + 1) AS DOUBLE)
+gterms AS (
+  SELECT CAST(s2 - n_g * (n + 1) AS DOUBLE)
            * CAST(s2 - n_g * (n + 1) AS DOUBLE)
-           / (4.0 * CAST(n_g AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT)
-           AS q_e6,
-         any_value(n) AS n, any_value(k) AS k
+           / (4.0 * CAST(n_g AS DOUBLE)) AS term,
+         n, k
   FROM per_g, tot),
+tmx AS (SELECT max(term) AS tm FROM gterms),
+terms AS (
+  SELECT CAST(sum(CASE WHEN tm > 0
+           THEN CAST(floor(term / tm * 1e12) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS q_e12,
+         any_value(tm) AS tm, any_value(n) AS n, any_value(k) AS k
+  FROM gterms, tmx),
 summary AS (
   SELECT n, CAST(k - 1 AS INT) AS dof,
-         12.0 * (CAST(q_e6 AS DOUBLE) / 1e6)
+         12.0 * (CAST(q_e12 AS DOUBLE) / 1e12 * tm)
            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) AS h_raw,
          1.0 - CAST(tie3 AS DOUBLE)
            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
@@ -944,16 +953,21 @@ kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
 ties AS (
   SELECT CAST(sum(t3 * t3 * t3 - t3) AS BIGINT) AS tie3
   FROM (SELECT CAST(count(*) AS BIGINT) AS t3 FROM one GROUP BY b, v)),
-terms AS (
-  SELECT CAST(sum(CAST(floor(
-           CAST(s2 - n * (k + 1) AS DOUBLE)
-           * CAST(s2 - n * (k + 1) AS DOUBLE) / 4.0 * 1e6) AS BIGINT))
-           AS BIGINT) AS q_e6,
-         any_value(k) AS k, any_value(n) AS n
+gterms AS (
+  SELECT CAST(s2 - n * (k + 1) AS DOUBLE)
+           * CAST(s2 - n * (k + 1) AS DOUBLE) / 4.0 AS term,
+         k, n
   FROM per_t, kk),
+tmx AS (SELECT max(term) AS tm FROM gterms),
+terms AS (
+  SELECT CAST(sum(CASE WHEN tm > 0
+           THEN CAST(floor(term / tm * 1e12) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS q_e12,
+         any_value(tm) AS tm, any_value(k) AS k, any_value(n) AS n
+  FROM gterms, tmx),
 summary AS (
   SELECT CAST(k AS INT) AS k,
-         12.0 * (CAST(q_e6 AS DOUBLE) / 1e6)
+         12.0 * (CAST(q_e12 AS DOUBLE) / 1e12 * tm)
            / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
               * (CAST(k AS DOUBLE) + 1.0)) AS chi_raw,
          1.0 - CAST(tie3 AS DOUBLE)
@@ -1035,7 +1049,7 @@ FROM acc, tot
 EXT12_QUERIES["ordinal_gamma"] = (q_ordinal_gamma, SQL_ORDINAL_GAMMA)
 
 # ---------------------------------------------------------------------------
-# window_funnel: strictly-sequenced view→click→purchase within 2 hours
+# window_funnel: strictly-sequenced view→click→purchase within 12 hours
 # ---------------------------------------------------------------------------
 
 _WF_STEPS = ["view", "click", "purchase"]
@@ -1117,25 +1131,28 @@ grams AS (
          array_to_string(a[st:st + 4], ' ') AS gram
   FROM base, LATERAL (SELECT unnest(range(1, len(a) - 3)) AS st)
   WHERE len(a) >= 5),
-dfq AS (
-  SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-  FROM grams GROUP BY gram),
+flagged AS (
+  SELECT doc_id, source,
+         count(*) OVER (PARTITION BY gram) AS df
+  FROM grams),
 per_doc AS (
-  SELECT g.source,
-         CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 10000
+  SELECT source,
+         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000
               // count(*) AS BIGINT) AS share
-  FROM grams g JOIN dfq d USING (gram)
-  GROUP BY g.doc_id, g.source),
+  FROM flagged GROUP BY doc_id, source),
 agg AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(CAST(sum(share) AS BIGINT) // count(*) AS BIGINT)
            AS mean_interdup_e4,
          CAST(max(share) AS BIGINT) AS max_interdup_e4
-  FROM per_doc GROUP BY source)
-SELECT a.source, a.n_docs,
+  FROM per_doc GROUP BY source),
+sources AS (SELECT DISTINCT source FROM base)
+SELECT src.source,
+       CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs,
        CAST(COALESCE(s.n_short_docs, 0) AS BIGINT) AS n_short_docs,
        a.mean_interdup_e4, a.max_interdup_e4
-FROM agg a LEFT JOIN short s USING (source)
+FROM sources src LEFT JOIN agg a USING (source)
+LEFT JOIN short s USING (source)
 """
 
 

@@ -361,13 +361,28 @@ def window_funnel(
     Spark-first shape: each chain extension is ONE forward as-of join
     (operators/asof.py — union + running-first window, |chains|+|events|
     rows keyed by user), so a k-step funnel is k−1 as-of passes — never
-    a per-user quadratic self-join, never a Python UDF. funnel_conversion
-    counts UNORDERED per-step users; this is the strictly-sequenced,
-    time-bounded version.
+    a per-user quadratic self-join, never a Python UDF; the chain
+    frontier is localCheckpoint-pinned per extension so the per-level
+    snapshots don't re-execute the earlier joins (k−1 passes total, not
+    k(k−1)/2). funnel_conversion counts UNORDERED per-step users; this is
+    the strictly-sequenced, time-bounded version.
+
+    ``steps`` must be distinct event types: the ≥-inclusive frontier
+    would let one event satisfy two consecutive occurrences of the SAME
+    type (a "viewed twice" funnel needs strict event-id progression the
+    as-of composition does not carry), so repeats raise instead of
+    silently overcounting.
 
     Output per level: (level, n_users), level 1..k — n_users = users
     whose deepest completed step is exactly ``level``."""
     from .asof import asof_join
+
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            f"steps must be distinct event types, got {steps!r} "
+            "(a repeated step would match the same event twice under the "
+            "inclusive ts frontier)"
+        )
 
     typed = [
         events.filter(F.col(type_col) == s).select(
@@ -405,6 +420,10 @@ def window_funnel(
                 "_t1",
                 F.col("ts_right").alias("_cur"),
             )
+            # pin: the level snapshot below and the next extension both
+            # read this frontier — without the checkpoint each level's
+            # branch re-executes every earlier as-of join
+            .localCheckpoint(eager=False)
         )
         levels.append(
             chains.select("_u", "_t1").withColumn("_lvl", F.lit(i))

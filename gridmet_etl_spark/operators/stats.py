@@ -723,13 +723,14 @@ def spearman_corr(
     j = cells.join(ranks2("_x", "rx"), [*gp, "_x"]).join(
         ranks2("_y", "ry"), [*gp, "_y"]
     )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     acc = j.groupBy(*gp).agg(
         F.sum("_c").cast("long").alias("n"),
-        F.sum(F.col("_c") * F.col("rx")).alias("sx"),
-        F.sum(F.col("_c") * F.col("ry")).alias("sy"),
-        F.sum(F.col("_c") * F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("_c") * F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("_c") * F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(dec(F.col("_c")) * F.col("rx")).alias("sx"),
+        F.sum(dec(F.col("_c")) * F.col("ry")).alias("sy"),
+        F.sum(dec(F.col("_c")) * F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(dec(F.col("_c")) * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(dec(F.col("_c")) * F.col("ry") * F.col("ry")).alias("syy"),
     )
     dn = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
         "double"
@@ -764,9 +765,12 @@ def kruskal_wallis(
     below v) + tie(v) + 1 integers; per-group H terms use the DEVIATION
     form H = 12/(N(N+1))·Σ n_g·(r̄_g − r̄)², with the deviation numerator
     D_g = Σ2r_g − n_g·(N+1) an EXACT integer — all terms positive, no
-    catastrophic cancellation; each group's double term is floor-quantized
-    to e6 before the (k-row) sum so it is order-independent. Tie
-    correction C = 1 − Σ(t³−t)/(N³−N) from exact integer tie counts.
+    catastrophic cancellation; the (k-row) term sum is made
+    order-independent by quantizing each group's double term RELATIVE to
+    the largest term (⌊term/max·10¹²⌋ — identical-operand IEEE division,
+    exact integer sum, ≤2⁻⁴⁰ relative error; an absolute e6 quantization
+    would overflow int64 once n_g·dev² > 9.2×10¹²). Tie correction
+    C = 1 − Σ(t³−t)/(N³−N) from exact integer tie counts.
 
     Scale shape — COUNT-BASED, no row-level rank window: rank is a
     function of the value alone, so Σ2r̄ per group = Σ_v count_g(v)·2r̄(v)
@@ -804,21 +808,30 @@ def kruskal_wallis(
     g = per_g.crossJoin(F.broadcast(tot)).withColumn(
         "_d", F.col("s2") - F.col("n_g") * (F.col("n") + 1)
     )
-    term_e6 = F.floor(
+    term = (
         F.col("_d").cast("double")
         * F.col("_d").cast("double")
         / (4.0 * F.col("n_g").cast("double"))
-        * 1e6
-    ).cast("long")
-    acc = g.agg(
-        F.sum(term_e6).alias("q_e6"),
-        F.first("n").alias("n"),
-        F.first("dof_plus1").alias("k"),
-    ).crossJoin(F.broadcast(ties))
+    )
+    g = g.withColumn("_term", term)
+    tmax = g.agg(F.max("_term").alias("_tmax"))
+    q = F.floor(F.col("_term") / F.col("_tmax") * 1e12).cast("long")
+    acc = (
+        g.crossJoin(F.broadcast(tmax))
+        .agg(
+            F.sum(F.when(F.col("_tmax") > 0.0, q).otherwise(F.lit(0))).alias(
+                "q_e12"
+            ),
+            F.first("_tmax").alias("_tmax"),
+            F.first("n").alias("n"),
+            F.first("dof_plus1").alias("k"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
     nn = F.col("n").cast("double")
     h = (
         12.0
-        * (F.col("q_e6").cast("double") / 1e6)
+        * (F.col("q_e12").cast("double") / 1e12 * F.col("_tmax"))
         / (nn * (nn + 1.0))
     )
     corr = 1.0 - F.col("tie3").cast("double") / (nn * nn * nn - nn)
@@ -1090,7 +1103,8 @@ def friedman_test(
     treatments compared per day). Within-block rank windows run over k
     rows each (k = |treatments|, bounded); per-treatment deviation
     numerators D_j = Σ2r̄_j − n(k+1) are exact integers, the positive
-    χ² terms are floor-e6-quantized before the k-row sum, and the tie
+    χ² terms are max-normalized floor-e12-quantized before the k-row sum
+    (order-independent at any scale — see kruskal_wallis), and the tie
     correction 1 − Σ(t³−t)/(n·k·(k²−1)) uses exact per-block tie counts.
 
     Output per treatment: (treatment, n_blocks, mean_rank) + shared
@@ -1123,16 +1137,26 @@ def friedman_test(
     g = per_t.crossJoin(F.broadcast(kk)).withColumn(
         "_d", F.col("_s2") - F.col("n") * (F.col("k") + 1)
     )
-    term_e6 = F.floor(
-        F.col("_d").cast("double") * F.col("_d").cast("double") / 4.0 * 1e6
-    ).cast("long")
-    acc = g.agg(
-        F.sum(term_e6).alias("q_e6"),
-        F.first("k").alias("k"),
-        F.first("n").alias("n"),
-    ).crossJoin(F.broadcast(ties))
+    g = g.withColumn(
+        "_term",
+        F.col("_d").cast("double") * F.col("_d").cast("double") / 4.0,
+    )
+    tmax = g.agg(F.max("_term").alias("_tmax"))
+    q = F.floor(F.col("_term") / F.col("_tmax") * 1e12).cast("long")
+    acc = (
+        g.crossJoin(F.broadcast(tmax))
+        .agg(
+            F.sum(F.when(F.col("_tmax") > 0.0, q).otherwise(F.lit(0))).alias(
+                "q_e12"
+            ),
+            F.first("_tmax").alias("_tmax"),
+            F.first("k").alias("k"),
+            F.first("n").alias("n"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
     nn, kx = F.col("n").cast("double"), F.col("k").cast("double")
-    chi2 = 12.0 * (F.col("q_e6").cast("double") / 1e6) / (
+    chi2 = 12.0 * (F.col("q_e12").cast("double") / 1e12 * F.col("_tmax")) / (
         nn * kx * (kx + 1.0)
     )
     corr = 1.0 - F.col("tie3").cast("double") / (

@@ -779,8 +779,12 @@ def heaps_fit(
         )
         .filter(F.col("w") != "")
     )
-    tok_per = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tok"))
-    first_b = toks.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    # ONE corpus-sized aggregation: the (bucket, word) count relation
+    # feeds both the token totals and the first-bucket vocabulary
+    # attribution (aggregating toks twice would tokenize the corpus twice)
+    bw = toks.groupBy("bucket", "w").agg(F.count(F.lit(1)).alias("_c"))
+    tok_per = bw.groupBy("bucket").agg(F.sum("_c").alias("n_tok"))
+    first_b = bw.groupBy("w").agg(F.min("bucket").alias("bucket"))
     new_types = first_b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_new")
     )
@@ -895,10 +899,14 @@ def interdup_report(
     Exactness: per-doc share is the exact scaled integer
     (dup_grams·scale div grams); the per-source mean divides two exact
     integer sums. Data-sized work = one distinct (doc, gram) projection +
-    one gram-keyed doc-frequency agg; the per-doc join is gram-keyed.
+    ONE gram-keyed window (the distinct relation's per-gram count IS the
+    document frequency — no second scan, no self-join). Every source in
+    the input appears in the output, including sources whose documents
+    are all shorter than k words (n_docs = 0, NULL rates).
 
     Output per source: (source, n_docs, n_short_docs, mean_interdup_e4,
     max_interdup_e4)."""
+    from pyspark.sql import Window
     base = docs.select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_g"),
@@ -921,11 +929,12 @@ def interdup_report(
         )
         .distinct()
     )
-    df_per_gram = grams.groupBy("_gram").agg(
-        F.countDistinct("_id").alias("_df")
-    )
+    # the relation is distinct on (doc, gram), so the per-gram window
+    # count IS the document frequency — one gram-keyed shuffle, no
+    # df-aggregate + join pair re-running the explode (exact_dedup shape)
+    wg = Window.partitionBy("_gram")
     per_doc = (
-        grams.join(df_per_gram, "_gram")
+        grams.withColumn("_df", F.count(F.lit(1)).over(wg))
         .groupBy("_id", "_g")
         .agg(
             F.count(F.lit(1)).alias("_n"),
@@ -941,12 +950,14 @@ def interdup_report(
         F.expr("sum(_share) div count(*)").cast("long").alias("mean_interdup_e4"),
         F.max("_share").cast("long").alias("max_interdup_e4"),
     )
+    sources = base.select(F.col("_g")).distinct()
     return (
-        agg.join(short, "_g", "left")
-        .na.fill({"n_short_docs": 0})
+        sources.join(agg, "_g", "left")
+        .join(short, "_g", "left")
+        .na.fill({"n_short_docs": 0, "n_docs": 0})
         .select(
             F.col("_g").alias(group_col),
-            "n_docs",
+            F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_short_docs").cast("long").alias("n_short_docs"),
             "mean_interdup_e4",
             "max_interdup_e4",

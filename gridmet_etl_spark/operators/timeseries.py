@@ -941,6 +941,11 @@ def gapfill_interp(
     key. Interpolation arithmetic runs in fixed expression order on both
     engines (oracle twin), final ROUND only.
 
+    ``is_filled`` means REPAIRED (was missing and now carries an
+    interpolated value) — a NULL-valued observation sitting at the span
+    edge stays NULL and reports is_filled = false, so consumers can
+    select is_filled rows as model-ready without re-checking for NULLs.
+
     Output: (*key_cols, day, value, is_filled, gap_fill_src_span)."""
     gp = list(key_cols)
     span = daily.groupBy(*gp).agg(
@@ -985,7 +990,7 @@ def gapfill_interp(
         *gp,
         F.col(day_col),
         (F.round(value_out, ndigits) + F.lit(0.0)).alias(value_col),
-        F.col(value_col).isNull().alias("is_filled"),
+        (F.col(value_col).isNull() & value_out.isNotNull()).alias("is_filled"),
         F.when(
             F.col(value_col).isNull()
             & F.col("_prev").isNotNull()

@@ -57,9 +57,12 @@ def read_weights_csv(spark: SparkSession, path: str, fid_col: str = "feature_id"
                 f"(columns: {raw.columns}); pass fid_col explicitly"
             )
         first = candidates[0]
-        print(
-            f"[read_weights_csv] fid column {fid_col!r} absent; "
-            f"using {first!r} (columns: {raw.columns})"
+        import warnings
+
+        warnings.warn(
+            f"read_weights_csv: fid column {fid_col!r} absent; "
+            f"using {first!r} (columns: {raw.columns})",
+            stacklevel=2,
         )
     return raw.select(
         F.col(first).cast("long").alias("feature_id"),

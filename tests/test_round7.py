@@ -281,6 +281,27 @@ def test_gapfill_linear_interior_and_null_edges(spark):
     assert out[("s2", d(2024, 1, 2))].value == pytest.approx(7.0)
 
 
+def test_gapfill_null_valued_edge_observation_not_marked_filled(spark):
+    """A NULL-VALUED observation at the span edge has only one bracket:
+    it stays NULL and must report is_filled = false (is_filled means
+    repaired, not merely was-missing)."""
+    import datetime as dt
+
+    from gridmet_etl_spark.operators.timeseries import gapfill_interp
+
+    d = dt.date
+    daily = spark.createDataFrame(
+        [("s", d(2024, 1, 1), None), ("s", d(2024, 1, 2), 5.0),
+         ("s", d(2024, 1, 4), 7.0)],
+        "k string, day date, value double",
+    )
+    out = {r.day: r for r in gapfill_interp(daily, ["k"], "day", "value").collect()}
+    edge = out[d(2024, 1, 1)]
+    assert edge.value is None and not edge.is_filled
+    mid = out[d(2024, 1, 3)]
+    assert mid.is_filled and mid.value == pytest.approx(6.0)
+
+
 def test_gapfill_observed_rows_pass_through(spark):
     import datetime as dt
 
@@ -573,6 +594,7 @@ def test_interdup_planted_shares(spark):
         (2, f"{boiler} epsilon zeta eta theta", "s1"),
         (3, "totally fresh words nothing shared here", "s2"),
         (4, "tiny", "s2"),  # short doc: excluded + counted
+        (5, "also tiny", "s3"),  # ALL-short source: must still appear
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     out = {r.source: r for r in interdup_report(docs, k=5).collect()}
@@ -583,3 +605,6 @@ def test_interdup_planted_shares(spark):
     assert out["s1"].max_interdup_e4 == 2000
     assert out["s2"].n_docs == 1 and out["s2"].mean_interdup_e4 == 0
     assert out["s2"].n_short_docs == 1
+    # a source made entirely of short docs is reported, not dropped
+    assert out["s3"].n_docs == 0 and out["s3"].n_short_docs == 1
+    assert out["s3"].mean_interdup_e4 is None
