@@ -17,7 +17,7 @@ CAST(... AS BIGINT); ratios are exact scaled integers or doubles whose
 operands are exact integers combined in the SAME expression order on both
 engines; order-dependent double sums are quantized to integers BEFORE
 aggregation (spearman/kruskal rank sums are exact 2·r̄ integers; chi²/H
-terms are floor-quantized per group before the k-row sum; RBO terms are
+terms are max-normalized floor-quantized per group before the k-row sum; RBO terms are
 exact integer divisions because p = 1/2 makes the weights powers of two).
 """
 
@@ -252,8 +252,9 @@ EXT12_QUERIES["spearman_corr"] = (q_spearman_corr, SQL_SPEARMAN_CORR)
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal–Wallis H over l_extendedprice by returnflag: global
     tie-averaged 2·r̄ integer ranks, deviation-form per-group terms
-    (exact integer numerators, positive terms, floor-e6-quantized before
-    the k-row sum), integer tie correction
+    (exact integer numerators, positive terms, max-normalized
+    floor-e12-quantized before the k-row sum — overflow-free at any
+    group separation), integer tie correction
     (operators/stats.py::kruskal_wallis)."""
     from .operators.stats import kruskal_wallis
 
