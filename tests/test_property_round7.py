@@ -160,3 +160,51 @@ def test_gapfill_interpolates_between_neighbors(spark, obs):
             assert r.is_filled and lo - 1e-6 <= r.value <= hi + 1e-6
             assert r.gap_fill_src_span == d1 - d0
     del days
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),           # user
+            st.integers(min_value=0, max_value=600),          # minute
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    window_s=st.sampled_from([600, 3600, 36000]),
+)
+def test_window_funnel_properties(spark, events, window_s):
+    """Level counts partition the step-1 users; totals are monotone in
+    window size (a wider window can only deepen chains, never lose
+    users); levels are within [1, k]."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.funnel import window_funnel
+
+    base = dt.datetime(2024, 1, 1, 8, 0)
+    rows = [
+        (u, base + dt.timedelta(minutes=m), t) for u, m, t in events
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["view", "click", "purchase"]
+    out = {r.level: r.n_users for r in window_funnel(e, steps, window_s).collect()}
+    anchors = {u for u, _, t in events if t == "view"}
+    assert sum(out.values()) == len(anchors)
+    assert all(1 <= lv <= 3 for lv in out)
+
+    wide = {
+        r.level: r.n_users
+        for r in window_funnel(e, steps, window_s * 10).collect()
+    }
+    # cumulative users at-or-above each level never shrink with the window
+    for lv in (1, 2, 3):
+        at_least_narrow = sum(n for v, n in out.items() if v >= lv)
+        at_least_wide = sum(n for v, n in wide.items() if v >= lv)
+        assert at_least_wide >= at_least_narrow
+
+    with pytest.raises(ValueError, match="distinct"):
+        window_funnel(e, ["view", "view"], window_s)
