@@ -49,78 +49,73 @@ _MERGED = {
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
-# in registration order, so ORDER decides coverage. Round-7 window:
-# (0) the 11 round-5 hash-red queries, re-certified after the root-cause
-# fix (their DuckDB oracles emitted HUGEINT sum columns, which the
-# driver's pandas fetch renders as float64 "88.0" vs Spark's int64 "88" —
-# tools/type_parity.py found the exact 11 + 3 latent cases, all now CAST
-# to BIGINT/DOUBLE in the oracle SQL); then (1) the 3 latent same-class
-# fixes re-certified; (2) new round-6 queries; (3) ivf_topk, whose only
-# driver record (r2) predates its oracle; (4) the never-driver-checked
-# backlog, oldest first — the overflow queues for r7. Everything below
-# the cap is green in the full tools/check_oracle.py sweep (lenient AND
-# --strict driver-sim modes). Audit trail: the 50-name windows are in
-# CORRECTNESS_r0{1..5}.json.
+# in registration order, so ORDER decides coverage. Round-8 window policy
+# (VERDICT r7 item 6, now mechanical via tools/query_map.py): queries whose
+# BACKING CODE changed this round come first — the manifest maps every
+# registry name to its contract module + transitively imported operator
+# files, so "touched" is a file-intersection, not a judgment call.
+# Window composition:
+#   (1) the 6 queries whose operators carry the ADVICE r8 fixes
+#       (cramers_v changed VALUES — max-normalized e12 quantization replaced
+#       absolute e9, oracle SQL updated in lockstep; the other five changed
+#       degenerate/overflow paths only, fixture outputs identical);
+#   (2) the 30 remaining queries sharing those three files
+#       (operators/stats.py, scoring.py, quality.py) — conservative
+#       file-level re-certification;
+#   (3) rotation fill from the r7 backlog order. Everything below the cap
+#       has a green driver CORRECTNESS row from r1-r7 and is re-swept by
+#       tools/check_oracle.py locally (lenient AND --strict).
 _CHECK_FIRST = [
-    # (0) the 25 never-driver-checked names (no CORRECTNESS row in any of
-    # r1-r6 under the 50-cap; judge strict-sim green r6) — certifying these
-    # completes driver coverage of the whole registry (VERDICT r7 item 1)
-    "auc_eval", "autocorr_daily", "centroid_classify",
-    "chi_square", "corr_matrix", "daily_ohlc",
-    "ewma_daily", "frost_dates", "heat_index",
-    "heatwave_runs", "khop_reach", "knn_eval",
-    "mann_whitney", "overlap_join", "ref_integrity",
+    # (1) ADVICE r8 direct fixes — re-certify first
+    "cramers_v", "kruskal_wallis", "fleiss_kappa",
+    "spearman_corr", "rbo_overlap", "filter_cascade",
+    # (2) file-level cohort of the three fixed operator files
+    "auc_eval", "bootstrap_ci", "c4_filters",
+    "calibration_eval", "chi_square", "classifier_score",
+    "cohen_kappa", "corpus_pipeline_v2", "f1_report",
+    "friedman_test", "gini_lorenz", "gopher_filters",
+    "kaplan_meier", "ks_test", "lift_eval",
+    "lm_score", "logrank_test", "lsh_band_sweep",
+    "lsh_recall", "mann_whitney", "minhash_estimate",
+    "ordinal_gamma", "percentile_cut", "rrf_fusion",
+    "survivorship", "weighted_ess", "weighted_median",
+    "welch_ttest", "wilcoxon_signed", "winsorized_stats",
+    # ---- changed-code cohort ends at 36; rotation fill to the 50-cap ----
+    "autocorr_daily", "centroid_classify", "corr_matrix",
+    "daily_ohlc", "ewma_daily", "frost_dates",
+    "heat_index", "heatwave_runs", "khop_reach",
+    "knn_eval", "overlap_join", "ref_integrity",
     "scd2_users", "seasonal_decomp", "skew_profile",
-    "spi_index", "survivorship", "target_encode",
-    "temporal_split", "terrain_gradient", "threshold_alerts",
-    "trailing_features",
-    # (1) new round-7 queries (contract_ext12, both waves)
-    "asof_forward_join", "gapfill_interp", "spearman_corr",
-    "kruskal_wallis", "cramers_v", "winsorized_stats",
-    "heaps_fit", "dup_ngrams", "rbo_overlap",
-    "filter_cascade", "ppl_buckets",
-    "fleiss_kappa", "wilcoxon_signed", "friedman_test",
-    "ordinal_gamma", "window_funnel", "interdup_report",
-    # (2) re-certify: output-shape fix this round (zero-candidate configs
-    # now always emit their row, ADVICE r6)
-    "lsh_band_sweep",
-    # (3) rotating re-checks: flagships + the r6-changed float paths
-    # (kmv_set_ops / ipw_ate / session_paths — VERDICT r7 item 6 watchlist;
-    # six rotation slots ceded to the second-wave queries so the registry
-    # stays 100% driver-certified)
-    "weighted_mean", "gridmet_pipeline", "tpch_q1",
-    "corpus_pipeline_v3", "kmv_set_ops", "ipw_ate",
-    "session_paths",
-    # ---- driver cap (50) reached; everything below has a green driver
-    # CORRECTNESS recording from an earlier round (r1-r6) ----
-    "kaplan_meier", "dsir_select", "lift_eval",
-    "curve_compare", "k_anonymity", "f1_report",
-    "logrank_test", "boilerplate_report", "zone_map_prune",
-    "selectivity_eval", "heavy_hitters_mg", "ks_test",
+    "spi_index", "target_encode", "temporal_split",
+    "terrain_gradient", "threshold_alerts", "trailing_features",
+    "asof_forward_join", "gapfill_interp", "heaps_fit",
+    "dup_ngrams", "ppl_buckets", "window_funnel",
+    "interdup_report", "weighted_mean", "gridmet_pipeline",
+    "tpch_q1", "corpus_pipeline_v3", "kmv_set_ops",
+    "ipw_ate", "session_paths", "dsir_select",
+    "curve_compare", "k_anonymity", "boilerplate_report",
+    "zone_map_prune", "selectivity_eval", "heavy_hitters_mg",
     "class_balance", "histogram_docs", "zipf_fit",
-    "weighted_ess", "token_budget_alloc", "ivf_nprobe_sweep",
-    "cohen_kappa", "cv_folds", "novelty_curve",
-    "truncation_report", "source_jsd", "source_entropy",
-    "pii_flags", "cosine_topk_lsh", "kmeans_assign",
-    "bpe_merges", "embed_covariance", "entity_resolution",
-    "lm_scores", "containment_dups", "quota_filter",
-    "minhash_estimate", "corpus_pipeline_v2", "lsh_recall",
-    "hard_negatives", "bpe_compression", "cosine_topk",
-    "simhash", "tpch_q15ish", "tpch_q17ish",
-    "tpch_q21ish", "tpch_q22ish", "kmv_distinct",
-    "rrf_fusion", "link_prediction", "cuped_adjust",
+    "token_budget_alloc", "ivf_nprobe_sweep", "cv_folds",
+    "novelty_curve", "truncation_report", "source_jsd",
+    "source_entropy", "pii_flags", "cosine_topk_lsh",
+    "kmeans_assign", "bpe_merges", "embed_covariance",
+    "entity_resolution", "lm_scores", "containment_dups",
+    "quota_filter", "hard_negatives", "bpe_compression",
+    "cosine_topk", "simhash", "tpch_q15ish",
+    "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
+    "kmv_distinct", "link_prediction", "cuped_adjust",
     "did_estimate", "hilbert_layout", "markov_attribution",
     "woe_iv", "tpcds_multiband", "feature_hash",
     "qini_uplift", "polygon_metrics", "dp_release",
-    "holt_forecast", "rsi_indicator", "gini_lorenz",
-    "capture_recapture", "welch_ttest", "line_dedup",
-    "mixture_weights", "jl_project", "tfidf_terms",
-    "cms_join_size", "bias_als", "mcv_stats",
-    "equiheight_bins", "join_order_advisor", "source_overlap",
-    "ridge_regression", "join_qerror", "layout_advisor",
-    "cooccurrence_topk", "vocab_topk", "impute_median",
-    "idw_interp", "dbscan_clusters", "item_similarity",
-    "cdc_apply", "hist_quantiles", "bootstrap_ci",
+    "holt_forecast", "rsi_indicator", "capture_recapture",
+    "line_dedup", "mixture_weights", "jl_project",
+    "tfidf_terms", "cms_join_size", "bias_als",
+    "mcv_stats", "equiheight_bins", "join_order_advisor",
+    "source_overlap", "ridge_regression", "join_qerror",
+    "layout_advisor", "cooccurrence_topk", "vocab_topk",
+    "impute_median", "idw_interp", "dbscan_clusters",
+    "item_similarity", "cdc_apply", "hist_quantiles",
     "logit_gd", "forecast_eval", "nb_language_id",
     "mrr_eval", "ppr_scores", "pca_power",
     "geo_knn", "sssp_hops", "weighted_median_pooled",
@@ -138,19 +133,18 @@ _CHECK_FIRST = [
     "tpch_q4ish", "tpch_q6ish", "tpch_q8ish",
     "tpch_q9ish", "tpch_q10ish", "tpch_q11ish",
     "tpch_q12ish", "tpch_q14ish", "tpch_q20ish",
-    "max_dup_spans", "calibration_eval", "incremental_refresh",
-    "polygon_weights", "polygon_zonal_mean", "hex_density",
-    "quantile_normalize", "cusum_changepoints", "rag_pipeline",
-    "pq_topk", "funnel_steps", "retention_cohorts",
-    "event_transitions", "triangle_count", "jaccard_join",
-    "fuzzy_join", "mad_outliers", "ntile_bins",
-    "percentile_cut", "char_entropy", "snapshot_diff",
-    "coarsen_grid", "zorder_layout", "media_dedup",
-    "trending_topk", "focal_mean", "topk_per_source",
-    "trend_slope", "cross_correlation", "token_drift",
-    "readability", "bilinear_interp", "degree_days",
-    "climate_pipeline", "skew_join", "set_ops",
-    "grouping_sets", "range_frame_sum", "weighted_median",
+    "max_dup_spans", "incremental_refresh", "polygon_weights",
+    "polygon_zonal_mean", "hex_density", "quantile_normalize",
+    "cusum_changepoints", "rag_pipeline", "pq_topk",
+    "funnel_steps", "retention_cohorts", "event_transitions",
+    "triangle_count", "jaccard_join", "fuzzy_join",
+    "mad_outliers", "ntile_bins", "char_entropy",
+    "snapshot_diff", "coarsen_grid", "zorder_layout",
+    "media_dedup", "trending_topk", "focal_mean",
+    "topk_per_source", "trend_slope", "cross_correlation",
+    "token_drift", "readability", "bilinear_interp",
+    "degree_days", "climate_pipeline", "skew_join",
+    "set_ops", "grouping_sets", "range_frame_sum",
     "attribution_join", "cfsv2_median_pipeline", "tpch_weighted_mean",
     "tpch_join3", "tpch_window_topk", "tpch_topn",
     "tpch_semi_anti", "tpch_cube", "tpch_rollup",
@@ -165,6 +159,22 @@ _CHECK_FIRST = [
     "catalog_lookup", "weight_sum_qa", "physics_rh",
     "union_concat", "events_daily", "events_window",
     "events_moving_avg", "sessionize_batch", "media_stats",
+    "climatology_anomaly", "resample_weekly", "zscore_grid",
+    "winsorize_grid", "gap_fill", "jsonl_scan",
+    "masked_weighted_mean", "cfsv2_ensemble_pipeline", "asof_join",
+    "approx_aggs", "inverted_index", "profile_lineitem",
+    "upsert_orders", "pagerank", "bm25_topk",
+    "pmi_bigrams", "chunk_windows", "weighted_sample",
+    "curriculum_order", "rp_project", "tfidf_topk",
+    "cms_counts", "domain_flags", "repetition_stats",
+    "semantic_dedup", "span_dedup", "decontam_bloom",
+    "exact_dedup", "minhash_lsh", "simhash_near_dups",
+    "cosine_topk_np", "embedding_near_dups", "ivf_topk",
+    "winnow_fingerprints", "split_assign", "stratified_sample",
+    "mixture_sample", "shard_pack", "dedup_clusters",
+    "clean_text", "decontam_exact", "decontam_fuzzy",
+    "corpus_pipeline", "pack_sequences", "minhash_lsh_star",
+    "sequence_packing", "split_leakage_audit",
 ]
 assert set(_CHECK_FIRST) <= set(_MERGED), sorted(set(_CHECK_FIRST) - set(_MERGED))
 ALL_QUERIES = {name: _MERGED[name] for name in _CHECK_FIRST}

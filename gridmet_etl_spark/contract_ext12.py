@@ -318,8 +318,8 @@ EXT12_QUERIES["kruskal_wallis"] = (q_kruskal_wallis, SQL_KRUSKAL_WALLIS)
 
 def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total chi², dof, and Cramér's V for the documents lang × source
-    contingency — per-cell terms floor-e9-quantized before the cells-row
-    sum (operators/stats.py::cramers_v)."""
+    contingency — per-cell terms max-normalized-e12-quantized before the
+    cells-row sum (operators/stats.py::cramers_v, ADVICE r8 overflow fix)."""
     from .operators.stats import cramers_v
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
@@ -342,22 +342,31 @@ full_tab AS (
   SELECT rt._r, ct._c, rt.rt, ct.ct, COALESCE(c.n, 0) AS n
   FROM rt CROSS JOIN ct LEFT JOIN cells c ON c._r = rt._r AND c._c = ct._c),
 terms AS (
-  SELECT CAST(sum(CAST(floor(
-           (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot)
-           * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot)
-           / (CAST(rt AS DOUBLE) * ct / tot) * 1e9) AS BIGINT)) AS BIGINT)
-           AS chi_e9,
+  -- per-cell (O-E)^2/E in the engine's exact operand order; summed after
+  -- MAX-NORMALIZED e12 quantization (floor(term/tmax*1e12) — the
+  -- kruskal_wallis pattern; absolute e9 overflowed int64 at term > ~9.2e9)
+  SELECT (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot)
+         * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot)
+         / (CAST(rt AS DOUBLE) * ct / tot) AS term,
+         tot, n_cells
+  FROM full_tab, grand),
+tmax AS (SELECT max(term) AS tmax FROM terms),
+acc AS (
+  SELECT CAST(sum(CASE WHEN tmax > 0
+                       THEN CAST(floor(term / tmax * 1e12) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS q_e12,
+         any_value(tmax) AS tmax,
          any_value(tot) AS tot, any_value(n_cells) AS n_cells
-  FROM full_tab, grand)
+  FROM terms, tmax)
 SELECT tot AS n, CAST(r AS INT) AS n_rows, CAST(c AS INT) AS n_cols,
        CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
-       ROUND(CAST(chi_e9 AS DOUBLE) / 1e9, {R}) + 0 AS chi2,
+       ROUND(CAST(q_e12 AS DOUBLE) / 1e12 * tmax, {R}) + 0 AS chi2,
        ROUND(CASE WHEN CAST(tot AS DOUBLE) * least(r - 1, c - 1) = 0 THEN 0.0
-             ELSE sqrt((CAST(chi_e9 AS DOUBLE) / 1e9)
+             ELSE sqrt((CAST(q_e12 AS DOUBLE) / 1e12 * tmax)
                        / (CAST(tot AS DOUBLE)
                           * CAST(least(r - 1, c - 1) AS DOUBLE)))
              END, {R}) + 0 AS cramers_v
-FROM terms, dims
+FROM acc, dims
 """
 
 

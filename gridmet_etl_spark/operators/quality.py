@@ -178,36 +178,62 @@ def filter_cascade(
     keep or is shadowed by the rest of the cascade.
 
     One pass: a single aggregate computes every (fail, unique-kill)
-    counter; the per-rule rows come from unpivoting the 1-row result —
-    no per-rule scans, no shuffle beyond the one agg.
+    counter; the per-rule rows come from exploding an array of literal
+    structs over the 1-row result — no per-rule scans, no shuffle beyond
+    the one agg. Rule names appear ONLY as column-object references and
+    string literals (never interpolated into SQL text), so names with
+    quotes/spaces/backticks can't break or inject into the expression
+    (ADVICE r8 fix); internal aliases are INDEX-based for the same reason.
 
     Output per rule: (rule, n_failed, n_unique_kills) + shared
     (n_docs, n_survivors)."""
     from functools import reduce
 
+    def _ref(name: str):
+        # backtick-quoted exact reference: the ONLY metachar inside a
+        # quoted name part is the backtick itself, doubled to escape —
+        # quotes/spaces/commas pass through literally (Spark 4 parses
+        # even df[name] / F.col(name), so quoting is mandatory here)
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs = [
         F.count(F.lit(1)).cast("long").alias("_n_docs"),
         F.sum(
-            reduce(lambda x, y: x & y, [F.col(c) for c in rule_cols]).cast("long")
+            reduce(lambda x, y: x & y, [_ref(c) for c in rule_cols]).cast("long")
         )
         .cast("long")
         .alias("_n_pass"),
     ]
-    for r in rule_cols:
-        others = [F.col(c) for c in rule_cols if c != r]
+    for i, r in enumerate(rule_cols):
+        others = [_ref(c) for c in rule_cols if c != r]
         all_others = reduce(lambda x, y: x & y, others) if others else F.lit(True)
-        aggs.append(F.sum((~F.col(r)).cast("long")).cast("long").alias(f"_f_{r}"))
+        aggs.append(F.sum((~_ref(r)).cast("long")).cast("long").alias(f"_f_{i}"))
         aggs.append(
-            F.sum((~F.col(r) & all_others).cast("long"))
+            F.sum((~_ref(r) & all_others).cast("long"))
             .cast("long")
-            .alias(f"_u_{r}")
+            .alias(f"_u_{i}")
         )
     one = flags.agg(*aggs)
-    stack = ", ".join(f"'{r}', _f_{r}, _u_{r}" for r in rule_cols)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("rule"),
+                    F.col(f"_f_{i}").alias("n_failed"),
+                    F.col(f"_u_{i}").alias("n_unique_kills"),
+                )
+                for i, r in enumerate(rule_cols)
+            ]
+        )
+    ).alias("_row")
     return one.select(
-        F.expr(
-            f"stack({len(rule_cols)}, {stack}) AS (rule, n_failed, n_unique_kills)"
-        ),
+        rows,
         F.col("_n_docs").alias("n_docs"),
         F.col("_n_pass").alias("n_survivors"),
+    ).select(
+        F.col("_row.rule").alias("rule"),
+        F.col("_row.n_failed").alias("n_failed"),
+        F.col("_row.n_unique_kills").alias("n_unique_kills"),
+        "n_docs",
+        "n_survivors",
     )

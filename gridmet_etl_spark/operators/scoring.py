@@ -333,7 +333,12 @@ def rbo_overlap(
     2^(−d), so every depth's term is the exact integer division
     (overlap_d·scale) div (d·2^d) — both engines floor identically and
     the k-term sum is exact (an arbitrary p would need cross-engine pow()
-    rounding). int64 bound: overlap·10¹⁵ ≤ k·10¹⁵ ≪ 2⁶³ for k ≤ 4000.
+    rounding). int64 bounds: the numerator overlap·10¹⁵ ≤ k·10¹⁵ needs
+    k ≤ 4000 (enforced — ValueError above that); the denominator d·2^d
+    would overflow at d ≥ 58, but every depth ≥ 50 term is EXACTLY zero
+    anyway (overlap_d ≤ d, so term ≤ 10¹⁵/2^d < 1 once 2^d > 10¹⁵, i.e.
+    d ≥ 50, and the floor division yields 0) — those depths emit a
+    literal 0 and 2^d is never materialized past 49.
 
     Scale shape: callers produce the two rankings however they like (the
     heavy part); this joins two ≤k-row relations and does bounded-window
@@ -342,6 +347,11 @@ def rbo_overlap(
     Output per depth: (depth, overlap, agree_e4) + shared (rbo, n_both)."""
     from pyspark.sql import Window
 
+    if k > 4000:
+        raise ValueError(
+            f"rbo_overlap: k={k} exceeds the int64-exact bound (k <= 4000: "
+            "the scaled numerator overlap*1e15 must stay below 2^63)"
+        )
     am = a.filter(F.col(rank_col) <= k).select(
         F.col(item_col).alias("_i"), F.col(rank_col).alias("_ra")
     )
@@ -366,10 +376,14 @@ def rbo_overlap(
             .alias("overlap"),
         )
         .withColumn(
+            # depth >= 50: d*2^d > k*scale for any allowed k, so the floor
+            # division is exactly 0 — emit it literally instead of
+            # materializing 2^d (which overflows int64 at d >= 58)
             "term",
             F.expr(
-                f"overlap * CAST({scale} AS BIGINT) div "
-                f"(depth * CAST(power(2, depth) AS BIGINT))"
+                f"CASE WHEN depth >= 50 THEN CAST(0 AS BIGINT) "
+                f"ELSE overlap * CAST({scale} AS BIGINT) div "
+                f"(depth * CAST(power(2, depth) AS BIGINT)) END"
             ),
         )
     )

@@ -710,11 +710,19 @@ def spearman_corr(
     not |rows|). The raw data is touched by exactly one aggregation; at
     100 TB every later exchange is histogram-sized.
 
+    NULL semantics: PAIRWISE-COMPLETE — rows with NULL x or y are
+    dropped BEFORE ranking, so ranks and moment sums are computed over
+    the same row set (a NULL-keyed cell would silently vanish at the
+    rank joins anyway, but its counts would still inflate the per-value
+    rank relation and skew the surviving rows' ranks — ADVICE r7).
+
     Output per group: (*group_cols, n, rho)."""
     gp = list(group_cols)
-    cells = df.groupBy(
-        *gp, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
-    ).agg(F.count(F.lit(1)).alias("_c"))
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*gp, F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
 
     def ranks2(col: str, out: str) -> DataFrame:
         per_v = cells.groupBy(*gp, col).agg(F.sum("_c").alias("_cv"))
@@ -834,7 +842,12 @@ def kruskal_wallis(
         * (F.col("q_e12").cast("double") / 1e12 * F.col("_tmax"))
         / (nn * (nn + 1.0))
     )
-    corr = 1.0 - F.col("tie3").cast("double") / (nn * nn * nn - nn)
+    # N <= 1 degenerates the tie-correction denominator N^3 - N to 0
+    # (0/0 -> NaN would flow PAST the corr == 0.0 guard, since NaN != 0.0)
+    # — emit 0.0 for both H forms there, matching the no-information case
+    corr = F.when(
+        nn * nn * nn - nn == 0.0, F.lit(0.0)
+    ).otherwise(1.0 - F.col("tie3").cast("double") / (nn * nn * nn - nn))
     h_corr = F.when(corr == 0.0, F.lit(0.0)).otherwise(h / corr)
     rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
     summary = acc.select(
@@ -860,9 +873,12 @@ def cramers_v(
     """Association SUMMARY for two categoricals: total chi², dof, and
     Cramér's V (chi_square_contingency is the per-cell table; this is the
     one-row effect size you act on). Per-cell (O−E)²/E terms are computed
-    from exact integer marginals in fixed order and floor-e9-quantized
-    before the |cells|-row sum (order-independent); V = √(χ²/(N·min(r−1,
-    c−1)))."""
+    from exact integer marginals in fixed order and quantized RELATIVE to
+    the largest term (⌊term/max·10¹²⌋ — the kruskal_wallis pattern) before
+    the |cells|-row sum: order-independent at ANY magnitude, where the
+    old absolute e9 quantization overflowed int64 once a single term
+    exceeded ~9.2×10⁹ (a term is bounded only by N — ADVICE r8 fix);
+    V = √(χ²/(N·min(r−1, c−1)))."""
     cells = df.groupBy(
         F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -885,14 +901,25 @@ def cramers_v(
         .crossJoin(F.broadcast(grand))
     )
     e = F.col("rt").cast("double") * F.col("ct") / F.col("_tot")
-    term_e9 = F.floor(
-        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e * 1e9
-    ).cast("long")
-    chi = exp.agg(
-        F.sum(term_e9).alias("chi_e9"), F.first("_tot").alias("_tot"),
-        F.first("n_cells").alias("n_cells"),
-    ).crossJoin(F.broadcast(dims))
-    chi2 = F.col("chi_e9").cast("double") / 1e9
+    exp = exp.withColumn(
+        "_term",
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e,
+    )
+    tmax = exp.agg(F.max("_term").alias("_tmax"))
+    q = F.floor(F.col("_term") / F.col("_tmax") * 1e12).cast("long")
+    chi = (
+        exp.crossJoin(F.broadcast(tmax))
+        .agg(
+            F.sum(
+                F.when(F.col("_tmax") > 0.0, q).otherwise(F.lit(0))
+            ).alias("q_e12"),
+            F.first("_tmax").alias("_tmax"),
+            F.first("_tot").alias("_tot"),
+            F.first("n_cells").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(dims))
+    )
+    chi2 = F.col("q_e12").cast("double") / 1e12 * F.col("_tmax")
     denom = F.col("_tot").cast("double") * F.least(
         F.col("r") - 1, F.col("c") - 1
     ).cast("double")
@@ -1027,9 +1054,19 @@ def fleiss_kappa(
     acc = tot.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(dropped))
     nn = F.col("n_items").cast("double")
     mm = F.col("m").cast("double")
-    pbar = (F.col("s2").cast("double") - nn * mm) / (nn * mm * (mm - 1.0))
-    pe = F.col("c2").cast("double") / ((nn * mm) * (nn * mm))
-    kappa = F.when(pe == 1.0, F.lit(1.0)).otherwise((pbar - pe) / (1.0 - pe))
+    # m <= 1 (single rater) or n = 0 degenerates the P̄ denominator
+    # N·m·(m−1) to 0 (x/0 -> Inf/NaN) — agreement is undefined with one
+    # rater, so emit 0.0 for all three statistics rather than NaN
+    degen = (nn == 0.0) | (mm <= 1.0)
+    pbar = F.when(degen, F.lit(0.0)).otherwise(
+        (F.col("s2").cast("double") - nn * mm) / (nn * mm * (mm - 1.0))
+    )
+    pe = F.when(degen, F.lit(0.0)).otherwise(
+        F.col("c2").cast("double") / ((nn * mm) * (nn * mm))
+    )
+    kappa = F.when(degen, F.lit(0.0)).otherwise(
+        F.when(pe == 1.0, F.lit(1.0)).otherwise((pbar - pe) / (1.0 - pe))
+    )
     rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
     return acc.select(
         "n_items",
