@@ -993,7 +993,79 @@ def _seq_packing_1m_docs(spark):
     )
 
 
+def _hub_events_12m(spark):
+    """12M synthetic events where ONE hub user (bot traffic) holds 20% of
+    all rows and ~240k normal users share the rest — the real-world skew
+    shape VERDICT r7 item 3 names for the per-user window family."""
+    from pyspark.sql import functions as F
+
+    n = 12_000_000
+    base = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    return spark.range(0, n, 1, 32).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.pmod(F.col("id") * 2654435761, 240_000) + 1)
+        .alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("buy")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (base + F.make_interval(secs=F.pmod(F.col("id") * 7919, 30 * 86400)))
+        .alias("ts"),
+    )
+
+
+def _funnel_hub_bucketed(spark):
+    """window_funnel on the hub-20% stream through the SEGMENT-AND-MERGE
+    as-of path (hub_bucket_seconds=3600): per-task state is one
+    (user, hour) bucket — the hub user's 2.4M events spread over ~720
+    hourly buckets instead of one task's sort."""
+    from gridmet_etl_spark.operators.funnel import window_funnel
+
+    return window_funnel(
+        _hub_events_12m(spark), ["view", "click", "buy"], 86400,
+        hub_bucket_seconds=3600,
+    )
+
+
+def _asof_hub(spark, bucket_seconds):
+    """Raw as-of join on the hub-20% stream (4M 'view' left rows x 4M
+    'click' right rows, user-keyed): no checkpoints anywhere in the
+    operator, so the timing IS the join cost — the funnel twin's lazy
+    frontier checkpoint would mask it. Single-task vs segment-and-merge
+    is the same plan pair VERDICT r7 item 3 asks to measure."""
+    from pyspark.sql import functions as F
+
+    from gridmet_etl_spark.operators.asof import asof_join
+
+    ev = _hub_events_12m(spark)
+    left = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1.0).alias("rv")
+    )
+    return asof_join(
+        left, right, on="user_id", bucket_seconds=bucket_seconds
+    )
+
+
+def _session_windows_hub(spark):
+    """Native session_window on the hub-20% stream: MergingSessions
+    partial-aggregates map-side, so the hub user's event volume collapses
+    to session rows BEFORE the user-keyed exchange — the skew defense is
+    built into the operator choice."""
+    from pyspark.sql import functions as F
+
+    ev = _hub_events_12m(spark)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 EXTRA_BENCH = {
+    "funnel_hub20_12M_bucketed": _funnel_hub_bucketed,
+    "asof_hub20_12M_single_task": (lambda spark: _asof_hub(spark, None)),
+    "asof_hub20_12M_bucketed": (lambda spark: _asof_hub(spark, 3600)),
+    "session_windows_hub20_12M": _session_windows_hub,
     "seq_packing_1M_docs": _seq_packing_1m_docs,
     "scd2_1M_changes": _scd2_1m_changes,
     "overlap_200k_spans": _overlap_200k_spans,

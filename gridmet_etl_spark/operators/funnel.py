@@ -351,6 +351,7 @@ def window_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    hub_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """ClickHouse-windowFunnel-shaped sequence match: per user, the
     deepest step k such that SOME step-1 event starts a chain
@@ -372,6 +373,13 @@ def window_funnel(
     type (a "viewed twice" funnel needs strict event-id progression the
     as-of composition does not carry), so repeats raise instead of
     silently overcounting.
+
+    ``hub_bucket_seconds``: forwarded to each as-of extension's
+    segment-and-merge path (operators/asof.py) — with one hub user (bot
+    traffic) holding a double-digit share of events, the default plan
+    sorts that user's whole stream in one task per extension; bucketing
+    bounds per-task state at rows-per-(user, bucket). Identical output
+    (asof property tests cover the equivalence).
 
     Output per level: (level, n_users), level 1..k — n_users = users
     whose deepest completed step is exactly ``level``."""
@@ -405,6 +413,7 @@ def window_funnel(
             right.select(F.col("_u").alias("k"), F.col("_ts").alias("ts")),
             on="k",
             direction="forward",
+            bucket_seconds=hub_bucket_seconds,
         )
         chains = (
             step.filter(

@@ -133,3 +133,97 @@ def test_null_right_payload_not_backfilled(spark):
     assert row.tag_right == "new"
     assert row.rv_right is None  # NOT 10.0 from the older row
     assert row.ts_right == datetime(2024, 1, 1, 11, 0)
+
+
+# -- segment-and-merge (bucket_seconds) hub-key fallback (round 8) ----------
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_bucketed_equals_unbucketed(spark, sides):
+    left, right = sides
+    for direction in ("backward", "forward"):
+        base = asof_join(left, right, on="k", direction=direction)
+        for bs in (60, 1800, 3600, 86400 * 365):
+            seg = asof_join(
+                left, right, on="k", direction=direction, bucket_seconds=bs
+            )
+            assert _canon(seg.collect()) == _canon(base.collect()), (
+                direction, bs,
+            )
+
+
+def test_bucketed_equals_unbucketed_random(spark):
+    # randomized equivalence incl. hub key: key 0 holds ~60% of all rows
+    import random
+
+    rnd = random.Random(8)
+    base_ts = datetime(2024, 1, 1)
+    from datetime import timedelta
+
+    def mk(n, hub_share):
+        rows = []
+        for i in range(n):
+            k = 0 if rnd.random() < hub_share else rnd.randint(1, 5)
+            ts = base_ts + timedelta(seconds=rnd.randint(0, 7 * 86400))
+            rows.append((k, ts, float(i)))
+        return rows
+
+    left = spark.createDataFrame(mk(300, 0.6), "k long, ts timestamp, lv double")
+    right = spark.createDataFrame(mk(200, 0.6), "k long, ts timestamp, rv double")
+    # dedup right (k, ts) so the match is unique -> deterministic compare
+    right = right.groupBy("k", "ts").agg(F.max("rv").alias("rv"))
+    for direction in ("backward", "forward"):
+        base = _canon(
+            asof_join(left, right, on="k", direction=direction).collect()
+        )
+        for bs in (3600, 86400):
+            seg = _canon(
+                asof_join(
+                    left, right, on="k", direction=direction, bucket_seconds=bs
+                ).collect()
+            )
+            assert seg == base, (direction, bs)
+
+
+def test_bucketed_tolerance(spark, sides):
+    left, right = sides
+    base = _canon(
+        asof_join(left, right, on="k", tolerance_seconds=600).collect()
+    )
+    seg = _canon(
+        asof_join(
+            left, right, on="k", tolerance_seconds=600, bucket_seconds=900
+        ).collect()
+    )
+    assert seg == base
+
+
+def test_window_funnel_hub_bucketed(spark):
+    """One hub user with 20% of events: funnel levels identical with and
+    without the segment-and-merge path."""
+    from datetime import timedelta
+
+    from gridmet_etl_spark.operators.funnel import window_funnel
+
+    base_ts = datetime(2024, 3, 1)
+    rows = []
+    # hub user 0: 400 events cycling through the steps
+    for i in range(400):
+        rows.append((0, ["view", "click", "buy"][i % 3],
+                     base_ts + timedelta(seconds=i * 30)))
+    # 80 normal users: a complete or partial chain each
+    for u in range(1, 81):
+        rows.append((u, "view", base_ts + timedelta(seconds=u)))
+        if u % 2 == 0:
+            rows.append((u, "click", base_ts + timedelta(seconds=u + 10)))
+        if u % 4 == 0:
+            rows.append((u, "buy", base_ts + timedelta(seconds=u + 20)))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    args = (["view", "click", "buy"], 3600)
+    base = _canon(window_funnel(ev, *args).collect())
+    seg = _canon(window_funnel(ev, *args, hub_bucket_seconds=600).collect())
+    assert seg == base
+    assert sum(r[1] for r in base) == 81  # every user reaches some level
