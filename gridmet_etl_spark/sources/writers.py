@@ -201,6 +201,7 @@ def export_netcdf(
         return export_netcdf_classic(df, path, time_col=time_col, calendar=calendar)
     pdf = df.toPandas()  # edge-export: bounded output (features × days)
     value_cols = [c for c in pdf.columns if c not in ("feature_id", time_col, "ens")]
+    member = _single_member(pdf)
     pdf = pdf.set_index(["feature_id", time_col]).sort_index()
     ds = pdf[value_cols].to_xarray().rename({"feature_id": "nhru"})
     for v in value_cols:
@@ -208,9 +209,27 @@ def export_netcdf(
         ds[v].encoding.update({"_FillValue": NETCDF_FILL_VALUE, "zlib": True, "complevel": 2})
     if time_col in ds.coords:
         ds[time_col].encoding.update({"calendar": calendar})
+    if member is not None:
+        # per-member ensemble export (cfsv2_ensemble_header.md:55 —
+        # `int64 ens ;` scalar in each member file; reference
+        # etl.py:355-357 concat dim="ens" then writes one file per member)
+        import numpy as _np
+
+        ds["ens"] = _np.int64(member)
     ds.attrs.update({"Conventions": "CF-1.8", "featureType": "timeSeries"})
     ds.to_netcdf(path, format="NETCDF4")
     return path
+
+
+def _single_member(pdf) -> int | None:
+    """The single `ens` member id of a per-member export slice, or None
+    when the frame has no ens column (duplicate-(feature, time) handling —
+    i.e. an UNFILTERED multi-member frame — stays with the callers'
+    existing checks)."""
+    if "ens" not in pdf.columns or len(pdf) == 0:
+        return None
+    u = pdf["ens"].unique()
+    return int(u[0]) if len(u) == 1 else None
 
 
 def export_netcdf_classic(
@@ -266,6 +285,12 @@ def export_netcdf_classic(
         ("nhru", ["nhru"], {"long_name": "local model hru id"},
          np.asarray(features, dtype="i4")),
     ]
+    member = _single_member(pdf)
+    if member is not None:
+        # per-member ensemble slice: scalar `ens` variable
+        # (cfsv2_ensemble_header.md:55 has int64; classic has no 64-bit
+        # int — i4 under the documented container divergence, like nhru)
+        variables.append(("ens", [], {}, np.asarray(member, dtype="i4")))
     for v in value_cols:
         grid = np.full((len(times), len(features)), NETCDF_FILL_VALUE, dtype="f8")
         grid[rows, cols] = pdf[v].to_numpy(dtype="f8")

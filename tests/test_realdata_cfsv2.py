@@ -185,3 +185,54 @@ def test_cfsv2_median_pipeline_real_weights_numpy_golden_and_header(
         assert _dims == ["time", "nhru"]
         assert attrs["long_name"] == long_name and attrs["units"] == units
         assert attrs["_FillValue"] == pytest.approx(9.96920996838687e36)
+
+
+def test_cfsv2_ensemble_header_parity(spark, wpdf, grid_ens_pdf, tmp_path):
+    """Method 2 per-member export asserted against the published
+    cfsv2_ensemble_header.md (VERDICT r7 item 4): each member file carries
+    dims (time, nhru=2462), tmax/tmin/prcp(time, nhru) with the gridMET
+    long_name/units pairs and the 9.96920996838687e+36 fill sentinel,
+    julian calendar, CF-1.8 — plus the SCALAR `ens` member-id variable
+    (cfsv2_ensemble_header.md:55 `int64 ens ;`; the reference builds the
+    concat dim="ens" cube, etl.py:355-357, then writes one file per
+    member). Classic-container divergence: ens exports as i4 like nhru
+    (NetCDF-3 has no 64-bit int; documented in writers.py)."""
+    from gridmet_etl_spark.plans.cfsv2 import cfsv2_ensemble_pipeline
+    from gridmet_etl_spark.sources.nc_micro import read_netcdf3
+    from gridmet_etl_spark.sources.readers import read_weights_csv
+    from gridmet_etl_spark.sources.writers import export_netcdf
+
+    weights = read_weights_csv(spark, CFSV2_CSV, fid_col="nhru_v1_1")
+    grid = spark.createDataFrame(grid_ens_pdf)
+    elev = spark.createDataFrame(_elev_pdf(wpdf))
+    out = cfsv2_ensemble_pipeline(grid, weights, elev)
+
+    # unfiltered multi-member frame must refuse the flat export loudly
+    with pytest.raises(ValueError, match="ens"):
+        export_netcdf(out, str(tmp_path / "bad.nc"), calendar="julian")
+
+    for member in (0, _N_ENS - 1):
+        path = str(tmp_path / f"cfsv2_ens_{member}.nc")
+        export_netcdf(
+            out.filter(F.col("ens") == member), path, calendar="julian"
+        )
+        dims, gatts, variables = read_netcdf3(path)
+        assert dims == {"time": _N_DAYS, "nhru": 2462}
+        assert gatts["Conventions"] == "CF-1.8"
+        assert gatts["featureType"] == "timeSeries"
+        assert variables["time"][1]["calendar"] == "julian"
+        # scalar per-member coordinate (cfsv2_ensemble_header.md:55)
+        ens_dims, _ens_attrs, ens_arr = variables["ens"]
+        assert ens_dims == []
+        assert int(ens_arr) == member
+        expected = {
+            "tmax": ("tmmx", "degree_Celsius"),
+            "tmin": ("tmmn", "degree_Celsius"),
+            "prcp": ("pr", "millimeter"),
+        }
+        for name, (long_name, units) in expected.items():
+            vdims, attrs, arr = variables[name]
+            assert vdims == ["time", "nhru"]
+            assert attrs["long_name"] == long_name and attrs["units"] == units
+            assert attrs["_FillValue"] == pytest.approx(9.96920996838687e36)
+            assert arr.shape == (_N_DAYS, 2462)
