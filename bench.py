@@ -993,6 +993,53 @@ def _seq_packing_1m_docs(spark):
     )
 
 
+def _cfsv2_scale_stress_400m(spark):
+    """CFSv2 memory-pressure stress near real geometry (VERDICT r7 item
+    5): 4 vars × 48 members × 28 days × 272×272 cells ≈ 398M cell-values
+    (~9% of BASELINE.md's 4.36×10⁹ per production run, 46× the 8.6M
+    entry), synthetic weights mapping the 74k cells onto 2462 HRUs (the
+    real nhru01 feature count). The single-shuffle ensemble plan must
+    hold under map-side agg spill: the one exchange carries partial rows
+    for 2462×28×48 ≈ 3.3M output groups, the 74k-row weights broadcast,
+    and the 398M-row grid never shuffles (plan-asserted in
+    tests/test_plans_physical.py::test_cfsv2_400m_stress_plan)."""
+    from gridmet_etl_spark.operators.weighted_agg import weighted_mean_wide
+
+    grid, weights = _cfsv2_400m_inputs(spark)
+    return weighted_mean_wide(
+        grid, weights, ["tmmx", "tmmn", "pr", "sph"], extra_keys=("ens",)
+    )
+
+
+def _cfsv2_400m_inputs(spark):
+    from pyspark.sql import functions as F
+
+    n_ens, n_days, ny, nx = 48, 28, 272, 272
+    n_cells = ny * nx
+    n = 4 * n_ens * n_days * n_cells
+    cell = F.col("id") / (4 * n_ens * n_days)
+    grid = spark.range(0, n, 1, 32).select(
+        F.element_at(
+            F.array(F.lit("tmmx"), F.lit("tmmn"), F.lit("pr"), F.lit("sph")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("var"),
+        ((F.col("id") / 4) % n_ens).cast("int").alias("ens"),
+        F.date_add(
+            F.lit("2024-04-01"), ((F.col("id") / (4 * n_ens)) % n_days).cast("int")
+        ).alias("time"),
+        (cell.cast("long") % ny).cast("int").alias("i"),
+        (cell.cast("long") / ny).cast("int").alias("j"),
+        (F.sin(F.col("id") % 9973) * 10 + 285).alias("value"),
+    )
+    weights = spark.range(0, n_cells, 1, 4).select(
+        (F.col("id") % 2462 + 1).alias("feature_id"),
+        (F.col("id") % ny).cast("int").alias("i"),
+        (F.col("id") / ny).cast("long").cast("int").alias("j"),
+        (0.5 + F.pmod(F.col("id") * 7919, 1000) / 2000.0).alias("wght"),
+    )
+    return grid, weights
+
+
 def _hub_events_12m(spark):
     """12M synthetic events where ONE hub user (bot traffic) holds 20% of
     all rows and ~240k normal users share the rest — the real-world skew
@@ -1062,6 +1109,7 @@ def _session_windows_hub(spark):
 
 
 EXTRA_BENCH = {
+    "cfsv2_scale_stress_398M": _cfsv2_scale_stress_400m,
     "funnel_hub20_12M_bucketed": _funnel_hub_bucketed,
     "asof_hub20_12M_single_task": (lambda spark: _asof_hub(spark, None)),
     "asof_hub20_12M_bucketed": (lambda spark: _asof_hub(spark, 3600)),

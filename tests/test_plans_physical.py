@@ -201,3 +201,22 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in before.items():
             spark.conf.set(k, v)
+
+
+def test_cfsv2_400m_stress_plan(spark):
+    """The 398M-cell-value stress geometry (bench.py, VERDICT r7 item 5)
+    compiles to the SAME plan as the production pipeline: exactly one
+    data exchange (output-group partials), weights broadcast, the 398M-row
+    grid never shuffles. Plan-only — the execution lives in bench.py."""
+    import bench
+
+    grid, weights = bench._cfsv2_400m_inputs(spark)
+    from gridmet_etl_spark.operators.weighted_agg import weighted_mean_wide
+
+    df = weighted_mean_wide(
+        grid, weights, ["tmmx", "tmmn", "pr", "sph"], extra_keys=("ens",)
+    )
+    plan = _plan(df)
+    n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchanges == 1, plan
+    assert "BroadcastHashJoin" in plan
