@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""sf1.0 scaling spot-bench (VERDICT r7 item 2): time the flagship
+queries at sf0.1 AND the derived sf1.0 (tools/sf_scale.py, 10x rows) and
+report t(sf1)/t(sf0.1) per flagship — the measured check on the SCALE.md
+shuffle-budget arguments.
+
+Protocol: per (query, sf_dir) the DataFrame is REBUILT for every
+execution (so lazy localCheckpoints inside corpus_pipeline_v3 /
+window_funnel are re-materialized and paid each run — honest totals),
+one untimed warm-up, then best-of-3 noop-sink executions.
+
+Usage: python tools/sf1_bench.py [--reps 3]
+Prints one JSON line {"queries": {name: {"sf01": s, "sf1": s,
+"ratio": r}}, "loadavg1": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FLAGSHIPS = [
+    "tpch_q1",
+    "tpch_q9ish",
+    "exact_dedup",
+    "minhash_lsh_star_full",  # builder override below
+    "line_dedup",
+    "corpus_pipeline_v3",
+    "kmv_set_ops",
+    "window_funnel",
+]
+
+
+def _minhash_star_full(spark, sf_dir):
+    """The contract q_minhash_lsh_star keeps an absolute doc_id < 300
+    oracle scope, which SHRINKS under the x10 key remap — scale-true form
+    is the star operator over the dir's WHOLE corpus (5k -> 50k docs),
+    production hash."""
+    from gridmet_etl_spark.operators.dedup import minhash_lsh_star
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_lsh_star(docs, hash_fn="xxhash64")
+
+
+OVERRIDES = {"minhash_lsh_star_full": _minhash_star_full}
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".sfscale", "sf1")
+
+
+def main() -> int:
+    reps = 3
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    if not os.path.isdir(SF1):
+        print("run tools/sf_scale.py first", file=sys.stderr)
+        return 1
+
+    import __spark_entry__ as entry
+
+    from gridmet_etl_spark.session import get_spark
+
+    qs = entry.queries()
+    spark = get_spark(app_name="sf1_bench")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def timed(name: str, sf_dir: str) -> float:
+        build = OVERRIDES.get(name) or qs[name]
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = None
+        for _ in range(reps):
+            df = build(spark, sf_dir)  # rebuild: checkpoints re-pay
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+
+    out = {}
+    for name in FLAGSHIPS:
+        t01 = timed(name, SF01)
+        t1 = timed(name, SF1)
+        out[name] = {
+            "sf01": t01,
+            "sf1": t1,
+            "ratio": round(t1 / t01, 2) if t01 > 0 else None,
+        }
+        print(f"# {name}: {t01}s -> {t1}s  ratio {out[name]['ratio']}",
+              file=sys.stderr)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    print(json.dumps({"queries": out, "reps": reps, "loadavg1": load1}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
