@@ -31,6 +31,7 @@ from gridmet_etl_spark.contract_ext9 import EXT9_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext10 import EXT10_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext11 import EXT11_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext12 import EXT12_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext13 import EXT13_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -46,6 +47,7 @@ _MERGED = {
     **EXT10_QUERIES,
     **EXT11_QUERIES,
     **EXT12_QUERIES,
+    **EXT13_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -69,6 +71,10 @@ _CHECK_FIRST = [
     # (1) ADVICE r8 direct fixes — re-certify first
     "cramers_v", "kruskal_wallis", "fleiss_kappa",
     "spearman_corr", "rbo_overlap", "filter_cascade",
+    # (1b) new round-8 queries (contract_ext13)
+    "kendall_tau", "permutation_test", "ap_at_k",
+    "inter_event_gaps", "degree_assortativity", "bloom_fpr_sweep",
+    "neyman_alloc", "propensity_match_att", "hill_tail_index",
     # (2) file-level cohort of the three fixed operator files
     "auc_eval", "bootstrap_ci", "c4_filters",
     "calibration_eval", "chi_square", "classifier_score",

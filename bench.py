@@ -100,6 +100,18 @@ BENCH_QUERIES = [
     "ordinal_gamma",
     "window_funnel",
     "interdup_report",
+    # round-8 additions (ext13): rank statistics completion, exact
+    # permutation inference, retrieval AP, bloom geometry sweep, event-gap
+    # histogram, graph assortativity, sampling design, matching, tail index
+    "kendall_tau",
+    "permutation_test",
+    "ap_at_k",
+    "inter_event_gaps",
+    "degree_assortativity",
+    "bloom_fpr_sweep",
+    "neyman_alloc",
+    "propensity_match_att",
+    "hill_tail_index",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",
@@ -1160,9 +1172,11 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext10 import EXT10_QUERIES as _EXT10
     from gridmet_etl_spark.contract_ext11 import EXT11_QUERIES as _EXT11
     from gridmet_etl_spark.contract_ext12 import EXT12_QUERIES as _EXT12
+    from gridmet_etl_spark.contract_ext13 import EXT13_QUERIES as _EXT13
 
     DOMAIN_QUERIES = {
-        **_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11, **_EXT12
+        **_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11, **_EXT12,
+        **_EXT13,
     }
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")

@@ -281,3 +281,80 @@ def qini_curve(
         rnd(F.col("_qini")).alias("cum_qini"),
         rnd(F.col("_q_final") * F.col("_cn") / F.col("_n_all")).alias("qini_random"),
     )
+
+
+def propensity_match_att(
+    units: DataFrame,
+    id_col: str = "user_id",
+    y_col: str = "y",
+    t_col: str = "t",
+    stratum_col: str = "stratum",
+    ndigits: int = 6,
+) -> DataFrame:
+    """ATT by 1:1 within-stratum matching over an INTEGER outcome
+    (quantize money to cents upstream) — the matching companion to
+    ``ipw_ate``: instead of reweighting, each treated unit is paired with
+    one control from its propensity stratum; unmatched treated units
+    (strata with control shortage) are counted, never silently dropped
+    into the estimate.
+
+    Determinism (no RNG): within (stratum, arm), units are ranked by the
+    48-bit md5 of ('match:' || id) with id tie-break, and the i-th treated
+    matches the i-th control — a blind draw that replays identically in
+    any engine (ties in covariates carry no information by construction
+    here; callers wanting caliper matching pass finer strata).
+
+    Exactness: matched-arm sums are exact int64; the two closing
+    divisions (ATT, naive diff) are over exact operands.
+
+    Scale shape: one (stratum, arm)-keyed rank window (per-task bound =
+    largest stratum arm — pass hash-refined strata for hub safety), one
+    (stratum, rank) join, one bounded agg.
+
+    Output (1 row): (n_treated, n_control, n_matched,
+    n_unmatched_treated, att, naive_diff)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("match:"), F.col(id_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(stratum_col, t_col).orderBy(h, F.col(id_col))
+    ranked = units.select(
+        F.col(stratum_col).alias("_s"),
+        F.col(t_col).cast("int").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    tr = ranked.filter(F.col("_t") == 1).select("_s", "_rn", F.col("_y").alias("_yt"))
+    ct = ranked.filter(F.col("_t") == 0).select("_s", "_rn", F.col("_y").alias("_yc"))
+    pairs = tr.join(ct, ["_s", "_rn"])
+    acc = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("_yt").cast("long").alias("syt"),
+        F.sum("_yc").cast("long").alias("syc"),
+    )
+    tot = ranked.agg(
+        F.sum(F.col("_t").cast("long")).cast("long").alias("n_treated"),
+        F.sum((1 - F.col("_t")).cast("long")).cast("long").alias("n_control"),
+        F.sum(F.col("_y") * F.col("_t")).cast("long").alias("st_all"),
+        F.sum(F.col("_y") * (1 - F.col("_t"))).cast("long").alias("sc_all"),
+    )
+    j = acc.crossJoin(F.broadcast(tot))
+    att = F.when(F.col("n_matched") > 0,
+                 (F.col("syt") - F.col("syc")).cast("double") / F.col("n_matched")
+                 ).otherwise(F.lit(0.0))
+    naive = F.when(
+        (F.col("n_treated") > 0) & (F.col("n_control") > 0),
+        F.col("st_all").cast("double") / F.col("n_treated")
+        - F.col("sc_all").cast("double") / F.col("n_control"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "n_treated",
+        "n_control",
+        "n_matched",
+        (F.col("n_treated") - F.col("n_matched")).alias("n_unmatched_treated"),
+        (F.round(att, ndigits) + F.lit(0.0)).alias("att"),
+        (F.round(naive, ndigits) + F.lit(0.0)).alias("naive_diff"),
+    )

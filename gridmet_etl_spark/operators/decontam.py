@@ -17,6 +17,8 @@ Two detection tiers, both join-based and shuffle-minimal:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -227,4 +229,115 @@ def cross_split_leakage(
                 "shared_digests_e4"
             ),
         )
+    )
+
+
+def bloom_fpr_sweep(
+    members: DataFrame,
+    probes: DataFrame,
+    configs: Sequence[tuple[int, int]] = ((1 << 14, 3), (1 << 16, 5), (1 << 18, 7)),
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Bloom-filter geometry advisor (the decontam twin of lsh_band_sweep
+    / ivf_nprobe_sweep): for each (m_bits, k_hashes) config, the MEASURED
+    false-positive rate of a filter built from ``members`` probed with the
+    non-member rows of ``probes``, next to the analytic
+    (1 − (1−1/m)^{kn})^k — pick the geometry from data, not folklore.
+
+    Determinism: positions come from Kirsch–Mitzenmacher double hashing
+    pos_i = (h1 + i·(2·h2+1)) mod m over two 48-bit md5 halves of the
+    normalized-text fingerprint — pure integer arithmetic, identical in
+    any engine (the production bloom_bitmap path uses xxhash64; this
+    sweep uses the oracle-parity hash family, same geometry math).
+
+    Scale shape: the member position SET is ≤ min(n·k, m) rows per config
+    (m-bounded — a 2^20-bit config caps at ~4 MB of distinct positions
+    regardless of corpus size) and broadcasts to the probe side; member
+    and probe corpora are each scanned once, k·|configs| positions
+    emitted map-side. Every config emits a row even at zero false
+    positives (group-report discipline).
+
+    Output per config: (m_bits, k_hashes, n_members, n_probes,
+    n_false_pos, fpr_measured, fpr_analytic)."""
+    spark = members.sparkSession
+    cfg = spark.createDataFrame(
+        [(int(m), int(k)) for m, k in configs], "m_bits long, k_hashes int"
+    )
+    max_k = max(k for _, k in configs)
+
+    def fps(df):
+        return df.select(fingerprint(F.col(text_col)).alias("_fp")).distinct()
+
+    mem = fps(members)
+    # true negatives only: probes whose fingerprint is NOT a member
+    prb = fps(probes).join(mem, "_fp", "left_anti")
+
+    def positions(side):
+        h1 = F.conv(F.substring(F.col("_fp"), 1, 12), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.col("_fp"), 13, 12), 16, 10).cast("long")
+        return (
+            side.crossJoin(F.broadcast(cfg))
+            .crossJoin(
+                F.broadcast(
+                    spark.range(max_k).select(F.col("id").cast("int").alias("_i"))
+                )
+            )
+            .filter(F.col("_i") < F.col("k_hashes"))
+            .select(
+                "m_bits",
+                "k_hashes",
+                "_fp",
+                F.pmod(h1 + F.col("_i") * (2 * h2 + 1), F.col("m_bits")).alias(
+                    "_pos"
+                ),
+            )
+        )
+
+    member_set = positions(mem).select("m_bits", "k_hashes", "_pos").distinct()
+    probe_pos = positions(prb)
+    hitcnt = (
+        probe_pos.join(
+            member_set.withColumn("_set", F.lit(1)),
+            ["m_bits", "k_hashes", "_pos"],
+            "left",
+        )
+        .groupBy("m_bits", "k_hashes", "_fp")
+        .agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_hits"),
+        )
+    )
+    fp_counts = hitcnt.groupBy("m_bits", "k_hashes").agg(
+        F.sum((F.col("_hits") == F.col("_k")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos")
+    )
+    nm = mem.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    np_ = prb.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    out = (
+        cfg.join(fp_counts, ["m_bits", "k_hashes"], "left")
+        .na.fill({"n_false_pos": 0})
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(np_))
+    )
+    analytic = (
+        1.0
+        - F.pow(
+            1.0 - 1.0 / F.col("m_bits").cast("double"),
+            F.col("k_hashes").cast("double") * F.col("n_members"),
+        )
+    ) ** F.col("k_hashes").cast("double")
+    measured = F.when(F.col("n_probes") > 0,
+                      F.col("n_false_pos").cast("double") / F.col("n_probes")
+                      ).otherwise(F.lit(0.0))
+    return out.select(
+        "m_bits",
+        "k_hashes",
+        "n_members",
+        "n_probes",
+        "n_false_pos",
+        (F.round(measured, ndigits) + F.lit(0.0)).alias("fpr_measured"),
+        # pow-chain: round at 4 (the exp∘ln cross-engine discipline)
+        (F.round(analytic, 4) + F.lit(0.0)).alias("fpr_analytic"),
     )

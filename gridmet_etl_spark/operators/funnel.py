@@ -445,3 +445,71 @@ def window_funnel(
         F.countDistinct("_u").cast("long").alias("n_users")
     )
     return out.select(F.col("level").cast("int").alias("level"), "n_users")
+
+
+def inter_event_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    thresholds: list[int] = [1, 10, 60, 600, 3600, 86400],  # noqa: B006
+    ndigits: int = 6,
+) -> DataFrame:
+    """Inter-arrival-time histogram: per consecutive same-user event pair,
+    the gap in exact microseconds, bucketed by integer second thresholds
+    (≤1s, ≤10s, … , >last) — the distribution behind every sessionization
+    gap_minutes choice; pick the session timeout from the valley in THIS
+    histogram instead of folklore.
+
+    Exactness: gaps via unix_micros (exact int64); bucket membership is
+    pure integer comparison; pct = n/total over exact counts. Every
+    bucket emits its row (zero-count included — group-report discipline).
+
+    Scale shape: one (user)-keyed lag window (hub users bound a task by
+    their event count — the sessionizer caveat in SCALE.md applies), one
+    |buckets|-row report.
+
+    Output per bucket: (bucket, lo_exclusive_s, hi_inclusive_s, n, pct);
+    hi NULL on the open last bucket."""
+    spark = events.sparkSession
+    # ordering among equal timestamps is irrelevant for the HISTOGRAM
+    # (the gap multiset is invariant under permutations within ties), so
+    # the window orders by ts alone — the oracle does the same
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.select(F.col(user_col).alias("_u"), F.col(ts_col))
+        .withColumn("_gap", micros - F.lag(micros).over(
+            Window.partitionBy("_u").orderBy(F.col(ts_col))
+        ))
+        .filter(F.col("_gap").isNotNull())
+    )
+    edges = [0] + list(thresholds)
+    rows = [
+        (i, edges[i], thresholds[i] if i < len(thresholds) else None)
+        for i in range(len(thresholds) + 1)
+    ]
+    brel = spark.createDataFrame(
+        rows, "bucket int, lo_exclusive_s long, hi_inclusive_s long"
+    )
+    cond = F.lit(len(thresholds))  # default: open last bucket
+    for i in range(len(thresholds) - 1, -1, -1):
+        cond = F.when(
+            F.col("_gap") <= thresholds[i] * 1_000_000, F.lit(i)
+        ).otherwise(cond)
+    counted = gaps.select(cond.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = gaps.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    out = (
+        brel.join(counted, "bucket", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    pct = F.when(F.col("_tot") > 0,
+                 F.col("n").cast("double") / F.col("_tot")).otherwise(F.lit(0.0))
+    return out.select(
+        "bucket",
+        "lo_exclusive_s",
+        "hi_inclusive_s",
+        "n",
+        (F.round(pct, ndigits) + F.lit(0.0)).alias("pct"),
+    )

@@ -510,3 +510,57 @@ def link_prediction(
     topk = out.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Degree assortativity — the Pearson correlation of (deg(src),
+    deg(dst)) over edges: positive = hubs link hubs (social shape),
+    negative = hubs link leaves (infrastructure/bipartite catalog shape).
+    The one-number summary that says whether hub-skew defenses (salting,
+    star-expansion) will fire on THIS graph's joins.
+
+    Exactness: endpoint degrees are exact counts; the five moment sums
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0) over integer
+    products (DuckDB's HUGEINT twin), and the closing Pearson form
+    combines them in fixed operand order — no order-dependent float sum
+    anywhere.
+
+    Scale shape: two degree aggs (src-keyed, dst-keyed) joined back to
+    the edge list on its own keys — degree relations are |nodes|-sized;
+    the moment agg is one pass over edges. No windows, no self-joins.
+
+    Output (1 row): (n_edges, n_src, n_dst, r)."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    dsrc = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_dx"))
+    ddst = e.groupBy("_d").agg(F.count(F.lit(1)).alias("_dy"))
+    j = e.join(dsrc, "_s").join(ddst, "_d")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    acc = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(dec(F.col("_dx"))).alias("sx"),
+        F.sum(dec(F.col("_dy"))).alias("sy"),
+        F.sum(dec(F.col("_dx")) * F.col("_dy")).alias("sxy"),
+        F.sum(dec(F.col("_dx")) * F.col("_dx")).alias("sxx"),
+        F.sum(dec(F.col("_dy")) * F.col("_dy")).alias("syy"),
+    )
+    counts = dsrc.agg(F.count(F.lit(1)).cast("long").alias("n_src")).crossJoin(
+        ddst.agg(F.count(F.lit(1)).cast("long").alias("n_dst"))
+    )
+    nn = F.col("n_edges").cast("double")
+    dn = nn * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    dx = nn * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    dy = nn * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = F.when((dx <= 0.0) | (dy <= 0.0), F.lit(0.0)).otherwise(
+        dn / F.sqrt(dx * dy)
+    )
+    return acc.crossJoin(F.broadcast(counts)).select(
+        "n_edges",
+        "n_src",
+        "n_dst",
+        (F.round(r, ndigits) + F.lit(0.0)).alias("r"),
+    )

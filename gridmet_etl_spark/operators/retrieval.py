@@ -348,3 +348,65 @@ def feature_hash(
         .agg(F.sum("s").cast("long").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+def average_precision_at_k(
+    hits: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    n_rel_col: str = "n_rel_total",
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """AP@k per query over an already-k-bounded hit relation (MAP's
+    per-query rows — callers average for the scalar): AP@k =
+    (Σ_{i ≤ k, relᵢ=1} P@i) / min(R, k) with P@i the precision at rank i
+    and R = ``n_rel_col`` (the query's corpus-wide relevant count, joined
+    on upstream). Completes the eval trio: RR grades time-to-first-hit,
+    NDCG the graded ordering, AP the uninterpolated precision mass.
+
+    Exactness: P@i = cumrel_i/i is carried as the scaled integer
+    cumrelᵢ·10⁹ div i (both engines floor identically — the reciprocal-
+    rank discipline), the per-query term sum is an exact int64, and the
+    single closing division is over identical exact operands. Bound:
+    k·10⁹ ≪ 2⁶³ for any sane k.
+
+    Scale shape: one k-bounded window per query + one query-keyed agg —
+    the eval never touches the corpus.
+
+    Output per query: (query_id, n_rel_topk, n_rel_total, ap)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(query_col)
+        .orderBy(rank_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    terms = hits.filter(F.col(rank_col) <= k).select(
+        query_col,
+        rank_col,
+        rel_col,
+        F.col(n_rel_col).alias("_nr"),
+        F.sum(F.col(rel_col).cast("long")).over(w).alias("_cum"),
+    )
+    agg = terms.groupBy(query_col).agg(
+        F.sum(F.col(rel_col).cast("long")).cast("long").alias("n_rel_topk"),
+        F.first("_nr").cast("long").alias("n_rel_total"),
+        F.sum(
+            F.when(
+                F.col(rel_col) == 1,
+                F.expr(f"_cum * CAST(1000000000 AS BIGINT) div {rank_col}"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("_ap_e9"),
+    )
+    denom = F.least(F.col("n_rel_total"), F.lit(k).cast("long"))
+    ap = F.when(denom <= 0, F.lit(0.0)).otherwise(
+        F.col("_ap_e9").cast("double") / (denom.cast("double") * 1e9)
+    )
+    return agg.select(
+        query_col,
+        "n_rel_topk",
+        "n_rel_total",
+        (F.round(ap, ndigits) + F.lit(0.0)).alias("ap"),
+    )

@@ -421,3 +421,75 @@ def group_kfold(
     if label_col:
         out = out.withColumn("pos_e4", F.expr("n_pos * 10000 div n_rows"))
     return out
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    value_col: str,
+    budget: int,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Neyman (optimal) sample allocation over an INTEGER value column
+    (quantize money to cents upstream): stratum h gets sample share
+    ∝ N_h·σ_h — minimum-variance allocation of a labeling/eval budget,
+    the principled replacement for proportional splits when strata have
+    very different spreads.
+
+    Exactness: per-stratum moments are exact integer sums (Σv, Σv² as
+    DECIMAL(38,0)); σ_h = √((nΣv²−(Σv)²)/(n(n−1))) over identical
+    operands. The N_h·σ_h weights are made order-independent integers by
+    max-normalized e12 quantization (the kruskal pattern), then seats are
+    apportioned by the EXACT largest-remainder method
+    (packing.largest_remainder_alloc): Σ alloc == budget, every stratum
+    ≥ its floor quota. All-constant strata (every σ_h = 0) fall back to
+    proportional-to-N_h weights rather than 0/0.
+
+    Scale shape: one data pass for moments; everything after is
+    |strata|-sized.
+
+    Output per stratum: (*strata_cols, n_h, mean, sd, weight_e12,
+    base_quota, alloc)."""
+    from .packing import largest_remainder_alloc
+
+    keys = list(strata_cols)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(dec(F.col(value_col))).alias("_sv"),
+        F.sum(dec(F.col(value_col)) * F.col(value_col)).alias("_svv"),
+    )
+    nn = F.col("n_h").cast("double")
+    var = F.when(
+        F.col("n_h") <= 1, F.lit(0.0)
+    ).otherwise(
+        (nn * F.col("_svv").cast("double")
+         - F.col("_sv").cast("double") * F.col("_sv").cast("double"))
+        / (nn * (nn - 1.0))
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    stats = per.withColumn("_w", nn * sd)
+    wmax = stats.agg(F.max("_w").alias("_wmax"))
+    q = F.when(
+        F.col("_wmax") > 0.0,
+        F.floor(F.col("_w") / F.col("_wmax") * 1e12).cast("long"),
+    ).otherwise(F.col("n_h"))  # all-constant strata: proportional fallback
+    weighted = stats.crossJoin(F.broadcast(wmax)).withColumn("weight_e12", q)
+    alloc = largest_remainder_alloc(
+        weighted.select(*keys, "weight_e12"),
+        budget,
+        key_cols=keys,
+        weight_col="weight_e12",
+    )
+    out = weighted.join(alloc.select(*keys, "base_quota", "alloc"), keys)
+    return out.select(
+        *keys,
+        "n_h",
+        (F.round(F.col("_sv").cast("double") / nn, ndigits) + F.lit(0.0)).alias(
+            "mean"
+        ),
+        (F.round(sd, ndigits) + F.lit(0.0)).alias("sd"),
+        "weight_e12",
+        "base_quota",
+        "alloc",
+    )

@@ -1270,3 +1270,186 @@ def ordinal_gamma(
         F.coalesce(F.col("discordant"), F.lit(0)).alias("discordant"),
         (F.round(gamma, ndigits) + F.lit(0.0)).alias("gamma"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kendall's τ-b — ordinal association with TIE correction:
+    τ-b = (C − D)/√((n₀ − n₁)(n₀ − n₂)) with n₀ = n(n−1)/2,
+    n₁ = Σ_x t(t−1)/2 over x-tie groups, n₂ the y twin (the companion to
+    ordinal_gamma, which ignores ties entirely — γ saturates at ±1 on
+    sparse tables where τ-b stays honest).
+
+    Exactness: C, D, n₀, n₁, n₂ are all exact int64 pair counts computed
+    on the |X-levels × Y-levels| cell relation (one data-sized count agg,
+    then a cells×cells join bounded by the ordinal cardinalities squared
+    — pass BUCKETED ordinals). The only floats are the final
+    √ and division over identical exact operands. int64 bound:
+    pair counts ≤ n²/2 — safe through n ≈ 4×10⁹.
+
+    Scale shape: raw data touched by ONE aggregation; everything after is
+    |levels|²-bounded (ordinal_gamma's discipline).
+
+    Output (1 row): (n, n_cells, concordant, discordant, n1_ties_x,
+    n2_ties_y, tau_b)."""
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    a = cells.select(
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"), F.col("_n").alias("_na")
+    )
+    b = cells.select(
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"), F.col("_n").alias("_nb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("_xa") < F.col("_xb")) & (F.col("_ya") != F.col("_yb")),
+        "inner",
+    )
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("_ya") < F.col("_yb"), F.col("_na") * F.col("_nb"))
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when(F.col("_ya") > F.col("_yb"), F.col("_na") * F.col("_nb"))
+        ).cast("long").alias("discordant"),
+    )
+    xt = (
+        cells.groupBy("_x").agg(F.sum("_n").alias("_t"))
+        .agg(F.sum(F.col("_t") * (F.col("_t") - 1)).cast("long").alias("t2x"))
+    )
+    yt = (
+        cells.groupBy("_y").agg(F.sum("_n").alias("_t"))
+        .agg(F.sum(F.col("_t") * (F.col("_t") - 1)).cast("long").alias("t2y"))
+    )
+    tot = cells.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    j = (
+        cd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(xt))
+        .crossJoin(F.broadcast(yt))
+    )
+    # ×2 pair counts throughout (n(n−1), Σt(t−1)) so everything stays an
+    # exact integer until the one final sqrt
+    c = F.coalesce(F.col("concordant"), F.lit(0))
+    d = F.coalesce(F.col("discordant"), F.lit(0))
+    n0x2 = F.col("n") * (F.col("n") - 1)
+    den = (
+        (n0x2 - F.col("t2x")).cast("double")
+        * (n0x2 - F.col("t2y")).cast("double")
+    )
+    tau = F.when(den <= 0.0, F.lit(0.0)).otherwise(
+        2.0 * (c - d).cast("double") / F.sqrt(den)
+    )
+    return j.select(
+        "n",
+        "n_cells",
+        c.alias("concordant"),
+        d.alias("discordant"),
+        F.expr("t2x div 2").alias("n1_ties_x"),
+        F.expr("t2y div 2").alias("n2_ties_y"),
+        (F.round(tau, ndigits) + F.lit(0.0)).alias("tau_b"),
+    )
+
+
+def permutation_test(
+    df: DataFrame,
+    id_col: str,
+    treat_col: str,
+    value_col: str,
+    n_perm: int = 48,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample permutation test for a mean difference over an INTEGER
+    value column (quantize money to cents upstream): the exact-inference
+    companion to welch_ttest — no normality assumption, the null
+    distribution is the data's own relabelings.
+
+    Determinism (no RNG): permutation p reassigns treatment by ranking
+    rows on the 48-bit md5 of (id, p) and giving the top-n₁ ranks
+    treatment — group sizes are EXACTLY preserved per permutation and the
+    assignment replays identically in any engine. Extremeness is decided
+    on the common-denominator integer form |s₁ᵖ·n₀ − s₀ᵖ·n₁| ≥
+    |s₁·n₀ − s₀·n₁| (DECIMAL(38,0) cross-products — no float enters the
+    decision), so n_extreme is exact; p = (1 + n_extreme)/(1 + P) is the
+    standard add-one permutation p-value.
+
+    Scale shape: the explode is map-side (P× the input, inherited
+    partitioning); each permutation's rank runs in its own window
+    partition (P-way parallel; per-task bound = n rows — swap in the
+    scale.global_rank two-level prefix per permutation beyond ~10⁸ rows).
+    The decision relation is P rows.
+
+    Output (1 row): (n, n1, n_perm, n_extreme, mean_diff, p_value)."""
+    rows = df.select(
+        F.col(id_col).alias("_rid"),
+        F.col(treat_col).cast("int").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    obs = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_t").cast("long").alias("n1"),
+        F.sum(F.col("_v") * F.col("_t")).cast("long").alias("s1"),
+        F.sum("_v").cast("long").alias("s_tot"),
+    )
+    perms = rows.crossJoin(
+        F.broadcast(
+            rows.sparkSession.range(n_perm).select(F.col("id").alias("_p"))
+        )
+    ).select(
+        "_p", "_rid", "_v",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("_rid"), F.col("_p"))), 1, 12
+            ),
+            16, 10,
+        ).cast("long").alias("_h"),
+    )
+    w = Window.partitionBy("_p").orderBy("_h", "_rid")
+    per_p = (
+        perms.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(obs.select("n1")))
+        .groupBy("_p")
+        .agg(
+            F.sum(F.when(F.col("_rn") <= F.col("n1"), F.col("_v")))
+            .cast("long")
+            .alias("s1p")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    joined = per_p.crossJoin(F.broadcast(obs))
+    n0 = F.col("n") - F.col("n1")
+    s0p = F.col("s_tot") - F.col("s1p")
+    s0 = F.col("s_tot") - F.col("s1")
+    extreme = F.abs(
+        dec(F.col("s1p")) * dec(n0) - dec(s0p) * dec(F.col("n1"))
+    ) >= F.abs(dec(F.col("s1")) * dec(n0) - dec(s0) * dec(F.col("n1")))
+    acc = joined.agg(
+        F.sum(extreme.cast("long")).cast("long").alias("n_extreme"),
+        F.first("n").alias("n"),
+        F.first("n1").alias("n1"),
+        F.first("s1").alias("s1"),
+        F.first("s_tot").alias("s_tot"),
+    )
+    mean_diff = F.col("s1").cast("double") / F.col("n1") - (
+        F.col("s_tot") - F.col("s1")
+    ).cast("double") / (F.col("n") - F.col("n1"))
+    return acc.select(
+        "n",
+        "n1",
+        F.lit(n_perm).cast("int").alias("n_perm"),
+        "n_extreme",
+        (F.round(mean_diff, ndigits) + F.lit(0.0)).alias("mean_diff"),
+        (
+            F.round(
+                (1 + F.col("n_extreme")).cast("double") / (1 + n_perm), ndigits
+            )
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )

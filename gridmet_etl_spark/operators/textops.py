@@ -963,3 +963,59 @@ def interdup_report(
             "max_interdup_e4",
         )
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over a positive value
+    column (doc lengths, token counts, user event counts): α̂ =
+    k / Σ_{i≤k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k largest values — the number
+    that says HOW heavy the tail is, where zipf_fit assumes the whole
+    rank curve and heaps_fit tracks vocabulary growth.
+
+    Determinism: the top-(k+1) VALUE multiset is tie-free by definition
+    (ties at the threshold contribute exactly-zero terms), selection is
+    TakeOrdered (never a global row_number over the data); per-term
+    ln-differences are computed in fixed operand order and floor-e6
+    quantized before the (k+1)-row sum (order-independent; terms are
+    bounded by ln(xmax/threshold) ≈ 30, so e6 is far from int64); the
+    closing round is 4 digits (the exp∘ln cross-engine discipline).
+
+    Scale shape: one TakeOrdered(k+1) over the data — no shuffle beyond
+    the top-k collection; everything after is (k+1)-row arithmetic.
+
+    Output (1 row): (k, n, threshold, hill_mean, alpha)."""
+    vals = df.select(F.col(value_col).cast("double").alias("_v")).filter(
+        F.col("_v") > 0
+    )
+    n = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top = vals.orderBy(F.col("_v").desc()).limit(k + 1)
+    thr = top.agg(F.min("_v").alias("_thr"))
+    terms = top.crossJoin(F.broadcast(thr)).select(
+        F.floor((F.log(F.col("_v")) - F.log(F.col("_thr"))) * 1e6)
+        .cast("long")
+        .alias("_t_e6"),
+        "_thr",
+    )
+    acc = terms.agg(
+        F.sum("_t_e6").cast("long").alias("s_e6"),
+        F.first("_thr").alias("threshold"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+    ).crossJoin(F.broadcast(n))
+    # _m = k+1 when the data has enough rows; use _m-1 as the effective k
+    keff = (F.col("_m") - 1).cast("double")
+    hill_mean = F.when(
+        keff > 0, F.col("s_e6").cast("double") / 1e6 / keff
+    ).otherwise(F.lit(0.0))
+    alpha = F.when(hill_mean > 0.0, 1.0 / hill_mean).otherwise(F.lit(0.0))
+    return acc.select(
+        (F.col("_m") - 1).cast("int").alias("k"),
+        "n",
+        (F.round(F.col("threshold"), ndigits) + F.lit(0.0)).alias("threshold"),
+        (F.round(hill_mean, ndigits) + F.lit(0.0)).alias("hill_mean"),
+        (F.round(alpha, ndigits) + F.lit(0.0)).alias("alpha"),
+    )

@@ -167,3 +167,184 @@ def test_filter_cascade_hostile_rule_names(spark):
     assert out["back`tick"]["n_failed"] == 0
     row = next(iter(out.values()))
     assert row["n_docs"] == 4 and row["n_survivors"] == 2
+
+
+# ===== round-8 ext13 operators =============================================
+
+
+def test_kendall_tau_textbook(spark):
+    from gridmet_etl_spark.operators.stats import kendall_tau_b
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (2, 4)], "x int, y int"
+    )
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    # C=4, D=0, n0x2=12, t2x=4, t2y=0 -> 8/sqrt(96)
+    assert r["concordant"] == 4 and r["discordant"] == 0
+    assert r["n1_ties_x"] == 2 and r["n2_ties_y"] == 0
+    assert abs(r["tau_b"] - 8 / math.sqrt(96)) < 1e-6
+
+    perfect = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "x int, y int"
+    )
+    assert kendall_tau_b(perfect, "x", "y").collect()[0]["tau_b"] == 1.0
+
+
+def test_permutation_test_effect_and_null(spark):
+    from gridmet_etl_spark.operators.stats import permutation_test
+
+    # strong separation: treated values 100, control 1 -> p = 1/(P+1)
+    rows = [(i, 1, 100) for i in range(20)] + [(i + 20, 0, 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "rid long, t int, v long")
+    r = permutation_test(df, "rid", "t", "v", n_perm=24).collect()[0]
+    assert r["p_value"] == pytest.approx(1 / 25, abs=1e-6)
+    assert r["mean_diff"] == pytest.approx(99.0)
+
+    # degenerate null: constant outcome -> every permutation as extreme
+    flat = spark.createDataFrame(
+        [(i, i % 2, 7) for i in range(30)], "rid long, t int, v long"
+    )
+    rn = permutation_test(flat, "rid", "t", "v", n_perm=24).collect()[0]
+    assert rn["p_value"] == 1.0
+
+
+def test_ap_at_k_hand_case(spark):
+    from gridmet_etl_spark.operators.retrieval import average_precision_at_k
+
+    hits = spark.createDataFrame(
+        [(1, i + 1, rel, 3) for i, rel in enumerate([1, 0, 1, 0, 0])],
+        "query_id long, rank int, rel int, n_rel_total long",
+    )
+    r = average_precision_at_k(hits, k=5).collect()[0]
+    assert r["n_rel_topk"] == 2
+    # (1/1 + 2/3)/3 with floor-e9 terms
+    assert r["ap"] == pytest.approx((1_000_000_000 + 666_666_666) / 3e9, abs=1e-6)
+
+
+def test_bloom_fpr_sweep_shapes(spark):
+    from gridmet_etl_spark.operators.decontam import bloom_fpr_sweep
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} content {i * 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    members = docs.filter(F.col("doc_id") % 2 == 0)
+    probes = docs.filter(F.col("doc_id") % 2 == 1)
+    cfgs = ((64, 2), (1 << 16, 5))
+    out = {(r["m_bits"], r["k_hashes"]): r
+           for r in bloom_fpr_sweep(members, probes, configs=cfgs).collect()}
+    assert set(out) == {(64, 2), (1 << 16, 5)}
+    tiny, big = out[(64, 2)], out[(1 << 16, 5)]
+    assert tiny["n_members"] == 100 and tiny["n_probes"] == 100
+    # 100 members in 64 bits saturates the filter; 2^16 bits stays clean
+    assert tiny["fpr_measured"] > 0.5
+    assert big["fpr_measured"] < 0.05
+    assert 0.0 <= big["fpr_analytic"] <= 1.0
+
+
+def test_inter_event_gaps_buckets(spark):
+    from datetime import datetime, timedelta
+
+    from gridmet_etl_spark.operators.funnel import inter_event_gaps
+
+    t0 = datetime(2024, 5, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + timedelta(seconds=5)),      # gap 5s -> bucket 1 (<=10)
+        (1, t0 + timedelta(seconds=125)),    # gap 120s -> bucket 3 (<=600)
+        (2, t0),
+        (2, t0 + timedelta(seconds=7200)),   # gap 7200s -> bucket 5 (<=86400)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["bucket"]: r for r in inter_event_gaps(ev).collect()}
+    assert len(out) == 7  # every bucket emits, zeros included
+    assert out[1]["n"] == 1 and out[3]["n"] == 1 and out[5]["n"] == 1
+    assert out[0]["n"] == 0 and out[6]["n"] == 0
+    assert sum(r["pct"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+    assert out[6]["hi_inclusive_s"] is None  # open last bucket
+
+
+def test_degree_assortativity_numpy_golden(spark):
+    import numpy as np
+
+    from gridmet_etl_spark.operators.graph import degree_assortativity
+
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (3, 13), (4, 13), (4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = degree_assortativity(df).collect()[0]
+    src_deg = {s: sum(1 for a, _ in edges if a == s) for s, _ in edges}
+    dst_deg = {d: sum(1 for _, b in edges if b == d) for _, d in edges}
+    x = np.array([src_deg[s] for s, _ in edges], dtype=float)
+    y = np.array([dst_deg[d] for _, d in edges], dtype=float)
+    expected = np.corrcoef(x, y)[0, 1]
+    assert r["n_edges"] == len(edges)
+    assert r["r"] == pytest.approx(expected, abs=1e-6)
+
+    # constant degrees -> zero variance -> guarded 0.0
+    reg = spark.createDataFrame([(1, 10), (2, 11)], "src long, dst long")
+    assert degree_assortativity(reg).collect()[0]["r"] == 0.0
+
+
+def test_neyman_allocation_invariants(spark):
+    from gridmet_etl_spark.operators.sampling import neyman_allocation
+
+    # stratum a: constant (sd=0); stratum b: spread -> b takes the budget
+    rows = [("a", 5)] * 50 + [("b", v) for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in neyman_allocation(df, ["g"], "v", 1000).collect()}
+    assert out["a"]["alloc"] + out["b"]["alloc"] == 1000
+    assert out["a"]["sd"] == 0.0 and out["a"]["alloc"] == 0
+    assert out["b"]["alloc"] == 1000
+
+    # all-constant strata: proportional fallback, exact budget
+    flat = spark.createDataFrame(
+        [("a", 5)] * 30 + [("b", 7)] * 10, "g string, v long"
+    )
+    out2 = {r["g"]: r for r in neyman_allocation(flat, ["g"], "v", 100).collect()}
+    assert out2["a"]["alloc"] + out2["b"]["alloc"] == 100
+    assert out2["a"]["alloc"] == 75 and out2["b"]["alloc"] == 25
+
+
+def test_propensity_match_att_constructed(spark):
+    from gridmet_etl_spark.operators.causal import propensity_match_att
+
+    # within each stratum: treated outcome = control + 10, equal arms
+    rows = []
+    uid = 0
+    for s in range(3):
+        for i in range(8):
+            rows.append((uid, 20 + s * 5 + 10, 1, s)); uid += 1
+            rows.append((uid, 20 + s * 5, 0, s)); uid += 1
+    units = spark.createDataFrame(rows, "user_id long, y long, t int, stratum int")
+    r = propensity_match_att(units).collect()[0]
+    assert r["n_matched"] == 24 and r["n_unmatched_treated"] == 0
+    # outcomes are constant per (stratum, arm), so any pairing gives +10
+    assert r["att"] == pytest.approx(10.0)
+
+    # shortage: 3 treated vs 1 control in one stratum
+    short = spark.createDataFrame(
+        [(1, 30, 1, 0), (2, 31, 1, 0), (3, 32, 1, 0), (4, 20, 0, 0)],
+        "user_id long, y long, t int, stratum int",
+    )
+    rs = propensity_match_att(short).collect()[0]
+    assert rs["n_matched"] == 1 and rs["n_unmatched_treated"] == 2
+
+
+def test_hill_tail_index_pareto(spark):
+    import numpy as np
+
+    from gridmet_etl_spark.operators.textops import hill_tail_index
+
+    # deterministic Pareto order statistics with tail index alpha=2:
+    # v_i = (n/i)^(1/2), i=1..n
+    n, alpha, k = 5000, 2.0, 100
+    vals = [(float((n / i) ** (1 / alpha)),) for i in range(1, n + 1)]
+    df = spark.createDataFrame(vals, "v double")
+    r = hill_tail_index(df, "v", k=k).collect()[0]
+    v = np.array([x[0] for x in vals])
+    top = np.sort(v)[::-1][: k + 1]
+    terms = np.floor((np.log(top) - np.log(top[-1])) * 1e6)
+    expected_mean = terms.sum() / 1e6 / k
+    assert r["k"] == k and r["n"] == n
+    assert r["hill_mean"] == pytest.approx(expected_mean, abs=1e-3)
+    assert abs(r["alpha"] - alpha) < 0.25  # estimator near the true index

@@ -141,6 +141,23 @@ EXPECTED_SINGLE = {
     # a ≤|steps|-row relation
     "fleiss_kappa", "wilcoxon_signed", "friedman_test", "ordinal_gamma",
     "window_funnel",
+    # round-8 bounded stages: kendall_tau runs its pair join on the
+    # |levels|²-bounded cell relation + 1-row C/D/tie/total scalars
+    # (ordinal_gamma shape); permutation_test's decision relation is
+    # |n_perm|(=48) rows + a 1-row observed scalar; ap_at_k inherits
+    # cosine_topk's whitelisted global top-k merge + per-query k-row
+    # windows; inter_event_gaps reports over a 7-row bucket relation +
+    # 1-row total; degree_assortativity ends in 1-row moment/count
+    # scalars; bloom_fpr_sweep's config relation is a 3-row
+    # createDataFrame + 1-row member/probe counts (the position set is
+    # m-bounded); neyman_alloc's wmax/total are 1-row scalars and the
+    # largest-remainder rank window runs over the |strata|-row relation;
+    # propensity_match_att ends in 1-row matched/total scalars;
+    # hill_tail_index is a TakeOrdered(k+1) + (k+1)-row term relation +
+    # 1-row scalars
+    "kendall_tau", "permutation_test", "ap_at_k", "inter_event_gaps",
+    "degree_assortativity", "bloom_fpr_sweep", "neyman_alloc",
+    "propensity_match_att", "hill_tail_index",
     # bias_als trains by broadcasting |users|/|items|-row bias relations;
     # its 1-row global-mean scalar is the only single-partition stage
     "bias_als",

@@ -80,6 +80,14 @@ WATCHLIST = [
     # round-7 second wave: all statistics divide exact integers in fixed
     # expression order (fleiss P̄/P̄_e, wilcoxon z, friedman χ², gamma)
     "fleiss_kappa", "wilcoxon_signed", "friedman_test", "ordinal_gamma",
+    # round-8 float paths: bloom_fpr_sweep's analytic column is a pow
+    # chain (rounded 4, the exp∘ln discipline); hill divides an exact
+    # e6-quantized ln-term sum; neyman's sd/weight chain quantizes
+    # max-normalized before the exact largest-remainder seats; kendall/
+    # assortativity/permutation/ap/gaps/matching divide exact integers
+    "bloom_fpr_sweep", "hill_tail_index", "neyman_alloc", "kendall_tau",
+    "degree_assortativity", "permutation_test", "ap_at_k",
+    "inter_event_gaps", "propensity_match_att",
 ]
 
 SESSIONS = [
