@@ -75,6 +75,8 @@ _CHECK_FIRST = [
     "kendall_tau", "permutation_test", "ap_at_k",
     "inter_event_gaps", "degree_assortativity", "bloom_fpr_sweep",
     "neyman_alloc", "propensity_match_att", "hill_tail_index",
+    "mcnemar_test", "cochran_q", "log_odds_words",
+    "info_gain", "runs_test",
     # (2) file-level cohort of the three fixed operator files
     "auc_eval", "bootstrap_ci", "c4_filters",
     "calibration_eval", "chi_square", "classifier_score",

@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     "neyman_alloc",
     "propensity_match_att",
     "hill_tail_index",
+    "mcnemar_test",
+    "cochran_q",
+    "log_odds_words",
+    "info_gain",
+    "runs_test",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",

@@ -617,3 +617,332 @@ FROM acc, n
 
 
 EXT13_QUERIES["hill_tail_index"] = (q_hill_tail_index, SQL_HILL_TAIL)
+
+# ---------------------------------------------------------------------------
+# mcnemar_test: paired classifier comparison on shared examples
+# ---------------------------------------------------------------------------
+
+
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar over two rule 'classifiers' predicting l_returnflag='R' on
+    the same lineitem rows (A: quantity > 25, B: discount > 0.05) — only
+    the discordant counts decide (operators/stats.py::mcnemar_test)."""
+    from .operators.stats import mcnemar_test
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        (F.col("l_returnflag") == "R").alias("_y"),
+        (F.col("l_quantity") > 25).alias("_pa"),
+        (F.col("l_discount") > 0.05).alias("_pb"),
+    ).select(
+        (F.col("_pa") == F.col("_y")).alias("ca"),
+        (F.col("_pb") == F.col("_y")).alias("cb"),
+    )
+    return mcnemar_test(li, "ca", "cb")
+
+
+SQL_MCNEMAR = f"""
+WITH p AS (
+  SELECT ((l_quantity > 25) = (l_returnflag = 'R')) AS ca,
+         ((l_discount > 0.05) = (l_returnflag = 'R')) AS cb
+  FROM lineitem),
+acc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+           AS both_right,
+         CAST(sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+           AS both_wrong,
+         CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+           AS a_only,
+         CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+           AS b_only
+  FROM p)
+SELECT n, both_right, both_wrong, a_only, b_only,
+       ROUND(CASE WHEN a_only + b_only = 0 THEN 0.0
+             ELSE CAST((abs(a_only - b_only) - 1)
+                       * (abs(a_only - b_only) - 1) AS DOUBLE)
+                  / CAST(a_only + b_only AS DOUBLE)
+             END, {R}) + 0 AS chi2
+FROM acc
+"""
+
+
+EXT13_QUERIES["mcnemar_test"] = (q_mcnemar_test, SQL_MCNEMAR)
+
+# ---------------------------------------------------------------------------
+# cochran_q: k paired binary treatments across user blocks
+# ---------------------------------------------------------------------------
+
+_CQ_TYPES = ["view", "click", "purchase"]
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over (did the user view / click / purchase) across all
+    users — the full user×type grid including zero rows (an absent pair
+    IS information; operators/stats.py::cochran_q)."""
+    from .operators.stats import cochran_q
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    users = e.select("user_id").distinct()
+    types = spark.createDataFrame([(t,) for t in _CQ_TYPES], "event_type string")
+    present = (
+        e.filter(F.col("event_type").isin(_CQ_TYPES))
+        .select("user_id", "event_type")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(present, ["user_id", "event_type"], "left")
+        .na.fill({"hit": 0})
+    )
+    return cochran_q(grid, "user_id", "event_type", "hit")
+
+
+def _sql_cochran() -> str:
+    types = ", ".join(f"('{t}')" for t in _CQ_TYPES)
+    inlist = ", ".join(f"'{t}'" for t in _CQ_TYPES)
+    return f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+types(event_type) AS (VALUES {types}),
+present AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE event_type IN ({inlist})),
+grid AS (
+  SELECT u.user_id, t.event_type,
+         CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM users u CROSS JOIN types t
+  LEFT JOIN present p
+    ON p.user_id = u.user_id AND p.event_type = t.event_type),
+rows_ AS (SELECT user_id, CAST(sum(hit) AS BIGINT) AS r FROM grid
+          GROUP BY user_id),
+r2 AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+              CAST(sum(r * r) AS BIGINT) AS sr2,
+              CAST(sum(r) AS BIGINT) AS t_grand FROM rows_),
+cols AS (SELECT event_type, CAST(sum(hit) AS BIGINT) AS c FROM grid
+         GROUP BY event_type),
+c2 AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(c * c) AS BIGINT) AS sc2 FROM cols)
+SELECT n_blocks, CAST(k AS INT) AS k, t_grand,
+       ROUND(CASE WHEN CAST(k * t_grand - sr2 AS DOUBLE) = 0.0 THEN 0.0
+             ELSE CAST((k - 1) * (k * sc2 - t_grand * t_grand) AS DOUBLE)
+                  / CAST(k * t_grand - sr2 AS DOUBLE)
+             END, {R}) + 0 AS q
+FROM r2, c2
+"""
+
+
+EXT13_QUERIES["cochran_q"] = (q_cochran_q, _sql_cochran())
+
+# ---------------------------------------------------------------------------
+# log_odds_words: Fightin' Words corpus comparison
+# ---------------------------------------------------------------------------
+
+_LOW_K = 20
+_LOW_ALPHA = 0.5
+
+
+def q_log_odds_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe log-odds z-scores for en vs non-en documents: the top-20
+    most distinguishing words with the variance correction tf-idf lacks
+    (operators/textops.py::log_odds_words)."""
+    from .operators.textops import log_odds_words
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return log_odds_words(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        alpha=_LOW_ALPHA,
+        k=_LOW_K,
+    )
+
+
+SQL_LOG_ODDS = f"""
+WITH ta AS (
+  SELECT token AS word, CAST(count(*) AS BIGINT) AS cnt_a
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        WHERE lang = 'en')
+  WHERE token <> '' GROUP BY token),
+tb AS (
+  SELECT token AS word, CAST(count(*) AS BIGINT) AS cnt_b
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        WHERE lang <> 'en')
+  WHERE token <> '' GROUP BY token),
+vocab AS (
+  SELECT COALESCE(ta.word, tb.word) AS word,
+         COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+  FROM ta FULL OUTER JOIN tb ON ta.word = tb.word),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(cnt_a) AS BIGINT) AS n_a,
+               CAST(sum(cnt_b) AS BIGINT) AS n_b FROM vocab),
+scored AS (
+  SELECT word, cnt_a, cnt_b,
+         ROUND(
+           ln((CAST(cnt_a AS DOUBLE) + {_LOW_ALPHA})
+              / (CAST(n_a AS DOUBLE) + CAST(v AS DOUBLE) * {_LOW_ALPHA}
+                 - CAST(cnt_a AS DOUBLE) - {_LOW_ALPHA}))
+           - ln((CAST(cnt_b AS DOUBLE) + {_LOW_ALPHA})
+                / (CAST(n_b AS DOUBLE) + CAST(v AS DOUBLE) * {_LOW_ALPHA}
+                   - CAST(cnt_b AS DOUBLE) - {_LOW_ALPHA})), 4) + 0 AS delta,
+         ROUND(
+           (ln((CAST(cnt_a AS DOUBLE) + {_LOW_ALPHA})
+               / (CAST(n_a AS DOUBLE) + CAST(v AS DOUBLE) * {_LOW_ALPHA}
+                  - CAST(cnt_a AS DOUBLE) - {_LOW_ALPHA}))
+            - ln((CAST(cnt_b AS DOUBLE) + {_LOW_ALPHA})
+                 / (CAST(n_b AS DOUBLE) + CAST(v AS DOUBLE) * {_LOW_ALPHA}
+                    - CAST(cnt_b AS DOUBLE) - {_LOW_ALPHA})))
+           / sqrt(1.0 / (CAST(cnt_a AS DOUBLE) + {_LOW_ALPHA})
+                  + 1.0 / (CAST(cnt_b AS DOUBLE) + {_LOW_ALPHA})), 4) + 0 AS z
+  FROM vocab, tot)
+SELECT word, cnt_a, cnt_b, delta, z,
+       CAST(row_number() OVER (ORDER BY abs(z) DESC, word) AS INT) AS rank
+FROM scored ORDER BY abs(z) DESC, word LIMIT {_LOW_K}
+"""
+
+
+EXT13_QUERIES["log_odds_words"] = (q_log_odds_words, SQL_LOG_ODDS)
+
+# ---------------------------------------------------------------------------
+# info_gain: entropy-based categorical feature screen
+# ---------------------------------------------------------------------------
+
+_IG_BUCKET = 100
+
+
+def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of (source, n_chars bucket) against the document
+    language — max-normalized e12-quantized entropy terms
+    (operators/mlprep.py::info_gain)."""
+    from .operators.mlprep import info_gain
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "lang",
+        "source",
+        F.expr(f"CAST(n_chars div {_IG_BUCKET} AS INT)").alias("len_bucket"),
+    )
+    return info_gain(docs, "lang", ["source", "len_bucket"])
+
+
+def _sql_info_gain() -> str:
+    def hcond(feat_expr: str, fname: str) -> str:
+        return f"""
+cells_{fname} AS (
+  SELECT {feat_expr} AS v, lang AS c, CAST(count(*) AS BIGINT) AS cvc
+  FROM documents GROUP BY 1, 2),
+vtot_{fname} AS (SELECT v, CAST(sum(cvc) AS BIGINT) AS nv
+                 FROM cells_{fname} GROUP BY v),
+term_{fname} AS (
+  SELECT CAST(cvc AS DOUBLE)
+         * ln(CAST(nv AS DOUBLE) / CAST(cvc AS DOUBLE)) AS t
+  FROM cells_{fname} JOIN vtot_{fname} USING (v)),
+tm_{fname} AS (SELECT max(t) AS tm FROM term_{fname}),
+h_{fname} AS (
+  SELECT CAST(sum(CASE WHEN tm > 0.0
+                       THEN CAST(floor(t / tm * 1e12) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS q,
+         any_value(tm) AS tm
+  FROM term_{fname}, tm_{fname}),
+nv_{fname} AS (SELECT CAST(count(*) AS BIGINT) AS n_values FROM vtot_{fname}),
+hc_{fname} AS (
+  SELECT CAST(q AS DOUBLE) / 1e12 * tm / (SELECT n FROM ntot) AS h_cond
+  FROM h_{fname})"""
+
+    return f"""
+WITH ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+tcells AS (SELECT lang, CAST(count(*) AS BIGINT) AS cc FROM documents
+           GROUP BY lang),
+tterm AS (
+  SELECT CAST(cc AS DOUBLE)
+         * ln(CAST(n AS DOUBLE) / CAST(cc AS DOUBLE)) AS t
+  FROM tcells, ntot),
+ttm AS (SELECT max(t) AS tm FROM tterm),
+ht AS (
+  SELECT CAST(sum(CASE WHEN tm > 0.0
+                       THEN CAST(floor(t / tm * 1e12) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS q,
+         any_value(tm) AS tm
+  FROM tterm, ttm),
+htgt AS (SELECT CAST(q AS DOUBLE) / 1e12 * tm / (SELECT n FROM ntot)
+           AS h_target FROM ht),
+{hcond("source", "src")},
+{hcond(f"CAST(n_chars // {_IG_BUCKET} AS INT)", "len")}
+SELECT 'source' AS feature, (SELECT n_values FROM nv_src) AS n_values,
+       ROUND((SELECT h_target FROM htgt), 4) + 0 AS h_target,
+       ROUND((SELECT h_cond FROM hc_src), 4) + 0 AS h_cond,
+       ROUND((SELECT h_target FROM htgt) - (SELECT h_cond FROM hc_src), 4) + 0
+         AS info_gain
+UNION ALL
+SELECT 'len_bucket', (SELECT n_values FROM nv_len),
+       ROUND((SELECT h_target FROM htgt), 4) + 0,
+       ROUND((SELECT h_cond FROM hc_len), 4) + 0,
+       ROUND((SELECT h_target FROM htgt) - (SELECT h_cond FROM hc_len), 4) + 0
+"""
+
+
+EXT13_QUERIES["info_gain"] = (q_info_gain, _sql_info_gain())
+
+# ---------------------------------------------------------------------------
+# runs_test: Wald–Wolfowitz randomness of the daily activity series
+# ---------------------------------------------------------------------------
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs test over the daily event-count series (above/below the exact
+    mean, compared as integer cross-products so no float enters the
+    flag): trending/clustered days reject randomness
+    (operators/timeseries.py::runs_test)."""
+    from .operators.timeseries import runs_test
+    from .sources.readers import read_events
+
+    e = read_events(spark, _t(sf_dir, "events"))
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("_nd"),
+        F.sum("cnt").cast("long").alias("_tot"),
+    )
+    flagged = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("cnt") * F.col("_nd") > F.col("_tot")).alias("above")
+    )
+    return runs_test(flagged, "day", "above")
+
+
+SQL_RUNS_TEST = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(cnt) AS BIGINT) AS t FROM daily),
+flagged AS (
+  SELECT day, CAST(cnt * nd > t AS INT) AS f FROM daily, tot),
+runs AS (
+  SELECT f, CASE WHEN f <> lag(f) OVER (ORDER BY day) THEN 1 ELSE 0 END
+            AS chg
+  FROM flagged),
+acc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(f) AS BIGINT) AS n_above,
+         CAST(count(*) - sum(f) AS BIGINT) AS n_below,
+         CAST(COALESCE(sum(chg), 0) + 1 AS BIGINT) AS runs
+  FROM runs)
+SELECT n, n_above, n_below, runs,
+       ROUND(CASE WHEN n_above = 0 OR n_below = 0 OR n <= 1 THEN 0.0
+             WHEN 2.0 * n_above * n_below
+                  * (2.0 * n_above * n_below - CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) - 1.0)) <= 0.0 THEN 0.0
+             ELSE (CAST(runs AS DOUBLE)
+                   - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                      / CAST(n AS DOUBLE) + 1.0))
+                  / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                         * (2.0 * CAST(n_above AS DOUBLE)
+                            * CAST(n_below AS DOUBLE) - CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)))
+             END, {R}) + 0 AS z
+FROM acc
+"""
+
+
+EXT13_QUERIES["runs_test"] = (q_runs_test, SQL_RUNS_TEST)

@@ -632,3 +632,111 @@ def dp_noisy_counts(
         *group_cols,
         (F.round(F.col("_n") + noise, ndigits) + F.lit(0.0)).alias("noisy_count"),
     )
+
+
+def info_gain(
+    df: DataFrame,
+    target_col: str,
+    feature_cols: Sequence[str],
+    ndigits: int = 4,
+) -> DataFrame:
+    """Information gain of each categorical feature against a categorical
+    target — the entropy-based feature screen (woe_iv's multi-class
+    sibling; use it to rank candidate bucketings before a model sees
+    them): IG(f) = H(target) − Σ_v p(v)·H(target|v).
+
+    Exactness: all probabilities are exact integer-count ratios; entropy
+    terms c·ln(n/c) are computed in fixed operand order and made
+    order-independent by max-normalized e12 floor quantization before
+    each bounded sum (the kruskal discipline — never a raw double sum
+    over an unordered relation); ln chains round at 4.
+
+    Scale shape: per feature, ONE (value, class) cell aggregation over
+    the data; every later relation is |values×classes|-bounded.
+
+    Output per feature: (feature, n_values, h_target, h_cond,
+    info_gain)."""
+    spark = df.sparkSession
+    n_tot = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    # H(target): |classes|-row relation
+    tcells = df.groupBy(F.col(target_col).alias("_c")).agg(
+        F.count(F.lit(1)).alias("_cc")
+    )
+    tterm = tcells.crossJoin(F.broadcast(n_tot)).select(
+        (
+            F.col("_cc").cast("double")
+            * F.log(F.col("_n").cast("double") / F.col("_cc"))
+        ).alias("_t")
+    )
+    tmax = tterm.agg(F.max("_t").alias("_tm"))
+    htgt = (
+        tterm.crossJoin(F.broadcast(tmax))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_tm") > 0.0,
+                    F.floor(F.col("_t") / F.col("_tm") * 1e12).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("_q"),
+            F.first("_tm").alias("_tm"),
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            (
+                F.col("_q").cast("double") / 1e12 * F.col("_tm") / F.col("_n")
+            ).alias("h_target")
+        )
+    )
+
+    outs = []
+    for feat in feature_cols:
+        cells = df.groupBy(
+            F.col(feat).alias("_v"), F.col(target_col).alias("_c")
+        ).agg(F.count(F.lit(1)).alias("_cvc"))
+        vtot = cells.groupBy("_v").agg(F.sum("_cvc").alias("_nv"))
+        term = cells.join(vtot, "_v").select(
+            (
+                F.col("_cvc").cast("double")
+                * F.log(F.col("_nv").cast("double") / F.col("_cvc"))
+            ).alias("_t")
+        )
+        fmax = term.agg(F.max("_t").alias("_tm"))
+        hcond = (
+            term.crossJoin(F.broadcast(fmax))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("_tm") > 0.0,
+                        F.floor(F.col("_t") / F.col("_tm") * 1e12).cast("long"),
+                    ).otherwise(F.lit(0))
+                ).alias("_q"),
+                F.first("_tm").alias("_tm"),
+            )
+            .crossJoin(F.broadcast(n_tot))
+            .select(
+                (
+                    F.col("_q").cast("double") / 1e12 * F.col("_tm") / F.col("_n")
+                ).alias("h_cond")
+            )
+        )
+        nv = vtot.agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+        row = (
+            spark.range(1)
+            .select(F.lit(feat).alias("feature"))
+            .crossJoin(F.broadcast(nv))
+            .crossJoin(F.broadcast(htgt))
+            .crossJoin(F.broadcast(hcond))
+        )
+        outs.append(row)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return out.select(
+        "feature",
+        "n_values",
+        rnd(F.col("h_target")).alias("h_target"),
+        rnd(F.col("h_cond")).alias("h_cond"),
+        rnd(F.col("h_target") - F.col("h_cond")).alias("info_gain"),
+    )

@@ -1453,3 +1453,101 @@ def permutation_test(
             + F.lit(0.0)
         ).alias("p_value"),
     )
+
+
+def mcnemar_test(
+    preds: DataFrame,
+    correct_a_col: str,
+    correct_b_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """McNemar's test for comparing two classifiers on the SAME examples
+    (the paired-binary eval the two-proportion z-test gets wrong): only
+    the discordant cells carry information — b = A right, B wrong;
+    c = A wrong, B right; χ² = (|b−c|−1)²/(b+c) with continuity
+    correction.
+
+    Exactness: the 2×2 cell counts are one exact aggregation; the
+    statistic is a single division over exact integers. b+c = 0 (no
+    disagreements) emits 0.0.
+
+    Scale shape: ONE pass, 1-row output — no joins, no windows.
+
+    Output (1 row): (n, both_right, both_wrong, a_only, b_only, chi2)."""
+    a = F.col(correct_a_col).cast("boolean")
+    b = F.col(correct_b_col).cast("boolean")
+    acc = preds.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((a & b).cast("long")).cast("long").alias("both_right"),
+        F.sum((~a & ~b).cast("long")).cast("long").alias("both_wrong"),
+        F.sum((a & ~b).cast("long")).cast("long").alias("a_only"),
+        F.sum((~a & b).cast("long")).cast("long").alias("b_only"),
+    )
+    bb, cc = F.col("a_only"), F.col("b_only")
+    num = (F.abs(bb - cc) - 1) * (F.abs(bb - cc) - 1)
+    chi = F.when(bb + cc == 0, F.lit(0.0)).otherwise(
+        num.cast("double") / (bb + cc).cast("double")
+    )
+    return acc.select(
+        "n", "both_right", "both_wrong", "a_only", "b_only",
+        (F.round(chi, ndigits) + F.lit(0.0)).alias("chi2"),
+    )
+
+
+def cochran_q(
+    marks: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    hit_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cochran's Q — do k binary treatments (did the user view / click /
+    purchase; did the doc pass filter 1/2/3) differ, judged WITHIN blocks
+    (users/docs)? The k-treatment generalization of McNemar, the binary
+    twin of friedman_test.
+
+    Q = k(k−1)·Σ_j (C_j − T/k)² / (k·T − Σ_i R_i²) with C_j treatment
+    totals, R_i block totals, T the grand total — ALL exact integers here:
+    the numerator is computed as k(k−1)·Σ(k·C_j − T)²/k² re-arranged to
+    keep integer arithmetic, i.e. Q = (k−1)·[k·ΣC_j² − T²] / (k·T − ΣR_i²).
+
+    ``marks`` must contain one row per (block, treatment) with hit ∈
+    {0, 1} — build the block×treatment cross grid upstream (an absent
+    pair IS information; duplicate rows collapse via max(hit)).
+
+    Scale shape: one (block, treatment) presence agg, one |blocks|-sized
+    row-total agg, one |treatments|-sized column-total agg; output 1 row.
+    int64 bound: k·ΣC_j² ≤ k·T² — DECIMAL(38,0) accumulation.
+
+    Output (1 row): (n_blocks, k, grand_total, q)."""
+    cells = marks.groupBy(
+        F.col(block_col).alias("_b"), F.col(treatment_col).alias("_t")
+    ).agg(F.max(F.col(hit_col).cast("int")).alias("_x"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rows = cells.groupBy("_b").agg(F.sum("_x").alias("_r"))
+    r2 = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(dec(F.col("_r")) * F.col("_r")).alias("sr2"),
+        F.sum(F.col("_r").cast("long")).cast("long").alias("t_grand"),
+    )
+    cols = cells.groupBy("_t").agg(F.sum("_x").alias("_c"))
+    c2 = cols.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(dec(F.col("_c")) * F.col("_c")).alias("sc2"),
+    )
+    j = r2.crossJoin(F.broadcast(c2))
+    kk = F.col("k")
+    num = (kk - 1).cast("decimal(38,0)") * (
+        kk.cast("decimal(38,0)") * F.col("sc2")
+        - dec(F.col("t_grand")) * F.col("t_grand")
+    )
+    den = kk.cast("decimal(38,0)") * F.col("t_grand") - F.col("sr2")
+    q = F.when(den.cast("double") == 0.0, F.lit(0.0)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
+    return j.select(
+        "n_blocks",
+        kk.cast("int").alias("k"),
+        "t_grand",
+        (F.round(q, ndigits) + F.lit(0.0)).alias("q"),
+    )

@@ -1019,3 +1019,70 @@ def hill_tail_index(
         (F.round(hill_mean, ndigits) + F.lit(0.0)).alias("hill_mean"),
         (F.round(alpha, ndigits) + F.lit(0.0)).alias("alpha"),
     )
+
+
+def log_odds_words(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    k: int = 20,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Monroe et al. (2008) "Fightin' Words" log-odds with a smoothing
+    prior: which words distinguish corpus A from corpus B, with the
+    variance correction that tf-idf/PMI lack (raw log-odds over-ranks
+    rare words; the z-score divides by ≈√(1/(y_a+α) + 1/(y_b+α))).
+
+    δ_w = ln[(y_aw+α)/(n_a+Vα−y_aw−α)] − ln[(y_bw+α)/(n_b+Vα−y_bw−α)],
+    z_w = δ_w/σ_w. Operands are exact integer counts + the α literal, the
+    ln/√ chain runs in fixed operand order and rounds at 4 (the exp∘ln
+    discipline); ranking is by ROUNDED |z| (desc) with word tie-break, so
+    selection is reproducible cross-engine.
+
+    Scale shape: two corpus scans → vocabulary-sized count relations,
+    full-outer joined on word; 1-row totals broadcast; top-k via
+    TakeOrdered + a k-row rank window. No data-sized shuffle after the
+    token counts.
+
+    Output top-k: (word, cnt_a, cnt_b, delta, z, rank)."""
+    from pyspark.sql import Window
+
+    def counts(docs, out):
+        return (
+            docs.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("word")
+            )
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    ca, cb = counts(docs_a, "cnt_a"), counts(docs_b, "cnt_b")
+    vocab = ca.join(cb, "word", "full_outer").na.fill(
+        {"cnt_a": 0, "cnt_b": 0}
+    )
+    tot = vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    j = vocab.crossJoin(F.broadcast(tot))
+    a = F.lit(float(alpha))
+    ya, yb = F.col("cnt_a").cast("double"), F.col("cnt_b").cast("double")
+    va = F.col("v").cast("double") * a
+    delta = (
+        F.log((ya + a) / (F.col("n_a").cast("double") + va - ya - a))
+        - F.log((yb + a) / (F.col("n_b").cast("double") + va - yb - a))
+    )
+    sigma2 = 1.0 / (ya + a) + 1.0 / (yb + a)
+    z = delta / F.sqrt(sigma2)
+    scored = j.select(
+        "word", "cnt_a", "cnt_b",
+        (F.round(delta, ndigits) + F.lit(0.0)).alias("delta"),
+        (F.round(z, ndigits) + F.lit(0.0)).alias("z"),
+    )
+    order = [F.abs(F.col("z")).desc(), F.col("word")]
+    topk = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # k rows — bounded
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))

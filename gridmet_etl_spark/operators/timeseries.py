@@ -1000,3 +1000,60 @@ def gapfill_interp(
         .cast("int")
         .alias("gap_fill_src_span"),
     )
+
+
+def runs_test(
+    series: DataFrame,
+    order_col: str,
+    flag_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test over a BOUNDED ordered binary series
+    (daily aggregates, weekly KPIs — the caller aggregates the raw stream
+    first): is the above/below pattern random, or does it trend/cluster?
+    R = observed runs; z = (R − μ)/σ with μ = 2n₁n₀/n + 1 and
+    σ² = 2n₁n₀(2n₁n₀ − n)/(n²(n−1)).
+
+    Exactness: run boundaries are integer lag comparisons; μ/σ combine
+    exact integer counts in fixed operand order.
+
+    Scale shape: the input is a bounded relation by contract (|days|
+    rows), so the one global-order lag window is a documented bounded
+    single-partition stage — the raw stream is reduced BEFORE this
+    operator (see inter_event_gaps / dow_anomaly for the data-sized
+    stage).
+
+    Output (1 row): (n, n_above, n_below, runs, z)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col)  # bounded relation — documented
+    flagged = series.select(
+        F.col(flag_col).cast("int").alias("_f"),
+        (
+            F.col(flag_col).cast("int")
+            != F.lag(F.col(flag_col).cast("int")).over(w)
+        ).cast("long").alias("_chg"),
+    )
+    acc = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_f").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("_f")).cast("long").alias("n_below"),
+        F.when(
+            F.count(F.lit(1)) == 0, F.lit(0)
+        ).otherwise(F.coalesce(F.sum("_chg"), F.lit(0)) + 1)
+        .cast("long")
+        .alias("runs"),
+    )
+    n = F.col("n").cast("double")
+    n1, n0 = F.col("n_above").cast("double"), F.col("n_below").cast("double")
+    mu = 2.0 * n1 * n0 / n + 1.0
+    var = (
+        2.0 * n1 * n0 * (2.0 * n1 * n0 - n) / (n * n * (n - 1.0))
+    )
+    z = F.when((n1 == 0.0) | (n0 == 0.0) | (n <= 1.0) | (var <= 0.0), F.lit(0.0)).otherwise(
+        (F.col("runs").cast("double") - mu) / F.sqrt(var)
+    )
+    return acc.select(
+        "n", "n_above", "n_below", "runs",
+        (F.round(z, ndigits) + F.lit(0.0)).alias("z"),
+    )

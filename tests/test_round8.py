@@ -348,3 +348,102 @@ def test_hill_tail_index_pareto(spark):
     assert r["k"] == k and r["n"] == n
     assert r["hill_mean"] == pytest.approx(expected_mean, abs=1e-3)
     assert abs(r["alpha"] - alpha) < 0.25  # estimator near the true index
+
+
+# ===== round-8 wave 3 ======================================================
+
+
+def test_mcnemar_textbook(spark):
+    from gridmet_etl_spark.operators.stats import mcnemar_test
+
+    rows = (
+        [(True, True)] * 30 + [(False, False)] * 10
+        + [(True, False)] * 5 + [(False, True)] * 15
+    )
+    df = spark.createDataFrame(rows, "ca boolean, cb boolean")
+    r = mcnemar_test(df, "ca", "cb").collect()[0]
+    assert (r["a_only"], r["b_only"]) == (5, 15)
+    assert r["chi2"] == pytest.approx((abs(5 - 15) - 1) ** 2 / 20)
+
+    agree = spark.createDataFrame([(True, True)] * 5, "ca boolean, cb boolean")
+    assert mcnemar_test(agree, "ca", "cb").collect()[0]["chi2"] == 0.0
+
+
+def test_cochran_q_brute(spark):
+    from gridmet_etl_spark.operators.stats import cochran_q
+
+    # classic 3-treatment example
+    grid = []
+    marks = [
+        (1, 1, 1), (1, 1, 0), (1, 1, 0), (0, 1, 0), (1, 0, 0),
+        (0, 1, 1), (1, 1, 0), (0, 0, 0), (1, 1, 1), (0, 1, 0),
+    ]
+    for b, row in enumerate(marks):
+        for t, hit in enumerate(row):
+            grid.append((b, t, hit))
+    df = spark.createDataFrame(grid, "b long, t int, hit int")
+    r = cochran_q(df, "b", "t", "hit").collect()[0]
+    k = 3
+    cj = [sum(row[t] for row in marks) for t in range(k)]
+    ri = [sum(row) for row in marks]
+    tg = sum(cj)
+    q = (k - 1) * (k * sum(c * c for c in cj) - tg * tg) / (
+        k * tg - sum(x * x for x in ri)
+    )
+    assert r["k"] == 3 and r["t_grand"] == tg
+    assert r["q"] == pytest.approx(q, abs=1e-6)
+
+
+def test_log_odds_direction_and_antisymmetry(spark):
+    from gridmet_etl_spark.operators.textops import log_odds_words
+
+    a = spark.createDataFrame(
+        [(1, "alpha alpha alpha shared shared")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(2, "beta beta beta shared shared")], "doc_id long, text string"
+    )
+    out = {r["word"]: r for r in log_odds_words(a, b, k=10).collect()}
+    assert out["alpha"]["z"] > 0 and out["beta"]["z"] < 0
+    swapped = {r["word"]: r for r in log_odds_words(b, a, k=10).collect()}
+    assert swapped["alpha"]["z"] == pytest.approx(-out["alpha"]["z"], abs=1e-9)
+    assert swapped["beta"]["z"] == pytest.approx(-out["beta"]["z"], abs=1e-9)
+
+
+def test_info_gain_extremes(spark):
+    from gridmet_etl_spark.operators.mlprep import info_gain
+
+    # perfect: feature == target; useless: constant feature
+    rows = [("en", "en_src", "x")] * 30 + [("de", "de_src", "x")] * 10
+    df = spark.createDataFrame(rows, "lang string, good string, bad string")
+    out = {r["feature"]: r for r in info_gain(df, "lang", ["good", "bad"]).collect()}
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert out["good"]["h_target"] == pytest.approx(h, abs=1e-3)
+    assert out["good"]["info_gain"] == pytest.approx(h, abs=1e-3)  # IG == H
+    assert out["bad"]["info_gain"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_runs_test_patterns(spark):
+    from datetime import date, timedelta
+
+    from gridmet_etl_spark.operators.timeseries import runs_test
+
+    d0 = date(2024, 1, 1)
+    # alternating: runs = n (maximum) -> z > 0
+    alt = spark.createDataFrame(
+        [(d0 + timedelta(days=i), i % 2 == 0) for i in range(20)],
+        "day date, above boolean",
+    )
+    ra = runs_test(alt, "day", "above").collect()[0]
+    assert ra["runs"] == 20 and ra["z"] > 0
+    # two blocks: runs = 2 (minimum) -> z < 0
+    blk = spark.createDataFrame(
+        [(d0 + timedelta(days=i), i < 10) for i in range(20)],
+        "day date, above boolean",
+    )
+    rb = runs_test(blk, "day", "above").collect()[0]
+    assert rb["runs"] == 2 and rb["z"] < 0
+    # hand z for the block case: n1=n0=10, mu=11, var=2*100*(200-20)/(400*19)
+    mu = 2 * 10 * 10 / 20 + 1
+    var = 2 * 10 * 10 * (2 * 10 * 10 - 20) / (20 * 20 * 19)
+    assert rb["z"] == pytest.approx((2 - mu) / math.sqrt(var), abs=1e-6)

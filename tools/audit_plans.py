@@ -158,6 +158,16 @@ EXPECTED_SINGLE = {
     "kendall_tau", "permutation_test", "ap_at_k", "inter_event_gaps",
     "degree_assortativity", "bloom_fpr_sweep", "neyman_alloc",
     "propensity_match_att", "hill_tail_index",
+    # round-8 wave 3: mcnemar is ONE global agg row; cochran_q reduces
+    # the user×3-type grid to 1-row integer scalars (the 3-row literal
+    # types relation is single-partition by construction); log_odds
+    # ends in a TakeOrdered top-k + k-row rank window over the
+    # vocabulary-sized scored relation + 1-row totals; info_gain's
+    # entropy relations are |classes| / |values×classes|-bounded with
+    # 1-row quantized sums; runs_test operates on the |days|-bounded
+    # daily series by contract (documented bounded global window)
+    "mcnemar_test", "cochran_q", "log_odds_words", "info_gain",
+    "runs_test",
     # bias_als trains by broadcasting |users|/|items|-row bias relations;
     # its 1-row global-mean scalar is the only single-partition stage
     "bias_als",

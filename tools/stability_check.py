@@ -88,6 +88,11 @@ WATCHLIST = [
     "bloom_fpr_sweep", "hill_tail_index", "neyman_alloc", "kendall_tau",
     "degree_assortativity", "permutation_test", "ap_at_k",
     "inter_event_gaps", "propensity_match_att",
+    # round-8 wave 3: log_odds/info_gain are ln chains (rounded 4,
+    # max-normalized e12 entropy sums); mcnemar/cochran/runs divide
+    # exact integers
+    "mcnemar_test", "cochran_q", "log_odds_words", "info_gain",
+    "runs_test",
 ]
 
 SESSIONS = [
