@@ -32,6 +32,7 @@ from gridmet_etl_spark.contract_ext10 import EXT10_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext11 import EXT11_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext12 import EXT12_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext13 import EXT13_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext14 import EXT14_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -48,6 +49,7 @@ _MERGED = {
     **EXT11_QUERIES,
     **EXT12_QUERIES,
     **EXT13_QUERIES,
+    **EXT14_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -77,6 +79,10 @@ _CHECK_FIRST = [
     "neyman_alloc", "propensity_match_att", "hill_tail_index",
     "mcnemar_test", "cochran_q", "log_odds_words",
     "info_gain", "runs_test",
+    # (1c) new round-8 wave-2 queries (contract_ext14)
+    "jarque_bera", "brown_forsythe", "max_drawdown",
+    "bollinger_breakouts", "partial_corr", "theil_u",
+    "funcdep_audit", "decision_stump",
     # (2) file-level cohort of the three fixed operator files
     "auc_eval", "bootstrap_ci", "c4_filters",
     "calibration_eval", "chi_square", "classifier_score",

@@ -117,6 +117,17 @@ BENCH_QUERIES = [
     "log_odds_words",
     "info_gain",
     "runs_test",
+    # round-8 wave 2 (ext14): distribution-shape/variance gates,
+    # drawdown/Bollinger windows, partial corr, persistence floor,
+    # FD profiling, 1R stump
+    "jarque_bera",
+    "brown_forsythe",
+    "max_drawdown",
+    "bollinger_breakouts",
+    "partial_corr",
+    "theil_u",
+    "funcdep_audit",
+    "decision_stump",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",
@@ -1178,10 +1189,11 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext11 import EXT11_QUERIES as _EXT11
     from gridmet_etl_spark.contract_ext12 import EXT12_QUERIES as _EXT12
     from gridmet_etl_spark.contract_ext13 import EXT13_QUERIES as _EXT13
+    from gridmet_etl_spark.contract_ext14 import EXT14_QUERIES as _EXT14
 
     DOMAIN_QUERIES = {
         **_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11, **_EXT12,
-        **_EXT13,
+        **_EXT13, **_EXT14,
     }
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")

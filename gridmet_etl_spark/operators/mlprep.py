@@ -740,3 +740,77 @@ def info_gain(
         rnd(F.col("h_cond")).alias("h_cond"),
         rnd(F.col("h_target") - F.col("h_cond")).alias("info_gain"),
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Best single-threshold split (1R / depth-1 decision tree) of a
+    binary label on an integer feature — the strongest-cut companion to
+    ``info_gain``'s whole-column screen: which threshold x ≤ v buys the
+    most entropy, and what accuracy does majority-vote at that cut get?
+
+    Determinism discipline: candidates are the DISTINCT feature values
+    (the histogram), cumulated with one bounded window; per-candidate
+    split entropy n_s·H_s = n·ln n − p·ln p − q·ln q is a closed form of
+    six exact integers evaluated in fixed operand order (IEEE-identical
+    cross-engine), and the ARGMAX is decided on the max-normalized
+    floor-e12-quantized gain with the threshold as tie-break — no raw
+    double ever picks the winner.
+
+    Scale shape: ONE (value, label) cell aggregation over the data;
+    every later relation is |distinct values|-sized.
+
+    Output (1 row): (threshold, n_left, n_right, pos_left, pos_right,
+    gain, stump_acc)."""
+    y = F.col(label_col).cast("long")
+    hist = (
+        df.filter(F.col(feature_col).isNotNull() & y.isNotNull())
+        .groupBy(F.col(feature_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_p"))
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(
+        F.sum("_n").cast("long").alias("_nt"), F.sum("_p").cast("long").alias("_pt")
+    )
+
+    def _t(n, p):
+        # n·H(p/n) in nats: n ln n − p ln p − (n−p) ln (n−p), 0·ln0 = 0
+        q = n - p
+        term = lambda c: F.when(c > 0, c.cast("double") * F.log(c.cast("double"))).otherwise(F.lit(0.0))  # noqa: E731,E501
+        return term(n) - term(p) - term(q)
+
+    cum = (
+        hist.withColumn("_nl", F.sum("_n").over(w).cast("long"))
+        .withColumn("_pl", F.sum("_p").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("_nl") < F.col("_nt"))  # right side must be non-empty
+    )
+    nl, pl = F.col("_nl"), F.col("_pl")
+    nr, pr = F.col("_nt") - nl, F.col("_pt") - pl
+    t_root = _t(F.col("_nt"), F.col("_pt"))
+    gain_n = t_root - _t(nl, pl) - _t(nr, pr)  # N·(information gain)
+    scored = cum.withColumn(
+        "_gq",
+        F.when(
+            t_root > 0.0, F.floor(gain_n / t_root * 1e12).cast("long")
+        ).otherwise(F.lit(0)),
+    )
+    pick = Window.orderBy(F.col("_gq").desc(), F.col("_v").asc())
+    best = scored.withColumn("_rn", F.row_number().over(pick)).filter(
+        F.col("_rn") == 1
+    )
+    maj = F.greatest(pl, nl - pl) + F.greatest(pr, nr - pr)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return best.select(
+        F.col("_v").cast("long").alias("threshold"),
+        nl.alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        pl.alias("pos_left"),
+        pr.cast("long").alias("pos_right"),
+        rnd(gain_n / F.col("_nt").cast("double")).alias("gain"),
+        rnd(maj.cast("double") / F.col("_nt").cast("double")).alias("stump_acc"),
+    )

@@ -78,3 +78,65 @@ def data_profile(
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def fd_strength(
+    df: DataFrame,
+    pairs: Sequence[tuple],
+) -> DataFrame:
+    """Approximate functional-dependency audit: for each candidate
+    (determinant → dependent) column pair, the fraction of rows kept by
+    the best per-determinant dependent value — 1.0 means the FD holds
+    exactly (TANE/Metanome's g3 error, inverted). The profiling step
+    that finds denormalization opportunities and dirty dimension keys
+    before a 100 TB layout is chosen.
+
+    Exactness: pure integer counts and one final division — no float
+    ever aggregates. NULLs group as ordinary values in BOTH engines
+    (SQL GROUP BY semantics), so a NULL dependent under one determinant
+    counts like any other candidate value.
+
+    Scale shape: per pair, ONE (det, dep) cell aggregation over the
+    data (map-side partial), then |determinant-values|-sized relations;
+    pairs share nothing but the scan, so Spark runs them as parallel
+    jobs off one cached/columnar source.
+
+    Output per pair: (determinant, dependent, n_det_values, n_rows,
+    n_kept, strength, is_exact)."""
+    outs = []
+    for det, dep in pairs:
+        cells = df.groupBy(
+            F.col(det).alias("_a"), F.col(dep).alias("_b")
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        per_det = cells.groupBy("_a").agg(
+            F.max("_n").alias("_mx"), F.sum("_n").alias("_tot")
+        )
+        acc = per_det.agg(
+            F.count(F.lit(1)).cast("long").alias("n_det_values"),
+            F.sum("_tot").cast("long").alias("n_rows"),
+            F.sum("_mx").cast("long").alias("n_kept"),
+        )
+        outs.append(
+            acc.select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_det_values",
+                "n_rows",
+                "n_kept",
+                (
+                    F.round(
+                        F.when(
+                            F.col("n_rows") > 0,
+                            F.col("n_kept").cast("double") / F.col("n_rows"),
+                        ).otherwise(F.lit(0.0)),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("strength"),
+                (F.col("n_kept") == F.col("n_rows")).alias("is_exact"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

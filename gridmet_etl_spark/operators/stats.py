@@ -1551,3 +1551,251 @@ def cochran_q(
         "t_grand",
         (F.round(q, ndigits) + F.lit(0.0)).alias("q"),
     )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Jarque–Bera normality test per group: JB = n/6·(S² + (K−3)²/4)
+    from the first four raw moments. The distribution-shape screen you
+    run before trusting a z/t-based gate (ab_test, welch_ttest) on a
+    metric — heavy tails or skew show up here first.
+
+    Determinism discipline: ``value_col`` must be INTEGER (quantize at
+    the caller — cents, counts); the four moment sums accumulate as
+    DECIMAL(38,0) (exact, order-independent; x⁴ sums overflow int64 for
+    |x| ≳ 10⁴ at any real n, the overflow class ADVICE r8 flagged in
+    cramers_v). Central moments combine the exact sums in fixed operand
+    order, so the doubles are engine-identical.
+
+    Scale shape: ONE partial-agg pass over the data (5 sums + count per
+    group); everything after is |groups|-sized.
+
+    Output per group: (*group_cols, n, mean, skewness, kurtosis, jb)."""
+    gp = list(group_cols)
+    x = F.col(value_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    acc = df.filter(x.isNotNull()).groupBy(*gp).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(x)).alias("s1"),
+        F.sum(dec(x) * x).alias("s2"),
+        F.sum(dec(x) * x * x).alias("s3"),
+        F.sum(dec(x) * x * x * x).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+    m4 = (
+        s4 / n
+        - 4.0 * m * (s3 / n)
+        + 6.0 * m * m * (s2 / n)
+        - 3.0 * m * m * m * m
+    )
+    skew = F.when(m2 <= 0.0, F.lit(0.0)).otherwise(m3 / F.sqrt(m2 * m2 * m2))
+    kurt = F.when(m2 <= 0.0, F.lit(0.0)).otherwise(m4 / (m2 * m2))
+    jb = F.when((F.col("n") < 2) | (m2 <= 0.0), F.lit(0.0)).otherwise(
+        n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        *gp,
+        F.col("n"),
+        rnd(m).alias("mean"),
+        rnd(skew).alias("skewness"),
+        rnd(kurt).alias("kurtosis"),
+        rnd(jb).alias("jb"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test (Levene with the robust
+    MEDIAN center): one-way ANOVA F on z_ij = |x_ij − median_j|. The
+    gate before pooled-variance tests — unequal spreads invalidate them.
+
+    Determinism discipline: ``value_col`` must be INTEGER. The per-group
+    median is carried as the exact integer 2·median = (lower + upper
+    middle order statistic), found from the per-(group, value) HISTOGRAM
+    with a cumulative window — never a per-row rank. Deviations
+    z2 = |2x − 2med| are exact integers, so the ANOVA sums (Σz2, Σz2²)
+    are exact DECIMAL(38,0); F is scale-invariant in z so the factor 2
+    cancels. Doubles combine the exact sums in fixed operand order.
+
+    Scale shape: one histogram aggregation over the data, one
+    |distinct values|-per-group cumulative window, one moment-sum pass
+    over the histogram (counts-weighted — raw rows are touched once).
+
+    Output (1 row): (k, n, f_stat, df1, df2)."""
+    x = F.col(value_col)
+    hist = (
+        df.filter(x.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), x.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    cum = hist.withColumn("_hi", F.sum("_c").over(w)).withColumn(
+        "_lo", F.col("_hi") - F.col("_c")
+    )
+    ng = hist.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    # lower middle = order stat floor((n+1)/2), upper = floor(n/2)+1
+    # (1-indexed); value v covers order stats (_lo, _hi]
+    med = (
+        cum.join(ng, "_g")
+        .withColumn("_lom", F.floor((F.col("_ng") + 1) / 2))
+        .withColumn("_upm", F.floor(F.col("_ng") / 2) + 1)
+        .groupBy("_g")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("_lo") < F.col("_lom"))
+                        & (F.col("_lom") <= F.col("_hi")),
+                        F.col("_v"),
+                    ).otherwise(F.lit(0))
+                )
+                + F.sum(
+                    F.when(
+                        (F.col("_lo") < F.col("_upm"))
+                        & (F.col("_upm") <= F.col("_hi")),
+                        F.col("_v"),
+                    ).otherwise(F.lit(0))
+                )
+            ).alias("_m2")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    z2 = (F.abs(F.lit(2) * F.col("_v") - F.col("_m2"))).alias("_z2")
+    per_g = (
+        hist.join(F.broadcast(med), "_g")
+        .select("_g", "_c", z2)
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("long").alias("n_g"),
+            F.sum(dec(F.col("_c")) * F.col("_z2")).alias("sz"),
+            F.sum(dec(F.col("_c")) * F.col("_z2") * F.col("_z2")).alias("szz"),
+        )
+    )
+    # between-group pieces t_g = sz_g²/n_g are per-group DOUBLES summed over
+    # an unordered |k|-row relation — max-normalized floor-e12 quantization
+    # (the kruskal discipline) keeps the sum order-independent cross-engine
+    parts = per_g.withColumn(
+        "_t",
+        F.col("sz").cast("double") * F.col("sz").cast("double")
+        / F.col("n_g").cast("double"),
+    )
+    pmax = parts.agg(F.max("_t").alias("_tm"))
+    tot = (
+        parts.crossJoin(F.broadcast(pmax))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("n_g").cast("long").alias("n"),
+            F.sum("sz").alias("sz_all"),
+            F.sum("szz").alias("szz_all"),
+            F.sum(
+                F.when(
+                    F.col("_tm") > 0.0,
+                    F.floor(F.col("_t") / F.col("_tm") * 1e12).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("_q"),
+            F.first("_tm").alias("_tm"),
+        )
+        .withColumn(
+            "sb_parts", F.col("_q").cast("double") / 1e12 * F.col("_tm")
+        )
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    ssb = F.col("sb_parts") - F.col("sz_all").cast("double") * F.col(
+        "sz_all"
+    ).cast("double") / n
+    ssw = F.col("szz_all").cast("double") - F.col("sb_parts")
+    fstat = F.when(
+        (F.col("k") < 2) | (F.col("n") <= F.col("k")) | (ssw <= 0.0),
+        F.lit(0.0),
+    ).otherwise((ssb / (k - 1.0)) / (ssw / (n - k)))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return tot.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n"),
+        rnd(fstat).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — the x↔y association with
+    the confounder z regressed out of both:
+    r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). The one-number
+    answer to "is the corr_matrix entry just the confounder again?".
+
+    Determinism discipline: all three columns must be INTEGER (quantize
+    at the caller); the 9 regression sums accumulate as DECIMAL(38,0)
+    (exact, order-independent), the three Pearson r's and the final
+    formula combine them in fixed operand order.
+
+    Scale shape: ONE partial-agg pass (count + 9 sums), then scalar math.
+
+    Output (1 row): (n, r_xy, r_xz, r_yz, r_xy_z)."""
+    cx, cy, cz = F.col(x_col), F.col(y_col), F.col(z_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    acc = df.filter(
+        cx.isNotNull() & cy.isNotNull() & cz.isNotNull()
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(cx)).alias("sx"),
+        F.sum(dec(cy)).alias("sy"),
+        F.sum(dec(cz)).alias("sz"),
+        F.sum(dec(cx) * cx).alias("sxx"),
+        F.sum(dec(cy) * cy).alias("syy"),
+        F.sum(dec(cz) * cz).alias("szz"),
+        F.sum(dec(cx) * cy).alias("sxy"),
+        F.sum(dec(cx) * cz).alias("sxz"),
+        F.sum(dec(cy) * cz).alias("syz"),
+    )
+    n = F.col("n").cast("double")
+
+    def _r(sab, sa, sb, saa, sbb):
+        dn = n * F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(
+            sb
+        ).cast("double")
+        da = n * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(
+            sa
+        ).cast("double")
+        db = n * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(
+            sb
+        ).cast("double")
+        return F.when((da <= 0.0) | (db <= 0.0), F.lit(0.0)).otherwise(
+            dn / F.sqrt(da * db)
+        )
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = _r("syz", "sy", "sz", "syy", "szz")
+    den = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    pc = F.when(den <= 0.0, F.lit(0.0)).otherwise(
+        (rxy - rxz * ryz) / F.sqrt(den)
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("n"),
+        rnd(rxy).alias("r_xy"),
+        rnd(rxz).alias("r_xz"),
+        rnd(ryz).alias("r_yz"),
+        rnd(pc).alias("r_xy_z"),
+    )

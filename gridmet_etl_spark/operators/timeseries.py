@@ -1057,3 +1057,197 @@ def runs_test(
         "n", "n_above", "n_below", "runs",
         (F.round(z, ndigits) + F.lit(0.0)).alias("z"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maximum drawdown of the cumulative series per key — the deepest
+    peak-to-trough fall of the running total (the risk number behind
+    "how bad did it get", applied to revenue/inventory/error budgets as
+    naturally as to prices).
+
+    Determinism discipline: ``value_col`` must be INTEGER (cents,
+    counts), so the cumulative sum, running peak, and drawdown are exact
+    integers end-to-end; the only float is the final ratio. The trough
+    row is the FIRST row attaining the maximum drawdown (ties broken by
+    ``order_col``), picked by a row_number over the same key partition.
+
+    Plan shape: one shuffle on ``keys``; the cumulative/peak/ranking
+    windows all share that partitioning (one sort, three frames). Series
+    length per key is |days|-bounded after the caller's daily rollup.
+
+    Output per key: (*keys, n_points, final_value, peak, max_drawdown,
+    dd_pct, trough DATE-or-order-value)."""
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = F.col(value_col).cast("decimal(38,0)")
+    stepped = (
+        df.withColumn("_cum", F.sum(dec).over(w))
+        .withColumn("_peak", F.max("_cum").over(w))
+        .withColumn("_dd", F.col("_peak") - F.col("_cum"))
+    )
+    pick = Window.partitionBy(*keys).orderBy(
+        F.col("_dd").desc(), F.col(order_col).asc()
+    )
+    cnt = Window.partitionBy(*keys)
+    out = (
+        stepped.withColumn("_rn", F.row_number().over(pick))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        .withColumn("_fin", F.sum(dec).over(cnt))
+        .filter(F.col("_rn") == 1)
+    )
+    ddp = F.when(
+        F.col("_peak").cast("double") > 0.0,
+        F.col("_dd").cast("double") / F.col("_peak").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        *keys,
+        F.col("_n").cast("long").alias("n_points"),
+        F.col("_fin").cast("long").alias("final_value"),
+        F.col("_peak").cast("long").alias("peak"),
+        F.col("_dd").cast("long").alias("max_drawdown"),
+        (F.round(ddp, 6) + F.lit(0.0)).alias("dd_pct"),
+        F.col(order_col).alias("trough"),
+    )
+
+
+def bollinger_breakouts(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window_n: int = 20,
+    band: int = 2,
+) -> DataFrame:
+    """Bollinger-band breakout days: rows where the value leaves the
+    ±``band``·σ envelope around its ``window_n``-point trailing mean —
+    the volatility-scaled anomaly flag (dow_anomaly's rolling twin).
+
+    Determinism discipline: ``value_col`` must be INTEGER. The rolling
+    Σx and Σx² accumulate as DECIMAL(38,0) over a ROWS frame (exact at
+    any magnitude — int64 dies at daily sums ≳ 3·10⁹ squared); the
+    breach DECISION is the exact integer comparison
+    (n−1)·(n·x − S)² > band²·n·(n·Q − S²), so no float ever decides a
+    row's membership. Display stats are doubles rounded at the edge.
+    Only rows with a FULL window are eligible (warm-up excluded).
+
+    Plan shape: one shuffle on ``keys``, one ordered window (two sums +
+    a count share the frame).
+
+    Output per breach: (*keys, order, value, ma, sd, upper, lower,
+    direction ±1)."""
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(window_n - 1), Window.currentRow)
+    )
+    x = F.col(value_col)
+    dec = x.cast("decimal(38,0)")
+    stepped = (
+        df.withColumn("_s", F.sum(dec).over(w))
+        .withColumn("_q", F.sum(dec * x).over(w))
+        .withColumn("_k", F.count(F.lit(1)).over(w))
+        .filter(F.col("_k") == window_n)
+    )
+    n = F.lit(window_n).cast("decimal(38,0)")
+    d = n * F.col(value_col).cast("decimal(38,0)") - F.col("_s")
+    ssq = n * F.col("_q") - F.col("_s") * F.col("_s")  # n²·(n−1)/n · var
+    lhs = (F.lit(window_n - 1).cast("double")) * d.cast("double") * d.cast(
+        "double"
+    )
+    rhs = (
+        F.lit(band * band).cast("double")
+        * F.lit(window_n).cast("double")
+        * ssq.cast("double")
+    )
+    nn = F.lit(float(window_n))
+    ma = F.col("_s").cast("double") / nn
+    sd = F.sqrt(
+        F.greatest(ssq.cast("double"), F.lit(0.0)) / (nn * (nn - 1.0))
+    )
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return (
+        stepped.filter(lhs > rhs)
+        .select(
+            *keys,
+            F.col(order_col),
+            x.cast("long").alias("value"),
+            rnd(ma).alias("ma"),
+            rnd(sd).alias("sd"),
+            rnd(ma + band * sd).alias("upper"),
+            rnd(ma - band * sd).alias("lower"),
+            F.when(d.cast("double") > 0.0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("direction"),
+        )
+    )
+
+
+def theil_u_eval(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 7),
+) -> DataFrame:
+    """Theil's U1 accuracy of naive lag forecasts on one series — the
+    "is your model beating persistence?" yardstick
+    (forecast_backtest's closed-form floor): per lag L the forecast is
+    f_t = y_{t−L}, scored where it exists.
+    U1 = √(Σ(f−y)²/n) / (√(Σf²/n) + √(Σy²/n)) ∈ [0, 1].
+
+    Determinism discipline: ``value_col`` must be INTEGER; the three
+    squared sums and the absolute-error sum accumulate as
+    DECIMAL(38,0) (daily-count squares pass int64 at ~10⁸/day).
+
+    Plan shape: the input is the caller's ALREADY-AGGREGATED series
+    (|days|-bounded), so the single-partition lag window is a bounded
+    relation by construction — document the bound at the call site, as
+    autocorrelation does.
+
+    Output per lag: (lag, n, mae, rmse, u1)."""
+    w = Window.orderBy(order_col)
+    y = F.col(value_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    outs = []
+    for lag in lags:
+        f = F.lag(value_col, lag).over(w)
+        scored = df.select(
+            y.alias("_y"), f.alias("_f")
+        ).filter(F.col("_f").isNotNull())
+        e = F.col("_f") - F.col("_y")
+        acc = scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec(e) * e).alias("se2"),
+            F.sum(F.abs(dec(e))).alias("sae"),
+            F.sum(dec(F.col("_f")) * F.col("_f")).alias("sf2"),
+            F.sum(dec(F.col("_y")) * F.col("_y")).alias("sy2"),
+        )
+        n = F.col("n").cast("double")
+        rmse = F.sqrt(F.col("se2").cast("double") / n)
+        den = F.sqrt(F.col("sf2").cast("double") / n) + F.sqrt(
+            F.col("sy2").cast("double") / n
+        )
+        u1 = F.when(den <= 0.0, F.lit(0.0)).otherwise(rmse / den)
+        rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+        outs.append(
+            acc.select(
+                F.lit(lag).cast("int").alias("lag"),
+                F.col("n"),
+                rnd(F.col("sae").cast("double") / n).alias("mae"),
+                rnd(rmse).alias("rmse"),
+                rnd(u1).alias("u1"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -275,6 +275,18 @@ EXPECTED_SINGLE = {
     # |sources|-row totals broadcast; all pair arithmetic runs on the
     # |pairs|×k-bounded frame
     "source_jsd",
+    # round-8 wave 2 (ext14) bounded stages: jarque_bera/partial_corr end
+    # in 1-row (or |segments|-row) moment scalars — welch shape;
+    # brown_forsythe's parts/quantized-sum relations are |groups|(=3)-row
+    # + 1-row scalars (its median window partitions BY GROUP over the
+    # ≤|distinct values| histogram); theil_u's lag window runs over the
+    # |days|-bounded daily rollup by contract (runs_test shape) + 1-row
+    # per-lag scalars; decision_stump's cumulative/argmax windows run
+    # over the |distinct feature values|(≤50)-row histogram + 1-row
+    # winner; funcdep_audit reduces each pair to a 1-row strength scalar
+    # (ref_integrity union shape)
+    "jarque_bera", "partial_corr", "brown_forsythe", "theil_u",
+    "decision_stump", "funcdep_audit",
 }
 
 
