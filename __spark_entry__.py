@@ -33,6 +33,8 @@ from gridmet_etl_spark.contract_ext11 import EXT11_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext12 import EXT12_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext13 import EXT13_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext14 import EXT14_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext15 import EXT15_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext16 import EXT16_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -50,6 +52,8 @@ _MERGED = {
     **EXT12_QUERIES,
     **EXT13_QUERIES,
     **EXT14_QUERIES,
+    **EXT15_QUERIES,
+    **EXT16_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -83,6 +87,13 @@ _CHECK_FIRST = [
     "jarque_bera", "brown_forsythe", "max_drawdown",
     "bollinger_breakouts", "partial_corr", "theil_u",
     "funcdep_audit", "decision_stump",
+    # (1d) new round-8 wave-3 queries (contract_ext15)
+    "clustering_coeff", "slope_one", "rdd_estimate",
+    "iv_wald", "nelson_aalen", "hurst_exponent",
+    "brier_decomp",
+    # (1e) new round-8 wave-4 queries (contract_ext16)
+    "grubbs_stat", "ljung_box", "return_levels",
+    "page_hinkley",
     # (2) file-level cohort of the three fixed operator files
     "auc_eval", "bootstrap_ci", "c4_filters",
     "calibration_eval", "chi_square", "classifier_score",

@@ -128,6 +128,20 @@ BENCH_QUERIES = [
     "theil_u",
     "funcdep_audit",
     "decision_stump",
+    # round-8 wave 3 (ext15): graph density, Slope One CF, RDD/IV causal,
+    # cumulative hazard, Hurst R/S, Brier decomposition
+    "clustering_coeff",
+    "slope_one",
+    "rdd_estimate",
+    "iv_wald",
+    "nelson_aalen",
+    "hurst_exponent",
+    "brier_decomp",
+    # round-8 wave 4 (ext16): outlier/whiteness/extreme-value/drift
+    "grubbs_stat",
+    "ljung_box",
+    "return_levels",
+    "page_hinkley",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",
@@ -1190,10 +1204,12 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext12 import EXT12_QUERIES as _EXT12
     from gridmet_etl_spark.contract_ext13 import EXT13_QUERIES as _EXT13
     from gridmet_etl_spark.contract_ext14 import EXT14_QUERIES as _EXT14
+    from gridmet_etl_spark.contract_ext15 import EXT15_QUERIES as _EXT15
+    from gridmet_etl_spark.contract_ext16 import EXT16_QUERIES as _EXT16
 
     DOMAIN_QUERIES = {
         **_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11, **_EXT12,
-        **_EXT13, **_EXT14,
+        **_EXT13, **_EXT14, **_EXT15, **_EXT16,
     }
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")

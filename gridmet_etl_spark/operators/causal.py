@@ -358,3 +358,127 @@ def propensity_match_att(
         (F.round(att, ndigits) + F.lit(0.0)).alias("att"),
         (F.round(naive, ndigits) + F.lit(0.0)).alias("naive_diff"),
     )
+
+
+def rdd_estimate(
+    units: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: int = 0,
+    bandwidth: int = 0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate: local LINEAR fits on each
+    side of the cutoff within ±``bandwidth``, effect = the jump between
+    the two intercepts AT the cutoff (the causal design when treatment
+    flips deterministically at a threshold — credit floors, score
+    cutoffs, eligibility rules).
+
+    Side convention: LEFT is running < cutoff, RIGHT is running ≥ cutoff
+    (the treated side under a ≥-rule). Both fits recentre x at the
+    cutoff, so each intercept IS the side's boundary prediction.
+
+    Determinism discipline: ``running_col`` and ``outcome_col`` must be
+    INTEGERS; each side's OLS sums (n, Σx, Σy, Σxy, Σx²) accumulate as
+    DECIMAL(38,0) in ONE conditional-aggregate pass; slope/intercept are
+    closed forms of the exact sums in fixed operand order.
+
+    Output (1 row): (n_left, n_right, intercept_left, intercept_right,
+    slope_left, slope_right, effect)."""
+    x = (F.col(running_col) - F.lit(cutoff)).cast("long")
+    y = F.col(outcome_col).cast("long")
+    is_l = (x >= -F.lit(bandwidth)) & (x < 0)
+    is_r = (x >= 0) & (x <= F.lit(bandwidth))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = units.filter(
+        F.col(running_col).isNotNull() & y.isNotNull()
+    ).agg(
+        F.count(F.when(is_l, F.lit(1))).cast("long").alias("nl"),
+        F.sum(F.when(is_l, dec(x))).alias("sxl"),
+        F.sum(F.when(is_l, dec(y))).alias("syl"),
+        F.sum(F.when(is_l, dec(x) * y)).alias("sxyl"),
+        F.sum(F.when(is_l, dec(x) * x)).alias("sxxl"),
+        F.count(F.when(is_r, F.lit(1))).cast("long").alias("nr"),
+        F.sum(F.when(is_r, dec(x))).alias("sxr"),
+        F.sum(F.when(is_r, dec(y))).alias("syr"),
+        F.sum(F.when(is_r, dec(x) * y)).alias("sxyr"),
+        F.sum(F.when(is_r, dec(x) * x)).alias("sxxr"),
+    )
+
+    def _fit(n, sx, sy, sxy, sxx):
+        nd = F.col(n).cast("double")
+        sxd, syd = F.col(sx).cast("double"), F.col(sy).cast("double")
+        sxyd, sxxd = F.col(sxy).cast("double"), F.col(sxx).cast("double")
+        det = nd * sxxd - sxd * sxd
+        slope = F.when(
+            (F.col(n) < 2) | (det == 0.0), F.lit(0.0)
+        ).otherwise((nd * sxyd - sxd * syd) / det)
+        intercept = F.when(F.col(n) < 1, F.lit(0.0)).otherwise(
+            (syd - slope * sxd) / nd
+        )
+        return slope, intercept
+
+    sl, il = _fit("nl", "sxl", "syl", "sxyl", "sxxl")
+    sr, ir = _fit("nr", "sxr", "syr", "sxyr", "sxxr")
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return g.select(
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        rnd(il).alias("intercept_left"),
+        rnd(ir).alias("intercept_right"),
+        rnd(sl).alias("slope_left"),
+        rnd(sr).alias("slope_right"),
+        rnd(ir - il).alias("effect"),
+    )
+
+
+def iv_wald(
+    units: DataFrame,
+    instrument_col: str,
+    treatment_col: str,
+    outcome_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Wald instrumental-variable estimator (the one-instrument,
+    one-treatment 2SLS closed form): LATE = ITT_y / ITT_t =
+    (ȳ|z=1 − ȳ|z=0) / (t̄|z=1 − t̄|z=0) — the causal effect for
+    compliers when the treatment itself is confounded but an
+    encouragement Z is as-good-as-random.
+
+    Determinism discipline: z/t binary ints, y INTEGER; one
+    conditional-aggregate pass of exact integer sums; doubles combine
+    them in fixed operand order. A weak instrument (first stage 0)
+    emits NULL late rather than a garbage ratio.
+
+    Output (1 row): (n, n_z1, itt_y, itt_t, late)."""
+    z = F.col(instrument_col).cast("int")
+    t = F.col(treatment_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    g = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(z.cast("long")).cast("long").alias("n1"),
+        F.sum(F.when(z == 1, y)).cast("long").alias("sy1"),
+        F.sum(F.when(z == 0, y)).cast("long").alias("sy0"),
+        F.sum(F.when(z == 1, t)).cast("long").alias("st1"),
+        F.sum(F.when(z == 0, t)).cast("long").alias("st0"),
+    )
+    n1 = F.col("n1").cast("double")
+    n0 = (F.col("n") - F.col("n1")).cast("double")
+    degen = (F.col("n1") == 0) | (F.col("n") == F.col("n1"))
+    itt_y = F.when(degen, F.lit(0.0)).otherwise(
+        F.col("sy1").cast("double") / n1 - F.col("sy0").cast("double") / n0
+    )
+    itt_t = F.when(degen, F.lit(0.0)).otherwise(
+        F.col("st1").cast("double") / n1 - F.col("st0").cast("double") / n0
+    )
+    late = F.when(itt_t == 0.0, F.lit(None).cast("double")).otherwise(
+        itt_y / itt_t
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return g.select(
+        F.col("n"),
+        F.col("n1").alias("n_z1"),
+        rnd(itt_y).alias("itt_y"),
+        rnd(itt_t).alias("itt_t"),
+        (F.round(late, ndigits) + F.lit(0.0)).alias("late"),
+    )

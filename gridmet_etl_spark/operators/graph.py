@@ -564,3 +564,43 @@ def degree_assortativity(
         "n_dst",
         (F.round(r, ndigits) + F.lit(0.0)).alias("r"),
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node over the undirected simple
+    graph of a (src, dst) edge list: c_v = 2·T_v / (d_v·(d_v−1)) — how
+    close each node's neighborhood is to a clique (the community-density
+    number next to triangle_count's raw participation).
+
+    Composition: ``triangle_count``'s degree-oriented enumeration (every
+    triangle found once from its lowest-degree corner — wedge fan-out
+    Σ d_out² with d_out ≤ O(√m), hub-safe) left-joined onto the degree
+    relation, so triangle-free nodes report 0. Exact integers everywhere;
+    the coefficient is the only float, rounded at the edge.
+
+    Output: (node, degree, n_triangles, coeff) for nodes with degree ≥ 2
+    (degree-1 nodes have no defined coefficient and are excluded).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    tris = triangle_count(edges)
+    j = deg.join(tris, "node", "left").na.fill({"n_triangles": 0})
+    d = F.col("degree").cast("double")
+    coeff = 2.0 * F.col("n_triangles").cast("double") / (d * (d - 1.0))
+    return j.filter(F.col("degree") >= 2).select(
+        "node",
+        "degree",
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        (F.round(coeff, 6) + F.lit(0.0)).alias("coeff"),
+    )

@@ -171,3 +171,85 @@ def bias_als(
         (F.round(F.col("_bi"), ndigits) + F.lit(0.0)).alias("b_i"),
         "n_ratings",
     )
+
+
+def slope_one(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Weighted Slope One predictions for every (user, unrated item)
+    pair — the closed-form recommender baseline (no training loop, one
+    deviation matrix): pred(u,j) = Σ_i [num_ji + c_ji·r_ui] / Σ_i c_ji
+    over the items i the user rated, where num_ji = Σ_v (r_vj − r_vi)
+    and c_ji = |users rating both i and j|.
+
+    Determinism discipline: ``rating_col`` must be INTEGER, so the
+    deviation NUMERATORS stay exact integers (dev_ji = num_ji/c_ji is
+    never materialized — the prediction expands to an exact integer
+    numerator over an exact integer denominator; one float division per
+    output row, rounded at the edge).
+
+    Scale shape: the co-rating pair matrix is |items|²-bounded (one
+    self-join of the per-user basket, partial-aggregated map-side —
+    standard Slope One; cap |items| like any item-item CF). Prediction
+    joins are (user-basket × items)-sized, never |users|×|items| unless
+    the caller asks for the full matrix (they do here: output is the
+    unrated grid, which IS the deliverable).
+
+    Output: (user, item, n_pairs, denom, pred)."""
+    r = ratings.select(
+        F.col(user_col).alias("_u"),
+        F.col(item_col).alias("_i"),
+        F.col(rating_col).cast("long").alias("_r"),
+    )
+    a = r.select(F.col("_u"), F.col("_i").alias("_ia"), F.col("_r").alias("_ra"))
+    b = r.select(F.col("_u"), F.col("_i").alias("_ib"), F.col("_r").alias("_rb"))
+    # deviation matrix: j=_ia (target), i=_ib (source), num = Σ(r_j − r_i)
+    pairs = (
+        a.join(b, "_u")
+        .where(F.col("_ia") != F.col("_ib"))
+        .groupBy(F.col("_ia").alias("_j"), F.col("_ib").alias("_i"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_c"),
+            F.sum(F.col("_ra") - F.col("_rb")).cast("long").alias("_num"),
+        )
+    )
+    items = r.select(F.col("_i").alias("_j")).distinct()
+    rated = r.select("_u", F.col("_i").alias("_j")).withColumn(
+        "_has", F.lit(1)
+    )
+    # candidate grid: user × unrated item
+    cand = (
+        r.select("_u").distinct()
+        .crossJoin(F.broadcast(items))
+        .join(rated, ["_u", "_j"], "left_anti")
+    )
+    # expand: for each candidate (u, j), walk u's rated items i
+    scored = (
+        cand.join(r.select("_u", F.col("_i"), F.col("_r")), "_u")
+        .join(pairs, ["_j", "_i"])
+        .groupBy("_u", "_j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("_num") + F.col("_c") * F.col("_r"))
+            .cast("long")
+            .alias("_numer"),
+            F.sum("_c").cast("long").alias("denom"),
+        )
+    )
+    return scored.select(
+        F.col("_u").alias("user"),
+        F.col("_j").alias("item"),
+        "n_pairs",
+        "denom",
+        (
+            F.round(
+                F.col("_numer").cast("double") / F.col("denom").cast("double"),
+                ndigits,
+            )
+            + F.lit(0.0)
+        ).alias("pred"),
+    )

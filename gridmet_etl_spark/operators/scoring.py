@@ -397,3 +397,95 @@ def rbo_overlap(
         "overlap",
         F.expr("overlap * 10000 div depth").alias("agree_e4"),
     ).crossJoin(F.broadcast(summary))
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    score_e6_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over equal-width
+    probability bins: BRIER = RELIABILITY − RESOLUTION + UNCERTAINTY for
+    the BINNED forecast q = p̄_bin (exact identity), next to the raw
+    per-row Brier — the "is my classifier bad at calibration or just
+    uninformative?" diagnostic behind calibration_bins' per-bin view.
+
+    Determinism discipline: the score arrives as an INTEGER e6
+    micro-probability (``score_e6_col``; quantize at the caller), so the
+    per-bin score sums, the raw Brier numerator Σ(s_e6 − y·10⁶)², and
+    every p̄_b are exact integer ratios. The three |bins|-row
+    decomposition sums quantize max-normalized e12 before aggregating
+    (the kruskal discipline).
+
+    Scale shape: ONE corpus scan (bin rollup with map-side partials);
+    everything after is |bins|-sized.
+
+    Output (1 row): (n, n_bins_used, brier_raw, brier_binned,
+    reliability, resolution, uncertainty)."""
+    s6 = F.col(score_e6_col).cast("long")
+    y = F.col(label_col).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    binned = scored.select(
+        F.least(
+            F.floor(s6 * n_bins / 1_000_000), F.lit(n_bins - 1)
+        ).cast("long").alias("_b"),
+        s6.alias("_s6"),
+        y.alias("_y"),
+    )
+    per_b = binned.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(dec(F.col("_s6"))).alias("_ss"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(
+            dec(F.col("_s6") - F.col("_y") * 1_000_000)
+            * (F.col("_s6") - F.col("_y") * 1_000_000)
+        ).alias("_se2"),
+    )
+    tot = per_b.agg(
+        F.sum("_n").cast("long").alias("_nt"),
+        F.sum("_sy").cast("long").alias("_syt"),
+        F.sum("_se2").alias("_se2t"),
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+    )
+    nd = F.col("_n").cast("double")
+    pbar = F.col("_ss").cast("double") / (nd * 1e6)
+    ybar_b = F.col("_sy").cast("double") / nd
+    ybar = F.col("_syt").cast("double") / F.col("_nt").cast("double")
+    terms = per_b.crossJoin(F.broadcast(tot)).select(
+        "_n",
+        (nd * (pbar - ybar_b) * (pbar - ybar_b)).alias("_rel"),
+        (nd * (ybar_b - ybar) * (ybar_b - ybar)).alias("_res"),
+    )
+    tmax = terms.agg(
+        F.max("_rel").alias("_rm"), F.max("_res").alias("_sm")
+    )
+    qz = lambda c, mx: F.when(  # noqa: E731
+        F.col(mx) > 0.0, F.floor(c / F.col(mx) * 1e12).cast("long")
+    ).otherwise(F.lit(0))
+    acc = (
+        terms.crossJoin(F.broadcast(tmax))
+        .agg(
+            F.sum(qz(F.col("_rel"), "_rm")).alias("_qr"),
+            F.sum(qz(F.col("_res"), "_sm")).alias("_qs"),
+            F.first("_rm").alias("_rm"),
+            F.first("_sm").alias("_sm"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    ntd = F.col("_nt").cast("double")
+    rel = F.col("_qr").cast("double") / 1e12 * F.col("_rm") / ntd
+    res = F.col("_qs").cast("double") / 1e12 * F.col("_sm") / ntd
+    unc = ybar * (1.0 - ybar)
+    brier_raw = F.col("_se2t").cast("double") / (ntd * 1e12)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("_nt").alias("n"),
+        F.col("_nb").cast("int").alias("n_bins_used"),
+        rnd(brier_raw).alias("brier_raw"),
+        rnd(rel - res + unc).alias("brier_binned"),
+        rnd(rel).alias("reliability"),
+        rnd(res).alias("resolution"),
+        rnd(unc).alias("uncertainty"),
+    )

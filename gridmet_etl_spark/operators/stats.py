@@ -1799,3 +1799,129 @@ def partial_corr(
         rnd(ryz).alias("r_yz"),
         rnd(pc).alias("r_xy_z"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator per group — Kaplan–Meier's
+    additive twin: H(t) = Σ_{u ≤ t} d_u / n_u with the same
+    right-censoring-aware at-risk denominator. Prefer it when hazards are
+    the modeling target (−ln S vs H is the standard KM-vs-NA diagnostic).
+
+    Relational form mirrors ``kaplan_meier`` exactly: one (group, time)
+    partial agg collapses subjects to per-time (events, leavers), at-risk
+    = group total minus a running sum over the |distinct durations|-sized
+    relation, and the cumulative hazard is a running sum of d/n doubles
+    over the SAME ordered window (sequential frame order — the engine
+    evaluates running frames in sort order, the precedent kaplan_meier's
+    exp(Σ ln) already relies on). Variance is the standard Σ d/n².
+
+    Output: (*group_cols, t, n_risk, d, cumhaz, var) for event times.
+    """
+    groups = list(group_cols)
+    base = df.select(
+        *groups,
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+    )
+    per_t = base.groupBy(*groups, "_t").agg(
+        F.sum("_e").alias("_d"),
+        F.count(F.lit(1)).alias("_leave"),
+    )
+    w_ord = Window.partitionBy(*groups).orderBy("_t")
+    w_all = Window.partitionBy(*groups)
+    cum = per_t.select(
+        *groups,
+        "_t",
+        "_d",
+        (
+            F.sum("_leave").over(w_all)
+            - F.coalesce(
+                F.sum("_leave").over(
+                    Window.partitionBy(*groups)
+                    .orderBy("_t")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("_n"),
+    )
+    nd = F.col("_n").cast("double")
+    haz = cum.withColumn(
+        "_h", F.col("_d").cast("double") / nd
+    ).withColumn("_hv", F.col("_d").cast("double") / (nd * nd))
+    out = haz.withColumn("_H", F.sum("_h").over(w_ord)).withColumn(
+        "_V", F.sum("_hv").over(w_ord)
+    )
+    return out.where(F.col("_d") > 0).select(
+        *groups,
+        F.col("_t").alias("t"),
+        F.col("_n").cast("long").alias("n_risk"),
+        F.col("_d").cast("long").alias("d"),
+        (F.round(F.col("_H"), ndigits) + F.lit(0.0)).alias("cumhaz"),
+        (F.round(F.col("_V"), ndigits) + F.lit(0.0)).alias("var"),
+    )
+
+
+def grubbs_stat(
+    df: DataFrame,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Grubbs outlier statistic G = max|x − x̄| / s with the offending
+    value — the single-most-extreme-point screen (mad_outliers' classical
+    z-based sibling; compare G against the t-based critical value for
+    your n offline).
+
+    Determinism discipline: ``value_col`` must be INTEGER; the argmax is
+    decided on the exact integer |n·x − S| (ties broken by smaller
+    value), never on a float; mean/sd/G combine exact DECIMAL(38,0) sums
+    in fixed operand order.
+
+    Scale shape: ONE moment pass + one greatest-deviation aggregation
+    (both map-side partial); 1-row output.
+
+    Output (1 row): (n, mean, sd, outlier_value, g_stat)."""
+    x = F.col(value_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    acc = df.filter(x.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(x)).alias("s"),
+        F.sum(dec(x) * x).alias("q"),
+    )
+    # exact-integer deviation key: |n·x − S|, tie-break smaller value
+    dev = df.filter(x.isNotNull()).crossJoin(F.broadcast(acc)).select(
+        x.cast("long").alias("_v"),
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * x - F.col("s")
+        ).alias("_d"),
+    )
+    worst = dev.agg(
+        F.max(F.struct(F.col("_d"), (-F.col("_v")).alias("_nv"))).alias("_w")
+    ).select(
+        (-F.col("_w._nv")).cast("long").alias("outlier_value")
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.when(F.col("n") < 2, F.lit(0.0)).otherwise(
+        (n * F.col("q").cast("double") - F.col("s").cast("double")
+         * F.col("s").cast("double")) / (n * (n - 1.0))
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    out = acc.crossJoin(F.broadcast(worst))
+    g = F.when(sd <= 0.0, F.lit(0.0)).otherwise(
+        F.abs(F.col("outlier_value").cast("double") - mean) / sd
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return out.select(
+        F.col("n"),
+        rnd(mean).alias("mean"),
+        rnd(sd).alias("sd"),
+        "outlier_value",
+        rnd(g).alias("g_stat"),
+    )

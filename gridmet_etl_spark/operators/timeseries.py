@@ -1251,3 +1251,392 @@ def theil_u_eval(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def hurst_exponent(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    block_sizes: Sequence[int] = (16, 32, 64, 128),
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of one ordered
+    series: per block size m, the series splits into ⌊n/m⌋ complete
+    blocks, each scoring R/S = range(cumulative deviations)/std; the
+    log-log slope of mean R/S against m is H (0.5 = random walk,
+    > 0.5 = persistent/trending, < 0.5 = mean-reverting).
+
+    Determinism discipline: ``value_col`` must be INTEGER, so each
+    block's m·Y_k = m·Σ_{i≤k}x_i − k·S_block is an EXACT integer and
+    R/S = (max−min of m·Y_k)/√(m·Σx² − S²) is a closed form of exact
+    integers (one double per block). Per-size means of those doubles
+    and the 4-point log-log OLS cross unordered relations, so both are
+    max-normalized floor-e12-quantized before summing (the kruskal
+    discipline).
+
+    Scale shape: input is the caller's |days|-bounded ordered rollup by
+    contract (runs_test/theil_u shape); one global row_number assigns
+    block indices, then everything is |blocks|- and |sizes|-sized.
+
+    Output: one row per block size — (block_size, n_blocks, rs_mean,
+    hurst), with the fitted H repeated on every row (1-row broadcast)."""
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.col(order_col), F.col(value_col).cast("long").alias("_x")
+    ).withColumn("_rn", F.row_number().over(w) - 1).drop(order_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # ALL sizes in one pass: explode the size list over the bounded series
+    # (|sizes|× duplication of a |days|-sized relation), so one (m, b)
+    # window chain serves every block size — 4 chains collapse into one
+    # sort (the oracle SQL's exact shape; measured 3.5 s → sub-second at
+    # sf0.01, and at any scale the window input stays |sizes|·|days|)
+    blocks = base.select(
+        F.explode(
+            F.array(*[F.lit(int(m)) for m in block_sizes])
+        ).alias("_m"),
+        "_x",
+        "_rn",
+    ).select(
+        "_m",
+        "_x",
+        F.floor(F.col("_rn") / F.col("_m")).alias("_b"),
+        (F.col("_rn") % F.col("_m") + 1).alias("_k"),
+    )
+    # block b is complete iff b < ⌊n/m⌋ — one 1-row count broadcast
+    # replaces a per-block count + join
+    ntot = base.agg(F.count(F.lit(1)).alias("_n"))
+    full = blocks.crossJoin(F.broadcast(ntot)).filter(
+        F.col("_b") < F.floor(F.col("_n") / F.col("_m"))
+    )
+    wb = (
+        Window.partitionBy("_m", "_b")
+        .orderBy("_k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # m·Y_k = m·cs_k − k·S: the block total S rides a whole-partition
+    # window next to the running cumsum (one sort, two frames)
+    wall = Window.partitionBy("_m", "_b")
+    stepped = (
+        full.withColumn("_cs", F.sum(dec(F.col("_x"))).over(wb))
+        .withColumn("_s", F.sum(dec(F.col("_x"))).over(wall))
+        .withColumn("_q", F.sum(dec(F.col("_x")) * F.col("_x")).over(wall))
+        .withColumn(
+            "_my",
+            F.col("_m").cast("decimal(38,0)") * F.col("_cs")
+            - F.col("_k").cast("decimal(38,0)") * F.col("_s"),
+        )
+    )
+    per_b = stepped.groupBy("_m", "_b").agg(
+        (F.max("_my") - F.min("_my")).alias("_r"),
+        F.first("_s").alias("_s"),
+        F.first("_q").alias("_q"),
+    )
+    ssq = (
+        F.col("_m").cast("decimal(38,0)") * F.col("_q")
+        - F.col("_s") * F.col("_s")
+    ).cast("double")
+    rs = F.when(ssq <= 0.0, F.lit(None).cast("double")).otherwise(
+        F.col("_r").cast("double") / F.sqrt(ssq)
+    )
+    scored = per_b.select("_m", rs.alias("_rs")).filter(
+        F.col("_rs").isNotNull()
+    )
+    smax = scored.groupBy("_m").agg(F.max("_rs").alias("_tm"))
+    sizes = (
+        scored.join(F.broadcast(smax), "_m")
+        .groupBy("_m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(
+                F.when(
+                    F.col("_tm") > 0.0,
+                    F.floor(F.col("_rs") / F.col("_tm") * 1e12).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("_qs"),
+            F.first("_tm").alias("_tm"),
+        )
+        .select(
+            F.col("_m").cast("long").alias("block_size"),
+            "n_blocks",
+            (
+                F.col("_qs").cast("double")
+                / 1e12
+                * F.col("_tm")
+                / F.col("n_blocks").cast("double")
+            ).alias("_rsm"),
+        )
+        .filter(F.col("n_blocks") > 0)
+    )
+    # 4-point log-log OLS: terms quantized before the unordered sums
+    terms = sizes.select(
+        "block_size",
+        "n_blocks",
+        "_rsm",
+        F.log(F.col("block_size").cast("double")).alias("_u"),
+        F.log(F.col("_rsm")).alias("_v"),
+    )
+    tmax = terms.agg(
+        F.max(F.abs(F.col("_u"))).alias("_um"),
+        F.max(F.abs(F.col("_v"))).alias("_vm"),
+        F.max(F.abs(F.col("_u") * F.col("_v"))).alias("_uvm"),
+        F.max(F.col("_u") * F.col("_u")).alias("_uum"),
+    )
+    qz = lambda c, mx: F.when(  # noqa: E731
+        F.col(mx) > 0.0, F.floor(c / F.col(mx) * 1e12).cast("long")
+    ).otherwise(F.lit(0))
+    ols = (
+        terms.crossJoin(F.broadcast(tmax))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_k"),
+            F.sum(qz(F.col("_u"), "_um")).alias("_su"),
+            F.sum(qz(F.col("_v"), "_vm")).alias("_sv"),
+            F.sum(qz(F.col("_u") * F.col("_v"), "_uvm")).alias("_suv"),
+            F.sum(qz(F.col("_u") * F.col("_u"), "_uum")).alias("_suu"),
+            F.first("_um").alias("_um"),
+            F.first("_vm").alias("_vm"),
+            F.first("_uvm").alias("_uvm"),
+            F.first("_uum").alias("_uum"),
+        )
+        .select(
+            F.col("_k"),
+            (F.col("_su").cast("double") / 1e12 * F.col("_um")).alias("su"),
+            (F.col("_sv").cast("double") / 1e12 * F.col("_vm")).alias("sv"),
+            (F.col("_suv").cast("double") / 1e12 * F.col("_uvm")).alias("suv"),
+            (F.col("_suu").cast("double") / 1e12 * F.col("_uum")).alias("suu"),
+        )
+    )
+    kd = F.col("_k").cast("double")
+    det = kd * F.col("suu") - F.col("su") * F.col("su")
+    hurst = F.when(det == 0.0, F.lit(0.0)).otherwise(
+        (kd * F.col("suv") - F.col("su") * F.col("sv")) / det
+    )
+    h1 = ols.select((F.round(hurst, 6) + F.lit(0.0)).alias("hurst"))
+    return sizes.crossJoin(F.broadcast(h1)).select(
+        "block_size",
+        "n_blocks",
+        (F.round(F.col("_rsm"), 6) + F.lit(0.0)).alias("rs_mean"),
+        "hurst",
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 2, 3, 7, 14),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Ljung–Box whiteness test on one ordered series: standard ACF
+    r_k (global-mean, full-variance denominator — NOT pairwise Pearson)
+    per lag, plus the portmanteau Q = n(n+2)·Σ_k r_k²/(n−k) repeated on
+    every row. Large Q rejects "these residuals are white noise" — run
+    it on forecast_backtest/holt residuals before trusting them.
+
+    Determinism discipline: ``value_col`` must be INTEGER. Multiplying
+    r_k through by n² makes BOTH sides exact integers:
+    r_k = [n²·Σxy − n·S·(H_k+T_k) + (n−k)·S²] / [n·(n·Q₂ − S²)]
+    (S = Σx, Q₂ = Σx², H_k/T_k = head/tail partial sums, Σxy the lag-k
+    cross sum) — every sum DECIMAL(38,0), one float division per lag.
+    The |lags|-row Q summation quantizes max-normalized floor-e12.
+
+    Scale shape: input is the caller's |days|-bounded ordered rollup by
+    contract (runs_test shape); one lag window serves all lags, then
+    |lags|-row arithmetic.
+
+    Output per lag: (lag, n, n_pairs, r, q_stat)."""
+    w = Window.orderBy(order_col)
+    x = F.col(value_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lagged = df.select(
+        x.alias("_v"),
+        *[F.lag(value_col, k).over(w).alias(f"_l{k}") for k in lags],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_v"))).alias("s"),
+        F.sum(dec(F.col("_v")) * F.col("_v")).alias("q2"),
+    ]
+    for k in lags:
+        lk = F.col(f"_l{k}")
+        aggs += [
+            F.sum(F.when(lk.isNotNull(), dec(F.col("_v")) * lk)).alias(f"sxy{k}"),
+            F.sum(F.when(lk.isNotNull(), dec(F.col("_v")))).alias(f"h{k}"),
+            F.sum(F.when(lk.isNotNull(), dec(lk))).alias(f"t{k}"),
+            F.count(F.when(lk.isNotNull(), F.lit(1))).cast("long").alias(f"np{k}"),
+        ]
+    acc = lagged.agg(*aggs)
+    nd = F.col("n").cast("double")
+    sdv = F.col("s").cast("double")
+    den = nd * (nd * F.col("q2").cast("double") - sdv * sdv)
+    rows = []
+    for k in lags:
+        num = (
+            nd * nd * F.col(f"sxy{k}").cast("double")
+            - nd * sdv * (F.col(f"h{k}").cast("double")
+                          + F.col(f"t{k}").cast("double"))
+            + (nd - F.lit(float(k))) * sdv * sdv
+        )
+        r = F.when(den <= 0.0, F.lit(0.0)).otherwise(num / den)
+        rows.append(
+            acc.select(
+                F.lit(k).cast("int").alias("lag"),
+                F.col("n"),
+                F.col(f"np{k}").alias("n_pairs"),
+                r.alias("_r"),
+            )
+        )
+    per_lag = rows[0]
+    for o in rows[1:]:
+        per_lag = per_lag.unionByName(o)
+    # Q = n(n+2) Σ r²/(n−k): |lags|-row unordered sum → quantize e12
+    terms = per_lag.select(
+        "lag",
+        "n",
+        "n_pairs",
+        "_r",
+        (
+            F.col("_r") * F.col("_r")
+            / (F.col("n").cast("double") - F.col("lag").cast("double"))
+        ).alias("_t"),
+    )
+    tmax = terms.agg(F.max("_t").alias("_tm"))
+    qsum = (
+        terms.crossJoin(F.broadcast(tmax))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_tm") > 0.0,
+                    F.floor(F.col("_t") / F.col("_tm") * 1e12).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("_q"),
+            F.first("_tm").alias("_tm"),
+            F.first("n").alias("_n"),
+        )
+        .select(
+            (
+                F.col("_n").cast("double")
+                * (F.col("_n").cast("double") + 2.0)
+                * (F.col("_q").cast("double") / 1e12 * F.col("_tm"))
+            ).alias("_qstat")
+        )
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return terms.crossJoin(F.broadcast(qsum)).select(
+        "lag",
+        "n",
+        "n_pairs",
+        rnd(F.col("_r")).alias("r"),
+        rnd(F.col("_qstat")).alias("q_stat"),
+    )
+
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_return_levels(
+    df: DataFrame,
+    block_col: str,
+    value_col: str,
+    return_periods: Sequence[int] = (10, 50, 100),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Gumbel (EV1) return levels from block maxima by the method of
+    moments — the hydrology/climatology "T-year event" estimate
+    (the reference's gridMET consumers feed exactly this kind of
+    analysis; rmcd-mscb/gridmet-etl etl.py serves the daily inputs):
+    β̂ = s·√6/π, μ̂ = m − γ·β̂, x_T = μ̂ − β̂·ln(−ln(1 − 1/T)).
+
+    Determinism discipline: ``value_col`` must be INTEGER; block maxima
+    are exact (one max per block), their two moment sums accumulate as
+    DECIMAL(38,0), and each return level is a closed form of the exact
+    sums with literal constants (√6/π, Euler γ) in fixed operand order.
+
+    Scale shape: one (block) max aggregation over the data (map-side
+    partial), one 1-row moment pass over the |blocks| relation, output
+    |return_periods| rows from a literal relation.
+
+    Output per T: (return_period, n_blocks, mu, beta, return_level)."""
+    spark = df.sparkSession
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    maxima = df.groupBy(F.col(block_col).alias("_b")).agg(
+        F.max(F.col(value_col).cast("long")).alias("_m")
+    )
+    acc = maxima.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(dec(F.col("_m"))).alias("s"),
+        F.sum(dec(F.col("_m")) * F.col("_m")).alias("q"),
+    )
+    n = F.col("n_blocks").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.when(F.col("n_blocks") < 2, F.lit(0.0)).otherwise(
+        (n * F.col("q").cast("double")
+         - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (n * (n - 1.0))
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    beta = sd * 0.7796968012336793  # √6/π
+    mu = mean - F.lit(_EULER_GAMMA) * beta
+    periods = spark.createDataFrame(
+        [(int(t),) for t in return_periods], "return_period int"
+    )
+    j = acc.crossJoin(F.broadcast(periods))
+    t = F.col("return_period").cast("double")
+    level = mu - beta * F.log(-F.log(1.0 - 1.0 / t))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return j.select(
+        "return_period",
+        "n_blocks",
+        rnd(mu).alias("mu"),
+        rnd(beta).alias("beta"),
+        rnd(level).alias("return_level"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Page–Hinkley upward-drift detector over one ordered series: the
+    cumulative deviation from the RUNNING mean U_t = Σ_{i≤t}
+    (x_i − m̄_i − δ) alarms when it exceeds its own running minimum by
+    λ — the sequential changepoint monitor (cusum_changepoints' online
+    twin: PH uses the evolving mean, so it needs no in-control baseline
+    window).
+
+    Determinism: per-row m̄_i = S_i/i is an exact integer ratio
+    (``value_col`` must be INTEGER); the U cumsum and running min ride
+    ordered window frames (sequential order — the kaplan_meier
+    precedent), and the alarm compares doubles built from exact inputs
+    against a literal λ, identically in both engines.
+
+    Scale shape: input is the caller's |days|-bounded ordered rollup by
+    contract (runs_test shape) — three frames over one sort.
+
+    Output per alarm row: (order, value, ph, excess)."""
+    w = Window.orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(value_col).cast("long")
+    stepped = (
+        df.withColumn("_s", F.sum(x.cast("decimal(38,0)")).over(run))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_u",
+            x.cast("double")
+            - F.col("_s").cast("double") / F.col("_i").cast("double")
+            - F.lit(float(delta)),
+        )
+        .withColumn("_U", F.sum("_u").over(run))
+        .withColumn("_minU", F.min("_U").over(run))
+    )
+    return stepped.filter(
+        F.col("_U") - F.col("_minU") > F.lit(float(lam))
+    ).select(
+        F.col(order_col),
+        x.alias("value"),
+        (F.round(F.col("_U"), 6) + F.lit(0.0)).alias("ph"),
+        (F.round(F.col("_U") - F.col("_minU"), 6) + F.lit(0.0)).alias(
+            "excess"
+        ),
+    )

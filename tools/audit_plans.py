@@ -287,6 +287,26 @@ EXPECTED_SINGLE = {
     # (ref_integrity union shape)
     "jarque_bera", "partial_corr", "brown_forsythe", "theil_u",
     "decision_stump", "funcdep_audit",
+    # round-8 wave 3 (ext15) bounded stages: rdd_estimate / iv_wald /
+    # brier_decomp end in 1-row moment/ratio scalars (welch shape; brier's
+    # bin relation is |bins|(=10) rows quantize-summed); nelson_aalen
+    # mirrors kaplan_meier (per-group |distinct durations| windows, no
+    # global stage); hurst_exponent's lag/row_number window runs over the
+    # |days|-bounded daily rollup by contract (runs_test/theil_u shape)
+    # and its block/size/OLS relations are |blocks|-, |sizes|(=4)- and
+    # 1-row bounded; slope_one's deviation matrix is |items|²-bounded and
+    # the candidate grid IS the deliverable; clustering_coeff inherits
+    # triangle_count's degree-oriented wedge bound (no global stage)
+    "rdd_estimate", "iv_wald", "brier_decomp", "nelson_aalen",
+    "hurst_exponent", "slope_one", "clustering_coeff",
+    # round-8 wave 4 (ext16) bounded stages: grubbs_stat ends in 1-row
+    # moment + worst-row scalars (TakeOrdered-1 deviation pick);
+    # ljung_box / page_hinkley / return_levels operate on the
+    # |days|-bounded daily rollup by contract (runs_test shape) — their
+    # lag/cumsum/row_number windows are documented bounded global stages,
+    # and the |lags|-row Q / |periods|-row level relations plus 1-row
+    # moment scalars close them
+    "grubbs_stat", "ljung_box", "page_hinkley", "return_levels",
 }
 
 
