@@ -33,6 +33,11 @@ FLAGSHIPS = [
     "corpus_pipeline_v3",
     "kmv_set_ops",
     "window_funnel",
+    # round-8 session-2 additions: the two scale-relevant new operators
+    # (clustering_coeff's co-part edge build is the graph-shaped join;
+    # slope_one's deviation matrix is the |items|²-bounded CF shape)
+    "clustering_coeff",
+    "slope_one",
 ]
 
 
@@ -57,6 +62,9 @@ def main() -> int:
     reps = 3
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    names = FLAGSHIPS
+    if "--queries" in sys.argv:
+        names = sys.argv[sys.argv.index("--queries") + 1].split(",")
     if not os.path.isdir(SF1):
         print("run tools/sf_scale.py first", file=sys.stderr)
         return 1
@@ -84,7 +92,7 @@ def main() -> int:
         return round(best, 3)
 
     out = {}
-    for name in FLAGSHIPS:
+    for name in names:
         t01 = timed(name, SF01)
         t1 = timed(name, SF1)
         out[name] = {

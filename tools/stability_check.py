@@ -93,6 +93,21 @@ WATCHLIST = [
     # exact integers
     "mcnemar_test", "cochran_q", "log_odds_words", "info_gain",
     "runs_test",
+    # round-8 waves 4-6 (ext14/15/16): jarque_bera combines DECIMAL raw
+    # moments in fixed order; brown_forsythe quantizes the between-group
+    # terms; partial_corr/rdd/iv/grubbs/gumbel divide exact decimal sums;
+    # theil/ljung divide exact decimal sums (ljung's Q quantizes the
+    # |lags| relation); hurst is a quantized-mean + quantized-OLS double
+    # chain (the most float-sensitive new path); brier's decomposition
+    # quantizes bin terms; nelson/page_hinkley ride ordered-frame running
+    # float sums (the kaplan_meier precedent this re-verifies); bollinger
+    # decides breaches on exact integers (listed to prove the display
+    # doubles are stable too)
+    "jarque_bera", "brown_forsythe", "partial_corr", "theil_u",
+    "max_drawdown", "bollinger_breakouts", "funcdep_audit",
+    "decision_stump", "clustering_coeff", "slope_one", "rdd_estimate",
+    "iv_wald", "nelson_aalen", "hurst_exponent", "brier_decomp",
+    "grubbs_stat", "ljung_box", "return_levels", "page_hinkley",
 ]
 
 SESSIONS = [
