@@ -30,32 +30,38 @@ EXT15_QUERIES: dict = {}
 
 
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local clustering coefficient of the supplier co-part graph
-    (suppliers linked when they ship the same part): which suppliers sit
-    in tight cliques vs star centers
+    """Local clustering coefficient of the part CO-PURCHASE graph: parts
+    are linked when they appear together in ≥2 orders — the
+    co-occurrence THRESHOLD is the sparsification every real
+    similarity-graph build applies (one shared order is noise; the
+    supplier co-part graph without it is near-complete, the worst case
+    for any triangle algorithm — see SCALE.md)
     (operators/graph.py::clustering_coefficient)."""
     from .operators.graph import clustering_coefficient
 
-    sp = (
+    op = (
         spark.read.parquet(_t(sf_dir, "lineitem"))
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    b = sp.withColumnRenamed("s", "s2")
+    b = op.withColumnRenamed("p", "p2")
     edges = (
-        sp.join(b, "p")
-        .where(F.col("s") < F.col("s2"))
-        .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
-        .distinct()
+        op.join(b, "o")
+        .where(F.col("p") < F.col("p2"))
+        .groupBy(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
     )
     return clustering_coefficient(edges)
 
 
 SQL_CLUSTERING_COEFF = f"""
-WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (
-  SELECT DISTINCT a.s AS a, b.s AS b
-  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s),
+  SELECT a.p AS a, b.p AS b
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
 deg AS (
   SELECT node, CAST(count(*) AS BIGINT) AS degree
   FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
