@@ -35,6 +35,7 @@ from gridmet_etl_spark.contract_ext13 import EXT13_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext14 import EXT14_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext15 import EXT15_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext16 import EXT16_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext17 import EXT17_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -54,6 +55,7 @@ _MERGED = {
     **EXT14_QUERIES,
     **EXT15_QUERIES,
     **EXT16_QUERIES,
+    **EXT17_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -94,6 +96,8 @@ _CHECK_FIRST = [
     # (1e) new round-8 wave-4 queries (contract_ext16)
     "grubbs_stat", "ljung_box", "return_levels",
     "page_hinkley",
+    # (1f) new round-8 wave-5 queries (contract_ext17)
+    "mann_kendall", "cramer_von_mises", "vocab_coverage",
     # (2) file-level cohort of the three fixed operator files
     "auc_eval", "bootstrap_ci", "c4_filters",
     "calibration_eval", "chi_square", "classifier_score",

@@ -142,6 +142,10 @@ BENCH_QUERIES = [
     "ljung_box",
     "return_levels",
     "page_hinkley",
+    # round-8 wave 5 (ext17): MK trend, CvM EDF distance, vocab coverage
+    "mann_kendall",
+    "cramer_von_mises",
+    "vocab_coverage",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",
@@ -1206,10 +1210,11 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext14 import EXT14_QUERIES as _EXT14
     from gridmet_etl_spark.contract_ext15 import EXT15_QUERIES as _EXT15
     from gridmet_etl_spark.contract_ext16 import EXT16_QUERIES as _EXT16
+    from gridmet_etl_spark.contract_ext17 import EXT17_QUERIES as _EXT17
 
     DOMAIN_QUERIES = {
         **_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11, **_EXT12,
-        **_EXT13, **_EXT14, **_EXT15, **_EXT16,
+        **_EXT13, **_EXT14, **_EXT15, **_EXT16, **_EXT17,
     }
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")

@@ -180,8 +180,10 @@ def slope_one(
     rating_col: str,
     ndigits: int = 6,
 ) -> DataFrame:
-    """Weighted Slope One predictions for every (user, unrated item)
-    pair — the closed-form recommender baseline (no training loop, one
+    """Weighted Slope One predictions for every PREDICTABLE (user,
+    unrated item) pair — pairs with no co-rating path (no rated item i
+    of u co-rated with j by anyone) have no Slope One estimate and are
+    absent from the output — the closed-form recommender baseline (no training loop, one
     deviation matrix): pred(u,j) = Σ_i [num_ji + c_ji·r_ui] / Σ_i c_ji
     over the items i the user rated, where num_ji = Σ_v (r_vj − r_vi)
     and c_ji = |users rating both i and j|.

@@ -413,7 +413,8 @@ def brier_decomposition(
     uninformative?" diagnostic behind calibration_bins' per-bin view.
 
     Determinism discipline: the score arrives as an INTEGER e6
-    micro-probability (``score_e6_col``; quantize at the caller), so the
+    micro-probability in [0, 10⁶] (``score_e6_col``; quantize AND clamp
+    at the caller — out-of-range scores land in unclamped bins), so the
     per-bin score sums, the raw Brier numerator Σ(s_e6 − y·10⁶)², and
     every p̄_b are exact integer ratios. The three |bins|-row
     decomposition sums quantize max-normalized e12 before aggregating

@@ -1380,11 +1380,14 @@ def permutation_test(
     decision), so n_extreme is exact; p = (1 + n_extreme)/(1 + P) is the
     standard add-one permutation p-value.
 
-    Scale shape: the explode is map-side (P× the input, inherited
-    partitioning); each permutation's rank runs in its own window
-    partition (P-way parallel; per-task bound = n rows — swap in the
-    scale.global_rank two-level prefix per permutation beyond ~10⁸ rows).
-    The decision relation is P rows.
+    Scale shape: the P× explode repartitions to full cluster width
+    FIRST — the md5 projection otherwise runs in the file-scan stage at
+    the scan's partition count (measured: 29M hashes on 3 parquet-split
+    tasks = 38 s at sf0.1; spread across 32 cores it is ~4 s). Each
+    permutation's rank then runs in its own window partition (P-way
+    parallel; per-task bound = n rows — swap in the scale.global_rank
+    two-level prefix per permutation beyond ~10⁸ rows). The decision
+    relation is P rows.
 
     Output (1 row): (n, n1, n_perm, n_extreme, mean_diff, p_value)."""
     rows = df.select(
@@ -1398,7 +1401,8 @@ def permutation_test(
         F.sum(F.col("_v") * F.col("_t")).cast("long").alias("s1"),
         F.sum("_v").cast("long").alias("s_tot"),
     )
-    perms = rows.crossJoin(
+    n_spread = rows.sparkSession.sparkContext.defaultParallelism
+    perms = rows.repartition(n_spread).crossJoin(
         F.broadcast(
             rows.sparkSession.range(n_perm).select(F.col("id").alias("_p"))
         )
@@ -1924,4 +1928,152 @@ def grubbs_stat(
         rnd(sd).alias("sd"),
         "outlier_value",
         rnd(g).alias("g_stat"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test on one ordered series — the
+    hydrology/climatology standard (pair it with theilsen_trend's Sen
+    slope for the magnitude): S = Σ_{i<j} sgn(x_j − x_i), tie-corrected
+    variance, continuity-corrected z.
+
+    Determinism discipline: S is an exact integer from the pair
+    comparison; Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 combines
+    exact integers (tie histogram); z divides exact values in fixed
+    operand order.
+
+    Scale shape: input is the caller's |days|-bounded ordered rollup by
+    contract (runs_test shape), so the pair self-join is |days|²-bounded
+    — document the bound at the call site; beyond ~10⁵ points switch to
+    a merge-sort inversion count.
+
+    Output (1 row): (n, s, var_s, z)."""
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.col(order_col), F.col(value_col).cast("long").alias("_x")
+    ).withColumn("_rn", F.row_number().over(w)).drop(order_col)
+    a = base.select(F.col("_rn").alias("_ra"), F.col("_x").alias("_xa"))
+    b = base.select(F.col("_rn").alias("_rb"), F.col("_x").alias("_xb"))
+    s_acc = (
+        a.join(b, a._ra < b._rb)
+        .agg(
+            F.sum(
+                F.when(F.col("_xb") > F.col("_xa"), F.lit(1))
+                .when(F.col("_xb") < F.col("_xa"), F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n_acc = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        base.groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            )
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    j = s_acc.crossJoin(F.broadcast(n_acc)).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.coalesce(F.col("tie3"), F.lit(0))
+    ).cast("double") / 18.0
+    s = F.coalesce(F.col("s"), F.lit(0))
+    z = F.when(var_s <= 0.0, F.lit(0.0)).otherwise(
+        F.when(s > 0, (s - 1).cast("double") / F.sqrt(var_s))
+        .when(s < 0, (s + 1).cast("double") / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return j.select(
+        n.alias("n"),
+        s.alias("s"),
+        rnd(var_s).alias("var_s"),
+        rnd(z).alias("z"),
+    )
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic — the EDF-distance test that
+    weights the WHOLE distribution (ks_test reacts to the single worst
+    gap; CvM integrates every gap, so it sees broad shape drift KS
+    under-weights): T = Σ_z (a_z + b_z)·(A_z·m − B_z·n)² / (n·m·(n+m)²)
+    over the distinct combined values z, with A/B the cumulative counts.
+    Ties are handled naturally by the count form.
+
+    Determinism discipline: every term numerator is an exact integer
+    ((A·m − B·n)² needs DECIMAL — it reaches (nm)² ≈ 10²³ at 10⁶-row
+    samples); ONE cumulative window over the |distinct values|-sized
+    histogram; the final division is a fixed-order closed form.
+
+    The two groups are the two distinct values of ``group_col`` (sorted:
+    first = X, second = Y).
+
+    Output (1 row): (n, m, t_stat)."""
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    groups = [
+        r["_g"]
+        for r in cells.select("_g").distinct().orderBy("_g").collect()
+    ]
+    if len(groups) != 2:
+        raise ValueError(
+            f"cramer_von_mises needs exactly 2 groups, got {groups}"
+        )
+    gx, gy = groups
+    per_v = cells.groupBy("_v").agg(
+        F.sum(F.when(F.col("_g") == gx, F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_a"),
+        F.sum(F.when(F.col("_g") == gy, F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_b"),
+    )
+    # NOTE: cumulative columns must NOT be named "_A"/"_B" — Spark's
+    # default case-insensitive resolution would make withColumn REPLACE
+    # the per-value "_a"/"_b" weights instead of adding new columns
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.withColumn("_cuma", F.sum("_a").over(w)).withColumn(
+        "_cumb", F.sum("_b").over(w)
+    )
+    tot = per_v.agg(
+        F.sum("_a").cast("long").alias("n"), F.sum("_b").cast("long").alias("m")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = dec(F.col("_cuma")) * F.col("m") - dec(F.col("_cumb")) * F.col("n")
+    acc = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(dec(F.col("_a") + F.col("_b")) * d * d).alias("_u"),
+            F.first("n").alias("n"),
+            F.first("m").alias("m"),
+        )
+    )
+    n, m = F.col("n").cast("double"), F.col("m").cast("double")
+    t = F.when((n <= 0.0) | (m <= 0.0), F.lit(0.0)).otherwise(
+        F.col("_u").cast("double") / (n * m * ((n + m) * (n + m)))
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("n"), F.col("m"), rnd(t).alias("t_stat")
     )

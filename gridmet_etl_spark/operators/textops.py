@@ -1086,3 +1086,60 @@ def log_odds_words(
     topk = scored.orderBy(*order).limit(k)
     w = Window.orderBy(*order)  # k rows — bounded
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Vocabulary-coverage estimators from the frequency-of-frequencies:
+    Chao1 richness D̂ = D + f₁(f₁−1)/(2(f₂+1)) (bias-corrected — defined
+    at f₂ = 0) and the Good–Turing unseen-probability mass P₀ = f₁/N —
+    the "how much of the token distribution has this corpus actually
+    seen" numbers next to heaps_fit's growth curve (sampling more data
+    is pointless once P₀ flattens; a high Chao1/D ratio says the
+    long tail is mostly unobserved).
+
+    Exactness: whitespace tokenization (the corpus-wide convention),
+    pure integer counts, two fixed-order divisions at the edge.
+
+    Scale shape: one token-count aggregation (map-side partial) over the
+    corpus, then ONE |distinct counts|-sized frequency-of-frequencies
+    rollup — the second relation is tiny (counts collapse into few
+    distinct multiplicities).
+
+    Output (1 row): (n_tokens, n_types, f1, f2, chao1, unseen_mass,
+    coverage)."""
+    tokens = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).filter(F.col("_t") != "")
+    counts = tokens.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    fof = counts.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_f"))
+    acc = fof.agg(
+        F.sum(F.col("_c") * F.col("_f")).cast("long").alias("n_tokens"),
+        F.sum("_f").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("_c") == 1, F.col("_f")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("_c") == 2, F.col("_f")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    chao1 = F.col("n_types").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (F.col("f2").cast("double") + 1.0)
+    )
+    p0 = F.when(F.col("n_tokens") > 0, f1 / F.col("n_tokens")).otherwise(
+        F.lit(0.0)
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        rnd(chao1).alias("chao1"),
+        rnd(p0).alias("unseen_mass"),
+        rnd(1.0 - p0).alias("coverage"),
+    )

@@ -1079,6 +1079,8 @@ def max_drawdown(
     Plan shape: one shuffle on ``keys``; the cumulative/peak/ranking
     windows all share that partitioning (one sort, three frames). Series
     length per key is |days|-bounded after the caller's daily rollup.
+    ``order_col`` must be UNIQUE per key (pre-aggregate ties first) —
+    running sums over tied order values are frame-order-dependent.
 
     Output per key: (*keys, n_points, final_value, peak, max_drawdown,
     dd_pct, trough DATE-or-order-value)."""
@@ -1140,7 +1142,8 @@ def bollinger_breakouts(
     Only rows with a FULL window are eligible (warm-up excluded).
 
     Plan shape: one shuffle on ``keys``, one ordered window (two sums +
-    a count share the frame).
+    a count share the frame). ``order_col`` must be UNIQUE per key
+    (pre-aggregate ties first).
 
     Output per breach: (*keys, order, value, ma, sd, upper, lower,
     direction ±1)."""

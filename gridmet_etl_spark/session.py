@@ -52,6 +52,18 @@ def get_spark(
         # auto-broadcast generously; explicit broadcast() hints are still used
         # at the call sites that know the dimension is small.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # shuffle/spill files go under the session owner's home, not /tmp:
+        # the host's periodic /tmp reaper deletes blockmgr-* dirs out from
+        # under long-lived JVMs (observed twice: FileNotFoundException on
+        # shuffle_*.data mid-stage ~30 min into a session). Cluster-safe —
+        # real clusters override spark.local.dir via the resource manager.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                os.path.join(os.path.expanduser("~"), ".spark-local"),
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -307,6 +307,13 @@ EXPECTED_SINGLE = {
     # and the |lags|-row Q / |periods|-row level relations plus 1-row
     # moment scalars close them
     "grubbs_stat", "ljung_box", "page_hinkley", "return_levels",
+    # round-8 wave 5 (ext17): mann_kendall's row_number window runs over
+    # the |days|-bounded daily rollup by contract and the pair join is
+    # |days|²-bounded (documented; ends in 1-row S/var scalars);
+    # cramer_von_mises' cumulative window runs over the |distinct
+    # values|-sized histogram + a 1-row U scalar; vocab_coverage reduces
+    # to the |distinct counts|-sized frequency-of-frequencies + 1 row
+    "mann_kendall", "cramer_von_mises", "vocab_coverage",
 }
 
 

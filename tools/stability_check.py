@@ -108,6 +108,9 @@ WATCHLIST = [
     "decision_stump", "clustering_coeff", "slope_one", "rdd_estimate",
     "iv_wald", "nelson_aalen", "hurst_exponent", "brier_decomp",
     "grubbs_stat", "ljung_box", "return_levels", "page_hinkley",
+    # round-8 wave 5: MK divides exact integer S/var; CvM divides an
+    # exact decimal U; coverage divides exact counts
+    "mann_kendall", "cramer_von_mises", "vocab_coverage",
 ]
 
 SESSIONS = [
