@@ -36,6 +36,7 @@ from gridmet_etl_spark.contract_ext14 import EXT14_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext15 import EXT15_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext16 import EXT16_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext17 import EXT17_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext18 import EXT18_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -56,6 +57,7 @@ _MERGED = {
     **EXT15_QUERIES,
     **EXT16_QUERIES,
     **EXT17_QUERIES,
+    **EXT18_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -98,6 +100,9 @@ _CHECK_FIRST = [
     "page_hinkley",
     # (1f) new round-8 wave-5 queries (contract_ext17)
     "mann_kendall", "cramer_von_mises", "vocab_coverage",
+    # (1g) new round-8 wave-6 queries (contract_ext18)
+    "cliffs_delta", "odds_ratio", "km_median",
+    "seasonal_strength",
     # (2) file-level cohort of the three fixed operator files
     "auc_eval", "bootstrap_ci", "c4_filters",
     "calibration_eval", "chi_square", "classifier_score",

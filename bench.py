@@ -146,6 +146,11 @@ BENCH_QUERIES = [
     "mann_kendall",
     "cramer_von_mises",
     "vocab_coverage",
+    # round-8 wave 6 (ext18): effect sizes, 2x2 CI, KM median, strength
+    "cliffs_delta",
+    "odds_ratio",
+    "km_median",
+    "seasonal_strength",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",
@@ -1211,10 +1216,11 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext15 import EXT15_QUERIES as _EXT15
     from gridmet_etl_spark.contract_ext16 import EXT16_QUERIES as _EXT16
     from gridmet_etl_spark.contract_ext17 import EXT17_QUERIES as _EXT17
+    from gridmet_etl_spark.contract_ext18 import EXT18_QUERIES as _EXT18
 
     DOMAIN_QUERIES = {
         **_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11, **_EXT12,
-        **_EXT13, **_EXT14, **_EXT15, **_EXT16, **_EXT17,
+        **_EXT13, **_EXT14, **_EXT15, **_EXT16, **_EXT17, **_EXT18,
     }
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")

@@ -2077,3 +2077,168 @@ def cramer_von_mises(
     return acc.select(
         F.col("n"), F.col("m"), rnd(t).alias("t_stat")
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size between two groups:
+    δ = (#(x > y) − #(x < y)) / (n·m) — the assumption-free "how often
+    does one arm beat the other" number that survives heavy tails where
+    Cohen's d lies (the effect-size companion to mann_whitney's test).
+
+    Determinism discipline: the dominance counts come from the
+    (value → per-group count) HISTOGRAM with one cumulative window —
+    exact DECIMAL(38,0) integers (Σ a_v·B_{<v} reaches n·m) — never a
+    row-level pair join; δ is one fixed-order division. Group identity:
+    the two distinct ``group_col`` values sorted ascending (first = X).
+
+    Magnitude label: |δ| < 0.147 negligible, < 0.33 small, < 0.474
+    medium, else large (Romano et al. thresholds).
+
+    Scale shape: one histogram agg over the data; everything after is
+    |distinct values|-sized.
+
+    Output (1 row): (n, m, n_gt, n_lt, n_eq, delta, magnitude)."""
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"), F.col(group_col).alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    groups = [
+        r["_g"] for r in cells.select("_g").distinct().orderBy("_g").collect()
+    ]
+    if len(groups) != 2:
+        raise ValueError(f"cliffs_delta needs exactly 2 groups, got {groups}")
+    gx, gy = groups
+    per_v = cells.groupBy("_v").agg(
+        F.sum(F.when(F.col("_g") == gx, F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_a"),
+        F.sum(F.when(F.col("_g") == gy, F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_b"),
+    )
+    wlt = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum = per_v.withColumn(
+        "_bless", F.coalesce(F.sum("_b").over(wlt), F.lit(0))
+    )
+    tot = per_v.agg(
+        F.sum("_a").cast("long").alias("n"),
+        F.sum("_b").cast("long").alias("m"),
+    )
+    acc = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(dec(F.col("_a")) * F.col("_bless")).alias("_gt"),
+        F.sum(
+            dec(F.col("_a")) * (F.col("m") - F.col("_bless") - F.col("_b"))
+        ).alias("_lt"),
+        F.sum(dec(F.col("_a")) * F.col("_b")).alias("_eq"),
+        F.first("n").alias("n"),
+        F.first("m").alias("m"),
+    )
+    nm = F.col("n").cast("double") * F.col("m").cast("double")
+    delta = F.when(nm <= 0.0, F.lit(0.0)).otherwise(
+        (F.col("_gt").cast("double") - F.col("_lt").cast("double")) / nm
+    )
+    mag = (
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("n"),
+        F.col("m"),
+        F.col("_gt").cast("long").alias("n_gt"),
+        F.col("_lt").cast("long").alias("n_lt"),
+        F.col("_eq").cast("long").alias("n_eq"),
+        rnd(delta).alias("delta"),
+        mag.alias("magnitude"),
+    )
+
+
+_Z975 = 1.959963984540054
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """2×2 association summary: odds ratio with the Wald 95% CI and the
+    relative risk — the epidemiology/AB-analysis staple (chi_square says
+    "associated", this says "how strongly, with a CI").
+
+    Determinism discipline: one conditional-aggregate pass yields the
+    exact integer 2×2 cells (a = exposed∧outcome, b = exposed∧¬outcome,
+    c = unexposed∧outcome, d = unexposed∧¬outcome); OR/RR/CI combine
+    them in fixed operand order with the z constant as a shared literal.
+    Any zero cell → NULL estimates (the caller should Haldane-correct
+    upstream if they want finite output).
+
+    Output (1 row): (a, b, c, d, odds_ratio, or_ci_lo, or_ci_hi,
+    relative_risk)."""
+    e = F.col(exposure_col).cast("int") == 1
+    y = F.col(outcome_col).cast("int") == 1
+    g = df.agg(
+        F.count(F.when(e & y, F.lit(1))).cast("long").alias("a"),
+        F.count(F.when(e & ~y, F.lit(1))).cast("long").alias("b"),
+        F.count(F.when(~e & y, F.lit(1))).cast("long").alias("c"),
+        F.count(F.when(~e & ~y, F.lit(1))).cast("long").alias("d"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    any_zero = (
+        (F.col("a") == 0) | (F.col("b") == 0)
+        | (F.col("c") == 0) | (F.col("d") == 0)
+    )
+    orr = (a * d) / (b * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    lo = F.exp(F.log(orr) - F.lit(_Z975) * se)
+    hi = F.exp(F.log(orr) + F.lit(_Z975) * se)
+    rr = (a / (a + b)) / (c / (c + d))
+    nul = F.lit(None).cast("double")
+    rnd = lambda cc: F.round(cc, ndigits) + F.lit(0.0)  # noqa: E731
+    return g.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(any_zero, nul).otherwise(rnd(orr)).alias("odds_ratio"),
+        F.when(any_zero, nul).otherwise(rnd(lo)).alias("or_ci_lo"),
+        F.when(any_zero, nul).otherwise(rnd(hi)).alias("or_ci_hi"),
+        F.when(any_zero, nul).otherwise(rnd(rr)).alias("relative_risk"),
+    )
+
+
+def km_median_survival(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+    km_digits: int = 6,
+) -> DataFrame:
+    """Median survival time per group from the Kaplan–Meier curve: the
+    FIRST event time where S(t) ≤ 0.5 (NULL when the curve never
+    crosses — more than half the cohort survives the observation
+    window). The one-number summary clinicians and retention analysts
+    actually quote from kaplan_meier's full curve.
+
+    Composition: ``kaplan_meier``'s certified curve (same rounding), one
+    conditional min per group, plus the curve-end diagnostics.
+
+    Output per group: (*group_cols, median_t, final_surv, n_event_times).
+    """
+    groups = list(group_cols)
+    km = kaplan_meier(df, groups, duration_col, event_col, ndigits=km_digits)
+    return km.groupBy(*groups).agg(
+        F.min(F.when(F.col("surv") <= 0.5, F.col("t"))).alias("median_t"),
+        F.min_by(F.col("surv"), -F.col("t")).alias("final_surv"),
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+    )

@@ -1643,3 +1643,65 @@ def page_hinkley(
             "excess"
         ),
     )
+
+
+def seasonal_strength(
+    decomposed: DataFrame,
+    keys: Sequence[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Hyndman seasonal/trend strength per series from a
+    ``seasonal_decompose`` output:
+    F_seasonal = max(0, 1 − Var(resid)/Var(seasonal + resid)),
+    F_trend    = max(0, 1 − Var(resid)/Var(trend + resid)) —
+    the two numbers that say whether the decomposition actually found
+    structure (≈0: noise; →1: the component dominates).
+
+    Determinism discipline: the decomposition's columns arrive ROUNDED
+    at 6, so round(x·10⁶) recovers exact integers; all six moment sums
+    accumulate as DECIMAL(38,0) and the variances/ratios combine them
+    in fixed operand order (the 10⁶ scale cancels in every ratio).
+
+    Scale shape: ONE partial-agg pass over the decomposed rows
+    (|series|-keyed), output |series|-sized.
+
+    Output per series: (*keys, n, f_seasonal, f_trend)."""
+    keys = list(keys)
+    e6 = lambda c: F.round(F.col(c) * 1e6, 0).cast("long")  # noqa: E731
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = decomposed.select(
+        *keys,
+        e6("resid").alias("_r"),
+        (e6("seasonal") + e6("resid")).alias("_sr"),
+        (e6("trend") + e6("resid")).alias("_tr"),
+    )
+    acc = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_r"))).alias("s_r"),
+        F.sum(dec(F.col("_r")) * F.col("_r")).alias("q_r"),
+        F.sum(dec(F.col("_sr"))).alias("s_sr"),
+        F.sum(dec(F.col("_sr")) * F.col("_sr")).alias("q_sr"),
+        F.sum(dec(F.col("_tr"))).alias("s_tr"),
+        F.sum(dec(F.col("_tr")) * F.col("_tr")).alias("q_tr"),
+    )
+    n = F.col("n").cast("double")
+
+    def _var(s, q):
+        return n * F.col(q).cast("double") - F.col(s).cast("double") * F.col(
+            s
+        ).cast("double")
+
+    vr, vsr, vtr = _var("s_r", "q_r"), _var("s_sr", "q_sr"), _var("s_tr", "q_tr")
+    fs = F.when(vsr <= 0.0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - vr / vsr)
+    )
+    ft = F.when(vtr <= 0.0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - vr / vtr)
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        *keys,
+        F.col("n"),
+        rnd(fs).alias("f_seasonal"),
+        rnd(ft).alias("f_trend"),
+    )

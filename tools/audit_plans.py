@@ -314,6 +314,14 @@ EXPECTED_SINGLE = {
     # values|-sized histogram + a 1-row U scalar; vocab_coverage reduces
     # to the |distinct counts|-sized frequency-of-frequencies + 1 row
     "mann_kendall", "cramer_von_mises", "vocab_coverage",
+    # round-8 wave 6 (ext18): cliffs_delta's cumulative window runs over
+    # the |distinct values|-sized histogram + a 1-row dominance scalar;
+    # odds_ratio is ONE global agg row; km_median composes kaplan_meier's
+    # whitelisted per-group |durations|-sized windows + a |groups|-row
+    # final agg; seasonal_strength reduces the decomposition to
+    # |series|-row moment scalars (its windows inherit seasonal_decomp's
+    # certified per-series shape)
+    "cliffs_delta", "odds_ratio", "km_median", "seasonal_strength",
 }
 
 

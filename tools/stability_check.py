@@ -111,6 +111,11 @@ WATCHLIST = [
     # round-8 wave 5: MK divides exact integer S/var; CvM divides an
     # exact decimal U; coverage divides exact counts
     "mann_kendall", "cramer_von_mises", "vocab_coverage",
+    # round-8 wave 6: cliffs divides exact decimal dominance counts;
+    # odds_ratio is a ln/exp CI chain on exact cells; km_median picks on
+    # the certified rounded KM curve; seasonal_strength divides exact e6
+    # moment sums
+    "cliffs_delta", "odds_ratio", "km_median", "seasonal_strength",
 ]
 
 SESSIONS = [
