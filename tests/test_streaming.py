@@ -631,3 +631,81 @@ def test_stream_stream_left_outer_attribution(spark, tmp_path):
     # has not expired) — compare on everything the stream has released
     assert got <= expected
     assert {(u, l, r) for (u, l, r) in expected if l not in (6,)} <= got
+
+
+def test_streaming_page_hinkley_matches_batch(spark, events_dir, tmp_path):
+    """streaming_page_hinkley (applyInPandasWithState running-mean drift)
+    drains to EXACTLY the batch twin's alarm rows per user."""
+    from gridmet_etl_spark.streaming.drift import (
+        page_hinkley_keyed,
+        streaming_page_hinkley,
+    )
+
+    lam = 3.0  # events 'value' is small; a low lambda guarantees alarms
+    stream = stream_events(spark, events_dir)
+    alarms = streaming_page_hinkley(
+        stream, key_col="user_id", ts_col="ts", value_col="value", lam=lam
+    )
+    out = str(tmp_path / "out")
+    run_available_now(alarms, out, str(tmp_path / "ck"))
+    got = {
+        (r["key"], r["ts"], round(r["value"], 6), r["ph"], r["excess"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch = spark.read.parquet(events_dir).select("user_id", "ts", "value")
+    want = {
+        (r["user_id"], r["ts"], round(r["value"], 6), r["ph"], r["excess"])
+        for r in page_hinkley_keyed(
+            batch, ["user_id"], "ts", "value", lam=lam
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_streaming_page_hinkley_state_across_batches(spark, events_dir, tmp_path):
+    """The PH recurrence carries across micro-batches: a two-batch drain
+    (maxFilesPerTrigger=1 over a two-file copy) equals the one-batch
+    drain exactly."""
+    from gridmet_etl_spark.streaming.drift import streaming_page_hinkley
+
+    # split the source into two TIME-ORDERED files (early half first, late
+    # half appended after) so AvailableNow runs >= 2 micro-batches that
+    # respect stream order — a hash split would send old rows into batch 2
+    # where the advanced watermark and applied-state skip drop them
+    from gridmet_etl_spark.streaming.events import EVENTS_SCHEMA
+
+    src = str(tmp_path / "src2")
+    base = spark.read.parquet(events_dir)
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = base.agg(F.percentile_approx(tsu, 0.5)).collect()[0][0]
+    base.filter(tsu <= cut).coalesce(1).write.mode("append").parquet(src)
+    base.filter(tsu > cut).coalesce(1).write.mode("append").parquet(src)
+    lam = 3.0
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    alarms = streaming_page_hinkley(
+        stream, key_col="user_id", ts_col="ts", value_col="value", lam=lam
+    )
+    out = str(tmp_path / "out2")
+    run_available_now(alarms, out, str(tmp_path / "ck2"))
+    multi = {
+        (r["key"], r["ts"], r["ph"]) for r in spark.read.parquet(out).collect()
+    }
+
+    stream1 = stream_events(spark, src)
+    alarms1 = streaming_page_hinkley(
+        stream1, key_col="user_id", ts_col="ts", value_col="value", lam=lam
+    )
+    out1 = str(tmp_path / "out1")
+    run_available_now(alarms1, out1, str(tmp_path / "ck1"))
+    single = {
+        (r["key"], r["ts"], r["ph"])
+        for r in spark.read.parquet(out1).collect()
+    }
+    assert len(single) > 0
+    assert multi == single
