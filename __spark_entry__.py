@@ -37,6 +37,7 @@ from gridmet_etl_spark.contract_ext15 import EXT15_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext16 import EXT16_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext17 import EXT17_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext18 import EXT18_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext19 import EXT19_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -58,6 +59,7 @@ _MERGED = {
     **EXT16_QUERIES,
     **EXT17_QUERIES,
     **EXT18_QUERIES,
+    **EXT19_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -103,6 +105,8 @@ _CHECK_FIRST = [
     # (1g) new round-8 wave-6 queries (contract_ext18)
     "cliffs_delta", "odds_ratio", "km_median",
     "seasonal_strength",
+    # (1h) new round-8 wave-7 queries (contract_ext19)
+    "anova_oneway", "bartlett", "morans_i",
     # (2) file-level cohort of the three fixed operator files
     "auc_eval", "bootstrap_ci", "c4_filters",
     "calibration_eval", "chi_square", "classifier_score",

@@ -151,6 +151,10 @@ BENCH_QUERIES = [
     "odds_ratio",
     "km_median",
     "seasonal_strength",
+    # round-8 wave 7 (ext19): classic parametric tests + spatial autocorr
+    "anova_oneway",
+    "bartlett",
+    "morans_i",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",
@@ -1217,10 +1221,12 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext16 import EXT16_QUERIES as _EXT16
     from gridmet_etl_spark.contract_ext17 import EXT17_QUERIES as _EXT17
     from gridmet_etl_spark.contract_ext18 import EXT18_QUERIES as _EXT18
+    from gridmet_etl_spark.contract_ext19 import EXT19_QUERIES as _EXT19
 
     DOMAIN_QUERIES = {
         **_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11, **_EXT12,
         **_EXT13, **_EXT14, **_EXT15, **_EXT16, **_EXT17, **_EXT18,
+        **_EXT19,
     }
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")

@@ -260,3 +260,88 @@ def idw_interpolate(
             + F.lit(0.0)
         ).alias("idw_value"),
     )
+
+
+def morans_i(
+    cells: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Moran's I spatial autocorrelation over a regular grid with rook
+    (4-neighbor) contiguity weights — the "is this field spatially
+    clustered or noise" number (the reference's gridMET rasters are
+    exactly this shape; rmcd-mscb/gridmet-etl etl.py serves them):
+    I = (n/ΣW)·Σ w_ab z_a z_b / Σ z² with w = 1 for edge-sharing cells.
+    I → +1 clustered, ≈ −1/(n−1) random, → −1 checkerboard.
+
+    Determinism discipline: ``value_col`` must be INTEGER (quantize at
+    the caller); expanding z = x − S/n and multiplying through by n²
+    makes the cross term exact:
+    n²·Σ_edges z_a z_b = n²·Σxy − n·S·Σ(x_a+x_b) + |E|·S², so
+    I = num / (|E| · (n·Σx² − S²)) is one division of exact
+    DECIMAL(38,0) forms. Missing cells simply contribute no edges
+    (island cells lower |E| — the standard treatment).
+
+    Scale shape: TWO equi self-joins on shifted (i, j) keys build the
+    rook edge list (each |cells|-keyed — no spatial index needed on a
+    grid), then one moment pass; nothing quadratic.
+
+    Output (1 row): (n, n_edges, i_moran, e_i)."""
+    base = cells.select(
+        F.col(i_col).alias("_i"),
+        F.col(j_col).alias("_j"),
+        F.col(value_col).cast("long").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    right = base.select(
+        (F.col("_i") - 1).alias("_i"),
+        F.col("_j"),
+        F.col("_x").alias("_xb"),
+    )
+    down = base.select(
+        F.col("_i"),
+        (F.col("_j") - 1).alias("_j"),
+        F.col("_x").alias("_xb"),
+    )
+    edges = base.join(right, ["_i", "_j"]).select(
+        F.col("_x").alias("_xa"), "_xb"
+    ).unionByName(
+        base.join(down, ["_i", "_j"]).select(
+            F.col("_x").alias("_xa"), "_xb"
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_x"))).alias("s"),
+        F.sum(dec(F.col("_x")) * F.col("_x")).alias("q"),
+    )
+    eacc = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(dec(F.col("_xa")) * F.col("_xb")).alias("sxy"),
+        F.sum(dec(F.col("_xa")) + F.col("_xb")).alias("sab"),
+    )
+    jn = tot.crossJoin(F.broadcast(eacc))
+    n = F.col("n").cast("double")
+    num = (
+        n * n * F.col("sxy").cast("double")
+        - n * F.col("s").cast("double") * F.col("sab").cast("double")
+        + F.col("n_edges").cast("double") * F.col("s").cast("double")
+        * F.col("s").cast("double")
+    )
+    den = F.col("n_edges").cast("double") * (
+        n * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    i_moran = F.when(
+        (F.col("n_edges") == 0) | (den == 0.0), F.lit(0.0)
+    ).otherwise(num / den)
+    e_i = F.when(F.col("n") < 2, F.lit(0.0)).otherwise(-1.0 / (n - 1.0))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return jn.select(
+        F.col("n"),
+        F.col("n_edges"),
+        rnd(i_moran).alias("i_moran"),
+        rnd(e_i).alias("e_i"),
+    )

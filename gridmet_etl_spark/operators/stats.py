@@ -2242,3 +2242,172 @@ def km_median_survival(
         F.min_by(F.col("surv"), -F.col("t")).alias("final_surv"),
         F.count(F.lit(1)).cast("long").alias("n_event_times"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """One-way fixed-effects ANOVA F across k groups — the classic
+    means-comparison (kruskal_wallis' parametric twin; welch_ttest's
+    k-group extension under the equal-variance assumption bartlett_test
+    checks): F = (SSB/(k−1)) / (SSW/(N−k)), plus η² = SSB/SST.
+
+    Determinism discipline: ``value_col`` must be INTEGER; per-group
+    (n, Σx, Σx²) accumulate as DECIMAL(38,0); the |k|-row between-group
+    terms s_g²/n_g quantize max-normalized floor-e12 before summing
+    (the brown_forsythe discipline); closed forms in fixed operand
+    order.
+
+    Scale shape: ONE partial-agg pass over the data; |k|-row algebra.
+
+    Output (1 row): (k, n, f_stat, df1, df2, eta_sq)."""
+    x = F.col(value_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        df.filter(x.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(dec(x)).alias("s"),
+            F.sum(dec(x) * x).alias("q"),
+        )
+    )
+    parts = per_g.withColumn(
+        "_t",
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n_g").cast("double"),
+    )
+    pmax = parts.agg(F.max("_t").alias("_tm"))
+    tot = (
+        parts.crossJoin(F.broadcast(pmax))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("n_g").cast("long").alias("n"),
+            F.sum("s").alias("s_all"),
+            F.sum("q").alias("q_all"),
+            F.sum(
+                F.when(
+                    F.col("_tm") > 0.0,
+                    F.floor(F.col("_t") / F.col("_tm") * 1e12).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("_q12"),
+            F.first("_tm").alias("_tm"),
+        )
+        .withColumn(
+            "sb_parts", F.col("_q12").cast("double") / 1e12 * F.col("_tm")
+        )
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    ssb = F.col("sb_parts") - F.col("s_all").cast("double") * F.col(
+        "s_all"
+    ).cast("double") / n
+    ssw = F.col("q_all").cast("double") - F.col("sb_parts")
+    sst = F.col("q_all").cast("double") - F.col("s_all").cast(
+        "double"
+    ) * F.col("s_all").cast("double") / n
+    fstat = F.when(
+        (F.col("k") < 2) | (F.col("n") <= F.col("k")) | (ssw <= 0.0),
+        F.lit(0.0),
+    ).otherwise((ssb / (k - 1.0)) / (ssw / (n - k)))
+    eta = F.when(sst <= 0.0, F.lit(0.0)).otherwise(ssb / sst)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return tot.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n"),
+        rnd(fstat).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        rnd(eta).alias("eta_sq"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Bartlett's variance-homogeneity test — the normal-theory twin of
+    brown_forsythe (more powerful under normality, fragile under heavy
+    tails; run both): χ² = [(N−k)·ln s_p² − Σ(n_g−1)·ln s_g²] / C with
+    the standard correction C.
+
+    Determinism discipline: per-group variances come from exact
+    DECIMAL(38,0) sums; the two |k|-row sums (ln-variance terms, which
+    can be NEGATIVE, and the 1/(n_g−1) terms) quantize with ABS-max
+    normalization floor-e12 (the hurst-OLS discipline for signed
+    terms); fixed-order closed forms.
+
+    Output (1 row): (k, n, chi2, df)."""
+    x = F.col(value_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        df.filter(x.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(dec(x)).alias("s"),
+            F.sum(dec(x) * x).alias("q"),
+        )
+        .filter(F.col("n_g") >= 2)
+    )
+    ng = F.col("n_g").cast("double")
+    var_g = (
+        ng * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (ng * (ng - 1.0))
+    # pooled within-group SS terms (n_g·q_g − s_g²)/n_g are POSITIVE
+    # per-group doubles; quantize max-normalized like the ln terms
+    ssw_t = (
+        ng * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / ng
+    terms = per_g.select(
+        "n_g",
+        ((ng - 1.0) * F.log(F.greatest(var_g, F.lit(1e-300)))).alias("_lt"),
+        (1.0 / (ng - 1.0)).alias("_it"),
+        ssw_t.alias("_wt"),
+    )
+    tmax = terms.agg(
+        F.max(F.abs(F.col("_lt"))).alias("_lm"),
+        F.max(F.col("_it")).alias("_im"),
+        F.max(F.col("_wt")).alias("_wm"),
+    )
+    qz = lambda c, mx: F.when(  # noqa: E731
+        F.col(mx) > 0.0, F.floor(c / F.col(mx) * 1e12).cast("long")
+    ).otherwise(F.lit(0))
+    acc = (
+        terms.crossJoin(F.broadcast(tmax))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("n_g").cast("long").alias("n"),
+            F.sum(qz(F.col("_lt"), "_lm")).alias("_ql"),
+            F.sum(qz(F.col("_it"), "_im")).alias("_qi"),
+            F.sum(qz(F.col("_wt"), "_wm")).alias("_qw"),
+            F.first("_lm").alias("_lm"),
+            F.first("_im").alias("_im"),
+            F.first("_wm").alias("_wm"),
+        )
+        .withColumn(
+            "ssw_parts", F.col("_qw").cast("double") / 1e12 * F.col("_wm")
+        )
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    sp2 = F.col("ssw_parts") / (n - k)
+    sum_ln = F.col("_ql").cast("double") / 1e12 * F.col("_lm")
+    sum_inv = F.col("_qi").cast("double") / 1e12 * F.col("_im")
+    num = (n - k) * F.log(F.greatest(sp2, F.lit(1e-300))) - sum_ln
+    corr = 1.0 + (sum_inv - 1.0 / (n - k)) / (3.0 * (k - 1.0))
+    chi2 = F.when(
+        (F.col("k") < 2) | (sp2 <= 0.0), F.lit(0.0)
+    ).otherwise(num / corr)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n"),
+        rnd(chi2).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )

@@ -322,6 +322,12 @@ EXPECTED_SINGLE = {
     # |series|-row moment scalars (its windows inherit seasonal_decomp's
     # certified per-series shape)
     "cliffs_delta", "odds_ratio", "km_median", "seasonal_strength",
+    # round-8 wave 7 (ext19): anova/bartlett end in |k|-row quantized-term
+    # relations + 1-row F/chi2 scalars (the brown_forsythe shape);
+    # morans_i reduces two equi self-joins on shifted grid keys to 1-row
+    # moment/edge scalars (no global window at all — listed for its
+    # 1-row crossJoin merge)
+    "anova_oneway", "bartlett", "morans_i",
 }
 
 

@@ -116,6 +116,10 @@ WATCHLIST = [
     # the certified rounded KM curve; seasonal_strength divides exact e6
     # moment sums
     "cliffs_delta", "odds_ratio", "km_median", "seasonal_strength",
+    # round-8 wave 7: anova divides quantized decimal sums; bartlett is
+    # a ln chain over quantized signed terms (the most float-sensitive
+    # of the wave); morans_i is one division of exact decimal forms
+    "anova_oneway", "bartlett", "morans_i",
 ]
 
 SESSIONS = [
