@@ -219,7 +219,7 @@ def _minhash_fast(spark):
     return minhash_lsh_candidates(docs, hash_fn="xxhash64")
 
 
-def _minhash_lsh_100k(spark):
+def _minhash_lsh_100k(spark, sf_dir=None):
     """Corpus-scale MinHash-LSH (VERDICT r3 item 7): the sf documents
     replicated ×20 with remapped ids (~100k docs at sf0.1, every replica a
     true near-dup of its original — the duplication-heavy corpus LSH
@@ -233,7 +233,7 @@ def _minhash_lsh_100k(spark):
 
     from gridmet_etl_spark.operators.dedup import minhash_lsh_star
 
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir or SF_DIR, "documents.parquet"))
     big = (
         spark.range(0, 20, 1, 20)
         .withColumnRenamed("id", "rep")
@@ -284,7 +284,7 @@ def _session_windows_12m(spark):
     )
 
 
-def _pq_adc_400k(spark):
+def _pq_adc_400k(spark, sf_dir=None):
     """PQ asymmetric-distance ANN over the ×200-replicated 400k-vector
     corpus: codebooks train on the base sf embeddings (driver traffic =
     m×ksub×dsub rows per Lloyd round), encode compresses 400k vectors to
@@ -300,7 +300,7 @@ def _pq_adc_400k(spark):
         pq_seed_codebooks,
     )
 
-    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir or SF_DIR, "embeddings.parquet"))
     books = pq_refine(emb, pq_seed_codebooks(emb), n_iter=2)
     big = (
         emb.crossJoin(spark.range(200).withColumnRenamed("id", "rep"))
@@ -533,13 +533,13 @@ def _bpe_train_sf(spark):
     return bpe_train(docs, k=6)
 
 
-def _entity_resolution_sf(spark):
+def _entity_resolution_sf(spark, sf_dir=None):
     """Blocked levenshtein linkage + iterative components + survivorship on
     the sf part table — the components loop localCheckpoints eagerly, so
     this is CALL_TIMED like bpe."""
     from gridmet_etl_spark.contract_ext3 import q_entity_resolution
 
-    return q_entity_resolution(spark, SF_DIR)
+    return q_entity_resolution(spark, sf_dir or SF_DIR)
 
 
 def _bpe_train_100k_docs(spark):
@@ -589,7 +589,7 @@ TPCH_SUITE = [
 ]
 
 
-def _tpch_suite_22(spark):
+def _tpch_suite_22(spark, sf_dir=None):
     """ALL 22 TPC-H query shapes end to end at sf scale — the classic
     whole-suite number. Executes q1..q21 inside the build (noop-forced)
     and returns q22 for the protocol's final write; CALL_TIMED wraps the
@@ -598,8 +598,8 @@ def _tpch_suite_22(spark):
 
     qs = entry.queries()
     for name in TPCH_SUITE[:-1]:
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    return qs[TPCH_SUITE[-1]](spark, SF_DIR)
+        qs[name](spark, sf_dir or SF_DIR).write.format("noop").mode("overwrite").save()
+    return qs[TPCH_SUITE[-1]](spark, sf_dir or SF_DIR)
 
 
 def _rag_pipeline_sf(spark):
@@ -745,7 +745,7 @@ def _item_similarity_sf(spark):
     )
 
 
-def _bootstrap_38m_draws(spark):
+def _bootstrap_38m_draws(spark, sf_dir=None):
     """Poisson-bootstrap CI over the full sf lineitem × 64 replicates
     (~38M weighted draws at sf0.1). The explode is map-side only (spread
     across 32 splits first — the 64× row multiplication inherits input
@@ -755,7 +755,7 @@ def _bootstrap_38m_draws(spark):
     from gridmet_etl_spark.operators.stats import bootstrap_ci
 
     li = (
-        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        spark.read.parquet(os.path.join(sf_dir or SF_DIR, "lineitem.parquet"))
         .repartition(32)
         .select(
             "l_returnflag",
@@ -837,7 +837,7 @@ def _line_dedup_100k(spark):
 
 
 
-def _cms_join_size_14m(spark):
+def _cms_join_size_14m(spark, sf_dir=None):
     """Join-cardinality estimation over ~14M key rows (orders x20 +
     lineitem x20 at sf0.1) WITHOUT executing the join: two single-scan
     sketch builds + a 1-row estimate. Width sizing matters at scale — the
@@ -849,10 +849,10 @@ def _cms_join_size_14m(spark):
 
     from gridmet_etl_spark.operators.sketch import cms_join_size
 
-    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+    o = spark.read.parquet(os.path.join(sf_dir or SF_DIR, "orders.parquet")).select(
         F.col("o_orderkey").alias("jk")
     )
-    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+    li = spark.read.parquet(os.path.join(sf_dir or SF_DIR, "lineitem.parquet")).select(
         F.col("l_orderkey").alias("jk")
     )
     rep = spark.range(0, 20, 1, 20).withColumnRenamed("id", "rep")
@@ -1163,8 +1163,63 @@ def _session_windows_hub(spark):
     )
 
 
+def _conus_fetcher(task: dict):
+    """Synthetic DAP decode at real wire geometry: one numpy-vectorized
+    long-form slice per task (the production fetcher's to_dataframe step);
+    value is a deterministic function of (i, j, day)."""
+    import numpy as np
+    import pandas as pd
+
+    days = pd.date_range(task["t0"], task["t1"], freq="D")
+    ii = np.arange(task["i0"], task["i1"] + 1, dtype=np.int32)
+    jj = np.arange(task["j0"], task["j1"] + 1, dtype=np.int32)
+    d, i, j = np.meshgrid(
+        np.arange(len(days), dtype=np.int32), ii, jj, indexing="ij"
+    )
+    d, i, j = d.ravel(), i.ravel(), j.ravel()
+    return pd.DataFrame(
+        {
+            "var": task["var"],
+            "ens": np.full(len(i), -1, dtype=np.int32),
+            "time": np.repeat(days.date, len(ii) * len(jj)),
+            "i": i,
+            "j": j,
+            "lat": 49.4 - i * (1.0 / 24.0),
+            "lon": -124.8 + j * (1.0 / 24.0),
+            "value": np.sin(i * 0.1) + np.cos(j * 0.1) + d * 0.01 + 285.0,
+        }
+    )
+
+
+def _ingest_conus_month(spark):
+    """S5 ingest-path stress at the REAL CONUS grid geometry (VERDICT r8
+    item 4): 585×1386 cells × 31 daily steps × 1 variable ≈ 25.1M cells
+    through the slice-task mapInPandas fan-out — the etl.py:273-281
+    analogue driven at reference-like volume instead of toy fixtures.
+    Task shape: 8-day × 128×128-tile slices → 220 tasks × ≤131k rows
+    (~5 MB Arrow each); the fetcher decodes numpy-vectorized, standing in
+    for the DAP wire decode. noop-sinked: measures fan-out + long-form
+    emission; the one-time partitioned parquet landing (full 365-day year,
+    296M cells) is tools/ingest_stress.py with sizing in SCALE.md."""
+    from datetime import date as _date
+
+    from gridmet_etl_spark.sources.ingest import build_slice_tasks, fetch_grid
+
+    tasks = build_slice_tasks(
+        spark,
+        [{"URL": "synthetic://conus/tmmx", "variable": "tmmx"}],
+        _date(2020, 1, 1),
+        _date(2020, 1, 31),
+        bbox_cells=(0, 584, 0, 1385),
+        days_per_task=8,
+        tile_cells=128,
+    )
+    return fetch_grid(tasks, _conus_fetcher)
+
+
 EXTRA_BENCH = {
     "cfsv2_scale_stress_398M": _cfsv2_scale_stress_400m,
+    "ingest_conus_month_25M": _ingest_conus_month,
     "funnel_hub20_12M_bucketed": _funnel_hub_bucketed,
     "asof_hub20_12M_single_task": (lambda spark: _asof_hub(spark, None)),
     "asof_hub20_12M_bucketed": (lambda spark: _asof_hub(spark, 3600)),
@@ -1272,7 +1327,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — time only the named entries (local
+    # iteration / output-shape validation; the driver never sets it)
+    _only = {
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
+    }
+
     def record(name: str, df) -> None:
+        if _only and name not in _only:
+            return
         timings[name], spreads[name] = timed(df)
     # the headline corpus-scale LSH entry runs FIRST — cold, before ~80
     # queries of accumulated JVM/broadcast/cache debt. Round-5 recorded
@@ -1304,6 +1367,8 @@ def main() -> None:
             continue
         record(name, builder(spark))
     for name, builder in CALL_TIMED.items():
+        if _only and name not in _only:
+            continue
         # each CALL_TIMED execution is self-contained (the build call
         # re-creates its own caches/checkpoints), so the warm call's leaked
         # cache blocks are dead weight for the timed call — drop them and
@@ -1332,21 +1397,57 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "loadavg1": load1,
-                "loadavg1_start": load_start,
-                "bench_reps": n_reps,
-                "spreads": spreads,
-            }
-        )
-    )
+    full_record = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "sf": sf,
+        "loadavg1": load1,
+        "loadavg1_start": load_start,
+        "bench_reps": n_reps,
+        "spreads": spreads,
+        "queries": timings,
+        "value": total,
+    }
+    # Repo-side provenance: the driver keeps only a ~2 KB stdout tail, so
+    # the COMPLETE per-query record is also written next to bench.py
+    # (best-effort — stdout stays the contract surface).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL_FULL.json"),
+            "w",
+        ) as fh:
+            json.dump(full_record, fh)
+            fh.write("\n")
+    except OSError:
+        pass
+    # Full record first (repo-side completeness). Key ORDER matters: the
+    # driver keeps only a ~2 KB stdout TAIL (BENCH_r07/r08 both landed
+    # "parsed": null because the single ~6 KB line put `spreads` last and
+    # pushed every timing out of the window) — so provenance and spreads go
+    # FIRST and the per-query timings + headline total go LAST, where the
+    # tail capture can see them.
+    print(json.dumps(full_record))
+    # Compact FINAL line: complete, self-contained JSON kept under ~1800
+    # bytes so the driver's tail window always ends with one parseable
+    # record (total + the slowest entries, trimmed to fit).
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "loadavg1_start": load_start,
+        "loadavg1": load1,
+        "bench_reps": n_reps,
+        "queries": dict(slowest),
+    }
+    while len(json.dumps(compact)) > 1800 and len(slowest) > 1:
+        slowest = slowest[: max(1, len(slowest) - 8)]
+        compact["queries"] = dict(slowest)
+        compact["queries_shown"] = len(slowest)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

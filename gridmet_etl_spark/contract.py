@@ -508,17 +508,27 @@ GROUP BY p_brand, l_returnflag
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-like pricing summary (partial-agg-friendly groupBy)."""
+    """TPC-H Q1-like pricing summary (partial-agg-friendly groupBy).
+
+    Money sums quantize to exact micro-units and accumulate in
+    DECIMAL(38,0) — real TPC-H prices are DECIMAL(12,2), and a raw double
+    sum at sf0.1 magnitude (~3×10⁹) differs between engines (and between
+    partition orders) in the last ULP, which the driver's full-repr hash
+    sees (caught by the r9 sf0.1 strict sweep). Decimal partials stay
+    exact, order-independent, and map-side mergeable."""
     li = _pq(spark, _t(sf_dir, "lineitem"))
+    msum = lambda c: F.round(  # noqa: E731
+        F.sum(F.round(c * 1e6).cast("decimal(38,0)")).cast("double") / 1e6, R
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), R).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), R).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R
-            ).alias("sum_disc_price"),
+            msum(F.col("l_extendedprice")).alias("sum_base_price"),
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
             F.round(F.avg("l_quantity"), R).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -528,8 +538,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        ROUND(sum(l_quantity), 6) AS sum_qty,
-       ROUND(sum(l_extendedprice), 6) AS sum_base_price,
-       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(CAST(sum(CAST(round(l_extendedprice * 1e6) AS HUGEINT)) AS DOUBLE)
+             / 1e6, 6) AS sum_base_price,
+       ROUND(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                           AS HUGEINT)) AS DOUBLE) / 1e6, 6) AS sum_disc_price,
        ROUND(avg(l_quantity), 6) AS avg_qty,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
@@ -801,33 +813,26 @@ FROM daily
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-based sessionization (30-min inactivity gap) — the
     oracle-checkable twin of streaming/events.py::sessionize: lag →
-    new-session flag → running count = session index → per-session rollup.
-    Two windows + one agg, all partitioned by user (no global sort)."""
-    from pyspark.sql import Window as W
-
+    new-session flag → running count = session index → per-session rollup
+    (operators/sessionize.py). Two windows + one agg, all partitioned by
+    user (no global sort); the per-key sort is hub-bounded here by the
+    sf fixtures' key cardinality — bot-heavy streams pass
+    ``bucket_seconds`` for the identical-output segment-and-merge plan
+    (property-tested in tests/test_sessionize.py)."""
+    from .operators.sessionize import gap_sessionize, session_rollup
     from .sources.readers import read_events
 
-    e = read_events(spark, _t(sf_dir, "events")).select("user_id", "ts", "value", "event_id")
-    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = read_events(spark, _t(sf_dir, "events")).select(
+        "user_id", "ts", "value", "event_id"
+    )
     # ts is TIMESTAMP_NTZ (unix_micros rejects it); timestamp subtraction
     # yields a day-time interval on both tz and ntz inputs, so the 30-min
     # gap test stays timezone-independent.
-    flagged = e.withColumn(
-        "new_s",
-        F.when(
-            (F.col("ts") - F.lag("ts", 1).over(wo)) > F.expr("INTERVAL 30 MINUTES"),
-            1,
-        ).otherwise(0),
+    sessioned = gap_sessionize(
+        e, key_col="user_id", ts_col="ts", gap_seconds=1800,
+        order_cols=["event_id"],
     )
-    sessioned = flagged.withColumn(
-        "session_idx", F.sum("new_s").over(wo.rowsBetween(W.unboundedPreceding, 0))
-    )
-    return sessioned.groupBy("user_id", "session_idx").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count("*").alias("n_events"),
-        F.round(F.sum("value"), R).alias("sum_value"),
-    )
+    return session_rollup(sessioned, round_digits=R)
 
 
 SQL_SESSIONIZE_BATCH = """

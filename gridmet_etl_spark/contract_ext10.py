@@ -1002,9 +1002,20 @@ def q_tpcds_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") < dhi)
         )
         aggs.append(F.count(F.when(hit, F.lit(1))).alias(f"n_{name}"))
+        # micro-unit DECIMAL(38,0) sum: exact at any sf (double sums at
+        # ~2e9 drift a ULP between engines — r9 sf0.1 strict sweep)
         aggs.append(
             F.round(
-                F.sum(F.when(hit, F.col("l_extendedprice"))), R
+                F.sum(
+                    F.when(
+                        hit,
+                        F.round(F.col("l_extendedprice") * 1e6).cast(
+                            "decimal(38,0)"
+                        ),
+                    )
+                ).cast("double")
+                / 1e6,
+                R,
             ).alias(f"rev_{name}")
         )
     one = li.agg(*aggs)
@@ -1033,8 +1044,9 @@ def _sql_tpcds_multiband() -> str:
         parts.append(
             f"SELECT '{name}' AS band,"
             f" count(CASE WHEN {hit} THEN 1 END) AS n_rows,"
-            f" ROUND(sum(CASE WHEN {hit} THEN l_extendedprice END), {R}) + 0"
-            f" AS revenue FROM lineitem"
+            f" ROUND(CAST(sum(CASE WHEN {hit} THEN"
+            f" CAST(round(l_extendedprice * 1e6) AS HUGEINT) END) AS DOUBLE)"
+            f" / 1e6, {R}) + 0 AS revenue FROM lineitem"
         )
     return "\nUNION ALL\n".join(parts)
 
@@ -1098,16 +1110,21 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
     )
     kept = class_balance(li, "y", "rid", neg_keep_pct=_CB_PCT)
+    # revenue sums quantize to exact micro-units in DECIMAL(38,0): raw
+    # double sums at sf0.1 magnitude (~2×10¹⁰) drift a ULP between engines
+    # (r9 sf0.1 strict sweep); weight sums stay double — 1.0/10.0 weights
+    # sum to exact integers far below 2^53
+    msum = lambda c: F.round(  # noqa: E731
+        F.sum(F.round(c * 1e6).cast("decimal(38,0)")).cast("double") / 1e6, R
+    )
     truth = li.groupBy("y").agg(
         F.count(F.lit(1)).alias("true_n"),
-        F.round(F.sum("l_extendedprice"), R).alias("true_rev"),
+        msum(F.col("l_extendedprice")).alias("true_rev"),
     )
     got = kept.groupBy("y").agg(
         F.count(F.lit(1)).alias("kept_n"),
         F.round(F.sum("weight"), R).alias("weighted_n"),
-        F.round(F.sum(F.col("weight") * F.col("l_extendedprice")), R).alias(
-            "weighted_rev"
-        ),
+        msum(F.col("weight") * F.col("l_extendedprice")).alias("weighted_rev"),
     )
     return got.join(truth, "y").select(
         "y",
@@ -1135,11 +1152,16 @@ kept AS (
   WHERE y = 1
      OR CAST('0x' || substr(md5('bal:' || rid), 1, 6) AS BIGINT) % 100 < {_CB_PCT}),
 truth AS (
-  SELECT y, count(*) AS true_n, ROUND(sum(l_extendedprice), {R}) AS true_rev
+  -- micro-unit HUGEINT sums: exact and order-independent at any sf
+  -- (raw double sums at ~2e10 drift a ULP between engines)
+  SELECT y, count(*) AS true_n,
+         ROUND(CAST(sum(CAST(round(l_extendedprice * 1e6) AS HUGEINT))
+                    AS DOUBLE) / 1e6, {R}) AS true_rev
   FROM src GROUP BY y),
 got AS (
   SELECT y, count(*) AS kept_n, ROUND(sum(weight), {R}) AS weighted_n,
-         ROUND(sum(weight * l_extendedprice), {R}) AS weighted_rev
+         ROUND(CAST(sum(CAST(round(weight * l_extendedprice * 1e6) AS HUGEINT))
+                    AS DOUBLE) / 1e6, {R}) AS weighted_rev
   FROM kept GROUP BY y)
 SELECT got.y, got.kept_n, got.weighted_n + 0 AS weighted_n,
        got.weighted_rev + 0 AS weighted_rev, truth.true_n,

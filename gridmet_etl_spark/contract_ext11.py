@@ -239,14 +239,17 @@ WITH q AS (
 agg AS (
   SELECT grp, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(wq) AS BIGINT) AS sum_w_cents,
-         CAST(sum(wq * wq) AS BIGINT) AS sw2
+         -- Σwq² exceeds int64 from sf0.1 up (n·(5×10⁷)²): keep DuckDB's
+         -- HUGEINT accumulator and go straight to DOUBLE for the ratio,
+         -- mirroring the Spark side's DECIMAL(38,0) internal sum
+         CAST(sum(wq * wq) AS DOUBLE) AS sw2d
   FROM q GROUP BY grp)
 SELECT grp, n, sum_w_cents,
        ROUND(CAST(sum_w_cents AS DOUBLE) * CAST(sum_w_cents AS DOUBLE)
-             / CAST(sw2 AS DOUBLE), {R}) + 0 AS ess,
+             / sw2d, {R}) + 0 AS ess,
        ROUND(CAST(n AS DOUBLE)
              / (CAST(sum_w_cents AS DOUBLE) * CAST(sum_w_cents AS DOUBLE)
-                / CAST(sw2 AS DOUBLE)), {R}) + 0 AS deff
+                / sw2d), {R}) + 0 AS deff
 FROM agg
 """
 

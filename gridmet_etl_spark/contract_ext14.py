@@ -215,8 +215,6 @@ pk AS (
 dd AS (
   SELECT nation, day, peak, peak - cum AS d,
          count(*) OVER (PARTITION BY nation) AS n_pts,
-         sum(CASE WHEN day IS NOT NULL THEN 0 ELSE 0 END)
-           OVER (PARTITION BY nation) AS _z,
          last_value(cum) OVER (PARTITION BY nation ORDER BY day
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND UNBOUNDED FOLLOWING) AS fin,

@@ -570,7 +570,10 @@ def effective_sample_size(
     Determinism discipline: weights quantize to integers at ``cents``
     resolution (exact for currency-like inputs) BEFORE the sums, so Σw
     and Σw² are exact order-independent integers; the two output ratios
-    divide exact ints in fixed order. int64 bound: Σw² ≤ n·(w_max·cents)².
+    divide exact ints in fixed order. Σw² accumulates in DECIMAL(38,0):
+    the int64 bound n·(w_max·cents)² already blows at sf0.1 orders
+    (3×10⁴ rows · (5×10⁷)² ≈ 7.5×10¹⁹ — caught by the r9 at-scale oracle
+    sweep), and decimal partials stay exact and mergeable map-side.
 
     One aggregation pass; output one row per group:
     (*group_cols, n, sum_w_cents, ess, deff)."""
@@ -578,7 +581,7 @@ def effective_sample_size(
     agg = units.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(wq).alias("sum_w_cents"),
-        F.sum(wq * wq).alias("_sw2"),
+        F.sum((wq * wq).cast("decimal(38,0)")).alias("_sw2"),
     )
     sw = F.col("sum_w_cents").cast("double")
     ess = sw * sw / F.col("_sw2").cast("double")

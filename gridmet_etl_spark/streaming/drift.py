@@ -10,14 +10,21 @@ U_t − min U > λ):
 - ``page_hinkley_keyed`` (batch): three frames over ONE per-key sort
   (running sum, running U, running min) — a single shuffle.
 - ``streaming_page_hinkley``: ``applyInPandasWithState`` with O(1) state
-  per key (t, Σx, U, min U, last applied event-time) — a 100 TB stream
-  costs |keys| × ~40 bytes of state. Late data beyond the watermark is
-  dropped by the engine; rows behind the applied state are skipped
-  (the alerts-twin convention).
+  per key (t, Σx, U, min U, last applied (event-time, value) pair) — a
+  100 TB stream costs |keys| × ~48 bytes of state. Late data beyond the
+  watermark is dropped by the engine; rows at or behind the applied
+  (ts, value) frontier are skipped (the alerts-twin convention, which
+  also makes exact-duplicate replays idempotent).
 
 Float discipline: both twins run the SAME sequential recurrence in the
 same order, so their doubles match bit-for-bit; ties on event time order
-by value in both.
+by value in both. Parity caveat (inherent to incremental state): an event
+whose ts EQUALS the applied frontier but whose value is SMALLER, arriving
+only in a LATER micro-batch, cannot be retroactively ordered before the
+already-applied peer — the streaming twin drops it (frontier skip) rather
+than apply it out of order, while a batch re-run would include it.
+Missing values (None or NaN — pandas delivers float-column nulls as NaN)
+are skipped by both twins without advancing the frontier.
 """
 
 from __future__ import annotations
@@ -48,6 +55,7 @@ _DRIFT_STATE = StructType(
         StructField("u", DoubleType()),
         StructField("minu", DoubleType()),
         StructField("last_us", LongType()),
+        StructField("last_v", DoubleType()),
     ]
 )
 
@@ -108,26 +116,40 @@ def streaming_page_hinkley(
         import pandas as pd
 
         (k,) = key
-        t, s, u, minu, last_us = (
-            state.get if state.exists else (0, 0.0, 0.0, 0.0, 0)
+        t, s, u, minu, last_us, last_v = (
+            state.get
+            if state.exists
+            else (0, 0.0, 0.0, 0.0, 0, float("-inf"))
         )
         batch = pd.concat(list(pdfs), ignore_index=True)
         alarms = []
+        # frontier is snapshotted at batch start: rows at or behind the
+        # PRIOR batches' applied (ts, value) pair are either already applied
+        # or unorderable against an applied equal-ts peer — drop, don't
+        # reorder. Duplicates WITHIN this batch stay > the snapshot and are
+        # all processed, matching the batch twin's (ts, value) sort.
+        f_us, f_v = last_us, last_v
         if len(batch):
             batch = batch.sort_values([ts_col, value_col])
             for ts, v in zip(batch[ts_col], batch[value_col]):
-                us = int(pd.Timestamp(ts).value // 1000)
-                if us < last_us or v is None:
+                # pandas delivers float-column nulls as NaN, not None —
+                # pd.isna covers both (a raw NaN would poison s/u forever)
+                if pd.isna(v):
                     continue
+                us = int(pd.Timestamp(ts).value // 1000)
                 x = float(v)
+                if (us, x) <= (f_us, f_v):
+                    continue
                 t += 1
                 s += x
                 u += x - s / t - delta
                 minu = min(minu, u)
                 if u - minu > lam:
                     alarms.append((us, x, round(u, 6), round(u - minu, 6)))
-                last_us = us
-        state.update((int(t), float(s), float(u), float(minu), int(last_us)))
+                last_us, last_v = us, x
+        state.update(
+            (int(t), float(s), float(u), float(minu), int(last_us), float(last_v))
+        )
         if alarms:
             yield pd.DataFrame(
                 {

@@ -139,6 +139,21 @@ def main(names):
         if name not in oracles:
             print(f"{name:28s} SKIP (no oracle)")
             continue
+        try:
+            _check_one(name, ALL_QUERIES, oracles, spark, con, strict, canon,
+                       failures)
+        except Exception as e:  # keep sweeping — a 360-name run must not
+            # die on one query's engine error (sf0.1 sweeps exist precisely
+            # to surface overflow-at-scale errors, which raise, not mismatch)
+            failures.append(name)
+            msg = str(e).split("\n")[0][:160]
+            print(f"{name:28s} ERR  {type(e).__name__}: {msg}", flush=True)
+    print(f"\n{len(targets) - len(failures)}/{len(targets)} OK")
+    return 1 if failures else 0
+
+
+def _check_one(name, ALL_QUERIES, oracles, spark, con, strict, canon,
+               failures):
         sdf = ALL_QUERIES[name](spark, SF_DIR)
         scols = sdf.columns
         if strict:
@@ -173,7 +188,8 @@ def main(names):
         print(
             f"{name:28s} {status}  rows {len(srows)}/{len(orows)}"
             f" cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'}"
-            f" vals={'ok' if ok_vals else 'MISMATCH'}"
+            f" vals={'ok' if ok_vals else 'MISMATCH'}",
+            flush=True,
         )
         if status == "FAIL":
             failures.append(name)
@@ -182,8 +198,6 @@ def main(names):
                 diff_o = list((oms - sms).keys())[:3]
                 print(f"  spark-only: {diff_s}")
                 print(f"  oracle-only: {diff_o}")
-    print(f"\n{len(targets) - len(failures)}/{len(targets)} OK")
-    return 1 if failures else 0
 
 
 if __name__ == "__main__":

@@ -52,7 +52,41 @@ def _minhash_star_full(spark, sf_dir):
     return minhash_lsh_star(docs, hash_fn="xxhash64")
 
 
-OVERRIDES = {"minhash_lsh_star_full": _minhash_star_full}
+def _bench_builder(name):
+    """Reuse bench.py's heavy-tail builders (VERDICT r8 item 3): each takes
+    sf_dir, so pointing the SAME shape at the x10 tables gives the x10 row
+    (the x20/x200 replication factors inside multiply both dirs equally)."""
+    import bench
+
+    return lambda spark, sf_dir: getattr(bench, name)(spark, sf_dir=sf_dir)
+
+
+OVERRIDES = {
+    "minhash_lsh_star_full": _minhash_star_full,
+    # heavy tail (r8 verdict item 3): the five most expensive bench entries
+    # with no prior scaling row, + the whole TPC-H suite pass
+    "minhash_lsh_100k_docs": _bench_builder("_minhash_lsh_100k"),
+    "pq_adc_400k_vecs": _bench_builder("_pq_adc_400k"),
+    "cms_join_size_14M_keys": _bench_builder("_cms_join_size_14m"),
+    "bootstrap_38M_draws": _bench_builder("_bootstrap_38m_draws"),
+    "entity_resolution_part": _bench_builder("_entity_resolution_sf"),
+    "tpch_suite_22": _bench_builder("_tpch_suite_22"),
+}
+
+# entries whose BUILD call performs eager work (per-round collects, eager
+# localCheckpoints, or — for tpch_suite_22 — executing 21 of the 22
+# queries): the timer must wrap the whole call, as bench.py's CALL_TIMED
+# protocol does, or the measurement misses most of the work
+CALL_TIMED = {"pq_adc_400k_vecs", "entity_resolution_part", "tpch_suite_22"}
+
+HEAVY_TAIL = [
+    "minhash_lsh_100k_docs",
+    "pq_adc_400k_vecs",
+    "cms_join_size_14M_keys",
+    "bootstrap_38M_draws",
+    "entity_resolution_part",
+    "tpch_suite_22",
+]
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".sfscale", "sf1")
@@ -65,6 +99,8 @@ def main() -> int:
     names = FLAGSHIPS
     if "--queries" in sys.argv:
         names = sys.argv[sys.argv.index("--queries") + 1].split(",")
+    elif "--heavy" in sys.argv:
+        names = HEAVY_TAIL
     if not os.path.isdir(SF1):
         print("run tools/sf_scale.py first", file=sys.stderr)
         return 1
@@ -79,14 +115,21 @@ def main() -> int:
 
     def timed(name: str, sf_dir: str) -> float:
         build = OVERRIDES.get(name) or qs[name]
+        call_timed = name in CALL_TIMED
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = None
         for _ in range(reps):
-            df = build(spark, sf_dir)  # rebuild: checkpoints re-pay
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            if call_timed:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            else:
+                df = build(spark, sf_dir)  # rebuild: checkpoints re-pay
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         return round(best, 3)
