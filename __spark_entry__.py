@@ -38,6 +38,7 @@ from gridmet_etl_spark.contract_ext16 import EXT16_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext17 import EXT17_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext18 import EXT18_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext19 import EXT19_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext20 import EXT20_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -60,159 +61,156 @@ _MERGED = {
     **EXT17_QUERIES,
     **EXT18_QUERIES,
     **EXT19_QUERIES,
+    **EXT20_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
-# in registration order, so ORDER decides coverage. Round-8 window policy
-# (VERDICT r7 item 6, now mechanical via tools/query_map.py): queries whose
-# BACKING CODE changed this round come first — the manifest maps every
-# registry name to its contract module + transitively imported operator
-# files, so "touched" is a file-intersection, not a judgment call.
-# Window composition:
-#   (1) the 6 queries whose operators carry the ADVICE r8 fixes
-#       (cramers_v changed VALUES — max-normalized e12 quantization replaced
-#       absolute e9, oracle SQL updated in lockstep; the other five changed
-#       degenerate/overflow paths only, fixture outputs identical);
-#   (2) the 30 remaining queries sharing those three files
-#       (operators/stats.py, scoring.py, quality.py) — conservative
-#       file-level re-certification;
-#   (3) rotation fill from the r7 backlog order. Everything below the cap
-#       has a green driver CORRECTNESS row from r1-r7 and is re-swept by
-#       tools/check_oracle.py locally (lenient AND --strict).
+# in registration order, so ORDER decides coverage. Round-9 window policy
+# (VERDICT r8 items 5+7, mechanical via tools/query_map.py --diff):
+#   (1) the 8 queries whose OUTPUT SEMANTICS or oracle SQL changed this
+#       round — tpch_q1 / class_balance / tpcds_multiband / tpch_q9ish
+#       money sums moved to exact micro-unit DECIMAL(38,0)/HUGEINT
+#       accumulators (values change in the 6th decimal; raw double sums
+#       drift a ULP between engines at sf0.1 magnitude — docs/SWEEP_SF01.md),
+#       weighted_ess's Sigma-w-squared now DECIMAL(38,0) (int64 overflow at
+#       sf0.1), weighted_sample's key gained the -0.0 normalizer,
+#       max_drawdown's oracle dropped a dead window column, and
+#       sessionize_batch rewired onto operators/sessionize.py
+#       (output-identical, property-tested);
+#   (2) the 6 NEW round-9 queries (contract_ext20);
+#   (3) rotation fill = the 36 OLDEST-certified names (all last checked
+#       in CORRECTNESS_r01) — most are contract.py-backed and so also sit
+#       in the round's file-level --diff cohort.
+# Everything below the cap has a green driver row from r1-r8 and is
+# re-swept locally at sf0.01 AND sf0.1 (tools/check_oracle.py --strict;
+# sweep record in docs/SWEEP_SF01.md).
 _CHECK_FIRST = [
-    # (1) ADVICE r8 direct fixes — re-certify first
-    "cramers_v", "kruskal_wallis", "fleiss_kappa",
-    "spearman_corr", "rbo_overlap", "filter_cascade",
-    # (1b) new round-8 queries (contract_ext13)
-    "kendall_tau", "permutation_test", "ap_at_k",
-    "inter_event_gaps", "degree_assortativity", "bloom_fpr_sweep",
-    "neyman_alloc", "propensity_match_att", "hill_tail_index",
-    "mcnemar_test", "cochran_q", "log_odds_words",
-    "info_gain", "runs_test",
-    # (1c) new round-8 wave-2 queries (contract_ext14)
-    "jarque_bera", "brown_forsythe", "max_drawdown",
+    "tpch_q1", "class_balance", "tpcds_multiband",
+    "weighted_ess", "max_drawdown", "sessionize_batch",
+    "tpch_q9ish", "weighted_sample",
+    # round-9 wave-1 NEW queries (contract_ext20) — inside the 50-slot cap
+    # to receive their first driver rows
+    "mood_median", "sign_test", "turning_points",
+    "durbin_watson", "page_trend", "pinball_loss",
+    "attribution_join", "bbox_filter", "bigram_topk",
+    "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
+    "ensemble_median", "ensemble_quantiles", "ensemble_stats",
+    "events_daily", "events_moving_avg", "events_props_json",
+    "events_window", "exact_dedup", "fill_pipeline",
+    "nearest_donor", "ngram_jaccard", "physics_rh",
+    "pivot_wide", "qa_checks", "range_join",
+    "salted_agg", "text_analysis", "time_filter",
+    "tpch_above_avg", "tpch_cube", "tpch_join3",
+    "tpch_outer_agg", "tpch_q13ish", "tpch_q16ish",
+    "tpch_q18ish", "tpch_q19ish", "tpch_q5ish",
+    "tpch_q7ish", "tpch_rollup", "tpch_semi_anti",
+    "tpch_topn", "tpch_weighted_mean", "tpch_window_topk",
+    "union_concat", "unpivot_long", "weight_sum_qa",
+    "approx_aggs", "asof_join",
+    "cramers_v",
+    "kruskal_wallis", "fleiss_kappa", "spearman_corr",
+    "rbo_overlap", "filter_cascade", "kendall_tau",
+    "permutation_test", "ap_at_k", "inter_event_gaps",
+    "degree_assortativity", "bloom_fpr_sweep", "neyman_alloc",
+    "propensity_match_att", "hill_tail_index", "mcnemar_test",
+    "cochran_q", "log_odds_words", "info_gain",
+    "runs_test", "jarque_bera", "brown_forsythe",
     "bollinger_breakouts", "partial_corr", "theil_u",
-    "funcdep_audit", "decision_stump",
-    # (1d) new round-8 wave-3 queries (contract_ext15)
-    "clustering_coeff", "slope_one", "rdd_estimate",
-    "iv_wald", "nelson_aalen", "hurst_exponent",
-    "brier_decomp",
-    # (1e) new round-8 wave-4 queries (contract_ext16)
+    "funcdep_audit", "decision_stump", "clustering_coeff",
+    "slope_one", "rdd_estimate", "iv_wald",
+    "nelson_aalen", "hurst_exponent", "brier_decomp",
     "grubbs_stat", "ljung_box", "return_levels",
-    "page_hinkley",
-    # (1f) new round-8 wave-5 queries (contract_ext17)
-    "mann_kendall", "cramer_von_mises", "vocab_coverage",
-    # (1g) new round-8 wave-6 queries (contract_ext18)
-    "cliffs_delta", "odds_ratio", "km_median",
-    "seasonal_strength",
-    # (1h) new round-8 wave-7 queries (contract_ext19)
-    "anova_oneway", "bartlett", "morans_i",
-    # (2) file-level cohort of the three fixed operator files
-    "auc_eval", "bootstrap_ci", "c4_filters",
-    "calibration_eval", "chi_square", "classifier_score",
-    "cohen_kappa", "corpus_pipeline_v2", "f1_report",
-    "friedman_test", "gini_lorenz", "gopher_filters",
-    "kaplan_meier", "ks_test", "lift_eval",
-    "lm_score", "logrank_test", "lsh_band_sweep",
-    "lsh_recall", "mann_whitney", "minhash_estimate",
-    "ordinal_gamma", "percentile_cut", "rrf_fusion",
-    "survivorship", "weighted_ess", "weighted_median",
-    "welch_ttest", "wilcoxon_signed", "winsorized_stats",
-    # ---- changed-code cohort ends at 36; rotation fill to the 50-cap ----
-    "autocorr_daily", "centroid_classify", "corr_matrix",
-    "daily_ohlc", "ewma_daily", "frost_dates",
-    "heat_index", "heatwave_runs", "khop_reach",
-    "knn_eval", "overlap_join", "ref_integrity",
-    "scd2_users", "seasonal_decomp", "skew_profile",
-    "spi_index", "target_encode", "temporal_split",
-    "terrain_gradient", "threshold_alerts", "trailing_features",
-    "asof_forward_join", "gapfill_interp", "heaps_fit",
-    "dup_ngrams", "ppl_buckets", "window_funnel",
-    "interdup_report", "weighted_mean", "gridmet_pipeline",
-    "tpch_q1", "corpus_pipeline_v3", "kmv_set_ops",
+    "page_hinkley", "mann_kendall", "cramer_von_mises",
+    "vocab_coverage", "cliffs_delta", "odds_ratio",
+    "km_median", "seasonal_strength", "anova_oneway",
+    "bartlett", "morans_i", "auc_eval",
+    "bootstrap_ci", "c4_filters", "calibration_eval",
+    "chi_square", "classifier_score", "cohen_kappa",
+    "corpus_pipeline_v2", "f1_report", "friedman_test",
+    "gini_lorenz", "gopher_filters", "kaplan_meier",
+    "ks_test", "lift_eval", "lm_score",
+    "logrank_test", "lsh_band_sweep", "lsh_recall",
+    "mann_whitney", "minhash_estimate", "ordinal_gamma",
+    "percentile_cut", "rrf_fusion", "survivorship",
+    "weighted_median", "welch_ttest", "wilcoxon_signed",
+    "winsorized_stats", "autocorr_daily", "centroid_classify",
+    "corr_matrix", "daily_ohlc", "ewma_daily",
+    "frost_dates", "heat_index", "heatwave_runs",
+    "khop_reach", "knn_eval", "overlap_join",
+    "ref_integrity", "scd2_users", "seasonal_decomp",
+    "skew_profile", "spi_index", "target_encode",
+    "temporal_split", "terrain_gradient", "threshold_alerts",
+    "trailing_features", "asof_forward_join", "gapfill_interp",
+    "heaps_fit", "dup_ngrams", "ppl_buckets",
+    "window_funnel", "interdup_report", "weighted_mean",
+    "gridmet_pipeline", "corpus_pipeline_v3", "kmv_set_ops",
     "ipw_ate", "session_paths", "dsir_select",
     "curve_compare", "k_anonymity", "boilerplate_report",
     "zone_map_prune", "selectivity_eval", "heavy_hitters_mg",
-    "class_balance", "histogram_docs", "zipf_fit",
-    "token_budget_alloc", "ivf_nprobe_sweep", "cv_folds",
-    "novelty_curve", "truncation_report", "source_jsd",
-    "source_entropy", "pii_flags", "cosine_topk_lsh",
-    "kmeans_assign", "bpe_merges", "embed_covariance",
-    "entity_resolution", "lm_scores", "containment_dups",
-    "quota_filter", "hard_negatives", "bpe_compression",
-    "cosine_topk", "simhash", "tpch_q15ish",
-    "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
-    "kmv_distinct", "link_prediction", "cuped_adjust",
-    "did_estimate", "hilbert_layout", "markov_attribution",
-    "woe_iv", "tpcds_multiband", "feature_hash",
-    "qini_uplift", "polygon_metrics", "dp_release",
-    "holt_forecast", "rsi_indicator", "capture_recapture",
-    "line_dedup", "mixture_weights", "jl_project",
-    "tfidf_terms", "cms_join_size", "bias_als",
-    "mcv_stats", "equiheight_bins", "join_order_advisor",
-    "source_overlap", "ridge_regression", "join_qerror",
-    "layout_advisor", "cooccurrence_topk", "vocab_topk",
-    "impute_median", "idw_interp", "dbscan_clusters",
-    "item_similarity", "cdc_apply", "hist_quantiles",
-    "logit_gd", "forecast_eval", "nb_language_id",
-    "mrr_eval", "ppr_scores", "pca_power",
-    "geo_knn", "sssp_hops", "weighted_median_pooled",
-    "rolling_median", "kcore_nodes", "dedup_report",
-    "rfm_segments", "basket_lift", "pq_codes",
-    "hll_rollup", "scd2_pit_enrich", "twap_daily",
-    "coreset_assign", "ndcg_eval", "multitouch_credit",
-    "lpa_communities", "session_windows", "hits_scores",
-    "psi_drift", "textrank_keywords", "cohort_ltv",
-    "ivfpq_topk", "conversion_lag", "cumulative_users",
-    "rebased_series", "theilsen_trend", "props_map",
-    "calendar_gaps", "ab_test", "skyline_parts",
-    "dow_anomaly", "rolling_actives", "benford_check",
-    "embedding_stats", "tpch_q2ish", "tpch_q3ish",
-    "tpch_q4ish", "tpch_q6ish", "tpch_q8ish",
-    "tpch_q9ish", "tpch_q10ish", "tpch_q11ish",
-    "tpch_q12ish", "tpch_q14ish", "tpch_q20ish",
-    "max_dup_spans", "incremental_refresh", "polygon_weights",
-    "polygon_zonal_mean", "hex_density", "quantile_normalize",
-    "cusum_changepoints", "rag_pipeline", "pq_topk",
-    "funnel_steps", "retention_cohorts", "event_transitions",
-    "triangle_count", "jaccard_join", "fuzzy_join",
-    "mad_outliers", "ntile_bins", "char_entropy",
-    "snapshot_diff", "coarsen_grid", "zorder_layout",
-    "media_dedup", "trending_topk", "focal_mean",
-    "topk_per_source", "trend_slope", "cross_correlation",
-    "token_drift", "readability", "bilinear_interp",
-    "degree_days", "climate_pipeline", "skew_join",
-    "set_ops", "grouping_sets", "range_frame_sum",
-    "attribution_join", "cfsv2_median_pipeline", "tpch_weighted_mean",
-    "tpch_join3", "tpch_window_topk", "tpch_topn",
-    "tpch_semi_anti", "tpch_cube", "tpch_rollup",
-    "tpch_q5ish", "tpch_q7ish", "tpch_q13ish",
-    "tpch_q16ish", "tpch_q18ish", "tpch_q19ish",
-    "tpch_above_avg", "tpch_outer_agg", "salted_agg",
-    "range_join", "ngram_jaccard", "text_analysis",
-    "bigram_topk", "events_props_json", "pivot_wide",
-    "unpivot_long", "fill_pipeline", "qa_checks",
-    "ensemble_median", "ensemble_stats", "ensemble_quantiles",
-    "nearest_donor", "bbox_filter", "time_filter",
-    "catalog_lookup", "weight_sum_qa", "physics_rh",
-    "union_concat", "events_daily", "events_window",
-    "events_moving_avg", "sessionize_batch", "media_stats",
-    "climatology_anomaly", "resample_weekly", "zscore_grid",
-    "winsorize_grid", "gap_fill", "jsonl_scan",
-    "masked_weighted_mean", "cfsv2_ensemble_pipeline", "asof_join",
-    "approx_aggs", "inverted_index", "profile_lineitem",
-    "upsert_orders", "pagerank", "bm25_topk",
-    "pmi_bigrams", "chunk_windows", "weighted_sample",
-    "curriculum_order", "rp_project", "tfidf_topk",
-    "cms_counts", "domain_flags", "repetition_stats",
-    "semantic_dedup", "span_dedup", "decontam_bloom",
-    "exact_dedup", "minhash_lsh", "simhash_near_dups",
-    "cosine_topk_np", "embedding_near_dups", "ivf_topk",
-    "winnow_fingerprints", "split_assign", "stratified_sample",
-    "mixture_sample", "shard_pack", "dedup_clusters",
-    "clean_text", "decontam_exact", "decontam_fuzzy",
-    "corpus_pipeline", "pack_sequences", "minhash_lsh_star",
-    "sequence_packing", "split_leakage_audit",
+    "histogram_docs", "zipf_fit", "token_budget_alloc",
+    "ivf_nprobe_sweep", "cv_folds", "novelty_curve",
+    "truncation_report", "source_jsd", "source_entropy",
+    "pii_flags", "cosine_topk_lsh", "kmeans_assign",
+    "bpe_merges", "embed_covariance", "entity_resolution",
+    "lm_scores", "containment_dups", "quota_filter",
+    "hard_negatives", "bpe_compression", "cosine_topk",
+    "simhash", "tpch_q15ish", "tpch_q17ish",
+    "tpch_q21ish", "tpch_q22ish", "kmv_distinct",
+    "link_prediction", "cuped_adjust", "did_estimate",
+    "hilbert_layout", "markov_attribution", "woe_iv",
+    "feature_hash", "qini_uplift", "polygon_metrics",
+    "dp_release", "holt_forecast", "rsi_indicator",
+    "capture_recapture", "line_dedup", "mixture_weights",
+    "jl_project", "tfidf_terms", "cms_join_size",
+    "bias_als", "mcv_stats", "equiheight_bins",
+    "join_order_advisor", "source_overlap", "ridge_regression",
+    "join_qerror", "layout_advisor", "cooccurrence_topk",
+    "vocab_topk", "impute_median", "idw_interp",
+    "dbscan_clusters", "item_similarity", "cdc_apply",
+    "hist_quantiles", "logit_gd", "forecast_eval",
+    "nb_language_id", "mrr_eval", "ppr_scores",
+    "pca_power", "geo_knn", "sssp_hops",
+    "weighted_median_pooled", "rolling_median", "kcore_nodes",
+    "dedup_report", "rfm_segments", "basket_lift",
+    "pq_codes", "hll_rollup", "scd2_pit_enrich",
+    "twap_daily", "coreset_assign", "ndcg_eval",
+    "multitouch_credit", "lpa_communities", "session_windows",
+    "hits_scores", "psi_drift", "textrank_keywords",
+    "cohort_ltv", "ivfpq_topk", "conversion_lag",
+    "cumulative_users", "rebased_series", "theilsen_trend",
+    "props_map", "calendar_gaps", "ab_test",
+    "skyline_parts", "dow_anomaly", "rolling_actives",
+    "benford_check", "embedding_stats", "tpch_q2ish",
+    "tpch_q3ish", "tpch_q4ish", "tpch_q6ish",
+    "tpch_q8ish", "tpch_q9ish", "tpch_q10ish",
+    "tpch_q11ish", "tpch_q12ish", "tpch_q14ish",
+    "tpch_q20ish", "max_dup_spans", "incremental_refresh",
+    "polygon_weights", "polygon_zonal_mean", "hex_density",
+    "quantile_normalize", "cusum_changepoints", "rag_pipeline",
+    "pq_topk", "funnel_steps", "retention_cohorts",
+    "event_transitions", "triangle_count", "jaccard_join",
+    "fuzzy_join", "mad_outliers", "ntile_bins",
+    "char_entropy", "snapshot_diff", "coarsen_grid",
+    "zorder_layout", "media_dedup", "trending_topk",
+    "focal_mean", "topk_per_source", "trend_slope",
+    "cross_correlation", "token_drift", "readability",
+    "bilinear_interp", "degree_days", "climate_pipeline",
+    "skew_join", "set_ops", "grouping_sets",
+    "range_frame_sum", "media_stats", "climatology_anomaly",
+    "resample_weekly", "zscore_grid", "winsorize_grid",
+    "gap_fill", "jsonl_scan", "masked_weighted_mean",
+    "inverted_index", "profile_lineitem", "upsert_orders",
+    "pagerank", "bm25_topk", "pmi_bigrams",
+    "chunk_windows", "weighted_sample", "curriculum_order",
+    "rp_project", "tfidf_topk", "cms_counts",
+    "domain_flags", "repetition_stats", "semantic_dedup",
+    "span_dedup", "decontam_bloom", "minhash_lsh",
+    "simhash_near_dups", "cosine_topk_np", "embedding_near_dups",
+    "ivf_topk", "winnow_fingerprints", "split_assign",
+    "stratified_sample", "mixture_sample", "shard_pack",
+    "dedup_clusters", "clean_text", "decontam_exact",
+    "decontam_fuzzy", "corpus_pipeline", "pack_sequences",
+    "minhash_lsh_star", "sequence_packing", "split_leakage_audit",
 ]
 assert set(_CHECK_FIRST) <= set(_MERGED), sorted(set(_CHECK_FIRST) - set(_MERGED))
 ALL_QUERIES = {name: _MERGED[name] for name in _CHECK_FIRST}

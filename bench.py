@@ -155,6 +155,14 @@ BENCH_QUERIES = [
     "anova_oneway",
     "bartlett",
     "morans_i",
+    # round-9 wave 1 (ext20): Mood/sign/Page/turning-point/DW inference +
+    # pinball quantile-forecast eval over the exact distributed quantile
+    "mood_median",
+    "sign_test",
+    "turning_points",
+    "durbin_watson",
+    "page_trend",
+    "pinball_loss",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",
@@ -1277,11 +1285,12 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext17 import EXT17_QUERIES as _EXT17
     from gridmet_etl_spark.contract_ext18 import EXT18_QUERIES as _EXT18
     from gridmet_etl_spark.contract_ext19 import EXT19_QUERIES as _EXT19
+    from gridmet_etl_spark.contract_ext20 import EXT20_QUERIES as _EXT20
 
     DOMAIN_QUERIES = {
         **_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11, **_EXT12,
         **_EXT13, **_EXT14, **_EXT15, **_EXT16, **_EXT17, **_EXT18,
-        **_EXT19,
+        **_EXT19, **_EXT20,
     }
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")

@@ -1509,7 +1509,8 @@ def _sql_weighted_sample() -> str:
     bucket = sql_hash_bucket("doc_id", "wrs")
     return f"""
 SELECT doc_id, n_chars AS weight,
-       ROUND(ln(({bucket} + 1) / {float(HASH_BUCKETS)}) / n_chars, {R}) AS wrs_key
+       ROUND(ln(({bucket} + 1) / {float(HASH_BUCKETS)}) / n_chars, {R}) + 0
+         AS wrs_key
 FROM documents
 ORDER BY wrs_key DESC, doc_id LIMIT 100
 """

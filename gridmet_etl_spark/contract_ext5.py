@@ -311,6 +311,9 @@ def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
+    # micro-unit DECIMAL(38,0) sum: raw double profit sums at sf0.1
+    # magnitude (~1e7 per group) drift a ULP between engines across the
+    # ROUND(2) boundary (r9 sf0.1 strict sweep)
     return (
         li.join(
             F.broadcast(part.select("p_partkey", "p_retailprice")),
@@ -319,14 +322,24 @@ def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup_nat), li["l_suppkey"] == sup_nat["s_suppkey"])
         .join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("n_name", "o_year")
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            F.round(
+                F.sum(F.round(profit * 1e6).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / 1e6,
+                2,
+            ).alias("sum_profit")
+        )
         .orderBy("n_name", F.col("o_year").desc())
     )
 
 
 SQL_TPCH_Q9ISH = f"""
 SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       ROUND(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity), 2)
+       ROUND(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                  - p_retailprice * l_quantity) * 1e6)
+                          AS HUGEINT)) AS DOUBLE) / 1e6, 2)
          AS sum_profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey AND p_name LIKE '%{_Q9_PAT}%'

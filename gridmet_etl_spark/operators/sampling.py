@@ -259,7 +259,9 @@ def weighted_sample(
     under any partitioning of a 100 TB input.
     """
     u = (hash_bucket(F.col(id_col), salt) + 1) / F.lit(float(HASH_BUCKETS))
-    key = F.round(F.log(u) / F.col(weight_col), round_digits)
+    # + 0.0 normalizes IEEE -0.0 (u == 1 gives ln 1 = 0, and a tiny negative
+    # key rounds to -0.0 on one engine and 0.0 on the other — r9 sweep)
+    key = F.round(F.log(u) / F.col(weight_col), round_digits) + F.lit(0.0)
     return (
         docs.select(
             F.col(id_col),

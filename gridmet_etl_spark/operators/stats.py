@@ -2414,3 +2414,291 @@ def bartlett_test(
         rnd(chi2).alias("chi2"),
         (F.col("k") - 1).cast("long").alias("df"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    taus: Sequence[float],
+    bucket_div: int = 1_000_000,
+) -> DataFrame:
+    """Exact discrete quantiles of a NON-NEGATIVE INTEGER column without a
+    global sort: for each τ, the smallest x with count(≤x) ≥ ⌈n·τ⌉ (lower
+    discrete quantile — deterministic, no interpolation, engine-exact).
+
+    Two-level plan (the global-order-statistic shape that survives 100 TB
+    where percentile_approx is approximate and a full sort-window is a
+    single-task scan): (1) one partial-agg pass counts per value-BUCKET
+    (x div bucket_div → at most value_range/bucket_div rows — the only
+    single-partition window runs over THIS bounded relation); (2) targets
+    join the bucket cumsum to pick each τ's bucket; (3) a second pass
+    touches only rows in the ≤|taus| chosen buckets and resolves the exact
+    value with a bucket-partitioned cumsum. No collect, no global sort.
+
+    Output: one row per τ — (tau double, value long)."""
+    spark = df.sparkSession
+    src = (
+        df.select(F.col(value_col).cast("long").alias("_x"))
+        .where(F.col("_x").isNotNull())
+        .withColumn("_b", F.expr(f"_x div {int(bucket_div)}"))
+    )
+    b = src.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cumb = b.withColumn("_cum", F.sum("_c").over(wb))
+    n_row = src.agg(F.count(F.lit(1)).alias("_n"))
+    t = (
+        spark.createDataFrame([(float(x),) for x in taus], "tau double")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "tau",
+            F.ceil(F.col("_n").cast("double") * F.col("tau"))
+            .cast("long")
+            .alias("_target"),
+        )
+    )
+    wpick = Window.partitionBy("tau").orderBy("_b")
+    chosen = (
+        t.join(cumb, cumb["_cum"] >= t["_target"])
+        .withColumn("_rn", F.row_number().over(wpick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "tau", "_target", "_b", (F.col("_cum") - F.col("_c")).alias("_before")
+        )
+    )
+    per_val = (
+        src.join(F.broadcast(chosen.select("_b").distinct()), "_b")
+        .groupBy("_b", "_x")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+    )
+    wv = (
+        Window.partitionBy("_b")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumv = per_val.withColumn("_cv", F.sum("_c2").over(wv))
+    wres = Window.partitionBy("tau").orderBy("_x")
+    return (
+        chosen.join(cumv, "_b")
+        .where(F.col("_before") + F.col("_cv") >= F.col("_target"))
+        .withColumn("_rn2", F.row_number().over(wres))
+        .where(F.col("_rn2") == 1)
+        .select("tau", F.col("_x").alias("value"))
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mood's median test across k groups: χ² on the k×2 table of counts
+    above vs at-or-below the GRAND median — kruskal_wallis' cruder,
+    outlier-immune sibling (only the side of the median matters, not the
+    rank). Median from ``exact_quantiles`` (lower discrete, engine-exact
+    on integer values).
+
+    Determinism: cell counts are exact integers; the per-group χ² terms
+    (computed in the exact-integer form (n·a_g − n_g·A)² / n_g scaled by
+    1/(A·B)) quantize max-normalized floor-e12 before the |k|-row sum
+    (the anova_oneway discipline).
+
+    Output (1 row): (k, n, median, chi2, df)."""
+    med = exact_quantiles(df.select(value_col), value_col, [0.5]).select(
+        F.col("value").alias("_med")
+    )
+    x = F.col(value_col).cast("long")
+    per_g = (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(med))
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.when(x > F.col("_med"), F.lit(1))).alias("a_g"),
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.first("_med").alias("_med"),
+        )
+    )
+    tot = per_g.agg(
+        F.sum("a_g").cast("long").alias("A"),
+        F.sum("n_g").cast("long").alias("n"),
+    ).withColumn("B", F.col("n") - F.col("A"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    parts = per_g.crossJoin(F.broadcast(tot)).withColumn(
+        "_t",
+        (
+            (dec(F.col("n")) * F.col("a_g") - dec(F.col("n_g")) * F.col("A"))
+            * (dec(F.col("n")) * F.col("a_g") - dec(F.col("n_g")) * F.col("A"))
+        ).cast("double")
+        / F.col("n_g").cast("double"),
+    )
+    pmax = parts.agg(F.max("_t").alias("_tm"))
+    agg = (
+        parts.crossJoin(F.broadcast(pmax))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.first("n").alias("n"),
+            F.first("A").alias("A"),
+            F.first("B").alias("B"),
+            F.first("_med").alias("median"),
+            F.sum(
+                F.when(
+                    F.col("_tm") > 0.0,
+                    F.floor(F.col("_t") / F.col("_tm") * 1e12).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("_q12"),
+            F.first("_tm").alias("_tm"),
+        )
+        .withColumn("_tsum", F.col("_q12").cast("double") / 1e12 * F.col("_tm"))
+    )
+    chi2 = F.when(
+        (F.col("A") <= 0) | (F.col("B") <= 0), F.lit(0.0)
+    ).otherwise(
+        F.col("_tsum") / (F.col("A").cast("double") * F.col("B").cast("double"))
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n"),
+        F.col("median"),
+        rnd(chi2).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+def sign_test(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Paired sign test: did the post value move up or down vs the pre
+    value, ignoring magnitude — the assumption-free paired comparison
+    (wilcoxon_signed without the rank weighting). Ties drop; z is the
+    normal approximation (n_pos − n_neg)/√m over m non-tied pairs.
+
+    Counts are exact integers; z is one fixed-order expression of them.
+    Output (1 row): (n_pos, n_neg, n_tie, z)."""
+    pre, post = F.col(pre_col), F.col(post_col)
+    agg = df.where(pre.isNotNull() & post.isNotNull()).agg(
+        F.count(F.when(post > pre, F.lit(1))).alias("n_pos"),
+        F.count(F.when(post < pre, F.lit(1))).alias("n_neg"),
+        F.count(F.when(post == pre, F.lit(1))).alias("n_tie"),
+    )
+    m = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    z = F.when(m <= 0.0, F.lit(0.0)).otherwise(
+        (F.col("n_pos") - F.col("n_neg")).cast("double") / F.sqrt(m)
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("n_tie").cast("long").alias("n_tie"),
+        rnd(z).alias("z"),
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treat_order_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Page's L trend test: is there a MONOTONE trend across k ordered
+    treatments, judged over b independent blocks — friedman_test with the
+    ordering hypothesis baked in (L = Σ_j j·R_j weights rank sums by the
+    hypothesized order, far more powerful than the omnibus χ² when the
+    alternative is monotone).
+
+    Input: ONE row per (block, treatment); ``treat_order_col`` is the
+    1..k hypothesized order. Incomplete blocks drop. Within-block ranks
+    are row_number over (value, treat_order) — the deterministic
+    label-tiebreak convention (exact-value ties between two treatments in
+    one block break toward the hypothesized order; documented, engine-
+    identical). L is an exact integer; z its fixed-order normal form
+    (12L − 3bk(k+1)²) / (k(k+1)·√(b(k−1))).
+
+    Scale shape: one (block)-keyed shuffle for the k-row windows; the
+    rank-sum relation is k rows. Output (1 row): (b, k, l_stat, z)."""
+    kcnt = df.agg(
+        F.countDistinct(treat_order_col).cast("long").alias("_k")
+    )
+    complete = (
+        df.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .crossJoin(F.broadcast(kcnt))
+        .where(F.col("_cnt") == F.col("_k"))
+        .select(block_col)
+    )
+    wr = Window.partitionBy(block_col).orderBy(
+        F.col(value_col), F.col(treat_order_col)
+    )
+    ranked = df.join(complete, block_col).withColumn(
+        "_r", F.row_number().over(wr)
+    )
+    rsums = ranked.groupBy(F.col(treat_order_col).alias("_j")).agg(
+        F.sum("_r").cast("long").alias("_rj"),
+        F.countDistinct(block_col).cast("long").alias("_b"),
+    )
+    agg = rsums.agg(
+        F.sum(F.col("_j").cast("long") * F.col("_rj")).cast("long").alias("l_stat"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("_b").cast("long").alias("b"),
+    )
+    bb, kk = F.col("b").cast("double"), F.col("k").cast("double")
+    z = F.when(
+        (F.col("k") < 2) | (F.col("b") < 1), F.lit(0.0)
+    ).otherwise(
+        (12.0 * F.col("l_stat").cast("double") - 3.0 * bb * kk * (kk + 1.0) * (kk + 1.0))
+        / (kk * (kk + 1.0) * F.sqrt(bb * (kk - 1.0)))
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        "b", "k", "l_stat", rnd(z).alias("z")
+    )
+
+
+def pinball_eval(
+    train: DataFrame,
+    test: DataFrame,
+    value_col: str,
+    taus: Sequence[float],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Quantile-forecast evaluation: for each τ, forecast the τ-quantile
+    of the TRAIN split (``exact_quantiles`` — lower discrete, exact) and
+    score it on the TEST split with pinball loss
+    mean(τ·(y−f)⁺ + (1−τ)·(f−y)⁺) — the proper scoring rule for quantile
+    forecasts (a forecast minimizes it iff it IS the τ-quantile).
+
+    Determinism: y and f are integers, so Σ(y−f)⁺ and Σ(f−y)⁺ accumulate
+    as exact DECIMAL(38,0); the loss applies τ ONCE to the two exact sums
+    (no per-row float accumulation, no ordering sensitivity).
+
+    Output: one row per τ — (tau, forecast, pinball)."""
+    fc = exact_quantiles(train, value_col, taus).select(
+        "tau", F.col("value").alias("forecast")
+    )
+    y = F.col(value_col).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = (
+        test.where(y.isNotNull())
+        .select(y.alias("_y"))
+        .crossJoin(F.broadcast(fc))
+        .groupBy("tau", "forecast")
+        .agg(
+            F.sum(
+                dec(F.greatest(F.col("_y") - F.col("forecast"), F.lit(0)))
+            ).alias("_p"),
+            F.sum(
+                dec(F.greatest(F.col("forecast") - F.col("_y"), F.lit(0)))
+            ).alias("_m"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+    )
+    loss = (
+        F.col("tau") * F.col("_p").cast("double")
+        + (F.lit(1.0) - F.col("tau")) * F.col("_m").cast("double")
+    ) / F.col("_n").cast("double")
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return scored.select("tau", "forecast", rnd(loss).alias("pinball"))

@@ -1705,3 +1705,109 @@ def seasonal_strength(
         rnd(fs).alias("f_seasonal"),
         rnd(ft).alias("f_trend"),
     )
+
+
+def turning_point_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Turning-point test for serial randomness: count local extrema
+    (v_{t−1} < v_t > v_{t+1} or the mirror) and compare with the i.i.d.
+    expectation E[T] = 2(n−2)/3, Var[T] = (16n−29)/90 — the quick "is
+    this series actually random" gate (trend/seasonality depress T,
+    rapid oscillation inflates it). Strict inequalities: a tie with a
+    neighbour is not a turning point.
+
+    Input: ONE row per time step (caller pre-aggregates), so the global
+    lag/lead window runs over a series-sized relation — bounded by the
+    calendar, not the data (the runs_test/ljung_box convention).
+
+    Output (1 row): (n, n_turning, expected, z)."""
+    w = Window.orderBy(order_col)
+    v = F.col(value_col)
+    flagged = df.select(
+        v.alias("_v"),
+        F.lag(value_col, 1).over(w).alias("_p"),
+        F.lead(value_col, 1).over(w).alias("_f"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(
+            F.when(
+                (
+                    (F.col("_v") > F.col("_p")) & (F.col("_v") > F.col("_f"))
+                )
+                | (
+                    (F.col("_v") < F.col("_p")) & (F.col("_v") < F.col("_f"))
+                ),
+                F.lit(1),
+            )
+        ).cast("long").alias("n_turning"),
+    )
+    n = F.col("n").cast("double")
+    expected = 2.0 * (n - 2.0) / 3.0
+    var = (16.0 * n - 29.0) / 90.0
+    z = F.when((F.col("n") < 4) | (var <= 0.0), F.lit(0.0)).otherwise(
+        (F.col("n_turning").cast("double") - expected) / F.sqrt(var)
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        "n", "n_turning", rnd(expected).alias("expected"), rnd(z).alias("z")
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Durbin–Watson statistic of the mean-detrended series:
+    DW = Σ(e_t − e_{t−1})² / Σe_t² with e_t = v_t − v̄ — the standard
+    lag-1 autocorrelation gate (≈2 uncorrelated, →0 positive, →4
+    negative serial correlation).
+
+    Determinism: ``value_col`` must be INTEGER. Residuals are scaled by n
+    (e'_t = n·v_t − S, exact integers — the n² factors cancel in the
+    ratio), and both quadratic sums accumulate as DECIMAL(38,0), so DW is
+    one double division of two exact integers on any engine and any
+    partition order. Input: one row per time step (series-sized window,
+    the turning_point_test convention).
+
+    Output (1 row): (n, dw)."""
+    v = F.col(value_col).cast("long")
+    tot = df.where(v.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        # accumulate in decimal from the start — a long sum would itself
+        # overflow before the cast at large n·|v|
+        F.sum(v.cast("decimal(38,0)")).alias("_s"),
+    )
+    w = Window.orderBy(order_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    e = (
+        df.where(v.isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(order_col),
+            (dec(F.col("_n")) * v - F.col("_s")).alias("_e"),
+            F.col("_n"),
+        )
+        .withColumn("_ep", F.lag("_e", 1).over(w))
+    )
+    agg = e.agg(
+        F.first("_n").alias("n"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_den"),
+        F.sum(
+            F.when(
+                F.col("_ep").isNotNull(),
+                (F.col("_e") - F.col("_ep")) * (F.col("_e") - F.col("_ep")),
+            )
+        ).alias("_num"),
+    )
+    dw = F.when(
+        F.col("_den").cast("double") <= 0.0, F.lit(0.0)
+    ).otherwise(F.col("_num").cast("double") / F.col("_den").cast("double"))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return agg.select(F.col("n").cast("long").alias("n"), rnd(dw).alias("dw"))

@@ -2,8 +2,16 @@
 DuckDB oracle SQL at sf0.01, sort columns by name, and compare row count,
 schema width, and an order-insensitive canonical value multiset.
 
-Usage: python tools/check_oracle.py [--strict] [query ...]
+Usage: python tools/check_oracle.py [--strict] [--budget SECONDS] [query ...]
        (default: all queries with oracles)
+
+--budget N arms a per-query watchdog: after N seconds the DuckDB connection
+is interrupted and all Spark jobs cancelled, the query records as ERR, and
+the sweep continues. For at-scale sweeps (sf0.1+), where an oracle written
+as an honest-but-quadratic cross check (e.g. dbscan's all-pairs recursive
+CTE) can run for hours on 10x rows — a timeout there is a statement about
+the ORACLE's scalability, not the Spark plan's; such names get a written
+whitelist entry in the sweep record.
 
 --strict simulates the round driver's comparison instead of the lenient
 6-decimal one: BOTH sides are fetched THROUGH PANDAS (Spark ``toPandas()``,
@@ -122,6 +130,10 @@ def main(names):
     from gridmet_etl_spark.session import get_spark
 
     strict = "--strict" in names
+    budget = None
+    if "--budget" in names:
+        budget = float(names[names.index("--budget") + 1])
+        del names[names.index("--budget"):names.index("--budget") + 2]
     names = [n for n in names if n != "--strict"]
     canon = _canon_strict if strict else _canon
     spark = get_spark()
@@ -139,6 +151,23 @@ def main(names):
         if name not in oracles:
             print(f"{name:28s} SKIP (no oracle)")
             continue
+        timer = None
+        if budget:
+            import threading
+
+            def _kill(c=con, s=spark, n=name):
+                print(f"{n:28s} WATCHDOG fired after {budget}s", flush=True)
+                try:
+                    c.interrupt()
+                except Exception:
+                    pass
+                try:
+                    s.sparkContext.cancelAllJobs()
+                except Exception:
+                    pass
+
+            timer = threading.Timer(budget, _kill)
+            timer.start()
         try:
             _check_one(name, ALL_QUERIES, oracles, spark, con, strict, canon,
                        failures)
@@ -148,6 +177,9 @@ def main(names):
             failures.append(name)
             msg = str(e).split("\n")[0][:160]
             print(f"{name:28s} ERR  {type(e).__name__}: {msg}", flush=True)
+        finally:
+            if timer is not None:
+                timer.cancel()
     print(f"\n{len(targets) - len(failures)}/{len(targets)} OK")
     return 1 if failures else 0
 
