@@ -72,9 +72,18 @@ def shingles(
 
 
 def _seed_hash(seed: int, hash_fn: str):
-    """Per-seed element hasher: shingle string → portable hash string."""
+    """Per-seed element hasher: shingle string → portable hash value.
+
+    xxhash64 stays LONG: min over a fixed-width type keeps the signature
+    aggregation in HashAggregate (mutable buffer, map-side partials inside
+    codegen). The old ``.cast("string")`` silently forced SortAggregate —
+    min(string) has no mutable buffer — which SORTED the full exploded
+    shingle relation per partition; at the ×10 corpus (1M docs) that sort
+    spilled >80 GB of local disk and killed the run (r9 sf1 bench). The
+    md5 path keeps hex STRINGS for DuckDB oracle bit-parity (its sort-agg
+    cost is confined to the 300-doc oracle scope)."""
     if hash_fn == "xxhash64":
-        return lambda s: F.xxhash64(F.lit(seed), s).cast("string")
+        return lambda s: F.xxhash64(F.lit(seed), s)
     if hash_fn == "md5":
         return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
     raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'md5' or 'xxhash64'")
@@ -169,7 +178,11 @@ def _bands_from_wide(
                     F.concat_ws(
                         "|",
                         *[
-                            F.col(f"{s}")
+                            # explicit cast: long xxhash64 minima stringify
+                            # to the same text the old string-typed hashes
+                            # carried, so band keys are representation-
+                            # independent
+                            F.col(f"{s}").cast("string")
                             for s in range(
                                 bk * rows_per_band, min((bk + 1) * rows_per_band, n_seeds)
                             )
@@ -235,19 +248,21 @@ def minhash_lsh_star(
     components — verify-then-cluster pipelines score member↔representative
     instead of all pairs, the standard large-corpus discipline.
 
-    Shuffles: the band groupBy (band-key-sized) + one broadcast-friendly
-    join of the |buckets|-sized rep relation back onto the band rows.
+    Shuffles: ONE band-keyed exchange. The bucket representative and size
+    come from a whole-partition window over that single exchange instead
+    of a reps-aggregate joined back — the join form evaluated the ENTIRE
+    shingle→signature→band pipeline twice (the agg subtree and the join
+    probe side canonicalize differently, so ReuseExchange never fires),
+    which doubled the dominant cost at the 1M-doc scale (r9 sf1 bench).
     Output: (doc_a, doc_b), doc_a < doc_b, distinct."""
+    from pyspark.sql import Window
+
     bands = minhash_bands(docs, text_col, id_col, k, n_seeds, rows_per_band, hash_fn)
-    reps = (
-        bands.groupBy("band", "band_key")
-        .agg(F.min(id_col).alias("doc_a"), F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .drop("_n")
-    )
+    w = Window.partitionBy("band", "band_key")
     return (
-        bands.join(reps, ["band", "band_key"])
-        .filter(F.col(id_col) != F.col("doc_a"))
+        bands.withColumn("doc_a", F.min(id_col).over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter((F.col("_n") > 1) & (F.col(id_col) != F.col("doc_a")))
         .select("doc_a", F.col(id_col).alias("doc_b"))
         .distinct()
     )
