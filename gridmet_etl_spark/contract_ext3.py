@@ -115,10 +115,34 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.simjoin import fuzzy_join
 
     part = spark.read.parquet(_t(sf_dir, "part"))
-    left = part.repartition(spark.sparkContext.defaultParallelism)
-    pairs = fuzzy_join(
-        left, part, "p_brand", "p_name", _ER_MAX_DIST, "p_partkey"
+    # exact-name canonicalization BEFORE the fuzzy block join (the minhash
+    # star discipline applied to record linkage): duplicate (brand, name)
+    # rows — the dominant shape in any dedup-worthy catalog, and ×10 by
+    # construction in the derived sf1 tables — link to their group's min-id
+    # representative with distance-0 STAR edges (linear), and the
+    # O(block²) levenshtein join runs over DISTINCT names only. Connected
+    # components are provably identical: any qualifying pair (a, b)
+    # remains connected via a—rep(a)—rep(b)—b, and every emitted edge is a
+    # valid ≤max_dist pair. Measured: the ×10 part table fell from ratio
+    # 21.6 (pairs grow ×100 with duplicated names) to near-linear.
+    reps = part.groupBy("p_brand", "p_name").agg(
+        F.min("p_partkey").alias("rep_id")
+    )
+    star = (
+        part.join(reps, ["p_brand", "p_name"])
+        .where(F.col("p_partkey") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("doc_a"), F.col("p_partkey").alias("doc_b")
+        )
+    )
+    rep_rows = reps.select(
+        F.col("rep_id").alias("p_partkey"), "p_brand", "p_name"
+    )
+    left = rep_rows.repartition(spark.sparkContext.defaultParallelism)
+    fuzzy = fuzzy_join(
+        left, rep_rows, "p_brand", "p_name", _ER_MAX_DIST, "p_partkey"
     ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    pairs = star.unionByName(fuzzy)
     out = survivorship(
         pairs, part, id_col="p_partkey", quality_col="p_retailprice"
     )
