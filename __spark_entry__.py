@@ -39,6 +39,7 @@ from gridmet_etl_spark.contract_ext17 import EXT17_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext18 import EXT18_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext19 import EXT19_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext20 import EXT20_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext21 import EXT21_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -62,6 +63,7 @@ _MERGED = {
     **EXT18_QUERIES,
     **EXT19_QUERIES,
     **EXT20_QUERIES,
+    **EXT21_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -92,6 +94,8 @@ _CHECK_FIRST = [
     # to receive their first driver rows
     "mood_median", "sign_test", "turning_points",
     "durbin_watson", "page_trend", "pinball_loss",
+    # round-9 wave-2+ NEW queries (contract_ext21+) — inside the cap
+    "gearys_c", "getis_ord", "semivariogram",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",

@@ -345,3 +345,202 @@ def morans_i(
         rnd(i_moran).alias("i_moran"),
         rnd(e_i).alias("e_i"),
     )
+
+
+def gearys_c(
+    cells: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Geary's C spatial autocorrelation (rook contiguity) — Moran's I's
+    local-contrast companion (sensitive to edge-level differences where I
+    measures global covariance; the pair is the standard raster QA readout
+    for fields like the reference's gridMET slices, etl.py raster path):
+    C = (n−1)·Σ_edges (x_a−x_b)² / (2·ΣW·Σ(x−x̄)²), w = 1 on shared edges.
+    C → 0 clustered, ≈ 1 random, → 2 checkerboard.
+
+    Determinism: ``value_col`` must be pre-quantized INTEGER. Multiplying
+    through by n turns the variance into the exact integer (n·Σx² − S²),
+    so C = (n−1)·n·Σd² / (2·|E|·(n·Σx² − S²)) is ONE double division of
+    exact DECIMAL(38,0) accumulations (each undirected edge appears once
+    in the edge list; ΣW over ordered pairs = 2·|E| — the 2s cancel
+    against the doubled numerator sum, leaving the form above).
+
+    Scale shape: identical to ``morans_i`` — two shifted equi self-joins
+    on grid keys build the rook edges, one moment pass, nothing quadratic.
+
+    Output (1 row): (n, n_edges, c_geary, e_c)."""
+    base = cells.select(
+        F.col(i_col).alias("_i"),
+        F.col(j_col).alias("_j"),
+        F.col(value_col).cast("long").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    right = base.select(
+        (F.col("_i") - 1).alias("_i"), F.col("_j"), F.col("_x").alias("_xb")
+    )
+    down = base.select(
+        F.col("_i"), (F.col("_j") - 1).alias("_j"), F.col("_x").alias("_xb")
+    )
+    edges = base.join(right, ["_i", "_j"]).select(
+        F.col("_x").alias("_xa"), "_xb"
+    ).unionByName(
+        base.join(down, ["_i", "_j"]).select(F.col("_x").alias("_xa"), "_xb")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_x"))).alias("s"),
+        F.sum(dec(F.col("_x")) * F.col("_x")).alias("q"),
+    )
+    eacc = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(dec(F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb"))).alias("sdd"),
+    )
+    jn = tot.crossJoin(F.broadcast(eacc))
+    n = F.col("n").cast("double")
+    num = (n - 1.0) * n * F.col("sdd").cast("double")
+    den = (
+        2.0
+        * F.col("n_edges").cast("double")
+        * (n * F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double"))
+    )
+    c_geary = F.when(
+        (F.col("n_edges") == 0) | (den == 0.0), F.lit(0.0)
+    ).otherwise(num / den)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return jn.select(
+        F.col("n"),
+        F.col("n_edges"),
+        rnd(c_geary).alias("c_geary"),
+        rnd(F.when(F.col("n") < 2, F.lit(0.0)).otherwise(F.lit(1.0))).alias("e_c"),
+    )
+
+
+def getis_ord_gstar(
+    cells: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Getis–Ord Gi* hot/cold-spot z-score PER CELL (rook + self
+    neighborhood) — the raster hotspot detector (where Moran's I says
+    "clustered somewhere", Gi* says WHERE):
+    Gi* = (Σ_{b∈N(a)} x_b − x̄·m_a) / (S·sqrt((n·m_a − m_a²)/(n−1)))
+    with m_a = |N(a)| (4-neighbors + self; borders and missing cells
+    simply have smaller m — the standard treatment).
+
+    Determinism: integer inputs; local sums and global moments are exact
+    DECIMAL(38,0); multiplying num/den by n gives
+    z = (n·L_a − S·m_a) / (sqrt(n·Q − S²) · sqrt((n·m_a − m_a²)/(n−1)))
+    — two correctly-rounded sqrts and one division in a FIXED operand
+    order, written identically in the DuckDB oracle.
+
+    Scale shape: the neighborhood sum is a UNION of 5 shifted projections
+    of the cell relation grouped back on (i, j) then inner-joined to the
+    existing cells — all equi operations on grid keys, output one row per
+    cell; global moments broadcast. Nothing quadratic, no spatial index.
+
+    Output (n rows): (i, j, m, local_sum, z_gstar)."""
+    base = cells.select(
+        F.col(i_col).alias("_i"),
+        F.col(j_col).alias("_j"),
+        F.col(value_col).cast("long").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    shifts = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
+    contrib = None
+    for di, dj in shifts:
+        c = base.select(
+            (F.col("_i") + di).alias("_i"),
+            (F.col("_j") + dj).alias("_j"),
+            F.col("_x").alias("_xn"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    local = contrib.groupBy("_i", "_j").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(dec(F.col("_xn"))).alias("lsum"),
+    )
+    cellsn = base.join(local, ["_i", "_j"])
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_x"))).alias("s"),
+        F.sum(dec(F.col("_x")) * F.col("_x")).alias("q"),
+    )
+    jn = cellsn.crossJoin(F.broadcast(tot))
+    n = F.col("n").cast("double")
+    m = F.col("m").cast("double")
+    num = n * F.col("lsum").cast("double") - F.col("s").cast("double") * m
+    den = F.sqrt(
+        n * F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")
+    ) * F.sqrt((n * m - m * m) / (n - F.lit(1.0)))
+    z = F.when((F.col("n") < 2) | (den == 0.0), F.lit(0.0)).otherwise(num / den)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return jn.select(
+        F.col("_i").alias("i"),
+        F.col("_j").alias("j"),
+        F.col("m"),
+        F.col("lsum").cast("long").alias("local_sum"),
+        rnd(z).alias("z_gstar"),
+    )
+
+
+def semivariogram(
+    cells: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    value_col: str = "value",
+    max_lag: int = 6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Empirical semivariogram γ(h) along the grid axes, h = 1..max_lag
+    (axis-pooled isotropic estimate): γ(h) = Σ_pairs (x_a−x_b)² /
+    (2·N_h). The spatial-correlation-length readout raster consumers fit
+    range/sill/nugget models to (the reference's gridMET fields are the
+    canonical input shape).
+
+    Determinism: integer inputs; Σd² exact DECIMAL(38,0) per lag; one
+    double division per output row.
+
+    Scale shape: 2·max_lag equi self-joins on shifted grid keys (each
+    |cells|-sized, pruned by the join key — no distance computation, no
+    spatial index, nothing quadratic); one k-row aggregate.
+
+    Output (max_lag rows): (lag, n_pairs, gamma)."""
+    base = cells.select(
+        F.col(i_col).alias("_i"),
+        F.col(j_col).alias("_j"),
+        F.col(value_col).cast("long").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    pairs = None
+    for h in range(1, int(max_lag) + 1):
+        ri = base.select(
+            (F.col("_i") - h).alias("_i"), F.col("_j"), F.col("_x").alias("_xb")
+        )
+        rj = base.select(
+            F.col("_i"), (F.col("_j") - h).alias("_j"), F.col("_x").alias("_xb")
+        )
+        p = base.join(ri, ["_i", "_j"]).select(
+            F.lit(h).alias("lag"), F.col("_x").alias("_xa"), "_xb"
+        ).unionByName(
+            base.join(rj, ["_i", "_j"]).select(
+                F.lit(h).alias("lag"), F.col("_x").alias("_xa"), "_xb"
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    acc = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(dec(F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb"))).alias("sdd"),
+    )
+    gamma = F.when(F.col("n_pairs") == 0, F.lit(0.0)).otherwise(
+        F.col("sdd").cast("double") / (2.0 * F.col("n_pairs").cast("double"))
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs"),
+        rnd(gamma).alias("gamma"),
+    )
