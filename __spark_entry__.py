@@ -40,6 +40,7 @@ from gridmet_etl_spark.contract_ext18 import EXT18_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext19 import EXT19_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext20 import EXT20_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext21 import EXT21_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext22 import EXT22_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -64,6 +65,7 @@ _MERGED = {
     **EXT19_QUERIES,
     **EXT20_QUERIES,
     **EXT21_QUERIES,
+    **EXT22_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -96,6 +98,8 @@ _CHECK_FIRST = [
     "durbin_watson", "page_trend", "pinball_loss",
     # round-9 wave-2+ NEW queries (contract_ext21+) — inside the cap
     "gearys_c", "getis_ord", "semivariogram",
+    "var_cvar", "capm_beta", "sharpe_sortino",
+    "stoch_osc", "obv_trend",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",
