@@ -41,6 +41,7 @@ from gridmet_etl_spark.contract_ext19 import EXT19_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext20 import EXT20_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext21 import EXT21_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext22 import EXT22_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext23 import EXT23_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -66,6 +67,7 @@ _MERGED = {
     **EXT20_QUERIES,
     **EXT21_QUERIES,
     **EXT22_QUERIES,
+    **EXT23_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -100,6 +102,7 @@ _CHECK_FIRST = [
     "gearys_c", "getis_ord", "semivariogram",
     "var_cvar", "capm_beta", "sharpe_sortino",
     "stoch_osc", "obv_trend",
+    "t_closeness", "candidate_keys", "reident_risk",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",

@@ -814,3 +814,151 @@ def decision_stump(
         rnd(gain_n / F.col("_nt").cast("double")).alias("gain"),
         rnd(maj.cast("double") / F.col("_nt").cast("double")).alias("stump_acc"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """t-closeness audit per equivalence class (Li/Li/Venkatasubramanian
+    2007): the earth-mover's distance between each class's distribution
+    over an ORDERED sensitive attribute and the global distribution,
+    t = (1/(k−1))·Σ_i |Σ_{j≤i}(p_j − q_j)| with unit ground distance
+    between adjacent values. The attribute-disclosure gate k-anonymity /
+    l-diversity miss (a class can be large AND diverse yet still skewed
+    toward one end of the sensitive range).
+
+    Determinism: ``sensitive_col`` must be an integer band. The EMD is
+    computed EXACTLY — with integer cumulative counts cumP (class) and
+    cumQ (global), |cumP_i·N − cumQ_i·n| accumulates as DECIMAL(38,0)
+    and t = Σ/(n·N·(k−1)) is ONE double division per class. No float
+    ever sums across rows.
+
+    Scale shape: one quasi-key shuffle for class/band counts, a
+    |classes|×k densification (k = |bands|, the psi pattern — bands are
+    bounded), window cumsums over the k-row band axis per class.
+    Output: (*quasi_cols, n, t_closeness)."""
+    band = F.col(sensitive_col)
+    gl = df.groupBy(band.alias("_b")).agg(F.count(F.lit(1)).alias("_g"))
+    wq = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    gl_cum = gl.select(
+        "_b",
+        F.sum("_g").over(wq).cast("long").alias("_cumq"),
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_nn"),
+        F.countDistinct(sensitive_col).cast("long").alias("_k"),
+    )
+    cls = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    cb = df.groupBy(*quasi_cols, band.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    dense = (
+        cls.crossJoin(F.broadcast(gl_cum.select("_b")))
+        .join(cb, [*quasi_cols, "_b"], "left")
+        .na.fill({"_c": 0})
+    )
+    wp = Window.partitionBy(*quasi_cols).orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    stepped = (
+        dense.withColumn("_cump", F.sum("_c").over(wp).cast("long"))
+        .join(F.broadcast(gl_cum), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.abs(
+        F.col("_cump").cast("decimal(38,0)") * F.col("_nn")
+        - F.col("_cumq").cast("decimal(38,0)") * F.col("_n")
+    )
+    acc = stepped.groupBy(*quasi_cols).agg(
+        F.min("_n").alias("n"),
+        F.sum(term).alias("_ts"),
+        F.min("_nn").alias("_nnx"),
+        F.min("_k").alias("_kx"),
+    )
+    t = F.when(F.col("_kx") < 2, F.lit(0.0)).otherwise(
+        F.col("_ts").cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("_nnx").cast("double")
+            * (F.col("_kx").cast("double") - 1.0)
+        )
+    )
+    return acc.select(
+        *quasi_cols,
+        F.col("n"),
+        (F.round(t, ndigits) + F.lit(0.0)).alias("t_closeness"),
+    )
+
+
+def candidate_key_audit(
+    df: DataFrame,
+    combos: Sequence[Sequence[str]],
+) -> DataFrame:
+    """Candidate-key discovery audit: for each enumerated column combo,
+    how close is it to a key? Reports exact distinct-combination count,
+    rows living in duplicated combinations, the worst multiplicity, and
+    an is_key flag — the profiling pass schema inference and CDC-merge
+    key selection start from (the reference's fid/date natural key,
+    etl.py weights CSV, is exactly such an audited pair).
+
+    Scale shape: one partial-agg shuffle per combo (the honest cost of a
+    uniqueness proof); the per-combo report aggregates |distinct|-row
+    relations. Output one row per combo: (combo, n_rows, n_distinct,
+    n_dup_rows, max_multiplicity, is_key)."""
+    out = None
+    for combo in combos:
+        counts = df.groupBy(*combo).agg(F.count(F.lit(1)).alias("_c"))
+        rep = counts.agg(
+            F.lit("+".join(combo)).alias("combo"),
+            F.sum("_c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_rows"),
+            F.max("_c").cast("long").alias("max_multiplicity"),
+        ).select(
+            "*",
+            (F.col("n_distinct") == F.col("n_rows")).cast("int").alias("is_key"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def reidentification_risk(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Re-identification risk scalars for a release under the standard
+    attacker models (El Emam): prosecutor average risk = E[1/class size]
+    = n_classes/N (each record's risk is 1/|its class|), journalist risk
+    = 1/min class size, plus the uniques share (size-1 classes — the
+    records a single lookup de-anonymizes). Complements
+    ``k_anonymity_report`` (size histogram) with the decision-grade
+    scalars.
+
+    One quasi-key shuffle; exact integers, three double divisions.
+    Output (1 row): (n_rows, n_classes, pct_unique, prosecutor_risk,
+    journalist_risk)."""
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    acc = classes.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("_n") == 1, 1).otherwise(0)).cast("long").alias("_u"),
+        F.min("_n").cast("long").alias("_mn"),
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("n_rows"),
+        F.col("n_classes"),
+        rnd(F.col("_u").cast("double") / F.col("n_rows").cast("double")).alias(
+            "pct_unique"
+        ),
+        rnd(
+            F.col("n_classes").cast("double") / F.col("n_rows").cast("double")
+        ).alias("prosecutor_risk"),
+        rnd(F.lit(1.0) / F.col("_mn").cast("double")).alias("journalist_risk"),
+    )
