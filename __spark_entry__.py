@@ -42,6 +42,7 @@ from gridmet_etl_spark.contract_ext20 import EXT20_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext21 import EXT21_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext22 import EXT22_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext23 import EXT23_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext24 import EXT24_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -68,6 +69,7 @@ _MERGED = {
     **EXT21_QUERIES,
     **EXT22_QUERIES,
     **EXT23_QUERIES,
+    **EXT24_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -103,6 +105,7 @@ _CHECK_FIRST = [
     "var_cvar", "capm_beta", "sharpe_sortino",
     "stoch_osc", "obv_trend",
     "t_closeness", "candidate_keys", "reident_risk",
+    "dunn_pairs", "kendall_w", "ca_trend", "cohens_d",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",

@@ -2702,3 +2702,276 @@ def pinball_eval(
     ) / F.col("_n").cast("double")
     rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
     return scored.select("tau", "forecast", rnd(loss).alias("pinball"))
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise z after Kruskal–Wallis: which group PAIRS
+    actually differ once the omnibus H rejects. z_ij = (r̄_i − r̄_j) /
+    sqrt(V·(1/n_i + 1/n_j)) with the tie-corrected rank variance
+    V = N(N+1)/12 − Σ(t³−t)/(12(N−1)), on the same global tie-averaged
+    ranks kruskal_wallis uses.
+
+    Determinism: rank sums are exact integers from the count-based
+    2·r̄(v) relation (``_prefix_rank2``, gp=()); mean ranks are one
+    division each; V and z are fixed-operand-order double expressions of
+    exact integers. Pairs ordered g1 < g2 lexicographically.
+
+    Scale shape: identical to kruskal_wallis (per-(group, value) cells,
+    distributed prefix over pooled values) plus a k²-bounded self-join of
+    the k-row per-group relation. Output per pair: (g1, g2, n1, n2,
+    mean_rank_1, mean_rank_2, z_dunn)."""
+    cells = df.groupBy(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).alias("_v"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    vals = cells.groupBy("_v").agg(F.sum("_c").alias("_cv"))
+    r2v = _prefix_rank2(vals, (), "_v")
+    per_g = cells.join(r2v, "_v").groupBy("grp").agg(
+        F.sum("_c").cast("long").alias("n_g"),
+        F.sum(F.col("_c") * F.col("_r2")).cast("decimal(38,0)").alias("s2"),
+    )
+    tot = per_g.agg(F.sum("n_g").cast("long").alias("n"))
+    ties = vals.agg(
+        F.sum(F.col("_cv") * F.col("_cv") * F.col("_cv") - F.col("_cv"))
+        .cast("long")
+        .alias("tie3")
+    )
+    a = per_g.select(
+        F.col("grp").alias("g1"),
+        F.col("n_g").alias("n1"),
+        F.col("s2").alias("_s21"),
+    )
+    b = per_g.select(
+        F.col("grp").alias("g2"),
+        F.col("n_g").alias("n2"),
+        F.col("s2").alias("_s22"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+    )
+    nn = F.col("n").cast("double")
+    v = nn * (nn + 1.0) / 12.0 - F.col("tie3").cast("double") / (
+        12.0 * (nn - 1.0)
+    )
+    r1 = F.col("_s21").cast("double") / (2.0 * F.col("n1").cast("double"))
+    r2 = F.col("_s22").cast("double") / (2.0 * F.col("n2").cast("double"))
+    den = F.sqrt(
+        v
+        * (
+            1.0 / F.col("n1").cast("double")
+            + 1.0 / F.col("n2").cast("double")
+        )
+    )
+    z = F.when((F.col("n") < 2) | (den == 0.0), F.lit(0.0)).otherwise(
+        (r1 - r2) / den
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return pairs.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        rnd(r1).alias("mean_rank_1"),
+        rnd(r2).alias("mean_rank_2"),
+        rnd(z).alias("z_dunn"),
+    )
+
+
+def kendall_w(
+    df: DataFrame,
+    rater_col: str,
+    item_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W: do m raters agree on the
+    ranking of n items (0 = no agreement, 1 = unanimous)? The
+    inter-rater-agreement number for ORDINAL judgments (fleiss_kappa's
+    counterpart for rankings; blocks rank items exactly as in
+    friedman_test — W = χ²_friedman/(m·(n−1)) up to tie handling).
+
+    Determinism: within-rater tie-averaged ranks as exact 2·r̄ integers
+    (k-row windows per rater, k = |items| bounded); S₄ = Σ_i (R2_i −
+    m(n+1))² = 4S exact DECIMAL(38,0); tie term Σ_j Σ(t³−t) exact; W =
+    3·S₄/(m²(n³−n) − m·ΣT) is ONE double division. Assumes a complete
+    design (every rater ranks every item — enforce upstream).
+
+    Output (1 row): (m, n, w, chi2, dof) with χ² = m(n−1)W."""
+    one = df.groupBy(
+        F.col(rater_col).alias("_b"), F.col(item_col).alias("_t")
+    ).agg(F.sum(value_col).alias("_v"))
+    wr = Window.partitionBy("_b").orderBy("_v")
+    wt = Window.partitionBy("_b", "_v")
+    ranked = one.select(
+        "_b",
+        "_t",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("_r2"),
+    )
+    per_item = ranked.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum("_r2").cast("decimal(38,0)").alias("_s2"),
+    )
+    dims = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("_m").cast("long").alias("m"),
+    )
+    ties = (
+        one.groupBy("_b", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tc"))
+        .agg(
+            F.sum(
+                F.col("_tc") * F.col("_tc") * F.col("_tc") - F.col("_tc")
+            )
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    dev = per_item.crossJoin(F.broadcast(dims)).select(
+        (
+            (F.col("_s2") - F.col("m") * (F.col("n") + 1))
+            * (F.col("_s2") - F.col("m") * (F.col("n") + 1))
+        ).alias("_d2"),
+        "n",
+        "m",
+    )
+    acc = dev.groupBy("n", "m").agg(
+        F.sum("_d2").cast("decimal(38,0)").alias("s4")
+    ).crossJoin(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    mm = F.col("m").cast("double")
+    den = mm * mm * (nn * nn * nn - nn) - mm * F.col("tie3").cast("double")
+    w = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        3.0 * F.col("s4").cast("double") / den
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("m"),
+        F.col("n"),
+        rnd(w).alias("w"),
+        rnd(mm * (nn - 1.0) * w).alias("chi2"),
+        (F.col("n") - 1).cast("int").alias("dof"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    success_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cochran–Armitage trend test: does success probability trend
+    monotonically across ORDERED groups (integer scores)? The dose-
+    response gate chi_square misses (χ² sees any difference; this is
+    powered specifically against the ordered alternative).
+
+    Determinism: per-score (n_i, r_i) exact; with N, R, Σsr, Σsn, Σs²n
+    exact DECIMAL(38,0), χ²_trend = N·(N·Σsr − R·Σsn)² / (R·(N−R)·
+    (N·Σs²n − (Σsn)²)) is one double expression; z carries the trend
+    sign. One partial-agg shuffle, |scores|-row reduction.
+
+    Output (1 row): (k, n, n_success, chi2_trend, z)."""
+    s = F.col(score_col).cast("long")
+    y = F.col(success_col).cast("long")
+    per = df.groupBy(s.alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(y).cast("long").alias("_r"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    acc = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_r").cast("long").alias("n_success"),
+        F.sum(dec(F.col("_s")) * F.col("_r")).alias("ssr"),
+        F.sum(dec(F.col("_s")) * F.col("_n")).alias("ssn"),
+        F.sum(dec(F.col("_s")) * F.col("_s") * F.col("_n")).alias("ss2n"),
+    )
+    nn = F.col("n").cast("double")
+    rr = F.col("n_success").cast("double")
+    num = nn * F.col("ssr").cast("double") - rr * F.col("ssn").cast("double")
+    den = (
+        rr
+        * (nn - rr)
+        * (
+            nn * F.col("ss2n").cast("double")
+            - F.col("ssn").cast("double") * F.col("ssn").cast("double")
+        )
+    )
+    chi2 = F.when(den == 0.0, F.lit(0.0)).otherwise(nn * num * num / den)
+    z = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        F.signum(num) * F.sqrt(nn * num * num / den)
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n"),
+        F.col("n_success"),
+        rnd(chi2).alias("chi2_trend"),
+        rnd(z).alias("z"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    g1: str,
+    g2: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cohen's d / Hedges' g standardized effect size between two groups
+    — the "HOW different" companion to welch_ttest's "is it different"
+    (a huge N makes trivial differences significant; d is N-free).
+    d = (m₁ − m₂)/s_pooled with s²_pooled = ((n₁−1)s₁² + (n₂−1)s₂²)/
+    (n₁+n₂−2); g = d·(1 − 3/(4(n₁+n₂)−9)) (Hedges' small-sample
+    correction, the standard approximation of the exact gamma form).
+
+    Determinism: value_col must be integer-quantized; per-group moments
+    exact DECIMAL(38,0); one fixed-order double expression per output.
+    Single conditional-aggregation pass. Output (1 row):
+    (n1, n2, mean1, mean2, d, hedges_g)."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = F.col(value_col)
+    in1 = F.col(group_col) == g1
+    in2 = F.col(group_col) == g2
+    acc = df.filter(in1 | in2).agg(
+        F.sum(F.when(in1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(in2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(in1, dec(v)).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("s1"),
+        F.sum(F.when(in2, dec(v)).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("s2"),
+        F.sum(F.when(in1, dec(v) * v).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("q1"),
+        F.sum(F.when(in2, dec(v) * v).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = (
+        n1 * F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (n1 * (n1 - 1.0))
+    v2 = (
+        n2 * F.col("q2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2").cast("double")
+    ) / (n2 * (n2 - 1.0))
+    sp2 = ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0)
+    d = F.when(
+        (F.col("n1") < 2) | (F.col("n2") < 2) | (sp2 <= 0.0), F.lit(0.0)
+    ).otherwise((m1 - m2) / F.sqrt(sp2))
+    g = d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("n1"),
+        F.col("n2"),
+        rnd(m1).alias("mean1"),
+        rnd(m2).alias("mean2"),
+        rnd(d).alias("d"),
+        rnd(g).alias("hedges_g"),
+    )
