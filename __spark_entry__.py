@@ -43,6 +43,7 @@ from gridmet_etl_spark.contract_ext21 import EXT21_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext22 import EXT22_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext23 import EXT23_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext24 import EXT24_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext25 import EXT25_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -70,6 +71,7 @@ _MERGED = {
     **EXT22_QUERIES,
     **EXT23_QUERIES,
     **EXT24_QUERIES,
+    **EXT25_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -106,6 +108,7 @@ _CHECK_FIRST = [
     "stoch_osc", "obv_trend",
     "t_closeness", "candidate_keys", "reident_risk",
     "dunn_pairs", "kendall_w", "ca_trend", "cohens_d",
+    "hdr_quantiles", "spc_rules", "err_eval", "mcc_eval",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",

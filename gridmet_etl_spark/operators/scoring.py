@@ -20,7 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 1024
@@ -489,4 +489,97 @@ def brier_decomposition(
         rnd(rel).alias("reliability"),
         rnd(res).alias("resolution"),
         rnd(unc).alias("uncertainty"),
+    )
+
+
+def err_at_k(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    grade_col: str,
+    gmax: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Expected Reciprocal Rank (Chapelle 2009) per query over a graded
+    ranking: ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i) with stop probability
+    R = (2^g − 1)/2^gmax — the cascade-model eval NDCG's position
+    discount can't express (a perfect hit at rank 1 makes later ranks
+    nearly worthless).
+
+    Determinism: with integer grades, R is an exact DYADIC rational
+    (denominator 2^gmax), so the running product Π(1−R_i) over ≤k ranks
+    is EXACT in binary doubles (no rounding ever occurs); each term is
+    one fixed-order double expression, e12-quantized before the per-query
+    sum so accumulation order cannot matter. Output one row per query —
+    no cross-query float aggregation.
+
+    Scale shape: one window over each query's ≤k ranked rows (k bounded),
+    one groupBy query. Output: (query_col, err)."""
+    r_stop = (
+        F.pow(F.lit(2.0), F.col(grade_col).cast("double")) - 1.0
+    ) / F.lit(float(1 << gmax))
+    w = (
+        Window.partitionBy(query_col)
+        .orderBy(rank_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.product(F.lit(1.0) - r_stop).over(w), F.lit(1.0))
+    term = prior * r_stop / F.col(rank_col).cast("double")
+    t_e12 = F.round(term * 1e12, 0).cast("long")
+    per_q = ranked.select(
+        F.col(query_col), t_e12.alias("_t")
+    ).groupBy(query_col).agg(F.sum("_t").cast("long").alias("_s"))
+    return per_q.select(
+        query_col,
+        (F.round(F.col("_s").cast("double") / 1e12, ndigits) + F.lit(0.0)).alias(
+            "err"
+        ),
+    )
+
+
+def mcc_confusion(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Matthews correlation coefficient + confusion matrix for a binary
+    classifier — the single-number eval that stays honest under class
+    imbalance (accuracy and F1 both inflate; MCC = Pearson's φ on the
+    confusion matrix). MCC = (TP·TN − FP·FN)/(√(TP+FP)·√(TP+FN)·
+    √(TN+FP)·√(TN+FN)) — the denominator multiplies four separate
+    correctly-rounded sqrts, so nothing overflows at any N (the product
+    form would pass 10³⁸ once cells reach ~10¹²).
+
+    One conditional-aggregation pass over exact integer counts.
+    Output (1 row): (tp, fp, tn, fn, accuracy, mcc)."""
+    y = F.col(label_col).cast("int")
+    p = F.col(pred_col).cast("int")
+    acc = df.agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (dec(F.col("tp")) * F.col("tn") - dec(F.col("fp")) * F.col("fn")).cast(
+        "double"
+    )
+    den = (
+        F.sqrt((F.col("tp") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tp") + F.col("fn")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fn")).cast("double"))
+    )
+    n = (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")).cast("double")
+    accuracy = (F.col("tp") + F.col("tn")).cast("double") / n
+    mcc = F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fn").cast("long").alias("fn"),
+        rnd(accuracy).alias("accuracy"),
+        rnd(mcc).alias("mcc"),
     )

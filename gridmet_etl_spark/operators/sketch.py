@@ -19,7 +19,7 @@ Production would swap in xxhash64 (same shape, one expression).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 CMS_DEPTH = 4
@@ -544,4 +544,81 @@ def kmv_set_ops(
         (F.round(union_est, ndigits) + F.lit(0.0)).alias("union_est"),
         (F.round(inter_est, ndigits) + F.lit(0.0)).alias("inter_est"),
         (F.round(jac, ndigits) + F.lit(0.0)).alias("jaccard_est"),
+    )
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99, 0.999),
+    sub_bits: int = 4,
+    ndigits: int = 6,
+) -> DataFrame:
+    """HDR-histogram quantile sketch: exponent-bucketed (power-of-2) with
+    2^sub_bits linear sub-buckets per octave — guaranteed relative error
+    ≤ 2^-(sub_bits+1) at ANY quantile, with a bucket id computed by EXACT
+    integer arithmetic (e = bit_length(x) − 1 via the binary-string
+    length, s = x·2^sub_bits >> e − 2^sub_bits), so the sketch is
+    bit-identical across engines — the property a log-γ DDSketch cannot
+    give (its bucket = ⌈log_γ x⌉ flips ±1 on an ULP at bucket edges).
+
+    Values must be POSITIVE integers (quantize at the caller; zero/
+    negative rows are rejected by filter). Mergeable: the bucket relation
+    is a sum-combinable histogram, the 100-TB path ships
+    |octaves|·2^sub_bits ≤ ~1k rows per partial.
+
+    Estimate = bucket midpoint 2^e·(1 + (s+0.5)/2^sub_bits) — one
+    fixed-order double expression. Quantile pick: smallest bucket whose
+    cumulative count reaches ⌈q·n⌉ (exact integers).
+
+    Output per q: (q, n, bucket_e, bucket_s, est, rel_err_bound)."""
+    m = 1 << sub_bits
+    x = F.col(value_col).cast("long")
+    base = df.filter(x > 0).select(x.alias("_x"))
+    e = (F.length(F.bin(F.col("_x"))) - 1).cast("int")
+    # s = floor(x * m / 2^e) - m: division by a power of two is exact in
+    # binary floating point, so the double path equals the integer shift
+    s = (
+        F.floor(
+            (F.col("_x") * m).cast("double")
+            / F.pow(F.lit(2.0), F.col("_e").cast("double"))
+        ).cast("int")
+        - m
+    )
+    bucketed = base.withColumn("_e", e).withColumn("_s", s)
+    hist = bucketed.groupBy("_e", "_s").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_e", "_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "_e", "_s", F.sum("_c").over(w).cast("long").alias("_cum")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    qdf = None
+    for q in qs:
+        one = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(
+                F.col("_cum")
+                >= F.ceil(F.lit(float(q)) * F.col("_n")).cast("long")
+            )
+            .orderBy("_e", "_s")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.col("_n").alias("n"),
+                F.col("_e").alias("bucket_e"),
+                F.col("_s").alias("bucket_s"),
+            )
+        )
+        qdf = one if qdf is None else qdf.unionByName(one)
+    est = F.pow(F.lit(2.0), F.col("bucket_e").cast("double")) * (
+        1.0
+        + (F.col("bucket_s").cast("double") + 0.5) / F.lit(float(m))
+    )
+    return qdf.select(
+        "q",
+        "n",
+        "bucket_e",
+        "bucket_s",
+        (F.round(est, ndigits) + F.lit(0.0)).alias("est"),
+        F.lit(round(1.0 / (2 * m), 6)).alias("rel_err_bound"),
     )

@@ -1811,3 +1811,107 @@ def durbin_watson(
     ).otherwise(F.col("_num").cast("double") / F.col("_den").cast("double"))
     rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
     return agg.select(F.col("n").cast("long").alias("n"), rnd(dw).alias("dw"))
+
+
+def control_chart_rules(
+    daily: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Western Electric control-chart rules over a keyed integer series —
+    the SPC alarm set (which days should a process owner look at):
+    rule 1: the point beyond 3σ; rule 2: ≥2 of the last 3 beyond 2σ on
+    the SAME side; rule 3: ≥4 of the last 5 beyond 1σ same side;
+    rule 4: 8 consecutive points on one side of the mean.
+
+    μ/σ are the key's own exact integer moments (n, Σv, Σv²); the side
+    of the mean is the EXACT integer sign of n·v − Σv (no float decides
+    a crossing); σ-band membership compares the double z in a fixed
+    operand order (identical both engines; band edges are irrational, so
+    no value sits ON one). Rule counts are window sums of integer
+    indicators. Emits only alarm days.
+
+    Scale shape: one shuffle on the key for moments + one for the
+    windows; per-task state bounded by one key's days.
+    Output: (keys..., day, value, z, r1, r2, r3, r4)."""
+    keys = list(keys)
+    mom = daily.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("_s"),
+        F.sum(
+            F.col(value_col).cast("decimal(38,0)") * F.col(value_col)
+        ).alias("_q"),
+    )
+    j = daily.join(F.broadcast(mom), keys)
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    qq = F.col("_q").cast("double")
+    v = F.col(value_col)
+    # sample sd; z = (v - mu)/sd written as (n*v - s)/(n*sd)
+    sd = F.sqrt((n * qq - s * s) / (n * (n - F.lit(1.0))))
+    dev = n * v.cast("double") - s
+    z = F.when((F.col("_n") < 2) | (sd == 0.0), F.lit(0.0)).otherwise(
+        dev / (n * sd)
+    )
+    side_i = F.col("_sidedev")
+    flagged = j.select(
+        *keys,
+        F.col(time_col).alias("day"),
+        v.alias("value"),
+        z.alias("_z"),
+        (F.col(value_col).cast("decimal(38,0)") * F.col("_n") - F.col("_s"))
+        .alias("_sidedev"),
+    ).select(
+        *keys,
+        "day",
+        "value",
+        "_z",
+        F.when(side_i > 0, F.lit(1))
+        .when(side_i < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("_side"),
+        (F.abs(F.col("_z")) > 3.0).cast("int").alias("_b3"),
+        ((F.col("_z") > 2.0).cast("int")).alias("_a2"),
+        ((F.col("_z") < -2.0).cast("int")).alias("_l2"),
+        ((F.col("_z") > 1.0).cast("int")).alias("_a1"),
+        ((F.col("_z") < -1.0).cast("int")).alias("_l1"),
+    )
+    w3 = Window.partitionBy(*keys).orderBy("day").rowsBetween(-2, 0)
+    w5 = Window.partitionBy(*keys).orderBy("day").rowsBetween(-4, 0)
+    w8 = Window.partitionBy(*keys).orderBy("day").rowsBetween(-7, 0)
+    scored = flagged.select(
+        *keys,
+        "day",
+        "value",
+        "_z",
+        F.col("_b3").alias("r1"),
+        (
+            (F.sum("_a2").over(w3) >= 2) | (F.sum("_l2").over(w3) >= 2)
+        ).cast("int").alias("r2"),
+        (
+            (F.sum("_a1").over(w5) >= 4) | (F.sum("_l1").over(w5) >= 4)
+        ).cast("int").alias("r3"),
+        (
+            (F.sum((F.col("_side") > 0).cast("int")).over(w8) == 8)
+            | (F.sum((F.col("_side") < 0).cast("int")).over(w8) == 8)
+        ).cast("int").alias("r4"),
+        F.count(F.lit(1)).over(w8).alias("_c8"),
+        F.count(F.lit(1)).over(w5).alias("_c5"),
+        F.count(F.lit(1)).over(w3).alias("_c3"),
+    )
+    # partial windows cannot certify rules 2-4
+    out = scored.select(
+        *keys,
+        "day",
+        "value",
+        (F.round(F.col("_z"), ndigits) + F.lit(0.0)).alias("z"),
+        "r1",
+        F.when(F.col("_c3") >= 3, F.col("r2")).otherwise(F.lit(0)).alias("r2"),
+        F.when(F.col("_c5") >= 5, F.col("r3")).otherwise(F.lit(0)).alias("r3"),
+        F.when(F.col("_c8") >= 8, F.col("r4")).otherwise(F.lit(0)).alias("r4"),
+    )
+    return out.filter(
+        (F.col("r1") + F.col("r2") + F.col("r3") + F.col("r4")) > 0
+    )
