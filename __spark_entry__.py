@@ -44,6 +44,7 @@ from gridmet_etl_spark.contract_ext22 import EXT22_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext23 import EXT23_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext24 import EXT24_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext25 import EXT25_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext26 import EXT26_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -72,6 +73,7 @@ _MERGED = {
     **EXT23_QUERIES,
     **EXT24_QUERIES,
     **EXT25_QUERIES,
+    **EXT26_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -87,10 +89,13 @@ _MERGED = {
 #       max_drawdown's oracle dropped a dead window column, and
 #       sessionize_batch rewired onto operators/sessionize.py
 #       (output-identical, property-tested);
-#   (2) the 6 NEW round-9 queries (contract_ext20);
-#   (3) rotation fill = the 36 OLDEST-certified names (all last checked
-#       in CORRECTNESS_r01) — most are contract.py-backed and so also sit
-#       in the round's file-level --diff cohort.
+#   (2) the 25 NEW round-9 queries (contract_ext20 wave 1 + ext21-ext25
+#       waves 2-6: spatial stats, finance risk, privacy gates, post-hoc
+#       inference, monitoring/eval);
+#   (3) rotation fill = the OLDEST-certified names (last checked in
+#       CORRECTNESS_r01) in the ~17 slots the cap leaves — most are
+#       contract.py-backed and so also sit in the round's file-level
+#       --diff cohort; the rest of the r01 cohort rotates next round.
 # Everything below the cap has a green driver row from r1-r8 and is
 # re-swept locally at sf0.01 AND sf0.1 (tools/check_oracle.py --strict;
 # sweep record in docs/SWEEP_SF01.md).
@@ -109,6 +114,8 @@ _CHECK_FIRST = [
     "t_closeness", "candidate_keys", "reident_risk",
     "dunn_pairs", "kendall_w", "ca_trend", "cohens_d",
     "hdr_quantiles", "spc_rules", "err_eval", "mcc_eval",
+    "granger_lead", "trigram_paths", "ripley_k",
+    "abc_classes", "hhi_concentration",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",

@@ -163,6 +163,20 @@ BENCH_QUERIES = [
     "durbin_watson",
     "page_trend",
     "pinball_loss",
+    # round-9 waves 2-6 (ext21-ext25): spatial stats, finance risk,
+    # privacy gates, post-hoc inference, monitoring/eval
+    "getis_ord",
+    "semivariogram",
+    "var_cvar",
+    "stoch_osc",
+    "t_closeness",
+    "candidate_keys",
+    "dunn_pairs",
+    "kendall_w",
+    "hdr_quantiles",
+    "spc_rules",
+    "err_eval",
+    "mcc_eval",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",
@@ -1286,11 +1300,17 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext18 import EXT18_QUERIES as _EXT18
     from gridmet_etl_spark.contract_ext19 import EXT19_QUERIES as _EXT19
     from gridmet_etl_spark.contract_ext20 import EXT20_QUERIES as _EXT20
+    from gridmet_etl_spark.contract_ext21 import EXT21_QUERIES as _EXT21
+    from gridmet_etl_spark.contract_ext22 import EXT22_QUERIES as _EXT22
+    from gridmet_etl_spark.contract_ext23 import EXT23_QUERIES as _EXT23
+    from gridmet_etl_spark.contract_ext24 import EXT24_QUERIES as _EXT24
+    from gridmet_etl_spark.contract_ext25 import EXT25_QUERIES as _EXT25
 
     DOMAIN_QUERIES = {
         **_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11, **_EXT12,
         **_EXT13, **_EXT14, **_EXT15, **_EXT16, **_EXT17, **_EXT18,
-        **_EXT19, **_EXT20,
+        **_EXT19, **_EXT20, **_EXT21, **_EXT22, **_EXT23, **_EXT24,
+        **_EXT25,
     }
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")

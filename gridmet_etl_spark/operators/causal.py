@@ -482,3 +482,67 @@ def iv_wald(
         rnd(itt_t).alias("itt_t"),
         (F.round(late, ndigits) + F.lit(0.0)).alias("late"),
     )
+
+
+def granger_lag1(
+    joined: DataFrame,
+    keys: list[str],
+    target_col: str,
+    target_lag_col: str,
+    cross_lag_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Lag-1 Granger-causality F test per key: does adding y_{t−1} to the
+    AR(1) model x_t ~ x_{t−1} reduce residual variance? F = (SSE_r −
+    SSE_u)/(SSE_u/(n−3)) for the one added regressor — the "does the
+    market LEAD this series" readout completing the causal family
+    (CUPED/IPW/DiD/RDD/IV measure treatment effects; this tests temporal
+    precedence).
+
+    Determinism: inputs must be integer-quantized (e6 returns). Both
+    regressions solve in closed form from NINE exact DECIMAL(38,0)
+    moments (n, Σu, Σw, Σv, Σu², Σw², Σuv, Σwv, Σuw with u = x_{t−1},
+    w = y_{t−1}, v = x_t) via centered sums S·· = n·Σ·· − Σ·Σ·; the F
+    statistic is one fixed-operand-order double expression. One
+    aggregation pass per key.
+
+    Output per key: (keys..., n, beta_ar, beta_cross, f_stat)."""
+    u = F.col(target_lag_col)
+    w = F.col(cross_lag_col)
+    v = F.col(target_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    acc = joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(u)).alias("su"),
+        F.sum(dec(w)).alias("sw"),
+        F.sum(dec(v)).alias("sv"),
+        F.sum(dec(u) * u).alias("suu"),
+        F.sum(dec(w) * w).alias("sww"),
+        F.sum(dec(u) * v).alias("suv"),
+        F.sum(dec(w) * v).alias("swv"),
+        F.sum(dec(u) * w).alias("suw"),
+        F.sum(dec(v) * v).alias("svv"),
+    )
+    n = F.col("n").cast("double")
+    cuu = n * F.col("suu").cast("double") - F.col("su").cast("double") * F.col("su").cast("double")
+    cww = n * F.col("sww").cast("double") - F.col("sw").cast("double") * F.col("sw").cast("double")
+    cuv = n * F.col("suv").cast("double") - F.col("su").cast("double") * F.col("sv").cast("double")
+    cwv = n * F.col("swv").cast("double") - F.col("sw").cast("double") * F.col("sv").cast("double")
+    cuw = n * F.col("suw").cast("double") - F.col("su").cast("double") * F.col("sw").cast("double")
+    cvv = n * F.col("svv").cast("double") - F.col("sv").cast("double") * F.col("sv").cast("double")
+    det = cuu * cww - cuw * cuw
+    b = (cuv * cww - cwv * cuw) / det
+    c = (cwv * cuu - cuv * cuw) / det
+    sse_u = cvv - b * cuv - c * cwv
+    sse_r = cvv - F.when(cuu == 0.0, F.lit(0.0)).otherwise(cuv * cuv / cuu)
+    f_stat = F.when(
+        (F.col("n") < 4) | (det == 0.0) | (sse_u <= 0.0), F.lit(0.0)
+    ).otherwise((sse_r - sse_u) / (sse_u / (n - 3.0)))
+    rnd = lambda col: F.round(col, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        *keys,
+        F.col("n"),
+        rnd(F.when(det == 0.0, F.lit(0.0)).otherwise(b)).alias("beta_ar"),
+        rnd(F.when(det == 0.0, F.lit(0.0)).otherwise(c)).alias("beta_cross"),
+        rnd(f_stat).alias("f_stat"),
+    )

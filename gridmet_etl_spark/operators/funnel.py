@@ -513,3 +513,41 @@ def inter_event_gaps(
         "n",
         (F.round(pct, ndigits) + F.lit(0.0)).alias("pct"),
     )
+
+
+def event_trigrams(
+    events: DataFrame,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Frequent 3-event paths: the per-user consecutive event-type
+    trigram counts event_transitions (bigrams) can't see — the minimal
+    sequence-mining readout ("view→cart→buy vs view→cart→abandon").
+
+    Determinism: per-user ordering is the TOTAL order (time, tiebreak)
+    so duplicate timestamps cannot reorder between engines; top-k breaks
+    count ties lexicographically on the path.
+
+    Scale shape: one shuffle on the user key, two lead() windows over
+    each user's events, a trigram groupBy; the top-k picks from the
+    |distinct trigrams|-row relation. Output: (e1, e2, e3, n_paths,
+    rank)."""
+    w = Window.partitionBy(user_col).orderBy(time_col, tiebreak_col)
+    tri = events.select(
+        F.col(type_col).alias("e1"),
+        F.lead(type_col, 1).over(w).alias("e2"),
+        F.lead(type_col, 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    counts = tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    wr = Window.orderBy(
+        F.col("n_paths").desc(), F.col("e1"), F.col("e2"), F.col("e3")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )

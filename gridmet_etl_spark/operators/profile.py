@@ -140,3 +140,96 @@ def fd_strength(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC / Pareto classification: rank keys by integer value descending
+    and cut classes at cumulative-share thresholds (A ≤ a_pct%, B ≤
+    b_pct%, C rest) — the inventory-analysis readout ("which 20% of parts
+    carry 80% of revenue").
+
+    Determinism: ordering is the TOTAL order (value DESC, key); class
+    membership is decided by the EXACT integer comparison cum·100 ≤
+    pct·total (no share double ever classifies); shares are display-only.
+
+    Scale shape: one groupBy on the key, one global cumulative window —
+    over the |keys| relation, not the fact table (acceptable when keys
+    are catalog-sized; a near-continuous key needs the two-level prefix).
+    Output (3 rows): (abc_class, n_keys, value_sum, value_share)."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("_v")
+    )
+    w = Window.orderBy(F.col("_v").desc(), F.col("_k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "_k", "_v", F.sum("_v").over(w).alias("_cum")
+    )
+    tot = per.agg(F.sum("_v").alias("_tot"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "_k",
+        "_v",
+        F.when(F.col("_cum") * 100 <= F.col("_tot") * a_pct, F.lit("A"))
+        .when(F.col("_cum") * 100 <= F.col("_tot") * b_pct, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        F.col("_tot"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_v").cast("decimal(38,0)").cast("double").alias("value_sum"),
+        (
+            F.round(
+                F.sum("_v").cast("double") / F.min("_tot").cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("value_share"),
+    )
+
+
+def herfindahl(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    member_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group: HHI =
+    Σ_members (share_i)² ∈ (0, 1] — the market-concentration scalar
+    (1/HHI is the "effective number of members"). Input values must be
+    integer-quantized.
+
+    Determinism: per-member sums and Σv_i² accumulate DECIMAL(38,0)
+    exactly; HHI = Σv_i²/(Σv_i)² is one double division of exact
+    decimals. Two partial-agg shuffles (member grain then group grain).
+
+    Output per group: (group_cols..., n_members, hhi, effective_n,
+    top_share)."""
+    gp = list(group_cols)
+    per = df.groupBy(*gp, F.col(member_col).alias("_m")).agg(
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("_v")
+    )
+    acc = per.groupBy(*gp).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+        F.max("_v").alias("_mx"),
+    )
+    s = F.col("_s").cast("double")
+    hhi = F.col("_q").cast("double") / (s * s)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        *gp,
+        F.col("n_members"),
+        rnd(hhi).alias("hhi"),
+        rnd(F.lit(1.0) / hhi).alias("effective_n"),
+        rnd(F.col("_mx").cast("double") / s).alias("top_share"),
+    )
