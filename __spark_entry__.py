@@ -45,6 +45,7 @@ from gridmet_etl_spark.contract_ext23 import EXT23_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext24 import EXT24_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext25 import EXT25_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext26 import EXT26_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext27 import EXT27_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -74,6 +75,7 @@ _MERGED = {
     **EXT24_QUERIES,
     **EXT25_QUERIES,
     **EXT26_QUERIES,
+    **EXT27_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -89,11 +91,11 @@ _MERGED = {
 #       max_drawdown's oracle dropped a dead window column, and
 #       sessionize_batch rewired onto operators/sessionize.py
 #       (output-identical, property-tested);
-#   (2) the 25 NEW round-9 queries (contract_ext20 wave 1 + ext21-ext25
-#       waves 2-6: spatial stats, finance risk, privacy gates, post-hoc
-#       inference, monitoring/eval);
+#   (2) the 30 NEW round-9 queries (contract_ext20 wave 1 + ext21-ext26
+#       waves 2-7: spatial stats, finance risk, privacy gates, post-hoc
+#       inference, monitoring/eval, structure discovery);
 #   (3) rotation fill = the OLDEST-certified names (last checked in
-#       CORRECTNESS_r01) in the ~17 slots the cap leaves — most are
+#       CORRECTNESS_r01) in the ~12 slots the cap leaves — most are
 #       contract.py-backed and so also sit in the round's file-level
 #       --diff cohort; the rest of the r01 cohort rotates next round.
 # Everything below the cap has a green driver row from r1-r8 and is
@@ -116,6 +118,7 @@ _CHECK_FIRST = [
     "hdr_quantiles", "spc_rules", "err_eval", "mcc_eval",
     "granger_lead", "trigram_paths", "ripley_k",
     "abc_classes", "hhi_concentration",
+    "yoy_growth", "price_elasticity",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",

@@ -328,6 +328,28 @@ EXPECTED_SINGLE = {
     # moment/edge scalars (no global window at all — listed for its
     # 1-row crossJoin merge)
     "anova_oneway", "bartlett", "morans_i",
+    # round-9 wave 1 (ext20): mood_median/sign_test/pinball_loss compose
+    # exact_quantiles' two-level bucket plan (bounded |partitions|-row
+    # offset relations) + |k|-row term relations + 1-row scalars;
+    # turning_points/durbin_watson/page_trend run their lag windows over
+    # the |days|-bounded daily rollup by contract (runs_test shape)
+    "mood_median", "sign_test", "pinball_loss",
+    "turning_points", "durbin_watson", "page_trend",
+    # round-9 waves 2-7 (ext21-ext26): gearys_c/getis_ord/semivariogram
+    # merge shifted-equi-join edge relations into 1-row (or k-lag-row)
+    # moment scalars — the morans_i shape; capm_beta/sharpe_sortino/
+    # var_cvar/granger/kendall_w lag windows run over |days|/|months|-
+    # bounded daily rollups and end in k-row or 1-row moment relations;
+    # dunn_pairs composes kruskal_wallis' whitelisted distributed-prefix
+    # offsets + a k²-row pair relation; t_closeness densifies over the
+    # |bands|-row global cumulative; candidate_keys/reident_risk/
+    # cohens_d/ca_trend/mcc_eval end in 1-row (or |combos|-row) audit
+    # scalars; hdr_quantiles' cumulative runs over the ≤|octaves|·16-row
+    # bucket histogram + limit-1 picks
+    "gearys_c", "getis_ord", "semivariogram",
+    "capm_beta", "kendall_w", "dunn_pairs", "t_closeness",
+    "candidate_keys", "reident_risk", "cohens_d", "ca_trend",
+    "mcc_eval", "hdr_quantiles",
 }
 
 
