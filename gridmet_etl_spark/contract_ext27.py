@@ -53,10 +53,20 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.col("cur_cents").cast("double") / F.col("prev_cents").cast(
         "double"
     )
-    w = Window.orderBy(ratio.desc(), F.col("custkey"))
+    # TakeOrderedAndProject (orderBy+limit), NOT a global rank window: the
+    # joined relation is |customers|-sized and a single-partition window
+    # over it would funnel the whole table through one task at scale —
+    # the 20-row result then ranks in a bounded window
+    top = j.orderBy(ratio.desc(), F.col("custkey")).limit(20)
+    w = Window.orderBy(
+        (
+            F.col("cur_cents").cast("double")
+            / F.col("prev_cents").cast("double")
+        ).desc(),
+        F.col("custkey"),
+    )
     return (
-        j.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select(
             "rank",
             "custkey",

@@ -1143,3 +1143,71 @@ def vocab_coverage(
         rnd(p0).alias("unseen_mass"),
         rnd(1.0 - p0).alias("coverage"),
     )
+
+
+def source_hellinger(
+    docs: DataFrame,
+    k: int = 100,
+    group_col: str = "source",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Hellinger distance between every pair of sources over the global
+    top-k vocabulary — source_jsd's metric companion (Hellinger is a true
+    metric bounded in [0, 1], the form mixture-weight and domain-shift
+    bounds are stated in; JSD is the information-theoretic view of the
+    same pair relation).
+
+    Determinism: per-token Bhattacharyya terms √((c_a/t_a)·(c_b/t_b)) are
+    fixed-operand-order doubles of exact integer counts, e12-quantized
+    BEFORE the k-token sum (shuffle-order-proof); tokens absent from
+    either side contribute the exact 0 limit (inner join). H = √(1 − BC)
+    with the ≥0 guard.
+
+    Scale shape: identical to source_jsd — one (source, token) count agg,
+    a TakeOrdered top-k, arithmetic on the |sources|²·k pair relation.
+    Output: (source_a, source_b, n_shared_topk, hellinger)."""
+    toks = docs.select(
+        F.col(group_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_src = toks.groupBy("src", "token").agg(F.count("*").alias("c"))
+    topk = (
+        per_src.groupBy("token")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+        .select("token")
+    )
+    kept = per_src.join(F.broadcast(topk), "token")
+    totals = kept.groupBy("src").agg(F.sum("c").cast("long").alias("t"))
+    a = kept.join(totals, "src").select(
+        F.col("src").alias("source_a"),
+        "token",
+        F.col("c").alias("ca"),
+        F.col("t").alias("ta"),
+    )
+    b = kept.join(totals, "src").select(
+        F.col("src").alias("source_b"),
+        "token",
+        F.col("c").alias("cb"),
+        F.col("t").alias("tb"),
+    )
+    pairs = a.join(b, "token").filter(F.col("source_a") < F.col("source_b"))
+    term = F.sqrt(
+        (F.col("ca").cast("double") / F.col("ta").cast("double"))
+        * (F.col("cb").cast("double") / F.col("tb").cast("double"))
+    )
+    q = F.round(term * 1e12, 0).cast("long")
+    acc = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_topk"),
+        F.sum(q).cast("long").alias("_bc"),
+    )
+    bc = F.col("_bc").cast("double") / 1e12
+    h = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc))
+    return acc.select(
+        "source_a",
+        "source_b",
+        "n_shared_topk",
+        (F.round(h, ndigits) + F.lit(0.0)).alias("hellinger"),
+    )

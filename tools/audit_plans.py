@@ -350,6 +350,17 @@ EXPECTED_SINGLE = {
     "capm_beta", "kendall_w", "dunn_pairs", "t_closeness",
     "candidate_keys", "reident_risk", "cohens_d", "ca_trend",
     "mcc_eval", "hdr_quantiles",
+    # ext26-ext28: granger_lead's market-lag window runs over the
+    # |days|-bounded daily rollup (capm_beta shape); ripley_k merges the
+    # offset-join pair counts into a ≤max_r-row cumulative + 1-row
+    # extent scalar; abc_classes' cumulative window runs over the
+    # |catalog keys| relation by contract (docstring states the
+    # two-level-prefix alternative for near-continuous keys);
+    # trigram_paths' top-k window runs over the |event_types|³-bounded
+    # trigram relation; yoy_growth ranks inside a TakeOrdered 20-row
+    # relation (listed for its bounded final window)
+    "granger_lead", "ripley_k", "abc_classes", "trigram_paths",
+    "yoy_growth",
 }
 
 
