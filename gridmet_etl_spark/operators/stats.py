@@ -2975,3 +2975,166 @@ def cohens_d(
         rnd(d).alias("d"),
         rnd(g).alias("hedges_g"),
     )
+
+
+def theil_decomposition(
+    df: DataFrame,
+    y_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Theil T inequality index with the exact within/between-group
+    decomposition — the inequality measure that ADDS UP (Gini doesn't
+    decompose): T = (1/N)Σ(x/μ)ln(x/μ), T_between = Σ_g (S_g/S)ln(μ_g/μ),
+    T_within = T − T_between. "How much of the revenue inequality is
+    BETWEEN regions vs within them."
+
+    Determinism: x must be positive integers. Member terms are
+    fixed-operand-order doubles of exact moments, e12-quantized into a
+    DECIMAL(38,0) sum BEFORE any cross-row accumulation (the source_jsd
+    discipline — a raw double sum is shuffle-order dependent); the k
+    between-group terms quantize the same way. T_within is computed from
+    the two quantized values, so the decomposition identity holds exactly
+    as published.
+
+    Scale shape: one member-grain pass + one k-row group relation.
+    Output (1 row): (n, k_groups, theil_total, theil_between,
+    theil_within)."""
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(y_col).cast("long").alias("_x")
+    ).filter(F.col("_x") > 0)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(dec(F.col("_x"))).alias("_s"),
+    )
+    wtot = base.crossJoin(F.broadcast(tot))
+    mu = F.col("_s").cast("double") / F.col("_n").cast("double")
+    ratio = F.col("_x").cast("double") / mu
+    term = ratio * F.log(ratio)
+    tq = wtot.agg(
+        F.sum(dec(F.round(term * 1e12, 0))).alias("_tq"),
+        F.min("_n").alias("n"),
+        F.min("_s").alias("_sx"),
+    )
+    per_g = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum(dec(F.col("_x"))).alias("_sg"),
+    )
+    gterm = per_g.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("_sg").cast("double") / F.col("_s").cast("double"))
+            * F.log(
+                (F.col("_sg").cast("double") / F.col("_ng").cast("double"))
+                / (F.col("_s").cast("double") / F.col("_n").cast("double"))
+            )
+            * 1e12,
+            0,
+        ).cast("long").alias("_bq")
+    )
+    bacc = gterm.agg(
+        F.sum(dec(F.col("_bq"))).alias("_bsum"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+    )
+    out = tq.crossJoin(F.broadcast(bacc))
+    t_total = F.col("_tq").cast("double") / 1e12 / F.col("n").cast("double")
+    t_between = F.col("_bsum").cast("double") / 1e12
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return out.select(
+        F.col("n"),
+        F.col("k_groups"),
+        rnd(t_total).alias("theil_total"),
+        rnd(t_between).alias("theil_between"),
+        rnd(t_total - t_between).alias("theil_within"),
+    )
+
+
+def atkinson_index(
+    df: DataFrame,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Atkinson inequality index at ε = 1: A = 1 − geomean(x)/mean(x) —
+    the welfare-weighted inequality scalar (A = 0.2 reads "society would
+    give up 20% of total income for perfect equality"). Positive integer
+    inputs; Σln x e12-quantizes into a DECIMAL(38,0) sum before
+    accumulation; one pass. Output (1 row): (n, mean, geomean,
+    atkinson)."""
+    base = df.select(F.col(y_col).cast("long").alias("_x")).filter(
+        F.col("_x") > 0
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    acc = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_x"))).alias("_s"),
+        F.sum(dec(F.round(F.log(F.col("_x").cast("double")) * 1e12, 0))).alias(
+            "_lq"
+        ),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    geo = F.exp(F.col("_lq").cast("double") / 1e12 / n)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("n"),
+        rnd(mean).alias("mean"),
+        rnd(geo).alias("geomean"),
+        rnd(F.lit(1.0) - geo / mean).alias("atkinson"),
+    )
+
+
+def palma_ratio(
+    df: DataFrame,
+    y_col: str,
+    id_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Palma ratio: top-10% value share / bottom-40% value share — the
+    tail-focused inequality readout (Gini is middle-insensitive; Palma is
+    what moves when the extremes move). Ranks via the distributed
+    ``scale.global_rank`` (ties (y, id) — never a single-partition data
+    sort); the decile cuts are EXACT integer thresholds (b40 = 4N div 10,
+    t10 = N − N div 10); shares are exact DECIMAL(38,0) cent sums.
+
+    Output (1 row): (n, bottom40_share, top10_share, palma)."""
+    from .scale import global_rank
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(y_col).cast("long").alias("_y")
+    )
+    ranked = global_rank(base, "_y", tie_cols=["_id"], with_rank=False)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_y"))).alias("_s"),
+    )
+    acc = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.min("n").alias("n"),
+        F.min("_s").alias("_s2"),
+        F.sum(
+            F.when(
+                F.col("rn") <= (F.col("n") * 4 - F.col("n") * 4 % 10) / 10,
+                dec(F.col("_y")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("_b40"),
+        F.sum(
+            F.when(
+                F.col("rn") > F.col("n") - (F.col("n") - F.col("n") % 10) / 10,
+                dec(F.col("_y")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("_t10"),
+    )
+    s = F.col("_s2").cast("double")
+    b = F.col("_b40").cast("double") / s
+    t = F.col("_t10").cast("double") / s
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        F.col("n"),
+        rnd(b).alias("bottom40_share"),
+        rnd(t).alias("top10_share"),
+        rnd(
+            F.when(F.col("_b40") == 0, F.lit(0.0)).otherwise(
+                F.col("_t10").cast("double") / F.col("_b40").cast("double")
+            )
+        ).alias("palma"),
+    )
