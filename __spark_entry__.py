@@ -48,6 +48,7 @@ from gridmet_etl_spark.contract_ext26 import EXT26_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext27 import EXT27_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext28 import EXT28_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext29 import EXT29_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext30 import EXT30_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -80,6 +81,7 @@ _MERGED = {
     **EXT27_QUERIES,
     **EXT28_QUERIES,
     **EXT29_QUERIES,
+    **EXT30_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -125,6 +127,7 @@ _CHECK_FIRST = [
     "yoy_growth", "price_elasticity",
     "hellinger_sources", "burstiness_fano", "gini_impurity",
     "theil_index", "atkinson_index", "palma_ratio",
+    "nmi_assoc", "chao1_richness",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",
