@@ -97,13 +97,15 @@ _MERGED = {
 #       max_drawdown's oracle dropped a dead window column, and
 #       sessionize_batch rewired onto operators/sessionize.py
 #       (output-identical, property-tested);
-#   (2) the 30 NEW round-9 queries (contract_ext20 wave 1 + ext21-ext26
-#       waves 2-7: spatial stats, finance risk, privacy gates, post-hoc
-#       inference, monitoring/eval, structure discovery);
+#   (2) the 40 NEW round-9 queries (contract_ext20 wave 1 + ext21-ext30
+#       waves 2-11: spatial stats, finance risk, privacy gates, post-hoc
+#       inference, monitoring/eval, structure discovery, retail OLAP,
+#       distribution shape, inequality, association/richness);
 #   (3) rotation fill = the OLDEST-certified names (last checked in
-#       CORRECTNESS_r01) in the ~12 slots the cap leaves — most are
-#       contract.py-backed and so also sit in the round's file-level
-#       --diff cohort; the rest of the r01 cohort rotates next round.
+#       CORRECTNESS_r01) in the ~2 slots the cap leaves — the rest of
+#       the r01 cohort rotates next round (all 400 names are ALSO
+#       locally strict-verified at sf0.01 AND sf0.1 this round, so
+#       nothing below the cap is certified-stale in practice).
 # Everything below the cap has a green driver row from r1-r8 and is
 # re-swept locally at sf0.01 AND sf0.1 (tools/check_oracle.py --strict;
 # sweep record in docs/SWEEP_SF01.md).
