@@ -82,7 +82,8 @@ fin AS (
 SELECT n, n_edges,
        ROUND(CASE WHEN n_edges = 0 OR den = 0.0 THEN 0.0
              ELSE num / den END, {R}) + 0 AS c_geary,
-       ROUND(CASE WHEN n < 2 THEN 0.0 ELSE 1.0 END, {R}) + 0 AS e_c
+       ROUND(CAST(CASE WHEN n < 2 THEN 0.0 ELSE 1.0 END AS DOUBLE),
+             {R}) + 0 AS e_c
 FROM fin
 """
 

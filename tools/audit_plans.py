@@ -361,6 +361,14 @@ EXPECTED_SINGLE = {
     # relation (listed for its bounded final window)
     "granger_lead", "ripley_k", "abc_classes", "trigram_paths",
     "yoy_growth",
+    # ext29-ext30: theil/atkinson end in 1-row quantized-ln-sum scalars
+    # (+ theil's k-groups between relation); palma composes gini_lorenz's
+    # whitelisted global_rank offset stages + a 1-row share scalar;
+    # nmi_assoc reduces the bounded contingency relation to three 1-row
+    # entropy scalars; chao1 reduces the |distinct counts| frequency-of-
+    # frequencies to one row
+    "theil_index", "atkinson_index", "palma_ratio", "nmi_assoc",
+    "chao1_richness",
 }
 
 

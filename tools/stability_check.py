@@ -120,6 +120,28 @@ WATCHLIST = [
     # a ln chain over quantized signed terms (the most float-sensitive
     # of the wave); morans_i is one division of exact decimal forms
     "anova_oneway", "bartlett", "morans_i",
+    # round-9 waves (ext20-ext30): mood/sign/page/turning/DW/pinball
+    # divide exact integers or quantized decimal sums; the spatial trio
+    # divides exact decimal moments (getis_ord per-cell z is the widest
+    # float surface — two sqrts per cell); the finance family divides
+    # exact e6-return moments (capm/sharpe/granger are moment chains,
+    # var_cvar is pure order statistics); kendall_w/dunn divide exact
+    # rank sums; err_eval's cascade product is exact-dyadic by design
+    # (listed to prove it); theil/atkinson/nmi/hellinger are ln/exp
+    # chains over e12-quantized sums (the most float-sensitive round-9
+    # paths); hdr/spc/mcc/abc/hhi/palma decide on exact integers
+    "mood_median", "sign_test", "page_trend", "turning_points",
+    "durbin_watson", "pinball_loss",
+    "gearys_c", "getis_ord", "semivariogram", "ripley_k",
+    "var_cvar", "capm_beta", "sharpe_sortino", "stoch_osc", "obv_trend",
+    "t_closeness", "candidate_keys", "reident_risk",
+    "dunn_pairs", "kendall_w", "ca_trend", "cohens_d",
+    "hdr_quantiles", "spc_rules", "err_eval", "mcc_eval",
+    "granger_lead", "trigram_paths", "abc_classes", "hhi_concentration",
+    "yoy_growth", "price_elasticity",
+    "hellinger_sources", "burstiness_fano", "gini_impurity",
+    "theil_index", "atkinson_index", "palma_ratio",
+    "nmi_assoc", "chao1_richness",
 ]
 
 SESSIONS = [
