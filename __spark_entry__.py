@@ -220,7 +220,7 @@ _CHECK_FIRST = [
     "skyline_parts", "dow_anomaly", "rolling_actives",
     "benford_check", "embedding_stats", "tpch_q2ish",
     "tpch_q3ish", "tpch_q4ish", "tpch_q6ish",
-    "tpch_q8ish", "tpch_q9ish", "tpch_q10ish",
+    "tpch_q8ish", "tpch_q10ish",
     "tpch_q11ish", "tpch_q12ish", "tpch_q14ish",
     "tpch_q20ish", "max_dup_spans", "incremental_refresh",
     "polygon_weights", "polygon_zonal_mean", "hex_density",
@@ -239,7 +239,7 @@ _CHECK_FIRST = [
     "gap_fill", "jsonl_scan", "masked_weighted_mean",
     "inverted_index", "profile_lineitem", "upsert_orders",
     "pagerank", "bm25_topk", "pmi_bigrams",
-    "chunk_windows", "weighted_sample", "curriculum_order",
+    "chunk_windows", "curriculum_order",
     "rp_project", "tfidf_topk", "cms_counts",
     "domain_flags", "repetition_stats", "semantic_dedup",
     "span_dedup", "decontam_bloom", "minhash_lsh",
