@@ -49,6 +49,7 @@ from gridmet_etl_spark.contract_ext27 import EXT27_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext28 import EXT28_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext29 import EXT29_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext30 import EXT30_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext31 import EXT31_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -82,6 +83,7 @@ _MERGED = {
     **EXT28_QUERIES,
     **EXT29_QUERIES,
     **EXT30_QUERIES,
+    **EXT31_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -130,6 +132,7 @@ _CHECK_FIRST = [
     "hellinger_sources", "burstiness_fano", "gini_impurity",
     "theil_index", "atkinson_index", "palma_ratio",
     "nmi_assoc", "chao1_richness",
+    "esd_outliers", "binseg_split",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",

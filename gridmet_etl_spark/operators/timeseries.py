@@ -1915,3 +1915,149 @@ def control_chart_rules(
     return out.filter(
         (F.col("r1") + F.col("r2") + F.col("r3") + F.col("r4")) > 0
     )
+
+
+def esd_outliers(
+    daily: DataFrame,
+    time_col: str,
+    value_col: str,
+    k: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Iterative leave-out Grubbs screen (the generalized-ESD mechanic,
+    reported without the t-quantile gate — compare each step's
+    studentized deviation against the ESD critical value for your n
+    offline): k rounds of "flag the most extreme point, REMOVE it,
+    recompute mean/sd on the remainder". Masking-proof where a single
+    Grubbs pass isn't (two big outliers hide each other by inflating sd).
+
+    Determinism: integer values; each round's argmax is the exact
+    DECIMAL |n·x − S| (ties: smaller value, then earlier time); moments
+    update by exact subtraction of the removed point (n−1, S−x, Q−x²
+    equivalent — recomputed per round on the remaining relation); the
+    studentized readout is one fixed-order double expression.
+
+    Scale shape: k bounded rounds over the |series| relation (k·2 map
+    partial aggregates + k anti-joins on the time key; localCheckpoint
+    per round pins one evaluation). Output (k rows): (step, day, value,
+    n_at_step, studentized)."""
+    base = daily.select(
+        F.col(time_col).alias("_day"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rem = base
+    picks = None
+    for step in range(1, int(k) + 1):
+        rem = rem.localCheckpoint(eager=False)
+        acc = rem.agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(dec(F.col("_v"))).alias("_s"),
+            F.sum(dec(F.col("_v")) * F.col("_v")).alias("_q"),
+        )
+        j = rem.crossJoin(F.broadcast(acc))
+        devd = F.abs(dec(F.col("_n")) * F.col("_v") - F.col("_s"))
+        n = F.col("_n").cast("double")
+        sd = F.sqrt(
+            (
+                n * F.col("_q").cast("double")
+                - F.col("_s").cast("double") * F.col("_s").cast("double")
+            )
+            / (n * (n - F.lit(1.0)))
+        )
+        stud = F.when((F.col("_n") < 3) | (sd == 0.0), F.lit(0.0)).otherwise(
+            devd.cast("double") / (n * sd)
+        )
+        pick = (
+            j.orderBy(devd.desc(), F.col("_v").asc(), F.col("_day").asc())
+            .limit(1)
+            .select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("_day").alias("day"),
+                F.col("_v").alias("value"),
+                F.col("_n").alias("n_at_step"),
+                (F.round(stud, ndigits) + F.lit(0.0)).alias("studentized"),
+            )
+        )
+        picks = pick if picks is None else picks.unionByName(pick)
+        rem = rem.join(
+            pick.select(F.col("day").alias("_day")), "_day", "left_anti"
+        )
+    return picks
+
+
+def binseg_split(
+    daily: DataFrame,
+    time_col: str,
+    value_col: str,
+    min_seg: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact offline single-changepoint detection by binary segmentation:
+    the split t maximizing the SSE reduction. Because the Σx² terms
+    cancel, gain(t) = S_L²/n_L + S_R²/n_R − S²/n — computable for EVERY
+    candidate split in ONE pass from running integer prefix sums (the
+    offline companion to cusum_changepoints' online detector).
+
+    Determinism: integer values; prefix sums are exact DECIMAL(38,0)
+    window cumsums over the time order; gain is a fixed-order double of
+    exact forms (identical both engines, so even the ARGMAX agrees);
+    plateau ties break on the earlier day. Segments shorter than
+    ``min_seg`` are not candidates.
+
+    Scale shape: one global cumulative window over the |series|-bounded
+    relation (documented bounded — a daily series is ≤ ~37k rows per
+    century) + a TakeOrdered-1 pick. Output (1 row): (split_day, n_left,
+    n_right, mean_left, mean_right, gain)."""
+    from pyspark.sql import Window
+
+    base = daily.select(
+        F.col(time_col).alias("_day"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("_day")
+    stepped = base.select(
+        "_day",
+        F.row_number().over(wall).cast("long").alias("_rn"),
+        F.sum(dec(F.col("_v"))).over(w).alias("_sl"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(dec(F.col("_v"))).alias("_s"),
+    )
+    j = stepped.crossJoin(F.broadcast(tot)).filter(
+        (F.col("_rn") >= min_seg) & (F.col("_rn") <= F.col("_n") - min_seg)
+    )
+    nl = F.col("_rn").cast("double")
+    nr = (F.col("_n") - F.col("_rn")).cast("double")
+    sl = F.col("_sl").cast("double")
+    sr = (F.col("_s") - F.col("_sl")).cast("double")
+    stot = F.col("_s").cast("double")
+    gain = sl * sl / nl + sr * sr / nr - stot * stot / F.col("_n").cast("double")
+    ranked = j.select(
+        "_day", "_rn", "_sl", "_n", "_s", gain.alias("_gain")
+    ).orderBy(F.col("_gain").desc(), F.col("_day").asc()).limit(1)
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return ranked.select(
+        F.col("_day").alias("split_day"),
+        F.col("_rn").alias("n_left"),
+        (F.col("_n") - F.col("_rn")).alias("n_right"),
+        rnd(F.col("_sl").cast("double") / F.col("_rn").cast("double")).alias(
+            "mean_left"
+        ),
+        rnd(
+            (F.col("_s") - F.col("_sl")).cast("double")
+            / (F.col("_n") - F.col("_rn")).cast("double")
+        ).alias("mean_right"),
+        rnd(
+            F.col("_sl").cast("double") * F.col("_sl").cast("double")
+            / F.col("_rn").cast("double")
+            + (F.col("_s") - F.col("_sl")).cast("double")
+            * (F.col("_s") - F.col("_sl")).cast("double")
+            / (F.col("_n") - F.col("_rn")).cast("double")
+            - F.col("_s").cast("double") * F.col("_s").cast("double")
+            / F.col("_n").cast("double")
+        ).alias("gain"),
+    )
