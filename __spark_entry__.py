@@ -50,6 +50,7 @@ from gridmet_etl_spark.contract_ext28 import EXT28_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext29 import EXT29_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext30 import EXT30_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext31 import EXT31_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext32 import EXT32_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -84,6 +85,7 @@ _MERGED = {
     **EXT29_QUERIES,
     **EXT30_QUERIES,
     **EXT31_QUERIES,
+    **EXT32_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -133,6 +135,7 @@ _CHECK_FIRST = [
     "theil_index", "atkinson_index", "palma_ratio",
     "nmi_assoc", "chao1_richness",
     "esd_outliers", "binseg_split",
+    "qte_quartiles", "apriori_triples",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",
