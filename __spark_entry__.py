@@ -51,6 +51,7 @@ from gridmet_etl_spark.contract_ext29 import EXT29_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext30 import EXT30_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext31 import EXT31_QUERIES  # noqa: E402
 from gridmet_etl_spark.contract_ext32 import EXT32_QUERIES  # noqa: E402
+from gridmet_etl_spark.contract_ext33 import EXT33_QUERIES  # noqa: E402
 
 _MERGED = {
     **DOMAIN_QUERIES,
@@ -86,6 +87,7 @@ _MERGED = {
     **EXT30_QUERIES,
     **EXT31_QUERIES,
     **EXT32_QUERIES,
+    **EXT33_QUERIES,
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
@@ -136,6 +138,7 @@ _CHECK_FIRST = [
     "nmi_assoc", "chao1_richness",
     "esd_outliers", "binseg_split",
     "qte_quartiles", "apriori_triples",
+    "rmst_survival", "gk_lambda_assoc", "somers_d_eval",
     "attribution_join", "bbox_filter", "bigram_topk",
     "catalog_lookup", "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline",
     "ensemble_median", "ensemble_quantiles", "ensemble_stats",

@@ -3138,3 +3138,178 @@ def palma_ratio(
             )
         ).alias("palma"),
     )
+
+
+def km_rmst(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+    tau: int,
+    km_digits: int = 6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Restricted mean survival time: the area under the Kaplan–Meier
+    curve up to the horizon τ — "expected time alive in the first τ
+    units", the survival summary that stays defined when the median
+    never crosses and that compares arms without proportional-hazards
+    assumptions.
+
+    Composition: ``kaplan_meier``'s certified curve; the step areas use
+    the ROUNDED curve re-quantized to exact 10^km_digits integers, so
+    Σ s_{i−1}·(t_i − t_{i−1}) + s_last·(τ − t_last) accumulates as exact
+    integers and divides ONCE (km_median's composition discipline —
+    never re-accumulate floats over the curve).
+
+    Output per group (event times ≤ τ required): (*group_cols, tau,
+    rmst, t_last, final_surv)."""
+    groups = list(group_cols)
+    scale = 10 ** int(km_digits)
+    km = kaplan_meier(df, groups, duration_col, event_col, ndigits=km_digits)
+    filt = km.filter(F.col("t") <= tau).select(
+        *groups,
+        F.col("t").cast("long").alias("_t"),
+        F.round(F.col("surv") * scale, 0).cast("long").alias("_se"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_t")
+    stepped = filt.select(
+        *groups,
+        "_t",
+        "_se",
+        F.coalesce(F.lag("_se").over(w), F.lit(scale).cast("long")).alias(
+            "_sprev"
+        ),
+        F.coalesce(F.lag("_t").over(w), F.lit(0).cast("long")).alias("_tprev"),
+    )
+    acc = stepped.groupBy(*groups).agg(
+        F.sum(F.col("_sprev") * (F.col("_t") - F.col("_tprev")))
+        .cast("long")
+        .alias("_area"),
+        F.max("_t").alias("t_last"),
+        F.min_by(F.col("_se"), -F.col("_t")).alias("_slast"),
+    )
+    rmst = (
+        F.col("_area") + F.col("_slast") * (F.lit(int(tau)) - F.col("t_last"))
+    ).cast("double") / F.lit(float(scale))
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return acc.select(
+        *groups,
+        F.lit(int(tau)).cast("long").alias("tau"),
+        rnd(rmst).alias("rmst"),
+        F.col("t_last"),
+        rnd(F.col("_slast").cast("double") / F.lit(float(scale))).alias(
+            "final_surv"
+        ),
+    )
+
+
+def gk_lambda(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Goodman–Kruskal lambda — the proportional-reduction-in-error
+    association for NOMINAL pairs: λ_yx = (Σ_x max_y n_xy − max_y n_y) /
+    (n − max_y n_y) — "how much better do I predict y knowing x than by
+    always guessing the mode". The PRE complement to cramers_v (effect
+    size) and nmi (information): λ = 0 can coexist with dependence, which
+    is exactly what it measures (modal-prediction usefulness). Both
+    directions reported.
+
+    Exact integer cells, modal maxes, two divisions. One contingency
+    shuffle; everything else is |cells|-bounded.
+
+    Output (1 row): (n, lambda_yx, lambda_xy)."""
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    row_max = cells.groupBy("_x").agg(F.max("_n").alias("_mx"))
+    col_max = cells.groupBy("_y").agg(F.max("_n").alias("_my"))
+    marg_y = cells.groupBy("_y").agg(F.sum("_n").cast("long").alias("_ny"))
+    marg_x = cells.groupBy("_x").agg(F.sum("_n").cast("long").alias("_nx"))
+    tot = cells.agg(F.sum("_n").cast("long").alias("n"))
+    sums = (
+        row_max.agg(F.sum("_mx").cast("long").alias("_srow"))
+        .crossJoin(F.broadcast(col_max.agg(F.sum("_my").cast("long").alias("_scol"))))
+        .crossJoin(F.broadcast(marg_y.agg(F.max("_ny").cast("long").alias("_mody"))))
+        .crossJoin(F.broadcast(marg_x.agg(F.max("_nx").cast("long").alias("_modx"))))
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    lam_yx = F.when(F.col("n") == F.col("_mody"), F.lit(0.0)).otherwise(
+        (F.col("_srow") - F.col("_mody")).cast("double")
+        / (F.col("n") - F.col("_mody")).cast("double")
+    )
+    lam_xy = F.when(F.col("n") == F.col("_modx"), F.lit(0.0)).otherwise(
+        (F.col("_scol") - F.col("_modx")).cast("double")
+        / (F.col("n") - F.col("_modx")).cast("double")
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return sums.select(
+        F.col("n"),
+        rnd(lam_yx).alias("lambda_yx"),
+        rnd(lam_xy).alias("lambda_xy"),
+    )
+
+
+def somers_d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Somers' D_yx — ordinal_gamma's ASYMMETRIC sibling: D_yx =
+    (C − D)/(C + D + T_y), penalizing pairs tied on the DEPENDENT
+    variable only (γ ignores all ties, overstating association on
+    coarse scales; D is what ROC-style "rank the outcome by the
+    predictor" questions want — for a binary outcome b and predictor p,
+    ``somers_d(df, b, p)`` (pairs conditioned on the OUTCOME differing,
+    predictor ties penalized) equals exactly 2·AUC − 1).
+
+    Same |cells|²-bounded machinery as ordinal_gamma (pass BUCKETED
+    ordinals): exact int64 C/D/T_y pair counts, one division.
+
+    Output (1 row): (n, concordant, discordant, ties_y, d_yx)."""
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    a = cells.select(
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),
+        F.col("_n").alias("_na"),
+    )
+    b = cells.select(
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = a.join(b, F.col("_xa") < F.col("_xb"), "inner")
+    acc = pairs.agg(
+        F.sum(
+            F.when(F.col("_ya") < F.col("_yb"), F.col("_na") * F.col("_nb"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when(F.col("_ya") > F.col("_yb"), F.col("_na") * F.col("_nb"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("discordant"),
+        F.sum(
+            F.when(F.col("_ya") == F.col("_yb"), F.col("_na") * F.col("_nb"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("ties_y"),
+    )
+    tot = cells.agg(F.sum("_n").cast("long").alias("n"))
+    out = acc.crossJoin(F.broadcast(tot))
+    den = (
+        F.col("concordant") + F.col("discordant") + F.col("ties_y")
+    ).cast("double")
+    d = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        (F.col("concordant") - F.col("discordant")).cast("double") / den
+    )
+    rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
+    return out.select(
+        F.col("n"),
+        F.col("concordant"),
+        F.col("discordant"),
+        F.col("ties_y"),
+        rnd(d).alias("d_yx"),
+    )
