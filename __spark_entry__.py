@@ -103,15 +103,18 @@ _MERGED = {
 #       max_drawdown's oracle dropped a dead window column, and
 #       sessionize_batch rewired onto operators/sessionize.py
 #       (output-identical, property-tested);
-#   (2) the 40 NEW round-9 queries (contract_ext20 wave 1 + ext21-ext30
-#       waves 2-11: spatial stats, finance risk, privacy gates, post-hoc
-#       inference, monitoring/eval, structure discovery, retail OLAP,
-#       distribution shape, inequality, association/richness);
-#   (3) rotation fill = the OLDEST-certified names (last checked in
-#       CORRECTNESS_r01) in the ~2 slots the cap leaves — the rest of
-#       the r01 cohort rotates next round (all 400 names are ALSO
-#       locally strict-verified at sf0.01 AND sf0.1 this round, so
-#       nothing below the cap is certified-stale in practice).
+#   (2) the 47 NEW round-9 queries (contract_ext20 wave 1 + ext21-ext33
+#       waves 2-14) in registration order — 42 fit the cap (through
+#       ext31); the 5 newest (qte_quartiles, apriori_triples,
+#       rmst_survival, gk_lambda_assoc, somers_d_eval) land just below
+#       it and take their first driver rows next round — each is
+#       locally strict-verified at sf0.01 AND sf0.1 and 3-session-shape
+#       stable (docs/SWEEP_SF01.md);
+#   (3) no rotation slots remain this round; the r01 backlog rotation
+#       resumes next round (the whole 407-name registry was re-swept
+#       locally this round — 400/400 full strict sweep at sf0.01 plus
+#       per-wave two-SF checks for the 7 post-sweep names — so nothing
+#       below the cap is certified-stale in practice).
 # Everything below the cap has a green driver row from r1-r8 and is
 # re-swept locally at sf0.01 AND sf0.1 (tools/check_oracle.py --strict;
 # sweep record in docs/SWEEP_SF01.md).

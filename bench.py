@@ -177,6 +177,14 @@ BENCH_QUERIES = [
     "spc_rules",
     "err_eval",
     "mcc_eval",
+    "esd_outliers",
+    "binseg_split",
+    "qte_quartiles",
+    "apriori_triples",
+    "rmst_survival",
+    "theil_index",
+    "palma_ratio",
+    "nmi_assoc",
     # round-6 additions (ext11): packing/leakage/fingerprint batch — the
     # 1M-doc packing stress twin runs in EXTRA_BENCH
     "sequence_packing",
@@ -1305,12 +1313,21 @@ def main() -> None:
     from gridmet_etl_spark.contract_ext23 import EXT23_QUERIES as _EXT23
     from gridmet_etl_spark.contract_ext24 import EXT24_QUERIES as _EXT24
     from gridmet_etl_spark.contract_ext25 import EXT25_QUERIES as _EXT25
+    from gridmet_etl_spark.contract_ext26 import EXT26_QUERIES as _EXT26
+    from gridmet_etl_spark.contract_ext27 import EXT27_QUERIES as _EXT27
+    from gridmet_etl_spark.contract_ext28 import EXT28_QUERIES as _EXT28
+    from gridmet_etl_spark.contract_ext29 import EXT29_QUERIES as _EXT29
+    from gridmet_etl_spark.contract_ext30 import EXT30_QUERIES as _EXT30
+    from gridmet_etl_spark.contract_ext31 import EXT31_QUERIES as _EXT31
+    from gridmet_etl_spark.contract_ext32 import EXT32_QUERIES as _EXT32
+    from gridmet_etl_spark.contract_ext33 import EXT33_QUERIES as _EXT33
 
     DOMAIN_QUERIES = {
         **_CORE, **_EXT, **_EXT3, **_EXT8, **_EXT10, **_EXT11, **_EXT12,
         **_EXT13, **_EXT14, **_EXT15, **_EXT16, **_EXT17, **_EXT18,
         **_EXT19, **_EXT20, **_EXT21, **_EXT22, **_EXT23, **_EXT24,
-        **_EXT25,
+        **_EXT25, **_EXT26, **_EXT27, **_EXT28, **_EXT29, **_EXT30,
+        **_EXT31, **_EXT32, **_EXT33,
     }
 
     spark = get_spark(app_name="gridmet_etl_spark_bench")

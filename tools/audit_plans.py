@@ -369,6 +369,18 @@ EXPECTED_SINGLE = {
     # frequencies to one row
     "theil_index", "atkinson_index", "palma_ratio", "nmi_assoc",
     "chao1_richness",
+    # ext31-ext33: esd_outliers runs k bounded rounds of 1-row moment
+    # scalars + TakeOrdered-1 argmax picks over the |days| relation;
+    # binseg_split's cumulative window runs over the |days|-bounded
+    # daily rollup (runs_test shape) + a TakeOrdered-1 pick;
+    # qte_quartiles composes exact_quantiles' whitelisted two-level
+    # bucket stages per arm (mood/pinball precedent); apriori_triples
+    # ends in a TakeOrdered-10 + broadcast singles; rmst_survival
+    # composes kaplan_meier's certified per-group |durations| windows
+    # (km_median precedent) + a |groups|-row area agg; gk_lambda /
+    # somers_d reduce bounded contingency relations to 1-row scalars
+    "esd_outliers", "binseg_split", "qte_quartiles", "apriori_triples",
+    "rmst_survival", "gk_lambda_assoc", "somers_d_eval",
 }
 
 

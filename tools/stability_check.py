@@ -142,6 +142,13 @@ WATCHLIST = [
     "hellinger_sources", "burstiness_fano", "gini_impurity",
     "theil_index", "atkinson_index", "palma_ratio",
     "nmi_assoc", "chao1_richness",
+    # round-9 waves 12-14: ESD/binseg decide on exact integers (argmax
+    # keys) with double studentized/gain displays; QTE is pure order
+    # statistics; apriori divides exact supports; RMST re-quantizes the
+    # rounded KM curve into exact integer step areas; lambda/D divide
+    # exact cell counts
+    "esd_outliers", "binseg_split", "qte_quartiles", "apriori_triples",
+    "rmst_survival", "gk_lambda_assoc", "somers_d_eval",
 ]
 
 SESSIONS = [
