@@ -237,10 +237,14 @@ hits AS (
   FROM wet a, offs, wet b
   WHERE b.i = a.i + offs.di AND b.j = a.j + offs.dj
   GROUP BY offs.dist),
+rings AS (SELECT unnest(range(1, 5)) AS d),
+dense AS (
+  SELECT rings.d, coalesce(hits.pairs_at, 0) AS pairs_at
+  FROM rings LEFT JOIN hits ON hits.d = rings.d),
 cum AS (
   SELECT d AS r,
          CAST(sum(pairs_at) OVER (ORDER BY d) AS BIGINT) AS n_pairs
-  FROM hits),
+  FROM dense),
 ext AS (
   SELECT CAST(count(*) AS BIGINT) AS n_points,
          CAST((max(i) - min(i) + 1) * (max(j) - min(j) + 1) AS BIGINT)
@@ -346,12 +350,15 @@ acc AS (
          sum(v) AS s, sum(v * v) AS q, max(v) AS mx
   FROM per GROUP BY region)
 SELECT region, n_members,
-       ROUND(CAST(q AS DOUBLE)
-             / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), {R}) + 0 AS hhi,
-       ROUND(1.0 / (CAST(q AS DOUBLE)
-                    / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), {R}) + 0
+       ROUND(CASE WHEN s = 0 THEN 0.0 ELSE CAST(q AS DOUBLE)
+             / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) END, {R}) + 0 AS hhi,
+       ROUND(CASE WHEN s = 0 THEN 0.0
+             ELSE 1.0 / (CAST(q AS DOUBLE)
+                    / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) END, {R}) + 0
          AS effective_n,
-       ROUND(CAST(mx AS DOUBLE) / CAST(s AS DOUBLE), {R}) + 0 AS top_share
+       ROUND(CASE WHEN s = 0 THEN 0.0
+             ELSE CAST(mx AS DOUBLE) / CAST(s AS DOUBLE) END, {R}) + 0
+         AS top_share
 FROM acc
 """
 

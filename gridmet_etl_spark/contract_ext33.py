@@ -78,13 +78,16 @@ acc AS (
          CAST(sum(sprev * (t - tprev)) AS BIGINT) AS area,
          max(t) AS t_last,
          CAST(min_by(se, -t) AS BIGINT) AS slast
-  FROM stepped GROUP BY grp)
-SELECT grp, CAST({_RMST_TAU} AS BIGINT) AS tau,
-       ROUND(CAST(area + slast * ({_RMST_TAU} - t_last) AS DOUBLE)
+  FROM stepped GROUP BY grp),
+gset AS (SELECT DISTINCT grp FROM base)
+SELECT gset.grp, CAST({_RMST_TAU} AS BIGINT) AS tau,
+       ROUND(CAST(coalesce(area + slast * ({_RMST_TAU} - t_last),
+                           {_RMST_TAU} * {10 ** _RKM}) AS DOUBLE)
              / {10 ** _RKM}.0, {R}) + 0 AS rmst,
-       t_last,
-       ROUND(CAST(slast AS DOUBLE) / {10 ** _RKM}.0, {R}) + 0 AS final_surv
-FROM acc
+       CAST(coalesce(t_last, 0) AS BIGINT) AS t_last,
+       ROUND(CAST(coalesce(slast, {10 ** _RKM}) AS DOUBLE)
+             / {10 ** _RKM}.0, {R}) + 0 AS final_surv
+FROM gset LEFT JOIN acc ON gset.grp = acc.grp
 """
 
 

@@ -598,8 +598,14 @@ def ripley_k(
     hits = shifted.join(base, ["_i", "_j"]).groupBy("_d").agg(
         F.count(F.lit(1)).cast("long").alias("_pairs_at")
     )
+    # densify: a distance ring with ZERO pairs must still emit its row
+    # (cumulative K(r) is defined for every r = 1..max_r)
+    rings = cells.sparkSession.createDataFrame(
+        [(r,) for r in range(1, int(max_r) + 1)], "_d int"
+    )
+    dense = rings.join(hits, "_d", "left").na.fill({"_pairs_at": 0})
     wc = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hits.select(
+    cum = dense.select(
         F.col("_d").alias("r"),
         F.sum("_pairs_at").over(wc).cast("long").alias("n_pairs"),
     )
@@ -611,7 +617,7 @@ def ripley_k(
     )
     jn = cum.crossJoin(F.broadcast(ext))
     a = F.lit(float(area)) if area is not None else F.col("_bbox").cast("double")
-    k_est = (
+    k_est = F.when(F.col("n_points") == 0, F.lit(0.0)).otherwise(
         a
         * F.col("n_pairs").cast("double")
         / (F.col("n_points").cast("double") * F.col("n_points").cast("double"))

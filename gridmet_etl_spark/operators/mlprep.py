@@ -841,19 +841,24 @@ def t_closeness_report(
     bounded), window cumsums over the k-row band axis per class.
     Output: (*quasi_cols, n, t_closeness)."""
     band = F.col(sensitive_col)
-    gl = df.groupBy(band.alias("_b")).agg(F.count(F.lit(1)).alias("_g"))
+    # ONE full-table scan: the (class, band) cell relation; the band
+    # marginal, the class sizes, and the scalars all derive from it by
+    # exact integer re-aggregation (identical values, two fewer scans)
+    cb = df.groupBy(*quasi_cols, band.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    gl = cb.groupBy("_b").agg(F.sum("_c").alias("_g"))
     wq = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
     gl_cum = gl.select(
         "_b",
         F.sum("_g").over(wq).cast("long").alias("_cumq"),
     )
-    tot = df.agg(
-        F.count(F.lit(1)).cast("long").alias("_nn"),
-        F.countDistinct(sensitive_col).cast("long").alias("_k"),
+    tot = gl.agg(
+        F.sum("_g").cast("long").alias("_nn"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
     )
-    cls = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    cb = df.groupBy(*quasi_cols, band.alias("_b")).agg(
-        F.count(F.lit(1)).alias("_c")
+    cls = cb.groupBy(*quasi_cols).agg(
+        F.sum("_c").cast("long").alias("_n")
     )
     dense = (
         cls.crossJoin(F.broadcast(gl_cum.select("_b")))

@@ -224,12 +224,21 @@ def herfindahl(
         F.max("_v").alias("_mx"),
     )
     s = F.col("_s").cast("double")
-    hhi = F.col("_q").cast("double") / (s * s)
+    zero = F.col("_s") == 0  # all-zero group: 0/0 would poison with NaN
+    hhi = F.when(zero, F.lit(0.0)).otherwise(
+        F.col("_q").cast("double") / (s * s)
+    )
     rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
     return acc.select(
         *gp,
         F.col("n_members"),
         rnd(hhi).alias("hhi"),
-        rnd(F.lit(1.0) / hhi).alias("effective_n"),
-        rnd(F.col("_mx").cast("double") / s).alias("top_share"),
+        rnd(F.when(zero, F.lit(0.0)).otherwise(F.lit(1.0) / hhi)).alias(
+            "effective_n"
+        ),
+        rnd(
+            F.when(zero, F.lit(0.0)).otherwise(
+                F.col("_mx").cast("double") / s
+            )
+        ).alias("top_share"),
     )

@@ -562,8 +562,11 @@ def hdr_quantiles(
     bit-identical across engines — the property a log-γ DDSketch cannot
     give (its bucket = ⌈log_γ x⌉ flips ±1 on an ULP at bucket edges).
 
-    Values must be POSITIVE integers (quantize at the caller; zero/
-    negative rows are rejected by filter). Mergeable: the bucket relation
+    Values must be POSITIVE integers BELOW 2^49 (quantize at the
+    caller; zero/negative rows are filtered out). The bound keeps
+    x·2^sub_bits exactly representable through the double division —
+    past it Spark's long multiply can wrap silently at 2^59 while DuckDB
+    raises on BIGINT overflow, so the cross-engine guarantee ends there. Mergeable: the bucket relation
     is a sum-combinable histogram, the 100-TB path ships
     |octaves|·2^sub_bits ≤ ~1k rows per partial.
 

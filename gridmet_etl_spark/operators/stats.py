@@ -3015,7 +3015,6 @@ def theil_decomposition(
     tq = wtot.agg(
         F.sum(dec(F.round(term * 1e12, 0))).alias("_tq"),
         F.min("_n").alias("n"),
-        F.min("_s").alias("_sx"),
     )
     per_g = base.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("_ng"),
@@ -3161,8 +3160,9 @@ def km_rmst(
     integers and divides ONCE (km_median's composition discipline —
     never re-accumulate floats over the curve).
 
-    Output per group (event times ≤ τ required): (*group_cols, tau,
-    rmst, t_last, final_surv)."""
+    Output per group — EVERY input group emits a row (a group with no
+    event time ≤ τ keeps S = 1 on [0, τ]: rmst = τ, t_last = 0,
+    final_surv = 1): (*group_cols, tau, rmst, t_last, final_surv)."""
     groups = list(group_cols)
     scale = 10 ** int(km_digits)
     km = kaplan_meier(df, groups, duration_col, event_col, ndigits=km_digits)
@@ -3188,18 +3188,27 @@ def km_rmst(
         F.max("_t").alias("t_last"),
         F.min_by(F.col("_se"), -F.col("_t")).alias("_slast"),
     )
-    rmst = (
-        F.col("_area") + F.col("_slast") * (F.lit(int(tau)) - F.col("t_last"))
-    ).cast("double") / F.lit(float(scale))
+    # groups whose curve has no event time ≤ τ (all-censored, or first
+    # event past the horizon): S(t) = 1 on [0, τ] ⇒ RMST = τ exactly —
+    # emit that row instead of silently dropping the group
+    gset = df.select(*groups).distinct()
+    out = gset.join(acc, groups, "left")
+    rmst_e = F.coalesce(
+        F.col("_area") + F.col("_slast") * (F.lit(int(tau)) - F.col("t_last")),
+        F.lit(int(tau) * scale).cast("long"),
+    )
     rnd = lambda c: F.round(c, ndigits) + F.lit(0.0)  # noqa: E731
-    return acc.select(
+    return out.select(
         *groups,
         F.lit(int(tau)).cast("long").alias("tau"),
-        rnd(rmst).alias("rmst"),
-        F.col("t_last"),
-        rnd(F.col("_slast").cast("double") / F.lit(float(scale))).alias(
-            "final_surv"
-        ),
+        rnd(rmst_e.cast("double") / F.lit(float(scale))).alias("rmst"),
+        F.coalesce(F.col("t_last"), F.lit(0).cast("long")).alias("t_last"),
+        rnd(
+            F.coalesce(F.col("_slast"), F.lit(scale).cast("long")).cast(
+                "double"
+            )
+            / F.lit(float(scale))
+        ).alias("final_surv"),
     )
 
 

@@ -1936,6 +1936,9 @@ def esd_outliers(
     update by exact subtraction of the removed point (n−1, S−x, Q−x²
     equivalent — recomputed per round on the remaining relation); the
     studentized readout is one fixed-order double expression.
+    ``time_col`` must be UNIQUE (pass an aggregated series) — the
+    per-round removal anti-joins on it, so duplicate keys would remove
+    siblings of the flagged point.
 
     Scale shape: k bounded rounds over the |series| relation (k·2 map
     partial aggregates + k anti-joins on the time key; localCheckpoint

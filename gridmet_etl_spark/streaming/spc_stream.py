@@ -23,6 +23,12 @@ Alarms only once the baseline holds ≥ ``min_baseline`` points.
   |keys| × ~56 bytes at any stream length. Late rows behind the applied
   frontier are dropped, not reordered; missing values are skipped
   without advancing the frontier (drift.py conventions).
+
+Parity caveats (inherited from drift.py's frontier design): a SECOND
+genuine event with an identical (event-time, value) pair arriving in a
+LATER micro-batch is indistinguishable from a replay and is dropped by
+the streaming twin (exact-duplicate replays stay idempotent), while the
+batch twin scores both — within one micro-batch equal pairs all apply.
 """
 
 from __future__ import annotations
@@ -73,9 +79,14 @@ def spc_alarms_batch(
     Output: (*keys, ts, value, z, r1, r4) for rows firing rule 1 or 4."""
     from pyspark.sql import Window
 
+    x = F.col(value_col).cast("double")
+    # drop missing values BEFORE ordering: the streaming twin skips NaN
+    # rows without advancing t or resetting the run, so a null row here
+    # must not occupy a row_number slot (it would inflate the prior count
+    # and split the gaps-and-islands run, breaking bit-for-bit parity)
+    df = df.filter(x.isNotNull() & ~F.isnan(x))
     w = Window.partitionBy(*keys).orderBy(ts_col, value_col)
     prior = w.rowsBetween(Window.unboundedPreceding, -1)
-    x = F.col(value_col).cast("double")
     tp = (F.row_number().over(w) - 1).cast("double")
     sp = F.coalesce(F.sum(x).over(prior), F.lit(0.0))
     qp = F.coalesce(F.sum(x * x).over(prior), F.lit(0.0))

@@ -83,6 +83,7 @@ def test_ripley_k_matches_bruteforce(spark):
     nmin_j = min(p[1] for p in pts); nmax_j = max(p[1] for p in pts)
     bbox = (nmax_i - nmin_i + 1) * (nmax_j - nmin_j + 1)
     n = len(pts)
+    assert set(out) == {1, 2, 3}  # every ring emits a row, even empty ones
     for r in (1, 2, 3):
         pairs = sum(
             1
@@ -90,9 +91,6 @@ def test_ripley_k_matches_bruteforce(spark):
             for b in arr
             if a != b and max(abs(a[0] - b[0]), abs(a[1] - b[1])) <= r
         )
-        if pairs == 0:
-            assert r not in out
-            continue
         assert out[r]["n_pairs"] == pairs
         assert abs(out[r]["k_est"] - bbox * pairs / (n * n)) < 1e-6
 
@@ -108,7 +106,8 @@ def test_ripley_clustered_exceeds_dispersed(spark):
     kl = {r["r"]: r["k_est"] for r in ripley_k(
         spark.createDataFrame(latt, "i int, j int"), max_r=2).collect()}
     assert kb[2] > 0
-    assert 2 not in kl or kl[2] < kb[2]  # lattice has no close pairs
+    assert kl[2] == 0.0  # lattice has no pairs within Chebyshev 2
+    assert kl[2] < kb[2]
 
 
 def test_abc_classification_exact_cuts(spark):

@@ -44,9 +44,9 @@ def test_rmst_matches_km_replay(spark):
 def test_rmst_no_events_before_tau_full_horizon(spark):
     from gridmet_etl_spark.operators.stats import km_rmst
 
-    # all events at t=50, tau=30: curve stays at 1.0 -> group has no event
-    # times <= tau and (documented grain) drops; with one early event the
-    # area integrates the single step
+    # events exist but only one lands before tau; the area integrates
+    # the single step (the all-censored/no-early-event case emits tau —
+    # see test_rmst_all_censored_group_emits_tau)
     rows = [("A", 10, 1)] + [("A", 50, 1)] * 9
     df = spark.createDataFrame(rows, "g string, dur long, ev int")
     out = km_rmst(df, ["g"], "dur", "ev", tau=30).collect()[0]
@@ -112,3 +112,17 @@ def test_somers_d_matches_bruteforce_and_auc(spark):
     ).sum()
     auc = wins / (len(pos) * len(neg))
     assert abs(out_xy["d_yx"] - (2 * auc - 1)) < 1e-6
+
+
+def test_rmst_all_censored_group_emits_tau(spark):
+    """A group with zero events keeps S(t) = 1 on [0, tau]: RMST = tau
+    exactly, not a silently dropped row."""
+    from gridmet_etl_spark.operators.stats import km_rmst
+
+    rows = [("cens", 50, 0)] * 20 + [("evt", 10, 1)] * 20
+    df = spark.createDataFrame(rows, "g string, dur long, ev int")
+    out = {r["g"]: r for r in km_rmst(df, ["g"], "dur", "ev", tau=30).collect()}
+    assert out["cens"]["rmst"] == 30.0
+    assert out["cens"]["final_surv"] == 1.0
+    assert out["cens"]["t_last"] == 0
+    assert out["evt"]["rmst"] < 30.0

@@ -97,3 +97,21 @@ def test_spc_stream_state_across_batches(spark, events_dir, tmp_path):
     g1 = {tuple(r) for r in spark.read.parquet(out1).collect()}
     assert len(g1) > 0
     assert g1 == g2
+
+
+def test_spc_batch_skips_nulls_like_stream(spark):
+    """A null value must not occupy a baseline slot or reset the
+    same-side run (the streaming twin skips NaN without advancing t)."""
+    import datetime
+
+    from gridmet_etl_spark.streaming.spc_stream import spc_alarms_batch
+
+    d0 = datetime.datetime(2024, 1, 1)
+    vals = [10.0, 11.0, 9.0, 10.0, 12.0, 8.0, 10.0, 11.0,
+            30.0, 30.0, 30.0, 30.0, None, 30.0, 30.0, 30.0, 30.0]
+    rows = [(1, d0 + datetime.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = spc_alarms_batch(df, ["user_id"], "ts", "value", min_baseline=5)
+    r4 = [r for r in out.collect() if r["r4"] == 1]
+    # 8 consecutive 30.0s SPANNING the null row: run must not reset
+    assert r4, "null value reset the same-side run"
