@@ -147,8 +147,15 @@ def main(names):
 
     targets = names or [n for n in ALL_QUERIES if n in oracles]
     failures = []
+    unknown = []   # not a registry name at all (typo / stray flag) → exit 1
+    skipped = []   # registered query with no oracle → reported distinctly
     for name in targets:
+        if name not in ALL_QUERIES:
+            unknown.append(name)
+            print(f"{name:28s} UNKNOWN (not a registered query)")
+            continue
         if name not in oracles:
+            skipped.append(name)
             print(f"{name:28s} SKIP (no oracle)")
             continue
         timer = None
@@ -180,8 +187,17 @@ def main(names):
         finally:
             if timer is not None:
                 timer.cancel()
-    print(f"\n{len(targets) - len(failures)}/{len(targets)} OK")
-    return 1 if failures else 0
+    checked = len(targets) - len(unknown) - len(skipped)
+    tail = ""
+    if skipped:
+        tail += f", {len(skipped)} SKIP (no oracle)"
+    if unknown:
+        tail += f", {len(unknown)} UNKNOWN"
+    print(f"\n{checked - len(failures)}/{checked} OK{tail}")
+    # UNKNOWN names are scripting errors (a misspelled sweep arg must not
+    # read as green — VERDICT r9 "What's wrong" #2); SKIPs exit nonzero too
+    # when the caller asked for those names explicitly.
+    return 1 if (failures or unknown or (names and skipped)) else 0
 
 
 def _check_one(name, ALL_QUERIES, oracles, spark, con, strict, canon,
