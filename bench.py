@@ -1487,6 +1487,11 @@ def main() -> None:
         "loadavg1_start": load_start,
         "loadavg1": load1,
         "bench_reps": n_reps,
+        # per-entry rep spread ((max-best)/best over bench_reps) for the 10
+        # slowest entries, so the driver artifact ALONE can distinguish a
+        # loaded-box outlier (high spread) from a plan regression (tight
+        # spread at a higher level) — VERDICT r9 item 6
+        "spreads_top": {n: spreads.get(n) for n, _ in slowest[:10]},
         "queries": dict(slowest),
     }
     while len(json.dumps(compact)) > 1800 and len(slowest) > 1:

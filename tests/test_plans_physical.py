@@ -220,3 +220,42 @@ def test_cfsv2_400m_stress_plan(spark):
     n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_exchanges == 1, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_signature_plan_hash_aggregate(spark):
+    """The xxhash64 (scale-path) MinHash signature aggregation must stay in
+    HashAggregate with ONE shingle pipeline. MIN over a STRING buffer has no
+    mutable fixed-width aggregation buffer, so an innocent
+    ``.cast("string")`` on the hash silently downgrades the whole signature
+    aggregation to SortAggregate — a full per-partition sort of the exploded
+    shingle relation (>80 GB of spill at the 1M-doc ×10 corpus; found and
+    fixed in r9, dedup.py::_seed_hash). This is the regression guard
+    SCALE.md's minhash entry promises."""
+    from gridmet_etl_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared boilerplate text") for i in range(64)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, n_seeds=16, hash_fn="xxhash64")
+    plan = _plan(sigs)
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    # exactly ONE shingle explode feeds the signature aggregation — the
+    # Generate(explode) node must not be duplicated by a re-derivation
+    assert plan.count("Generate") == 1, plan
+
+
+def test_minhash_lsh_star_xxhash_plan_sortagg_free(spark):
+    """The full banded-LSH star pipeline on the scale hash: no SortAggregate
+    anywhere in the executed plan (bands derive from the wide signature
+    relation; every aggregation buffer stays fixed-width LONG)."""
+    from gridmet_etl_spark.operators.dedup import minhash_lsh_star
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i % 8} near duplicate body text padding") for i in range(64)],
+        "doc_id long, text string",
+    )
+    star = minhash_lsh_star(docs, hash_fn="xxhash64")
+    plan = _plan(star)
+    assert "SortAggregate" not in plan, plan

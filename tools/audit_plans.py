@@ -35,6 +35,14 @@ EXPECTED_PYTHON = {
     # IVF-PQ rides the same Arrow encode kernel as pq_codes
     "ivfpq_topk",
 }
+# queries whose plan legitimately contains SortAggregate nodes. Spark can
+# only use HashAggregate when every aggregation buffer is a mutable
+# fixed-width type; MIN/MAX over STRING falls back to SortAggregate (sorts
+# the full input per partition). That downgrade killed the r9 sf1 minhash
+# bench (>80 GB spill — dedup.py _seed_hash), so any query NOT listed here
+# that picks up a SortAggregate is flagged. Listed = the string/struct
+# aggregation is by design AND bounded:
+EXPECTED_SORTAGG = set()
 # queries whose plan legitimately contains one tiny single-partition stage
 # (global top-k merge, per-group offsets, catalog limit 1, global sort of a
 # bounded result)
@@ -403,19 +411,22 @@ def main() -> None:
         "Generated by `python tools/audit_plans.py`. Columns: data exchanges",
         "(shuffles, broadcast excluded), broadcast joins, sort-merge joins,",
         "Python eval nodes (Arrow/batch), cartesian products, single-partition",
-        "exchanges. `ok` = no unexplained red flag (Python only in the",
+        "exchanges, SortAggregate nodes (the HashAggregate downgrade that",
+        "full-sorts its input per partition — the r9 minhash 80-GB-spill",
+        "class). `ok` = no unexplained red flag (Python only in the",
         "vectorized-by-design queries; single-partition only in bounded",
-        "merge/offset stages; no cartesian products anywhere).",
+        "merge/offset stages; no cartesian products anywhere; SortAggregate",
+        "only in the written EXPECTED_SORTAGG whitelist).",
         "",
-        "| query | exch | bcast | smj | python | cartesian | single-part | ok |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | exch | bcast | smj | python | cartesian | single-part | sortagg | ok |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     bad = []
     for name, (fn, _sql) in sorted(queries.items()):
         try:
             plan = final_plan(fn(spark, SF_DIR))
         except Exception as e:  # noqa: BLE001
-            lines.append(f"| {name} | ERROR: {str(e)[:60]} | | | | | | ✗ |")
+            lines.append(f"| {name} | ERROR: {str(e)[:60]} | | | | | | | ✗ |")
             bad.append(name)
             continue
         n_exch = plan.count("Exchange") - plan.count("BroadcastExchange")
@@ -424,16 +435,18 @@ def main() -> None:
         n_py = plan.count("EvalPython") + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas")
         n_cart = plan.count("CartesianProduct")
         n_single = plan.count("SinglePartition")
+        n_sortagg = plan.count("SortAggregate")
         ok = (
             n_cart == 0
             and (n_py == 0 or name in EXPECTED_PYTHON)
             and (n_single == 0 or name in EXPECTED_SINGLE)
+            and (n_sortagg == 0 or name in EXPECTED_SORTAGG)
         )
         if not ok:
             bad.append(name)
         lines.append(
             f"| {name} | {n_exch} | {n_bcast} | {n_smj} | {n_py} | {n_cart} |"
-            f" {n_single} | {'✓' if ok else '✗'} |"
+            f" {n_single} | {n_sortagg} | {'✓' if ok else '✗'} |"
         )
     lines += ["", f"**Result: {len(queries) - len(bad)}/{len(queries)} clean.**"]
     if bad:
