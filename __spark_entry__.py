@@ -101,10 +101,13 @@ _MERGED = {
 #   (2) all 42 names whose last driver certification dates to ROUND 1
 #       (the oldest cohort — ~35k lines of code have changed since), in
 #       alphabetical order;
-#   (3) the 3 alphabetically-first round-2-certified names (approx_aggs,
-#       asof_join, bm25_topk) to fill the remaining slots.
-# 5 + 42 + 3 = 50. No query semantics changed this round, so no
-# changed-query front-loading is needed. After this round the oldest
+#   (3) sign_test — the ONE query whose oracle SQL changed this round
+#       (the struct min/max that SortAggregate'd all of lineitem became a
+#       packed-BIGINT HashAggregate; output bit-identical, re-verified
+#       strict at sf0.01 + sf0.1 + vanilla session) — then the 2
+#       alphabetically-first round-2-certified names (approx_aggs,
+#       asof_join) to fill the remaining slots.
+# 5 + 42 + 3 = 50. After this round the oldest
 # driver certification moves from r1 to r2; the rotation continues in
 # r11 with the remaining 42 r2 names. Everything below the cap has a
 # green driver row from r2-r9 and is re-swept locally at sf0.01 and
@@ -126,10 +129,10 @@ _CHECK_FIRST = [
     "tpch_rollup", "tpch_semi_anti", "tpch_topn",
     "tpch_weighted_mean", "tpch_window_topk", "union_concat",
     "unpivot_long", "weight_sum_qa", "approx_aggs",
-    "asof_join", "bm25_topk", "tpch_q1",
-    "class_balance", "tpcds_multiband", "weighted_ess",
-    "max_drawdown", "sessionize_batch", "tpch_q9ish",
-    "weighted_sample", "mood_median", "sign_test",
+    "asof_join", "sign_test", "bm25_topk",
+    "tpch_q1", "class_balance", "tpcds_multiband",
+    "weighted_ess", "max_drawdown", "sessionize_batch",
+    "tpch_q9ish", "weighted_sample", "mood_median",
     "turning_points", "durbin_watson", "page_trend",
     "pinball_loss", "gearys_c", "getis_ord",
     "semivariogram", "var_cvar", "capm_beta",

@@ -96,16 +96,25 @@ def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.stats import sign_test
 
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    # lexicographic struct min/max, NOT min_by/arg_min: the synthetic
-    # lineitem has ~12k duplicate (orderkey, linenumber) pairs, so a bare
-    # min_by tiebreak is engine-arbitrary; ordering by (linenumber,
-    # quantity) is total and engine-identical
-    pick = F.struct(F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("q"))
+    # lexicographic (linenumber, quantity) min/max packed into ONE BIGINT:
+    # the synthetic lineitem has ~12k duplicate (orderkey, linenumber)
+    # pairs, so a bare min_by tiebreak is engine-arbitrary — but a struct
+    # min/max buffer is immutable and silently downgrades this fact-table
+    # aggregation to SortAggregate (a per-partition sort of ALL of
+    # lineitem; the r9 minhash spill class). l_quantity is exact at 2
+    # decimals (verified 0 roundtrip error at sf0.001-0.1), so
+    # ln*100000 + cents is the same total order in a mutable LONG buffer
+    # → HashAggregate with map-side partials. sign_test only COMPARES
+    # pre/post, and cents compare identically to quantities (monotone),
+    # so no decode is needed.
+    code = F.col("l_linenumber").cast("long") * 100000 + F.round(
+        F.col("l_quantity") * 100
+    ).cast("long")
     pairs = (
         li.groupBy("l_orderkey")
         .agg(
-            F.min(pick).getField("q").alias("pre"),
-            F.max(pick).getField("q").alias("post"),
+            (F.min(code) % 100000).alias("pre"),
+            (F.max(code) % 100000).alias("post"),
             F.count(F.lit(1)).alias("_c"),
         )
         .where(F.col("_c") >= 2)
@@ -115,12 +124,15 @@ def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIGN_TEST = f"""
 WITH p AS (
-  -- struct min/max (not arg_min): duplicate (orderkey, linenumber) pairs
-  -- exist, so the (linenumber, quantity) lexicographic order is the
-  -- engine-identical total order
+  -- packed (linenumber, cents) BIGINT min/max (not arg_min): duplicate
+  -- (orderkey, linenumber) pairs exist, so the lexicographic order is the
+  -- engine-identical total order; the pack mirrors the Spark side's
+  -- HashAggregate-safe mutable LONG buffer (quantities are exact at 2dp)
   SELECT l_orderkey,
-         (min({{'ln': l_linenumber, 'q': l_quantity}})).q AS pre,
-         (max({{'ln': l_linenumber, 'q': l_quantity}})).q AS post,
+         min(CAST(l_linenumber AS BIGINT)*100000
+             + CAST(round(l_quantity*100) AS BIGINT)) % 100000 AS pre,
+         max(CAST(l_linenumber AS BIGINT)*100000
+             + CAST(round(l_quantity*100) AS BIGINT)) % 100000 AS post,
          count(*) AS c
   FROM lineitem GROUP BY l_orderkey),
 pairs AS (SELECT pre, post FROM p WHERE c >= 2),

@@ -41,8 +41,33 @@ EXPECTED_PYTHON = {
 # the full input per partition). That downgrade killed the r9 sf1 minhash
 # bench (>80 GB spill — dedup.py _seed_hash), so any query NOT listed here
 # that picks up a SortAggregate is flagged. Listed = the string/struct
-# aggregation is by design AND bounded:
-EXPECTED_SORTAGG = set()
+# aggregation is by design AND its sorted input is bounded (sign_test was
+# caught by this column in r10 — a struct min/max sorted ALL of lineitem —
+# and fixed with a packed-BIGINT order key; see contract_ext20.py):
+EXPECTED_SORTAGG = {
+    # md5 oracle path: MIN over hex STRINGS is the cross-engine
+    # bit-parity contract (DuckDB has md5, not xxhash64); the sorted
+    # relation is the oracle-scope shingle explode. The SCALE path is
+    # hash_fn="xxhash64" (LONG buffers → HashAggregate), plan-guarded by
+    # tests/test_plans_physical.py::test_minhash_signature_plan_hash_aggregate
+    "minhash_estimate", "minhash_lsh", "minhash_lsh_star",
+    # digest fingerprints: min/max(md5) per group is the order-insensitive
+    # content-parity readout these audit queries EXIST to produce; at scale
+    # a content fingerprint rides the xxhash64 LONG digest (exact_dedup's)
+    "jsonl_scan", "media_stats",
+    # delta-bounded: cdc_apply's max_by(struct, seq) sorts the CDC DELTA
+    # per partition with map-side partial_max_by (|changed keys| rows out);
+    # the 100-TB snapshot side never sorts — one shuffle total, which beats
+    # the HashAggregate alternative (max-seq agg + a second join shuffle)
+    "cdc_apply",
+    # bounded relations: dbscan's min_by runs over the eps-neighborhood
+    # edge list of the bounded point set (documented quadratic-oracle
+    # query); grubbs_stat's max(struct) is a 1-row worst-deviation pick
+    # over the |days| rollup; hist_quantiles' min_by runs over the
+    # |bins|-row bucket histogram; obv_trend's max(struct(day, obv)) runs
+    # over the per-region |days|-bounded daily rollup
+    "dbscan_clusters", "grubbs_stat", "hist_quantiles", "obv_trend",
+}
 # queries whose plan legitimately contains one tiny single-partition stage
 # (global top-k merge, per-group offsets, catalog limit 1, global sort of a
 # bounded result)

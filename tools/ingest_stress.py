@@ -10,8 +10,14 @@ fan-out (no write) is bench.py::ingest_conus_month_25M; this tool adds the
 landing write and reports task sizing, throughput, and the on-disk
 partition layout for SCALE.md.
 
-Usage: python tools/ingest_stress.py [--days 365] [--out DIR]
+Usage: python tools/ingest_stress.py [--days 365] [--vars 1] [--out DIR]
 Prints one JSON line with timings + partition stats.
+
+``--vars 6`` runs the reference's real production unit — the 6 gridMET
+variables (tmmx tmmn pr rmax rmin vs) the reference fetches per year
+(etl.py:273-281 loops them serially) — 6 x 296M = 1.78B cells through ONE
+slice-task DAG: one task relation, one mapInPandas fan-out, one
+output-sized compaction exchange, one partitioned write.
 """
 
 from __future__ import annotations
@@ -31,9 +37,14 @@ def main() -> int:
     days = 365
     if "--days" in sys.argv:
         days = int(sys.argv[sys.argv.index("--days") + 1])
+    n_vars = 1
+    if "--vars" in sys.argv:
+        n_vars = int(sys.argv[sys.argv.index("--vars") + 1])
     out = os.path.join(REPO, ".sfscale", "ingest_landing")
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
+    # the reference's production unit: 6 gridMET variables per year
+    all_vars = ["tmmx", "tmmn", "pr", "rmax", "rmin", "vs"][:n_vars]
 
     from bench import _conus_fetcher
 
@@ -49,7 +60,7 @@ def main() -> int:
     t0 = time.perf_counter()
     tasks = build_slice_tasks(
         spark,
-        [{"URL": "synthetic://conus/tmmx", "variable": "tmmx"}],
+        [{"URL": f"synthetic://conus/{v}", "variable": v} for v in all_vars],
         start,
         end,
         bbox_cells=(0, 584, 0, 1385),
@@ -80,6 +91,7 @@ def main() -> int:
     )
     rec = {
         "geometry": "585x1386 CONUS daily",
+        "vars": len(all_vars),
         "days": days,
         "cells": n_rows,
         "tasks": n_tasks,
