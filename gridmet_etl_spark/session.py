@@ -19,12 +19,19 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str = "8g",
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or get) the engine session.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
     On a real cluster, callers pass ``master=None`` and set master via
     spark-submit; every config here is cluster-safe.
+
+    ``extra_conf`` entries are applied last (they win) — used by tools that
+    need a pre-JVM config, e.g. the ingest stress harness sets
+    ``spark.io.compression.codec=zstd`` so a year-scale compaction
+    shuffle fits a single box's scratch disk. Only honored when this call
+    actually CREATES the session (getOrCreate reuses any live session).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -65,6 +72,8 @@ def get_spark(
             ),
         )
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -103,6 +103,7 @@ def ingest_to_parquet(
     fetcher: SliceFetcher,
     landing_dir: str,
     compact: bool = True,
+    mode: str = "overwrite",
 ) -> str:
     """Materialize the fetched grid partitioned by (var, time) — the layout
     every downstream P2/P3 predicate prunes against.
@@ -116,12 +117,14 @@ def ingest_to_parquet(
     carries each row once, keyed by its landing partition) and yields one
     ~7 MB zstd file per (var, day) — measured 365 files at the same
     geometry. Callers that re-ingest tiny incremental slices can pass
-    ``compact=False`` to skip the exchange."""
+    ``compact=False`` to skip the exchange. ``mode="append"`` lets callers
+    land disjoint work batches (e.g. variable-by-variable) into one tree —
+    the per-variable batching the reference's own serial loop implies."""
     grid = fetch_grid(tasks, fetcher)
     if compact:
         grid = grid.repartition("var", "time")
     (
-        grid.write.mode("overwrite")
+        grid.write.mode(mode)
         .partitionBy("var", "time")
         .option("compression", "zstd")
         .parquet(landing_dir)

@@ -193,6 +193,33 @@ def test_ingest_job_plumbing(spark, tmp_path):
     assert v.value == pytest.approx(3004.0 + date(1980, 1, 1).toordinal() % 100)
 
 
+def test_ingest_append_batches_equal_one_shot(spark, tmp_path):
+    """Variable-batched landing (mode='append', the single-box scratch-disk
+    accommodation tools/ingest_stress.py --batch-vars uses) produces the
+    same table as the one-DAG one-shot."""
+    recs = [
+        {"URL": "http://example/tmmx", "variable": "tmmx"},
+        {"URL": "http://example/pr", "variable": "pr"},
+    ]
+    fetcher = _make_synthetic_fetcher()
+    kw = dict(bbox_cells=(0, 9, 0, 9), days_per_task=5, tile_cells=5)
+    one = str(tmp_path / "one")
+    ingest_to_parquet(
+        build_slice_tasks(spark, recs, date(1980, 1, 1), date(1980, 1, 10), **kw),
+        fetcher, one,
+    )
+    batched = str(tmp_path / "batched")
+    for bi, rec in enumerate(recs):
+        ingest_to_parquet(
+            build_slice_tasks(spark, [rec], date(1980, 1, 1), date(1980, 1, 10), **kw),
+            fetcher, batched, mode="overwrite" if bi == 0 else "append",
+        )
+    a = spark.read.parquet(one)
+    b = spark.read.parquet(batched)
+    assert a.count() == b.count() == 2 * 10 * 10 * 10
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_cli_corpus_etl_end_to_end(spark, tmp_path):
     docs_path, bench_path, out = str(tmp_path / "docs"), str(tmp_path / "bench"), str(tmp_path / "out")
     rows = [(i, f"document number {i} body text") for i in range(40)]
