@@ -416,11 +416,79 @@ EXPECTED_SINGLE = {
     "rmst_survival", "gk_lambda_assoc", "somers_d_eval",
 }
 
+# ``--bench`` mode: the same sortagg/cartesian scan over bench.py's
+# EXTRA_BENCH + CALL_TIMED builders (plan-only, no timing) — the scale
+# showcase isn't reachable from the contract registry, so without this the
+# r9 minhash downgrade could recur in a stress entry unnoticed.
+EXPECTED_SORTAGG_BENCH = {
+    # max_by(right-row struct, ts) bucket summary: the same (key, bucket)
+    # relation is ALREADY sorted for the in-bucket carry window, so the
+    # SortAggregate adds one map-local sort of the right rows and its
+    # output is the bounded |keys × buckets| summary; a hash two-pass
+    # (max-ts agg + join-back) would change tie semantics on an
+    # oracle-backed operator for a map-local sort it still mostly pays
+    "asof_hub20_12M_bucketed",
+    # cdc_apply's delta-bounded max_by — same written bound as the
+    # contract-side whitelist entry
+    "cdc_10M_snapshot",
+}
+EXPECTED_CARTESIAN_BENCH = {
+    # kmv_set_ops' pair frame: a crossJoin of the DISTINCT-groups relation
+    # with itself (ga < gb) — |groups|²-bounded by construction (the k-row
+    # sketches are the input; the corpus never rescans). The bench scan is
+    # plan-only so AQE hasn't replanned; the EXECUTED contract twin
+    # (kmv_set_ops row in the main table) shows 0 cartesians — at runtime
+    # the tiny side becomes a BroadcastNestedLoopJoin.
+    "kmv_setops_24M_keys",
+}
+
 
 def final_plan(df) -> str:
     df.collect()
     full = df._jdf.queryExecution().executedPlan().toString()
     return full.split("== Initial Plan ==")[0]
+
+
+def bench_audit() -> None:
+    """Plan-only sortagg/cartesian scan of bench.py's builders (no timing,
+    no execution): appends a section to docs/PLAN_AUDIT.md."""
+    import bench
+
+    spark = get_spark(app_name="plan_audit_bench")
+    lines = [
+        "",
+        "## Bench builders (plan-only scan, `tools/audit_plans.py --bench`)",
+        "",
+        "| builder | sortagg | cartesian | ok |",
+        "|---|---|---|---|",
+    ]
+    bad = []
+    names = list(bench.EXTRA_BENCH) + list(bench.CALL_TIMED)
+    for name in names:
+        builder = bench.EXTRA_BENCH.get(name) or bench.CALL_TIMED[name]
+        try:
+            plan = builder(spark)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            lines.append(f"| {name} | ERROR: {str(e)[:60]} | | ✗ |")
+            bad.append(name)
+            continue
+        n_sortagg = plan.count("SortAggregate")
+        n_cart = plan.count("CartesianProduct")
+        ok = (n_cart == 0 or name in EXPECTED_CARTESIAN_BENCH) and (
+            n_sortagg == 0 or name in EXPECTED_SORTAGG_BENCH
+        )
+        if not ok:
+            bad.append(name)
+        lines.append(
+            f"| {name} | {n_sortagg} | {n_cart} | {'✓' if ok else '✗'} |"
+        )
+    lines += ["", f"**Bench result: {len(names) - len(bad)}/{len(names)} clean.**"]
+    if bad:
+        lines.append(f"Flagged: {', '.join(bad)}")
+    out = os.path.join(REPO, "docs", "PLAN_AUDIT.md")
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended bench section to {out}; flagged: {bad or 'none'}")
 
 
 def main() -> None:
@@ -483,4 +551,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--bench" in sys.argv:
+        bench_audit()
+    else:
+        main()
