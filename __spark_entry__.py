@@ -91,163 +91,158 @@ _MERGED = {
 }
 
 # The driver caps its per-round oracle comparison at the first 50 queries
-# in registration order, so ORDER decides coverage. Round-10 window policy
-# (VERDICT r9 "Next round" item 1 — spend the ENTIRE window on
-# recertification rotation, zero new queries):
-#   (1) the 5 names that have never had a driver row (qte_quartiles,
-#       apriori_triples, rmst_survival, gk_lambda_assoc, somers_d_eval —
-#       added last round below the cap; each judge-verified strict-green
-#       at sf0.01, two also at sf0.1);
-#   (2) all 42 names whose last driver certification dates to ROUND 1
-#       (the oldest cohort — ~35k lines of code have changed since), in
-#       alphabetical order;
-#   (3) sign_test — the ONE query whose oracle SQL changed this round
-#       (the struct min/max that SortAggregate'd all of lineitem became a
-#       packed-BIGINT HashAggregate; output bit-identical, re-verified
-#       strict at sf0.01 + sf0.1 + vanilla session) — then the 2
-#       alphabetically-first round-2-certified names (approx_aggs,
-#       asof_join) to fill the remaining slots.
-# 5 + 42 + 3 = 50. After this round the oldest
-# driver certification moves from r1 to r2; the rotation continues in
-# r11 with the remaining 42 r2 names. Everything below the cap has a
-# green driver row from r2-r9 and is re-swept locally at sf0.01 and
-# sf0.1 (tools/check_oracle.py --strict; docs/SWEEP_SF01.md).
+# in registration order, so ORDER decides coverage. Round-11 window policy
+# (VERDICT r10 "Next round" item 1 — continue the recertification rotation,
+# registry frozen at 407, zero new queries): the window is exactly what
+# tools/rotation_plan.py emits (now counting only GREEN driver rows as
+# certifying, per ADVICE r11 item 1):
+#   (1) bm25_topk leads — it heads the oldest-certified (round-2) cohort;
+#   (2) the remaining 42 round-2-certified names, alphabetical;
+#   (3) the 7 alphabetically-first round-3-certified names
+#       (bilinear_interp, calibration_eval, char_entropy, climate_pipeline,
+#       coarsen_grid, cross_correlation, cusum_changepoints) to fill 50.
+# 1 + 42 + 7 = 50. After this round the oldest driver certification moves
+# from r2 to r3; the rotation continues in r12 with the remaining 42 r3
+# names. The whole cohort is pre-validated 3-shape-stable
+# (docs/SWEEP_SF01.md) and re-swept locally at sf0.01 and sf0.1
+# (tools/check_oracle.py --strict). Everything below the cap holds a green
+# driver row from r3-r10.
 _CHECK_FIRST = [
-    "qte_quartiles", "apriori_triples", "rmst_survival",
-    "gk_lambda_assoc", "somers_d_eval", "attribution_join",
-    "bbox_filter", "bigram_topk", "catalog_lookup",
-    "cfsv2_ensemble_pipeline", "cfsv2_median_pipeline", "ensemble_median",
-    "ensemble_quantiles", "ensemble_stats", "events_daily",
-    "events_moving_avg", "events_props_json", "events_window",
-    "exact_dedup", "fill_pipeline", "nearest_donor",
-    "ngram_jaccard", "physics_rh", "pivot_wide",
-    "qa_checks", "range_join", "salted_agg",
-    "text_analysis", "time_filter", "tpch_above_avg",
-    "tpch_cube", "tpch_join3", "tpch_outer_agg",
-    "tpch_q13ish", "tpch_q16ish", "tpch_q18ish",
-    "tpch_q19ish", "tpch_q5ish", "tpch_q7ish",
-    "tpch_rollup", "tpch_semi_anti", "tpch_topn",
-    "tpch_weighted_mean", "tpch_window_topk", "union_concat",
-    "unpivot_long", "weight_sum_qa", "approx_aggs",
-    "asof_join", "sign_test", "bm25_topk",
-    "tpch_q1", "class_balance", "tpcds_multiband",
-    "weighted_ess", "max_drawdown", "sessionize_batch",
-    "tpch_q9ish", "weighted_sample", "mood_median",
-    "turning_points", "durbin_watson", "page_trend",
-    "pinball_loss", "gearys_c", "getis_ord",
-    "semivariogram", "var_cvar", "capm_beta",
-    "sharpe_sortino", "stoch_osc", "obv_trend",
-    "t_closeness", "candidate_keys", "reident_risk",
-    "dunn_pairs", "kendall_w", "ca_trend",
-    "cohens_d", "hdr_quantiles", "spc_rules",
-    "err_eval", "mcc_eval", "granger_lead",
-    "trigram_paths", "ripley_k", "abc_classes",
-    "hhi_concentration", "yoy_growth", "price_elasticity",
-    "hellinger_sources", "burstiness_fano", "gini_impurity",
-    "theil_index", "atkinson_index", "palma_ratio",
-    "nmi_assoc", "chao1_richness", "esd_outliers",
-    "binseg_split", "cramers_v", "kruskal_wallis",
-    "fleiss_kappa", "spearman_corr", "rbo_overlap",
-    "filter_cascade", "kendall_tau", "permutation_test",
-    "ap_at_k", "inter_event_gaps", "degree_assortativity",
-    "bloom_fpr_sweep", "neyman_alloc", "propensity_match_att",
-    "hill_tail_index", "mcnemar_test", "cochran_q",
-    "log_odds_words", "info_gain", "runs_test",
-    "jarque_bera", "brown_forsythe", "bollinger_breakouts",
-    "partial_corr", "theil_u", "funcdep_audit",
-    "decision_stump", "clustering_coeff", "slope_one",
-    "rdd_estimate", "iv_wald", "nelson_aalen",
-    "hurst_exponent", "brier_decomp", "grubbs_stat",
-    "ljung_box", "return_levels", "page_hinkley",
-    "mann_kendall", "cramer_von_mises", "vocab_coverage",
-    "cliffs_delta", "odds_ratio", "km_median",
-    "seasonal_strength", "anova_oneway", "bartlett",
-    "morans_i", "auc_eval", "bootstrap_ci",
-    "c4_filters", "calibration_eval", "chi_square",
-    "classifier_score", "cohen_kappa", "corpus_pipeline_v2",
-    "f1_report", "friedman_test", "gini_lorenz",
-    "gopher_filters", "kaplan_meier", "ks_test",
-    "lift_eval", "lm_score", "logrank_test",
-    "lsh_band_sweep", "lsh_recall", "mann_whitney",
-    "minhash_estimate", "ordinal_gamma", "percentile_cut",
-    "rrf_fusion", "survivorship", "weighted_median",
-    "welch_ttest", "wilcoxon_signed", "winsorized_stats",
-    "autocorr_daily", "centroid_classify", "corr_matrix",
-    "daily_ohlc", "ewma_daily", "frost_dates",
-    "heat_index", "heatwave_runs", "khop_reach",
-    "knn_eval", "overlap_join", "ref_integrity",
-    "scd2_users", "seasonal_decomp", "skew_profile",
-    "spi_index", "target_encode", "temporal_split",
-    "terrain_gradient", "threshold_alerts", "trailing_features",
-    "asof_forward_join", "gapfill_interp", "heaps_fit",
-    "dup_ngrams", "ppl_buckets", "window_funnel",
-    "interdup_report", "weighted_mean", "gridmet_pipeline",
-    "corpus_pipeline_v3", "kmv_set_ops", "ipw_ate",
-    "session_paths", "dsir_select", "curve_compare",
-    "k_anonymity", "boilerplate_report", "zone_map_prune",
-    "selectivity_eval", "heavy_hitters_mg", "histogram_docs",
-    "zipf_fit", "token_budget_alloc", "ivf_nprobe_sweep",
-    "cv_folds", "novelty_curve", "truncation_report",
-    "source_jsd", "source_entropy", "pii_flags",
-    "cosine_topk_lsh", "kmeans_assign", "bpe_merges",
-    "embed_covariance", "entity_resolution", "lm_scores",
-    "containment_dups", "quota_filter", "hard_negatives",
-    "bpe_compression", "cosine_topk", "simhash",
-    "tpch_q15ish", "tpch_q17ish", "tpch_q21ish",
-    "tpch_q22ish", "kmv_distinct", "link_prediction",
-    "cuped_adjust", "did_estimate", "hilbert_layout",
-    "markov_attribution", "woe_iv", "feature_hash",
-    "qini_uplift", "polygon_metrics", "dp_release",
-    "holt_forecast", "rsi_indicator", "capture_recapture",
-    "line_dedup", "mixture_weights", "jl_project",
-    "tfidf_terms", "cms_join_size", "bias_als",
-    "mcv_stats", "equiheight_bins", "join_order_advisor",
-    "source_overlap", "ridge_regression", "join_qerror",
-    "layout_advisor", "cooccurrence_topk", "vocab_topk",
-    "impute_median", "idw_interp", "dbscan_clusters",
-    "item_similarity", "cdc_apply", "hist_quantiles",
-    "logit_gd", "forecast_eval", "nb_language_id",
-    "mrr_eval", "ppr_scores", "pca_power",
-    "geo_knn", "sssp_hops", "weighted_median_pooled",
-    "rolling_median", "kcore_nodes", "dedup_report",
-    "rfm_segments", "basket_lift", "pq_codes",
-    "hll_rollup", "scd2_pit_enrich", "twap_daily",
-    "coreset_assign", "ndcg_eval", "multitouch_credit",
-    "lpa_communities", "session_windows", "hits_scores",
-    "psi_drift", "textrank_keywords", "cohort_ltv",
-    "ivfpq_topk", "conversion_lag", "cumulative_users",
-    "rebased_series", "theilsen_trend", "props_map",
-    "calendar_gaps", "ab_test", "skyline_parts",
-    "dow_anomaly", "rolling_actives", "benford_check",
-    "embedding_stats", "tpch_q2ish", "tpch_q3ish",
-    "tpch_q4ish", "tpch_q6ish", "tpch_q8ish",
-    "tpch_q10ish", "tpch_q11ish", "tpch_q12ish",
-    "tpch_q14ish", "tpch_q20ish", "max_dup_spans",
-    "incremental_refresh", "polygon_weights", "polygon_zonal_mean",
-    "hex_density", "quantile_normalize", "cusum_changepoints",
-    "rag_pipeline", "pq_topk", "funnel_steps",
-    "retention_cohorts", "event_transitions", "triangle_count",
-    "jaccard_join", "fuzzy_join", "mad_outliers",
-    "ntile_bins", "char_entropy", "snapshot_diff",
-    "coarsen_grid", "zorder_layout", "media_dedup",
-    "trending_topk", "focal_mean", "topk_per_source",
-    "trend_slope", "cross_correlation", "token_drift",
-    "readability", "bilinear_interp", "degree_days",
-    "climate_pipeline", "skew_join", "set_ops",
-    "grouping_sets", "range_frame_sum", "media_stats",
-    "climatology_anomaly", "resample_weekly", "zscore_grid",
-    "winsorize_grid", "gap_fill", "jsonl_scan",
-    "masked_weighted_mean", "inverted_index", "profile_lineitem",
-    "upsert_orders", "pagerank", "pmi_bigrams",
-    "chunk_windows", "curriculum_order", "rp_project",
-    "tfidf_topk", "cms_counts", "domain_flags",
-    "repetition_stats", "semantic_dedup", "span_dedup",
-    "decontam_bloom", "minhash_lsh", "simhash_near_dups",
-    "cosine_topk_np", "embedding_near_dups", "ivf_topk",
-    "winnow_fingerprints", "split_assign", "stratified_sample",
-    "mixture_sample", "shard_pack", "dedup_clusters",
-    "clean_text", "decontam_exact", "decontam_fuzzy",
-    "corpus_pipeline", "pack_sequences", "minhash_lsh_star",
+    "bm25_topk", "c4_filters", "chunk_windows",
+    "classifier_score", "clean_text", "climatology_anomaly",
+    "cms_counts", "corpus_pipeline", "cosine_topk_np",
+    "curriculum_order", "decontam_bloom", "decontam_exact",
+    "decontam_fuzzy", "dedup_clusters", "domain_flags",
+    "embedding_near_dups", "gap_fill", "gopher_filters",
+    "inverted_index", "jsonl_scan", "lm_score",
+    "masked_weighted_mean", "media_stats", "minhash_lsh",
+    "mixture_sample", "pack_sequences", "pagerank",
+    "pmi_bigrams", "profile_lineitem", "repetition_stats",
+    "resample_weekly", "rp_project", "semantic_dedup",
+    "shard_pack", "simhash_near_dups", "span_dedup",
+    "split_assign", "stratified_sample", "tfidf_topk",
+    "upsert_orders", "winnow_fingerprints", "winsorize_grid",
+    "zscore_grid", "bilinear_interp", "calibration_eval",
+    "char_entropy", "climate_pipeline", "coarsen_grid",
+    "cross_correlation", "cusum_changepoints", "qte_quartiles",
+    "apriori_triples", "rmst_survival", "gk_lambda_assoc",
+    "somers_d_eval", "attribution_join", "bbox_filter",
+    "bigram_topk", "catalog_lookup", "cfsv2_ensemble_pipeline",
+    "cfsv2_median_pipeline", "ensemble_median", "ensemble_quantiles",
+    "ensemble_stats", "events_daily", "events_moving_avg",
+    "events_props_json", "events_window", "exact_dedup",
+    "fill_pipeline", "nearest_donor", "ngram_jaccard",
+    "physics_rh", "pivot_wide", "qa_checks",
+    "range_join", "salted_agg", "text_analysis",
+    "time_filter", "tpch_above_avg", "tpch_cube",
+    "tpch_join3", "tpch_outer_agg", "tpch_q13ish",
+    "tpch_q16ish", "tpch_q18ish", "tpch_q19ish",
+    "tpch_q5ish", "tpch_q7ish", "tpch_rollup",
+    "tpch_semi_anti", "tpch_topn", "tpch_weighted_mean",
+    "tpch_window_topk", "union_concat", "unpivot_long",
+    "weight_sum_qa", "approx_aggs", "asof_join",
+    "sign_test", "tpch_q1", "class_balance",
+    "tpcds_multiband", "weighted_ess", "max_drawdown",
+    "sessionize_batch", "tpch_q9ish", "weighted_sample",
+    "mood_median", "turning_points", "durbin_watson",
+    "page_trend", "pinball_loss", "gearys_c",
+    "getis_ord", "semivariogram", "var_cvar",
+    "capm_beta", "sharpe_sortino", "stoch_osc",
+    "obv_trend", "t_closeness", "candidate_keys",
+    "reident_risk", "dunn_pairs", "kendall_w",
+    "ca_trend", "cohens_d", "hdr_quantiles",
+    "spc_rules", "err_eval", "mcc_eval",
+    "granger_lead", "trigram_paths", "ripley_k",
+    "abc_classes", "hhi_concentration", "yoy_growth",
+    "price_elasticity", "hellinger_sources", "burstiness_fano",
+    "gini_impurity", "theil_index", "atkinson_index",
+    "palma_ratio", "nmi_assoc", "chao1_richness",
+    "esd_outliers", "binseg_split", "cramers_v",
+    "kruskal_wallis", "fleiss_kappa", "spearman_corr",
+    "rbo_overlap", "filter_cascade", "kendall_tau",
+    "permutation_test", "ap_at_k", "inter_event_gaps",
+    "degree_assortativity", "bloom_fpr_sweep", "neyman_alloc",
+    "propensity_match_att", "hill_tail_index", "mcnemar_test",
+    "cochran_q", "log_odds_words", "info_gain",
+    "runs_test", "jarque_bera", "brown_forsythe",
+    "bollinger_breakouts", "partial_corr", "theil_u",
+    "funcdep_audit", "decision_stump", "clustering_coeff",
+    "slope_one", "rdd_estimate", "iv_wald",
+    "nelson_aalen", "hurst_exponent", "brier_decomp",
+    "grubbs_stat", "ljung_box", "return_levels",
+    "page_hinkley", "mann_kendall", "cramer_von_mises",
+    "vocab_coverage", "cliffs_delta", "odds_ratio",
+    "km_median", "seasonal_strength", "anova_oneway",
+    "bartlett", "morans_i", "auc_eval",
+    "bootstrap_ci", "chi_square", "cohen_kappa",
+    "corpus_pipeline_v2", "f1_report", "friedman_test",
+    "gini_lorenz", "kaplan_meier", "ks_test",
+    "lift_eval", "logrank_test", "lsh_band_sweep",
+    "lsh_recall", "mann_whitney", "minhash_estimate",
+    "ordinal_gamma", "percentile_cut", "rrf_fusion",
+    "survivorship", "weighted_median", "welch_ttest",
+    "wilcoxon_signed", "winsorized_stats", "autocorr_daily",
+    "centroid_classify", "corr_matrix", "daily_ohlc",
+    "ewma_daily", "frost_dates", "heat_index",
+    "heatwave_runs", "khop_reach", "knn_eval",
+    "overlap_join", "ref_integrity", "scd2_users",
+    "seasonal_decomp", "skew_profile", "spi_index",
+    "target_encode", "temporal_split", "terrain_gradient",
+    "threshold_alerts", "trailing_features", "asof_forward_join",
+    "gapfill_interp", "heaps_fit", "dup_ngrams",
+    "ppl_buckets", "window_funnel", "interdup_report",
+    "weighted_mean", "gridmet_pipeline", "corpus_pipeline_v3",
+    "kmv_set_ops", "ipw_ate", "session_paths",
+    "dsir_select", "curve_compare", "k_anonymity",
+    "boilerplate_report", "zone_map_prune", "selectivity_eval",
+    "heavy_hitters_mg", "histogram_docs", "zipf_fit",
+    "token_budget_alloc", "ivf_nprobe_sweep", "cv_folds",
+    "novelty_curve", "truncation_report", "source_jsd",
+    "source_entropy", "pii_flags", "cosine_topk_lsh",
+    "kmeans_assign", "bpe_merges", "embed_covariance",
+    "entity_resolution", "lm_scores", "containment_dups",
+    "quota_filter", "hard_negatives", "bpe_compression",
+    "cosine_topk", "simhash", "tpch_q15ish",
+    "tpch_q17ish", "tpch_q21ish", "tpch_q22ish",
+    "kmv_distinct", "link_prediction", "cuped_adjust",
+    "did_estimate", "hilbert_layout", "markov_attribution",
+    "woe_iv", "feature_hash", "qini_uplift",
+    "polygon_metrics", "dp_release", "holt_forecast",
+    "rsi_indicator", "capture_recapture", "line_dedup",
+    "mixture_weights", "jl_project", "tfidf_terms",
+    "cms_join_size", "bias_als", "mcv_stats",
+    "equiheight_bins", "join_order_advisor", "source_overlap",
+    "ridge_regression", "join_qerror", "layout_advisor",
+    "cooccurrence_topk", "vocab_topk", "impute_median",
+    "idw_interp", "dbscan_clusters", "item_similarity",
+    "cdc_apply", "hist_quantiles", "logit_gd",
+    "forecast_eval", "nb_language_id", "mrr_eval",
+    "ppr_scores", "pca_power", "geo_knn",
+    "sssp_hops", "weighted_median_pooled", "rolling_median",
+    "kcore_nodes", "dedup_report", "rfm_segments",
+    "basket_lift", "pq_codes", "hll_rollup",
+    "scd2_pit_enrich", "twap_daily", "coreset_assign",
+    "ndcg_eval", "multitouch_credit", "lpa_communities",
+    "session_windows", "hits_scores", "psi_drift",
+    "textrank_keywords", "cohort_ltv", "ivfpq_topk",
+    "conversion_lag", "cumulative_users", "rebased_series",
+    "theilsen_trend", "props_map", "calendar_gaps",
+    "ab_test", "skyline_parts", "dow_anomaly",
+    "rolling_actives", "benford_check", "embedding_stats",
+    "tpch_q2ish", "tpch_q3ish", "tpch_q4ish",
+    "tpch_q6ish", "tpch_q8ish", "tpch_q10ish",
+    "tpch_q11ish", "tpch_q12ish", "tpch_q14ish",
+    "tpch_q20ish", "max_dup_spans", "incremental_refresh",
+    "polygon_weights", "polygon_zonal_mean", "hex_density",
+    "quantile_normalize", "rag_pipeline", "pq_topk",
+    "funnel_steps", "retention_cohorts", "event_transitions",
+    "triangle_count", "jaccard_join", "fuzzy_join",
+    "mad_outliers", "ntile_bins", "snapshot_diff",
+    "zorder_layout", "media_dedup", "trending_topk",
+    "focal_mean", "topk_per_source", "trend_slope",
+    "token_drift", "readability", "degree_days",
+    "skew_join", "set_ops", "grouping_sets",
+    "range_frame_sum", "ivf_topk", "minhash_lsh_star",
     "sequence_packing", "split_leakage_audit",
 ]
 assert set(_CHECK_FIRST) <= set(_MERGED), sorted(set(_CHECK_FIRST) - set(_MERGED))

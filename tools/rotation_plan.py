@@ -32,6 +32,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _row_green(row: object) -> bool:
+    """A driver row certifies a name only if the check actually PASSED.
+
+    err must be null and rows_match/schema_match true; hash_match must be
+    true when present (rows-only checks for non-SQL-expressible ops carry
+    no hash_match key and count on their weaker rows+schema evidence).
+    A failed row must NOT advance last-certified — otherwise a regression
+    would be deprioritized for recertification, the opposite of intent.
+    """
+    if not isinstance(row, dict):
+        return True  # pre-r2 artifacts stored bare name lists
+    return (
+        not row.get("err")
+        and bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and bool(row.get("hash_match", True))
+    )
+
+
 def last_certified() -> dict[str, int]:
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
@@ -40,7 +59,10 @@ def last_certified() -> dict[str, int]:
             continue
         rnd = int(m.group(1))
         with open(path) as fh:
-            for name in json.load(fh):
+            data = json.load(fh)
+        rows = data.items() if isinstance(data, dict) else ((n, None) for n in data)
+        for name, row in rows:
+            if _row_green(row):
                 out[name] = max(out.get(name, 0), rnd)
     return out
 
