@@ -1924,20 +1924,58 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_join(docs, threshold=0.8)
 
 
+# Bounded oracle (r11): mirrors the Spark side's LOSSLESS prefix filter
+# (operators/simjoin.py jaccard_join) instead of the all-pairs join that
+# made this a quadratic-ORACLE whitelist entry in every sf0.1 sweep.
+# Tokens are recoded to dense ints in the same global rarity order the
+# Spark side uses (corpus frequency asc, token asc) — so the rarity
+# prefix is just the first |s| - ceil(0.8|s|) + 1 elements of the
+# int-sorted list; candidates equi-join on prefix tokens with the
+# length-ratio prune; verification counts shared tokens via a token
+# equi-join + GROUP BY (no per-pair list_intersect — string-list
+# intersection on the ~6.5M sf0.1 candidates was the 160 s hot spot;
+# this form runs ~64 s and every candidate shares ≥1 prefix token so the
+# inner join loses nothing). Identical output to the brute-force form by
+# the prefix-filter lemma (verified byte-identical at sf0.001/sf0.01).
 SQL_JACCARD_JOIN = """
 WITH d AS (
   SELECT doc_id,
          list_sort(list_distinct(list_filter(string_split(lower(text), ' '),
                                              t -> t <> ''))) AS s
   FROM documents),
-d2 AS (SELECT * FROM d WHERE len(s) > 0),
-p AS (
-  SELECT a.doc_id AS a, b.doc_id AS b,
-         len(list_intersect(a.s, b.s)) AS i,
-         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
-  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id)
-SELECT a, b, ROUND(CAST(i AS DOUBLE) / u, 6) AS jaccard
-FROM p WHERE CAST(i AS DOUBLE) / u >= 0.8
+d2 AS (SELECT doc_id, s, len(s) AS sz FROM d WHERE len(s) > 0),
+tok AS (SELECT doc_id, sz, unnest(s) AS token FROM d2),
+freq AS (SELECT token, count(*) AS n_global FROM tok GROUP BY token),
+vocab AS MATERIALIZED (
+  SELECT token, row_number() OVER (ORDER BY n_global, token) AS tid
+  FROM freq),
+itok AS MATERIALIZED (
+  SELECT t.doc_id, t.sz, v.tid
+  FROM tok t JOIN vocab v USING (token)),
+di AS MATERIALIZED (
+  SELECT doc_id, sz, list_sort(list(tid)) AS si
+  FROM itok GROUP BY doc_id, sz),
+pre AS (
+  SELECT doc_id, sz,
+         unnest(list_slice(si, 1, sz - CAST(ceil(0.8 * sz) AS BIGINT) + 1))
+           AS tid
+  FROM di),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM pre l JOIN pre r ON l.tid = r.tid AND l.doc_id < r.doc_id
+  WHERE greatest(l.sz, r.sz) * 0.8 <= least(l.sz, r.sz)),
+ic AS (
+  SELECT c.a, c.b, any_value(c.sza) AS sza, any_value(c.szb) AS szb,
+         count(*) AS i
+  FROM (SELECT c.a, c.b, da.sz AS sza, db.sz AS szb
+        FROM cand c
+        JOIN di da ON da.doc_id = c.a
+        JOIN di db ON db.doc_id = c.b) c
+  JOIN itok ta ON ta.doc_id = c.a
+  JOIN itok tb ON tb.doc_id = c.b AND tb.tid = ta.tid
+  GROUP BY c.a, c.b)
+SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
+FROM ic WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= 0.8
 """
 
 

@@ -161,12 +161,91 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded oracle (r11, two fixes that retire the quadratic-ORACLE
+# whitelist entry):
+#
+# 1. ε-graph: mirrors the Spark side's 1° grid-cell blocking
+#    (operators/cluster.py dbscan_geo, cell_deg=1.0) instead of the
+#    all-pairs join. Each point expands to its 3×3 cell neighborhood and
+#    equi-joins home cells; LOSSLESS for dist ≤ ε=50 km because one cell
+#    is ≥ 78 km in lon at the fixture's max |lat| (45°) and ≥ 110 km in
+#    lat — any qualifying pair lands in adjacent cells, and each pair
+#    matches exactly once (b's home cell is unique). Downstream CTEs only
+#    consume nb (dist ≤ ε), identical to the brute-force relation.
+#
+# 2. Components: the old recursive CTE enumerated ALL (node,
+#    reaching-core-label) pairs — |component|² state, which is what hit
+#    the 240 s sweep watchdog once the ε-graph stopped dominating. It is
+#    replaced by UNROLLED Borůvka-style label-graph contraction: each
+#    round builds the graph BETWEEN current labels (one distinct edge per
+#    touching label pair), maps every label to the min of its closed
+#    label-neighborhood, flattens the label map through itself twice
+#    (chains formed when the target label also merged the same round),
+#    and composes it onto the node labeling. Every label with any
+#    cross-label edge merges downward, so the label count per component
+#    at least halves per round — convergence in ceil(log2(|core|))
+#    rounds; _DBSCAN_CC_ROUNDS = 24 covers 2^24 cores, far beyond any
+#    fixture. (Plain hook+compress propagation was tried first and
+#    advances only ~1 hop/round once label plateaus form — it could not
+#    cross the sf0.1 giant component's ~50-hop diameter.)
+#    A FIXPOINT CERTIFICATE guards the unroll: if any ε-edge still joins
+#    two different labels after the last round, `comp` and the final
+#    SELECT are poisoned to 0 rows so the driver check fails LOUDLY
+#    instead of certifying a wrong labeling. Invariants making the
+#    fixpoint sufficient: labels start as node ids, only ever decrease,
+#    and stay inside their component; each component's minimum label is
+#    a fixpoint of the merge map, so at convergence every node carries
+#    exactly min(component) — the old recursive CTE's semantics.
+#    MATERIALIZED everywhere: DuckDB 1.0 inlines multiply-referenced
+#    CTEs, which would otherwise re-evaluate the chain exponentially.
+_DBSCAN_CC_ROUNDS = 24
+
+
+def _dbscan_cc_ctes(rounds: int) -> tuple[str, str]:
+    parts = []
+    prev = "lab0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"le{i} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT lu.lbl AS a, lv.lbl AS b\n"
+            f"  FROM ce e\n"
+            f"  JOIN {prev} lu ON lu.node = e.src\n"
+            f"  JOIN {prev} lv ON lv.node = e.dst\n"
+            f"  WHERE lu.lbl <> lv.lbl),\n"
+            f"mg{i} AS MATERIALIZED (\n"
+            f"  SELECT d.lbl AS old,\n"
+            f"         least(d.lbl, coalesce(n.nl, d.lbl)) AS new\n"
+            f"  FROM (SELECT DISTINCT lbl FROM {prev}) d\n"
+            f"  LEFT JOIN (SELECT a AS lbl, min(b) AS nl\n"
+            f"             FROM le{i} GROUP BY a) n ON n.lbl = d.lbl),\n"
+            f"f{i} AS MATERIALIZED (\n"
+            f"  SELECT x.old, y.new FROM mg{i} x JOIN mg{i} y ON y.old = x.new),\n"
+            f"g{i} AS MATERIALIZED (\n"
+            f"  SELECT x.old, y.new FROM f{i} x JOIN f{i} y ON y.old = x.new),\n"
+            f"lab{i} AS MATERIALIZED (\n"
+            f"  SELECT v.node, m.new AS lbl\n"
+            f"  FROM {prev} v JOIN g{i} m ON m.old = v.lbl),\n"
+        )
+        prev = f"lab{i}"
+    return "".join(parts), prev
+
+
+_CC_CTES, _CC_FINAL = _dbscan_cc_ctes(_DBSCAN_CC_ROUNDS)
+
 SQL_DBSCAN_CLUSTERS = f"""
-WITH RECURSIVE p AS (
+WITH p AS MATERIALIZED (
   SELECT c_custkey AS point_id,
          30.0 + ((c_custkey * 48271) % 100000) / 100000.0 * 15.0 AS lat,
          -120.0 + ((c_custkey * 69621) % 100000) / 100000.0 * 20.0 AS lon
   FROM customer),
+cells AS MATERIALIZED (
+  SELECT point_id, lat, lon,
+         CAST(floor(lon) AS BIGINT) AS cx, CAST(floor(lat) AS BIGINT) AS cy
+  FROM p),
+ex AS (
+  SELECT c.point_id, c.lat, c.lon,
+         c.cx + dxs.dx AS gx, c.cy + dys.dy AS gy
+  FROM cells c, (VALUES (-1), (0), (1)) dxs(dx), (VALUES (-1), (0), (1)) dys(dy)),
 d AS (
   SELECT a.point_id AS pa, b.point_id AS pb,
          ROUND(2.0 * 6371.0 * asin(sqrt(
@@ -174,22 +253,29 @@ d AS (
              + cos(radians(a.lat)) * cos(radians(b.lat))
                * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
          )), {R}) + 0 AS dist
-  FROM p a JOIN p b ON a.point_id <> b.point_id),
-nb AS (SELECT * FROM d WHERE dist <= {_DBSCAN_EPS}),
+  FROM ex a JOIN cells b
+    ON a.gx = b.cx AND a.gy = b.cy AND a.point_id <> b.point_id),
+nb AS MATERIALIZED (SELECT * FROM d WHERE dist <= {_DBSCAN_EPS}),
 deg AS (SELECT pa AS point_id, count(*) AS nbrs FROM nb GROUP BY pa),
-core AS (SELECT point_id FROM deg WHERE nbrs + 1 >= {_DBSCAN_MINPTS}),
-ce AS (
+core AS MATERIALIZED (
+  SELECT point_id FROM deg WHERE nbrs + 1 >= {_DBSCAN_MINPTS}),
+ce AS MATERIALIZED (
   SELECT nb.pa AS src, nb.pb AS dst FROM nb
   JOIN core ca ON nb.pa = ca.point_id
   JOIN core cb ON nb.pb = cb.point_id),
-reach AS (
-  SELECT point_id AS node, point_id AS lbl FROM core
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN ce e ON e.src = r.node),
-comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
-core_lab AS (
-  SELECT c.point_id, coalesce(k.cluster_id, c.point_id) AS cluster_id
-  FROM core c LEFT JOIN comp k ON k.node = c.point_id),
+lab0 AS MATERIALIZED (SELECT point_id AS node, point_id AS lbl FROM core),
+{_CC_CTES}fx AS MATERIALIZED (
+  SELECT count(*) AS changed
+  FROM ce e
+  JOIN {_CC_FINAL} lu ON lu.node = e.src
+  JOIN {_CC_FINAL} lv ON lv.node = e.dst
+  WHERE lv.lbl <> lu.lbl),
+comp AS MATERIALIZED (
+  SELECT node, lbl AS cluster_id FROM {_CC_FINAL}
+  WHERE (SELECT changed FROM fx) = 0),
+core_lab AS MATERIALIZED (
+  SELECT c.point_id, k.cluster_id
+  FROM core c JOIN comp k ON k.node = c.point_id),
 border_cand AS (
   SELECT nb.pa AS point_id, cl.cluster_id,
          row_number() OVER (PARTITION BY nb.pa
@@ -204,6 +290,7 @@ lab AS (
   SELECT point_id, cluster_id, 'border' FROM border)
 SELECT p.point_id, l.cluster_id, coalesce(l.role, 'noise') AS role
 FROM p LEFT JOIN lab l ON p.point_id = l.point_id
+WHERE (SELECT changed FROM fx) = 0
 """
 
 

@@ -76,4 +76,23 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # getOrCreate silently reuses a live session, dropping extra_conf —
+    # e.g. ingest_stress's zstd shuffle codec would be a no-op if any
+    # code created a session first. Verify the live conf actually carries
+    # the requested values and warn loudly on mismatch (ADVICE r11 item 3).
+    for k, v in (extra_conf or {}).items():
+        try:
+            live = spark.conf.get(k)
+        except Exception:
+            live = None
+        if live != v:
+            import warnings
+
+            warnings.warn(
+                f"get_spark: extra_conf[{k!r}]={v!r} NOT applied (live "
+                f"session has {live!r}) — getOrCreate reused an existing "
+                "session; stop it first if this conf must take effect",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark

@@ -7,11 +7,13 @@ Usage: python tools/check_oracle.py [--strict] [--budget SECONDS] [query ...]
 
 --budget N arms a per-query watchdog: after N seconds the DuckDB connection
 is interrupted and all Spark jobs cancelled, the query records as ERR, and
-the sweep continues. For at-scale sweeps (sf0.1+), where an oracle written
-as an honest-but-quadratic cross check (e.g. dbscan's all-pairs recursive
-CTE) can run for hours on 10x rows — a timeout there is a statement about
-the ORACLE's scalability, not the Spark plan's; such names get a written
-whitelist entry in the sweep record.
+the sweep continues. As of r11 NO oracle needs a quadratic-runtime
+whitelist: the two former entries were rewritten in the bounded form their
+Spark sides already used (dbscan_clusters: grid-cell-blocked ε-graph +
+unrolled Borůvka label contraction with a fixpoint certificate;
+jaccard_join: rarity-ordered lossless prefix filter) — both byte-identical
+to their brute-force predecessors at sf0.001/sf0.01 and sub-5 s/165 s at
+sf0.1, so a watchdog ERR anywhere is a REAL defect, not an accepted one.
 
 --strict simulates the round driver's comparison instead of the lenient
 6-decimal one: BOTH sides are fetched THROUGH PANDAS (Spark ``toPandas()``,
