@@ -1383,16 +1383,33 @@ def permutation_test(
     decision), so n_extreme is exact; p = (1 + n_extreme)/(1 + P) is the
     standard add-one permutation p-value.
 
-    Scale shape: the P× explode repartitions to full cluster width
-    FIRST — the md5 projection otherwise runs in the file-scan stage at
-    the scan's partition count (measured: 29M hashes on 3 parquet-split
-    tasks = 38 s at sf0.1; spread across 32 cores it is ~4 s). Each
-    permutation's rank then runs in its own window partition (P-way
-    parallel; per-task bound = n rows — swap in the scale.global_rank
-    two-level prefix per permutation beyond ~10⁸ rows). The decision
-    relation is P rows.
+    Scale shape (r11 rewrite, guide §2.3/§2.4): the P× explode
+    repartitions to full cluster width FIRST — the md5 projection
+    otherwise runs in the file-scan stage at the scan's partition count
+    (measured: 29M hashes on 3 parquet-split tasks = 38 s at sf0.1;
+    spread across 32 cores it is ~4 s). s1p = Σv over each permutation's
+    top-n₁ rows by (hash, id) is then an exact ORDER-STATISTIC SUM,
+    computed with the same two-level bucket-histogram discipline as
+    ``exact_quantiles`` instead of a per-permutation global sort: one
+    partial-agg pass counts/sums per (perm, 1024-wide hash bucket) —
+    the exchange carries ≤ P×1024 rows per upstream partition, not the
+    n×P hashed rows — a P×1024-row cumsum picks each permutation's
+    threshold bucket, and only the rows of that ONE bucket per
+    permutation (~n/1024 rows) are exactly ranked. The old plan's
+    per-permutation sort was a P-way parallelism ceiling AND a
+    hub-partition at scale (10⁸ rows sorted in one task per
+    permutation); both are gone — no stage's per-task state exceeds
+    max(P×1024 cumsum rows, n/1024 boundary rows). The hashed relation
+    is evaluated exactly TWICE (histogram pass feeding the broadcast
+    threshold relation, then the boundary resolve); per_p deliberately
+    rebuilds its one-row-per-perm frame from range(P) instead of
+    referencing `chosen` again, which would re-evaluate the whole
+    histogram subtree a third time (measured +1.4 s at sf0.1). Two md5
+    projections cost far less than shuffling and sorting n×P rows. The
+    decision relation is P rows.
 
     Output (1 row): (n, n1, n_perm, n_extreme, mean_diff, p_value)."""
+    n_buckets = 1024  # 48-bit md5 prefix → 2^38-wide buckets
     rows = df.select(
         F.col(id_col).alias("_rid"),
         F.col(treat_col).cast("int").alias("_t"),
@@ -1418,16 +1435,73 @@ def permutation_test(
             16, 10,
         ).cast("long").alias("_h"),
     )
-    w = Window.partitionBy("_p").orderBy("_h", "_rid")
-    per_p = (
-        perms.withColumn("_rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(obs.select("n1")))
-        .groupBy("_p")
-        .agg(
-            F.sum(F.when(F.col("_rn") <= F.col("n1"), F.col("_v")))
-            .cast("long")
-            .alias("s1p")
+    # level 1: per-(perm, hash-bucket) counts and value sums. Bucketing by
+    # _h div keeps (_h, _rid) order across buckets: every row of a lower
+    # bucket ranks before every row of a higher one, and equal hashes
+    # land in the same bucket, so the boundary resolve below is exact.
+    bdiv = (1 << 48) // n_buckets
+    hist = (
+        perms.groupBy("_p", F.expr(f"_h div {bdiv}").alias("_hb"))
+        .agg(F.count(F.lit(1)).alias("_c"), F.sum("_v").alias("_sv"))
+    )
+    wcum = Window.partitionBy("_p").orderBy("_hb")
+    cum = hist.select(
+        "_p", "_hb", "_c", "_sv",
+        F.sum("_c").over(wcum.rowsBetween(Window.unboundedPreceding, 0)).alias("_cumc"),
+        F.sum("_sv").over(wcum.rowsBetween(Window.unboundedPreceding, 0)).alias("_cumsv"),
+    )
+    # threshold bucket per perm: FIRST bucket whose cumulative count
+    # reaches n1; everything strictly below it contributes whole
+    wpick = Window.partitionBy("_p").orderBy("_hb")
+    chosen = (
+        cum.crossJoin(F.broadcast(obs.select("n1")))
+        .where(F.col("_cumc") >= F.col("n1"))
+        .withColumn("_rn", F.row_number().over(wpick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "_p",
+            F.col("_hb").alias("_hb_t"),
+            (F.col("_cumc") - F.col("_c")).alias("_below_c"),
+            (F.col("_cumsv") - F.col("_sv")).alias("_below_sv"),
+            (F.col("n1") - (F.col("_cumc") - F.col("_c"))).alias("_take"),
         )
+    )
+    # level 2: exact (hash, id) rank inside the ~n/n_buckets threshold
+    # bucket rows only. perms is re-evaluated here, but both subtrees hang
+    # off the SAME repartition exchange (ReusedExchange) — only the md5
+    # projection runs twice.
+    bnd = (
+        perms.alias("pp")
+        .join(
+            F.broadcast(chosen.alias("ch")),
+            (F.col("pp._p") == F.col("ch._p"))
+            & (F.expr(f"pp._h div {bdiv}") == F.col("ch._hb_t")),
+        )
+        .select(
+            F.col("pp._p").alias("_p"),
+            "pp._v", "pp._h", "pp._rid", "ch._take", "ch._below_sv",
+        )
+    )
+    wb = Window.partitionBy("_p").orderBy("_h", "_rid")
+    bnd_sum = (
+        bnd.withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn") <= F.col("_take"))
+        .groupBy("_p")
+        .agg((F.first("_below_sv") + F.sum("_v")).cast("long").alias("s1p"))
+    )
+    # per_p rebuilds the one-row-per-perm relation from a FREE range(P)
+    # rather than referencing `chosen` a second time — `chosen`'s subtree
+    # contains a full pass over `perms` (scan + shuffle + md5 + histogram),
+    # and a second reference re-evaluates it (3 passes total, measured).
+    # n1 = 0 parity with the old sort plan: _take = 0 ⇒ no boundary rows
+    # ⇒ the perm is absent from bnd_sum ⇒ left join gives s1p NULL (the
+    # old sum over an always-false filter). _take ≥ 1 whenever n1 ≥ 1, so
+    # no non-degenerate perm is ever absent.
+    per_p = (
+        rows.sparkSession.range(n_perm)
+        .select(F.col("id").alias("_p"))
+        .join(F.broadcast(bnd_sum), "_p", "left")
+        .select("_p", "s1p")
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     joined = per_p.crossJoin(F.broadcast(obs))
