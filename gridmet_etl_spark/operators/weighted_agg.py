@@ -57,14 +57,19 @@ def weighted_mean(
         # normalize over non-missing cells only; all-missing → NULL (0/0)
         num = F.sum(F.when(~missing, w * v))
         den = F.sum(F.when(~missing, w))
-    else:
-        # strict mean: any missing cell must poison the group. SQL SUM skips
-        # NULLs (and would propagate NaN), so poison explicitly to NULL.
-        num = F.when(F.count(F.when(missing, F.lit(1))) > 0, F.lit(None)).otherwise(
-            F.sum(w * v)
-        )
-        den = F.sum(w)
-    return joined.groupBy(*keys).agg((num / den).alias("value"))
+        return joined.groupBy(*keys).agg((num / den).alias("value"))
+    # strict mean: any missing cell must poison the group. Fold the poison
+    # into the sum itself (missing → NaN, which SUM propagates; the final
+    # projection maps NaN back to NULL) instead of a separate
+    # count(missing) guard buffer — one less aggregation buffer per group
+    # in the partial rows crossing the exchange (guide §2.3), and the
+    # no-missing case sums the identical terms in the identical order, so
+    # the output is bit-for-bit the old plan's (r11).
+    num = F.sum(F.when(missing, F.lit(float("nan"))).otherwise(w * v))
+    den = F.sum(w)
+    return joined.groupBy(*keys).agg(
+        (F.when(F.isnan(num), F.lit(None)).otherwise(num) / den).alias("value")
+    )
 
 
 def weighted_mean_all_vars(
@@ -100,27 +105,57 @@ def weighted_mean_wide(
     At 100 TB this halves shuffle volume for the pipeline's dominant stage;
     semantics are identical to ``weighted_mean_all_vars`` + ``pivot_wide``
     (asserted by tests). Output: (feature_id, *extra_keys, time, <var>...).
+
+    r11 exchange-narrowing (guide §2.3), output bit-identical:
+
+    - The strict path's missing-poison guard is folded INTO the numerator
+      sum: a missing value contributes NaN (which SQL SUM propagates,
+      unlike NULL, which it skips), and the final projection maps a NaN
+      sum back to NULL. That drops the third aggregation buffer per
+      variable (``count(missing)``) — partial rows shrink from 3 to 2
+      buffers per variable, and on the CFSv2 398M-cell geometry the ONE
+      exchange this operator performs carries ~3M nearly-unreduced groups
+      per map task, so partial-row width IS the shuffle volume.
+      Equivalence: NaN poisons exactly the groups the old guard nulled
+      (any missing value in the group → NaN sum → NULL out; a group whose
+      rows are all non-missing sums the same terms in the same order).
+    - The per-variable ``var == '<name>'`` STRING comparisons (3 per
+      variable per row in the old agg, 12 for CFSv2's 4 vars) collapse to
+      ONE ``array_position`` string probe per row projecting an int code;
+      the aggregate conditions compare that int. The ``isin`` filter
+      stays string-form so parquet predicate pushdown is unaffected.
     """
     joined = grid.filter(F.col("var").isin(variables)).join(
         F.broadcast(weights), on=["i", "j"], how="inner"
     )
+    vcode = F.array_position(
+        F.array(*[F.lit(v) for v in variables]), F.col("var")
+    )
+    joined = joined.withColumn("_vi", vcode)
     keys = ["feature_id", *extra_keys, "time"]
     w = F.col("wght")
     vmissing = _is_missing(F.col("value"), dict(grid.dtypes)["value"])
     aggs = []
-    for var in variables:
-        v = F.when(F.col("var") == var, F.col("value"))
+    for idx, var in enumerate(variables):
+        is_var = F.col("_vi") == (idx + 1)
         if masked:
-            valid = (F.col("var") == var) & ~vmissing
+            valid = is_var & ~vmissing
             num = F.sum(F.when(valid, w * F.col("value")))
             den = F.sum(F.when(valid, w))
+            aggs.append((num / den).alias(var))
         else:
-            num = F.when(
-                F.count(F.when((F.col("var") == var) & vmissing, F.lit(1))) > 0,
-                F.lit(None),
-            ).otherwise(F.sum(F.when(F.col("var") == var, w * F.col("value"))))
-            den = F.sum(F.when(F.col("var") == var, w))
-        aggs.append((num / den).alias(var))
+            # missing → NaN (poisons the sum the way the old count-guard
+            # nulled it); non-missing w*value terms are identical and
+            # summed in the same order, so the no-missing case is
+            # bit-identical to the old plan.
+            poison = F.when(vmissing, F.lit(float("nan"))).otherwise(
+                w * F.col("value")
+            )
+            num = F.sum(F.when(is_var, poison))
+            den = F.sum(F.when(is_var, w))
+            aggs.append(
+                (F.when(F.isnan(num), F.lit(None)).otherwise(num) / den).alias(var)
+            )
     return joined.groupBy(*keys).agg(*aggs)
 
 
