@@ -517,8 +517,16 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees (caught by the r9 sf0.1 strict sweep). Decimal partials stay
     exact, order-independent, and map-side mergeable."""
     li = _pq(spark, _t(sf_dir, "lineitem"))
+    # route the integral micro-unit double through LONG before the
+    # decimal(38,0) accumulator (r11): double→decimal goes through a
+    # per-row BigDecimal construction, double→long→decimal stays on the
+    # compact-long fast path — measured 1.37 s → 0.91 s on this query.
+    # Exact: round() already made the value integral and micro-unit
+    # magnitudes (~1e11/row) sit far below 2^53.
     msum = lambda c: F.round(  # noqa: E731
-        F.sum(F.round(c * 1e6).cast("decimal(38,0)")).cast("double") / 1e6, R
+        F.sum(F.round(c * 1e6).cast("long").cast("decimal(38,0)")).cast("double")
+        / 1e6,
+        R,
     )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))

@@ -1114,8 +1114,12 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double sums at sf0.1 magnitude (~2×10¹⁰) drift a ULP between engines
     # (r9 sf0.1 strict sweep); weight sums stay double — 1.0/10.0 weights
     # sum to exact integers far below 2^53
+    # long interposition: compact-decimal fast path (see contract.q_tpch_q1
+    # msum note, r11)
     msum = lambda c: F.round(  # noqa: E731
-        F.sum(F.round(c * 1e6).cast("decimal(38,0)")).cast("double") / 1e6, R
+        F.sum(F.round(c * 1e6).cast("long").cast("decimal(38,0)")).cast("double")
+        / 1e6,
+        R,
     )
     truth = li.groupBy("y").agg(
         F.count(F.lit(1)).alias("true_n"),

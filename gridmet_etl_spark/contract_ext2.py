@@ -119,12 +119,28 @@ def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     |orders| then |suppliers| — both output-sized."""
     li = _pq(spark, _t(sf_dir, "lineitem"))
     sup = _pq(spark, _t(sf_dir, "supplier"))
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
-            "n_ret_supp"
-        ),
-        F.max(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("blame"),
+    # r11: the double countDistinct planned as a 3-way Expand of lineitem
+    # (3x the fact rows through a 4-key aggregate + two exchanges,
+    # guide §2.3 "aggregate before you shuffle"). Two-level rewrite: one
+    # explicit orderkey exchange that BOTH aggregation levels reuse
+    # (§2.4) — level 1 collapses to distinct (order, supplier) with a
+    # has-returned flag, level 2 counts them. Bit-identical (probed:
+    # 2.58 s → 1.01 s, Expand gone, 20/20 rows equal): countDistinct
+    # skips NULL suppkeys, so the level-1 input filters them the same way.
+    li2 = (
+        li.where(F.col("l_suppkey").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").cast("int").alias("_r"),
+        )
+        .repartition("l_orderkey")
+    )
+    lvl1 = li2.groupBy("l_orderkey", "l_suppkey").agg(F.max("_r").alias("_has_r"))
+    per_order = lvl1.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("_has_r").alias("n_ret_supp"),
+        F.max(F.when(F.col("_has_r") == 1, F.col("l_suppkey"))).alias("blame"),
     )
     blamed = per_order.where((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
     counts = blamed.groupBy("blame").agg(F.count("*").alias("numwait"))

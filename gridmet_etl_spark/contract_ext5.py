@@ -324,7 +324,11 @@ def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "o_year")
         .agg(
             F.round(
-                F.sum(F.round(profit * 1e6).cast("decimal(38,0)")).cast(
+                # long interposition: compact-decimal fast path (see
+                # contract.q_tpch_q1 msum note, r11)
+                F.sum(
+                    F.round(profit * 1e6).cast("long").cast("decimal(38,0)")
+                ).cast(
                     "double"
                 )
                 / 1e6,
