@@ -264,10 +264,15 @@ def _minhash_lsh_100k(spark, sf_dir=None):
     from gridmet_etl_spark.operators.dedup import minhash_lsh_star
 
     docs = spark.read.parquet(os.path.join(sf_dir or SF_DIR, "documents.parquet"))
+    # r11 layout fix: the old range(0,20,1,20)-streamed replicate capped
+    # the shingle/hash stage at 20 of 32 cores; repartitioning the TINY
+    # original corpus (5k docs, ~1.5 MB) to 32 and broadcasting the
+    # replica index runs the same rows 32-wide (probed 3.82 s → 3.09 s,
+    # 358,688 output pairs identical).
+    rep = spark.range(0, 20, 1, 1).withColumnRenamed("id", "rep")
     big = (
-        spark.range(0, 20, 1, 20)
-        .withColumnRenamed("id", "rep")
-        .crossJoin(F.broadcast(docs))
+        docs.repartition(32)
+        .crossJoin(F.broadcast(rep))
         .select((F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text")
     )
     return minhash_lsh_star(big, hash_fn="xxhash64")
@@ -333,11 +338,17 @@ def _pq_adc_400k(spark, sf_dir=None):
     emb = spark.read.parquet(os.path.join(sf_dir or SF_DIR, "embeddings.parquet"))
     books = pq_refine(emb, pq_seed_codebooks(emb), n_iter=2)
     big = (
-        emb.crossJoin(spark.range(200).withColumnRenamed("id", "rep"))
+        # range on the STREAMED side + broadcast replicate (the span_dedup
+        # builder's layout): the ×200 corpus materializes already spread
+        # across 32 partitions with ZERO shuffle — the old
+        # crossJoin+repartition paid a 200 MB exchange of the vectors just
+        # to undo the single-file fixture's one-partition scan (r11,
+        # measured 1.36 s → 0.17 s for the replicate stage, identical
+        # rows; at scale the corpus arrives already partitioned either way)
+        spark.range(0, 200, 1, 32)
+        .withColumnRenamed("id", "rep")
+        .crossJoin(F.broadcast(emb))
         .select((F.col("vec_id") * 200 + F.col("rep")).alias("vec_id"), "embedding")
-        # the sf parquet is one file -> one partition; spread the encode
-        # projection (at scale the corpus arrives already partitioned)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     codes = pq_encode(big, books)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -374,13 +385,13 @@ def _span_dedup_stress(spark):
     from gridmet_etl_spark.operators.dedup import span_dedup
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    # range on the STREAMED side so the replicated corpus inherits its
-    # parallelism — docs.crossJoin(range) keeps the single-file scan's one
-    # partition and serializes the whole digest pass onto one core.
+    # r11 layout fix (see _minhash_lsh_100k): repartition the tiny
+    # original corpus to 32 and broadcast the replica index — full-width
+    # digest pass instead of the old 20-partition range-streamed replicate.
+    rep = spark.range(0, 20, 1, 1).withColumnRenamed("id", "rep")
     big = (
-        spark.range(0, 20, 1, 20)
-        .withColumnRenamed("id", "rep")
-        .crossJoin(F.broadcast(docs))
+        docs.repartition(32)
+        .crossJoin(F.broadcast(rep))
         .select((F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text")
     )
     return span_dedup(big)
@@ -846,10 +857,11 @@ def _line_dedup_100k(spark):
     from gridmet_etl_spark.operators.dedup import line_dedup
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # r11 layout fix (see _minhash_lsh_100k): 32-wide replicate
+    _rep = spark.range(0, 20, 1, 1).withColumnRenamed("id", "rep")
     big = (
-        spark.range(0, 20, 1, 20)
-        .withColumnRenamed("id", "rep")
-        .crossJoin(F.broadcast(docs))
+        docs.repartition(32)
+        .crossJoin(F.broadcast(_rep))
         .select((F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text")
     )
     lines = big.select(
@@ -885,6 +897,10 @@ def _cms_join_size_14m(spark, sf_dir=None):
     li = spark.read.parquet(os.path.join(sf_dir or SF_DIR, "lineitem.parquet")).select(
         F.col("l_orderkey").alias("jk")
     )
+    # r11 note: the 32-wide repartitioned-replicate layout that helped the
+    # text builders was probed here and measured SLOWER (10.3 s vs 6.3 s
+    # paired, estimate identical) — the 20-partition range-streamed form
+    # stays.
     rep = spark.range(0, 20, 1, 20).withColumnRenamed("id", "rep")
     big_o = rep.crossJoin(F.broadcast(o)).select(
         (F.col("jk") * 20 + F.col("rep")).alias("jk")

@@ -131,8 +131,6 @@ def pq_refine(
     m x ksub x dsub partial-sum rows. The exchange and the driver collect
     are therefore both codebook-sized (~kB) regardless of corpus size.
     Empty cells keep their previous centroid."""
-    import pandas as pd
-
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
@@ -141,14 +139,24 @@ def pq_refine(
         cur = [[list(c) for c in cb] for cb in books]
 
         def _partials(batches, _books=cur):
+            # r11: mapInArrow input (contiguous values-buffer reshape, no
+            # per-row array objects — guide §4.2); the per-cell
+            # ``Xs[mask].sum(axis=0)`` accumulation is kept verbatim so
+            # every psum is bit-identical to the old kernel's.
             import numpy as np
+            import pyarrow as pa
 
-            for pdf in batches:
-                if not len(pdf):
+            for b in batches:
+                nrows = b.num_rows
+                if not nrows:
                     continue
-                X = np.array(list(pdf[vec_col]), dtype=np.float64)
+                flat = b.column(0).flatten().to_numpy(zero_copy_only=False)
+                X = np.ascontiguousarray(
+                    flat.reshape(nrows, len(flat) // nrows), dtype=np.float64
+                )
                 codes = _codes_matrix(X, _books)
-                rows = []
+                subs, cods, dims, psums, pcnts = [], [], [], [], []
+                dim_idx = np.arange(dsub, dtype=np.int32)
                 for s in range(m):
                     Xs = X[:, s * dsub : (s + 1) * dsub]
                     for c in range(ksub):
@@ -156,16 +164,27 @@ def pq_refine(
                         if mask.any():
                             sums = Xs[mask].sum(axis=0)
                             n = int(mask.sum())
-                            rows.extend(
-                                (s, c, j, float(sums[j]), n) for j in range(dsub)
-                            )
-                yield pd.DataFrame(
-                    rows, columns=["sub", "code", "dim", "psum", "pcnt"]
+                            subs.append(np.full(dsub, s, dtype=np.int32))
+                            cods.append(np.full(dsub, c, dtype=np.int32))
+                            dims.append(dim_idx)
+                            psums.append(sums.astype(np.float64, copy=False))
+                            pcnts.append(np.full(dsub, n, dtype=np.int64))
+                if not subs:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(subs), type=pa.int32()),
+                        pa.array(np.concatenate(cods), type=pa.int32()),
+                        pa.array(np.concatenate(dims), type=pa.int32()),
+                        pa.array(np.concatenate(psums), type=pa.float64()),
+                        pa.array(np.concatenate(pcnts), type=pa.int64()),
+                    ],
+                    names=["sub", "code", "dim", "psum", "pcnt"],
                 )
 
         means = (
             corpus.select(vec_col)
-            .mapInPandas(_partials, "sub int, code int, dim int, psum double, pcnt long")
+            .mapInArrow(_partials, "sub int, code int, dim int, psum double, pcnt long")
             .groupBy("sub", "code", "dim")
             .agg((F.sum("psum") / F.sum("pcnt")).alias("mu"))
             .collect()
@@ -188,15 +207,20 @@ def pq_encode(
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Codes table (vec_id, code_0..code_{m-1}): one Arrow ``mapInPandas``
+    """Codes table (vec_id, code_0..code_{m-1}): one Arrow ``mapInArrow``
     pass, zero shuffle — at 100 TB this is the only pass over the raw
     vectors (write-time); every later search touches just m small ints per
     row. numpy argmin with oracle-parity accumulation (see
     ``_codes_matrix``); the expression form (``_argmin_code``) exists for
     plan-literal composition but exceeds codegen limits at production
-    m*ksub."""
-    import pandas as pd
+    m*ksub.
 
+    r11 boundary fix (guide §4.2): the old ``mapInPandas`` kernel spent
+    ~80% of task time OFF-CPU converting each batch's list-of-arrays
+    Series element-by-element (``np.array(list(series))``); ``mapInArrow``
+    reads the list column's contiguous values buffer and reshapes it —
+    one vectorized view per batch, no per-row objects. Codes are computed
+    by the same ``_codes_matrix``, so outputs are bit-identical."""
     m = len(codebooks)
     books = [[list(map(float, c)) for c in cb] for cb in codebooks]
     dtypes = dict(corpus.dtypes)
@@ -205,23 +229,31 @@ def pq_encode(
         + [f"{c} {dtypes[c]}" for c in keep_cols]
         + [f"code_{s} int" for s in range(m)]
     )
+    n_keep = len(keep_cols)
+    names = [id_col] + list(keep_cols) + [f"code_{s}" for s in range(m)]
 
     def _encode(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            n = b.num_rows
+            if not n:
                 continue
-            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # column order is the select below: id, vec, *keep
+            flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+            X = np.ascontiguousarray(
+                flat.reshape(n, len(flat) // n), dtype=np.float64
+            )
             codes = _codes_matrix(X, books)
-            out = pd.DataFrame({id_col: pdf[id_col]})
-            for c in keep_cols:
-                out[c] = pdf[c]
-            for s in range(m):
-                out[f"code_{s}"] = codes[:, s]
-            yield out
+            arrays = (
+                [b.column(0)]
+                + [b.column(2 + i) for i in range(n_keep)]
+                + [pa.array(codes[:, s].astype(np.int32)) for s in range(m)]
+            )
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return corpus.select(id_col, vec_col, *keep_cols).mapInPandas(_encode, schema)
+    return corpus.select(id_col, vec_col, *keep_cols).mapInArrow(_encode, schema)
 
 
 def pq_adc_topk(
