@@ -266,12 +266,13 @@ def _minhash_lsh_100k(spark, sf_dir=None):
     docs = spark.read.parquet(os.path.join(sf_dir or SF_DIR, "documents.parquet"))
     # r11 layout fix: the old range(0,20,1,20)-streamed replicate capped
     # the shingle/hash stage at 20 of 32 cores; repartitioning the TINY
-    # original corpus (5k docs, ~1.5 MB) to 32 and broadcasting the
-    # replica index runs the same rows 32-wide (probed 3.82 s → 3.09 s,
+    # original corpus (5k docs, ~1.5 MB) to cluster width (ADVICE r12:
+    # defaultParallelism, not a literal 32) and broadcasting the replica
+    # index runs the same rows full-width (probed 3.82 s → 3.09 s,
     # 358,688 output pairs identical).
     rep = spark.range(0, 20, 1, 1).withColumnRenamed("id", "rep")
     big = (
-        docs.repartition(32)
+        docs.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(rep))
         .select((F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text")
     )
@@ -340,12 +341,12 @@ def _pq_adc_400k(spark, sf_dir=None):
     big = (
         # range on the STREAMED side + broadcast replicate (the span_dedup
         # builder's layout): the ×200 corpus materializes already spread
-        # across 32 partitions with ZERO shuffle — the old
+        # across defaultParallelism partitions with ZERO shuffle — the old
         # crossJoin+repartition paid a 200 MB exchange of the vectors just
         # to undo the single-file fixture's one-partition scan (r11,
         # measured 1.36 s → 0.17 s for the replicate stage, identical
         # rows; at scale the corpus arrives already partitioned either way)
-        spark.range(0, 200, 1, 32)
+        spark.range(0, 200, 1, spark.sparkContext.defaultParallelism)
         .withColumnRenamed("id", "rep")
         .crossJoin(F.broadcast(emb))
         .select((F.col("vec_id") * 200 + F.col("rep")).alias("vec_id"), "embedding")
@@ -386,11 +387,11 @@ def _span_dedup_stress(spark):
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     # r11 layout fix (see _minhash_lsh_100k): repartition the tiny
-    # original corpus to 32 and broadcast the replica index — full-width
+    # original corpus to cluster width and broadcast the replica index — full-width
     # digest pass instead of the old 20-partition range-streamed replicate.
     rep = spark.range(0, 20, 1, 1).withColumnRenamed("id", "rep")
     big = (
-        docs.repartition(32)
+        docs.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(rep))
         .select((F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text")
     )
@@ -860,7 +861,7 @@ def _line_dedup_100k(spark):
     # r11 layout fix (see _minhash_lsh_100k): 32-wide replicate
     _rep = spark.range(0, 20, 1, 1).withColumnRenamed("id", "rep")
     big = (
-        docs.repartition(32)
+        docs.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(_rep))
         .select((F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text")
     )

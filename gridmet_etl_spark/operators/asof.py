@@ -132,48 +132,49 @@ def asof_join(
             )
         ub = u.withColumn("_b", bexpr)
         if direction == "backward":
-            w_in = (
-                Window.partitionBy("_k", "_b")
-                .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            # per bucket: the LAST right row (largest ts) — what a later
-            # bucket's unmatched left rows inherit
-            bagg = F.max_by("_rrow", F.col("_ts"))
-            w_cross = (
-                Window.partitionBy("_k")
-                .orderBy(F.col("_b").asc())
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
+            order = [F.col("_ts").asc(), F.col("_is_left").asc()]
+            cross_order = F.col("_b").asc()
         else:
-            w_in = (
-                Window.partitionBy("_k", "_b")
-                .orderBy(F.col("_ts").desc(), F.col("_is_left").asc())
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            # forward: the FIRST right row (smallest ts) of each bucket,
-            # inherited by EARLIER buckets' unmatched left rows
-            bagg = F.min_by("_rrow", F.col("_ts"))
-            w_cross = (
-                Window.partitionBy("_k")
-                .orderBy(F.col("_b").desc())
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
+            order = [F.col("_ts").desc(), F.col("_is_left").asc()]
+            cross_order = F.col("_b").desc()
+        w_in = (
+            Window.partitionBy("_k", "_b")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # r12 (guide §2.4): the per-bucket summary used to be a separate
+        # max_by/min_by(_rrow, _ts) SortAggregate over the right rows plus
+        # a distinct over (_k, _b) — two more data-sized exchanges (and a
+        # struct-buffer SortAggregate) beyond the running-carry window.
+        # Both fold into the ONE (key, bucket) window pass: over the whole
+        # partition frame, last(_rrow, ignorenulls) in (ts, side) order IS
+        # the bucket's latest right row (ignorenulls skips left rows' NULL
+        # payloads; in the forward mirror the descending order makes it the
+        # earliest), and a row_number()==1 representative stands in for the
+        # distinct. The two window subtree consumers below share one
+        # repartition exchange (AQE stage reuse).
+        w_full = (
+            Window.partitionBy("_k", "_b")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        w_rn = Window.partitionBy("_k", "_b").orderBy(*order)
+        w_cross = (
+            Window.partitionBy("_k")
+            .orderBy(cross_order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
         carried_in = ub.select(
             "_k", "_b", "_ts", "_is_left", *lcols,
             F.last("_rrow", ignorenulls=True).over(w_in).alias("_m0"),
+            F.last("_rrow", ignorenulls=True).over(w_full).alias("_bl"),
+            F.row_number().over(w_rn).alias("_rn"),
         )
-        bsum = (
-            ub.filter(F.col("_is_left") == 0)
-            .groupBy("_k", "_b")
-            .agg(bagg.alias("_bl"))
-        )
-        # every (key, bucket) present on either side, so carry-in resolves
-        # for buckets with no right rows too
+        # one representative row per (key, bucket) — every bucket present
+        # on either side appears, so carry-in resolves for buckets with no
+        # right rows too (their _bl is NULL, skipped by ignorenulls)
         carry = (
-            ub.select("_k", "_b")
-            .distinct()
-            .join(bsum, ["_k", "_b"], "left")
+            carried_in.where(F.col("_rn") == 1)
             .select(
                 "_k", "_b",
                 F.last("_bl", ignorenulls=True).over(w_cross).alias("_cin"),

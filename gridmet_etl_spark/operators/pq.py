@@ -150,7 +150,17 @@ def pq_refine(
                 nrows = b.num_rows
                 if not nrows:
                     continue
-                flat = b.column(0).flatten().to_numpy(zero_copy_only=False)
+                col = b.column(0)
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                # ADVICE r11 item 2: a null or ragged vector would make
+                # flatten() drop elements and the reshape misalign rows
+                # silently — fail loudly instead
+                if col.null_count or len(flat) % nrows:
+                    raise ValueError(
+                        f"pq_refine: embedding column must be null-free "
+                        f"fixed-width (nulls={col.null_count}, "
+                        f"values={len(flat)}, rows={nrows})"
+                    )
                 X = np.ascontiguousarray(
                     flat.reshape(nrows, len(flat) // nrows), dtype=np.float64
                 )
@@ -241,7 +251,16 @@ def pq_encode(
             if not n:
                 continue
             # column order is the select below: id, vec, *keep
-            flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+            col = b.column(1)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            # ADVICE r11 item 2: fail loudly on null/ragged vectors rather
+            # than silently misaligning the reshape
+            if col.null_count or len(flat) % n:
+                raise ValueError(
+                    f"pq_encode: embedding column must be null-free "
+                    f"fixed-width (nulls={col.null_count}, "
+                    f"values={len(flat)}, rows={n})"
+                )
             X = np.ascontiguousarray(
                 flat.reshape(n, len(flat) // n), dtype=np.float64
             )

@@ -5,7 +5,13 @@ Reference semantics (the gdptools ``AggGen`` contract as configured at
 
 - ``stat_method="mean"`` (A1): per (feature, time), Σ w·v / Σ w over ALL the
   feature's intersecting cells. NaN-intolerant — any missing cell poisons the
-  result (NaN in → NaN out), because the denominator counts every weight.
+  result (missing in → NULL out; this engine has always emitted SQL NULL,
+  not NaN, for poisoned groups), because the denominator counts every
+  weight. Assumption (ADVICE r11): weights are finite and non-NaN — wght is
+  an area fraction in (0, 1] by construction (weight_sum_qa guards Σw) — so
+  the only NaN a strict-path sum can see is the injected missing-poison; a
+  hypothetical NaN weight or ±Inf overflow would yield NULL where a
+  separate count(missing)-guard would have returned NaN.
 - ``stat_method="masked_mean"`` (A2, the ``--partial`` path, etl.py:690):
   normalizes by Σ w over NON-NULL cells only, so partial coverage still
   yields a value; all-null groups yield NULL.
