@@ -130,7 +130,17 @@ def asof_join(
             bexpr = F.floor(F.col("_ts").cast("long") / bucket_seconds).cast(
                 "long"
             )
-        ub = u.withColumn("_b", bexpr)
+        # _b is non-null BY CONSTRUCTION (null ts → the sentinel first/last
+        # bucket, matching where NULLS FIRST/LAST puts a null ts in the
+        # unbucketed window). Two birds: (1) the old plan silently DROPPED
+        # null-ts left rows at the inner carry join (null keys never match)
+        # where the unbucketed plan keeps them; (2) a nullable _b makes the
+        # carry join infer isnotnull(_b) into the LEFT window subtree only
+        # (on the carry side the Window blocks the pushdown), so the two
+        # union subtrees canonicalize differently and AQE cannot reuse the
+        # shared (key, bucket) exchange — provably-non-null _b folds that
+        # inferred filter away and both consumers hang off ONE shuffle.
+        ub = u.withColumn("_b", F.coalesce(bexpr, F.lit(-(1 << 62))))
         if direction == "backward":
             order = [F.col("_ts").asc(), F.col("_is_left").asc()]
             cross_order = F.col("_b").asc()

